@@ -1,0 +1,446 @@
+"""SemanticEngine: MDL manifest -> governed Spark temp views -> SQL.
+
+This is the Spark-first rebuild of the reference's planning pipeline
+(SURVEY.md §0, §2.A). Where the reference expands models inside a
+DataFusion LogicalPlan and unparses back to backend SQL
+(wren-core/core/src/mdl/mod.rs:477-541), we build each model as a
+DataFrame and register it as a temp view; the user's SQL then runs
+directly through Catalyst — predicate pushdown, column pruning, join
+planning, AQE all apply to the *expanded* plan for free (the reference
+had to disable most optimizer rules for unparse fidelity,
+context.rs:229-275; we keep them all).
+
+Per-model expansion semantics (parity targets):
+  - expression columns     -> ``F.expr(expression).alias(name)``
+    (ModelSourceNode, analyze/plan.rs:891-1035)
+  - ref_sql models         -> ``spark.sql(ref_sql)`` as the source
+    (SqlReferencePlanNode, plan.rs:1208-1272)
+  - to-one calculated      -> left join along the relationship chain,
+    inline expression (plan.rs:189-291, relation_chain.rs:35-299)
+  - to-many calculated     -> pre-aggregate the related side by its join
+    key, then 1:1 left join back on the primary key so base cardinality
+    never changes (plan.rs:1038-1143; invariant model.slt:37-44)
+  - RLS                    -> validated/substituted filter inside the view
+    (access_control.rs:121-288, model_generation.rs:88-129)
+  - CLAC / hidden columns  -> excluded from the view projection
+    (access_control.rs:290-399, context.rs:336-367)
+  - views                  -> ``spark.sql(statement)`` registered after
+    models (expand_view.rs:35-69)
+
+Scale notes (100 TB design): every to-one dimension join is eligible for
+broadcast (dims are small by construction); to-many pre-aggregation is a
+map-side-combinable groupBy on the foreign key — the shuffle it needs is
+on the same key as the subsequent join, so Catalyst reuses the exchange.
+Nothing in the deploy path touches data: views are lazy metadata; the
+first action triggers distributed execution only.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column as SparkColumn
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wren_engine_spark.mdl.lineage import (
+    LineageError,
+    RelPath,
+    check_cycles,
+    extract_paths,
+    is_aggregate_expression,
+)
+from wren_engine_spark.mdl.manifest import (
+    Column,
+    ColumnLevelAccessControl,
+    Manifest,
+    Model,
+    Relationship,
+    RowLevelAccessControl,
+    quote_ident,
+)
+from wren_engine_spark.sources.registry import SourceRegistry
+
+
+class AccessControlError(PermissionError):
+    pass
+
+
+class PlanError(ValueError):
+    pass
+
+
+_IDENT = r'(?:"[^"]+"|[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)'
+_EQ_COND = re.compile(rf"^\s*({_IDENT})\s*\.\s*({_IDENT})\s*=\s*({_IDENT})\s*\.\s*({_IDENT})\s*$")
+_VAR = re.compile(r"@([A-Za-z_][A-Za-z0-9_]*)")
+_NUMERIC = re.compile(r"^-?\d+(\.\d+)?$")
+_FORBIDDEN_RLS = re.compile(r"\b(select|insert|update|delete|union)\b|;", re.IGNORECASE)
+
+
+def _unq(s: str) -> str:
+    if s and s[0] in '"`':
+        return s[1:-1]
+    return s
+
+
+def _parse_equi_condition(rel: Relationship) -> tuple[str, str, str, str]:
+    """Parse ``"A"."x" = "B"."y"`` -> (model_a, col_a, model_b, col_b).
+
+    The reference requires equality conditions on relationships
+    (manifest-macro join condition; ExtractEquijoinPredicate kept at
+    context.rs:243)."""
+    m = _EQ_COND.match(rel.condition)
+    if not m:
+        raise PlanError(
+            f"relationship {rel.name}: only equi-conditions of the form "
+            f"model.col = model.col are supported, got {rel.condition!r}"
+        )
+    return _unq(m.group(1)), _unq(m.group(2)), _unq(m.group(3)), _unq(m.group(4))
+
+
+def _rel_keys(rel: Relationship, near_model: str) -> tuple[str, str]:
+    """(near_key, far_key) for a relationship traversed from near_model."""
+    ma, ca, mb, cb = _parse_equi_condition(rel)
+    if ma.lower() == near_model.lower():
+        return ca, cb
+    if mb.lower() == near_model.lower():
+        return cb, ca
+    raise PlanError(f"relationship {rel.name}: {near_model} is not an endpoint")
+
+
+def _substitute_vars(condition: str, props: dict[str, str],
+                     rule: RowLevelAccessControl) -> str:
+    """Replace ``@var`` with session-property literals after validating
+    required properties (access_control.rs:121-288 semantics)."""
+    declared = {p.name: p for p in rule.required_properties}
+    for p in rule.required_properties:
+        if p.required and p.name not in props and p.default_expr is None:
+            raise AccessControlError(
+                f"RLS rule {rule.name!r}: required session property {p.name!r} missing"
+            )
+
+    def repl(m: re.Match) -> str:
+        var = m.group(1).lower()
+        if var in props:
+            val = str(props[var])
+        elif var in declared and declared[var].default_expr is not None:
+            return f"({declared[var].default_expr})"
+        else:
+            raise AccessControlError(
+                f"RLS rule {rule.name!r}: session property {var!r} not provided"
+            )
+        if _NUMERIC.match(val):
+            return val
+        return "'" + val.replace("'", "''") + "'"
+
+    return _VAR.sub(repl, condition)
+
+
+def _sanitize_rls(condition: str, rule_name: str) -> None:
+    """Reject subqueries/statements inside RLS conditions
+    (access_control.rs:216-248 parity)."""
+    if _FORBIDDEN_RLS.search(condition):
+        raise AccessControlError(
+            f"RLS rule {rule_name!r}: condition must be a simple boolean "
+            f"expression (no subqueries/statements)"
+        )
+
+
+def _clac_allows(clac: ColumnLevelAccessControl | None, props: dict[str, str]) -> bool:
+    """Evaluate a column-level access rule against session properties
+    (access_control.rs:290-399). Missing/failed -> column hidden."""
+    if clac is None:
+        return True
+    for p in clac.required_properties:
+        val = props.get(p.name, None)
+        if val is None:
+            if p.default_expr is not None:
+                val = str(p.default_expr).strip("'\"")
+            elif p.required:
+                return False
+            else:
+                continue
+        if clac.threshold is None:
+            continue
+        tv = clac.threshold.value
+        if clac.threshold.type == "NUMERIC":
+            try:
+                a, b = float(val), float(tv)
+            except ValueError:
+                return False
+        else:
+            a, b = str(val), str(tv)
+        op = clac.operator
+        ok = (
+            (op == "EQUALS" and a == b)
+            or (op == "NOT_EQUALS" and a != b)
+            or (op in ("GREATER_THAN", "GT") and a > b)
+            or (op in ("LESS_THAN", "LT") and a < b)
+            or (op in ("GREATER_THAN_OR_EQUALS", "GTE") and a >= b)
+            or (op in ("LESS_THAN_OR_EQUALS", "LTE") and a <= b)
+        )
+        if not ok:
+            return False
+    return True
+
+
+@dataclass
+class _ModelPlan:
+    """Resolved pieces of one model's expansion."""
+
+    model: Model
+    base: DataFrame                      # expression-projected + RLS-filtered
+    visible: list[str] = field(default_factory=list)
+
+
+class SemanticEngine:
+    """Deploys an MDL manifest onto a SparkSession and answers SQL.
+
+    Usage::
+
+        eng = SemanticEngine(spark, manifest, sources)
+        eng.deploy(properties={"session_level": "5000"})
+        df = eng.sql('SELECT customer_name, total_spent FROM customer_m')
+    """
+
+    def __init__(self, spark: SparkSession, manifest: Manifest, sources: SourceRegistry):
+        self.spark = spark
+        self.manifest = manifest
+        self.sources = sources
+        self.properties: dict[str, str] = {}
+        self._plans: dict[str, _ModelPlan] = {}
+        check_cycles(manifest)
+
+    # ------------------------------------------------------------------ deploy
+
+    def deploy(self, properties: dict[str, str] | None = None) -> "SemanticEngine":
+        """Register every model (and then every view) as a temp view."""
+        self.properties = {k.lower(): str(v) for k, v in (properties or {}).items()}
+        self._plans = {}
+        for model in self.manifest.models:
+            df = self._expand_model(model)
+            df.createOrReplaceTempView(model.name)
+        for view in self.manifest.views:
+            self.spark.sql(self._strip_ns(view.statement)).createOrReplaceTempView(view.name)
+        for cube in self.manifest.cubes:
+            self._register_cube(cube)
+        return self
+
+    def sql(self, sql: str) -> DataFrame:
+        """Run user SQL against the deployed semantic layer."""
+        return self.spark.sql(self._strip_ns(sql))
+
+    def dry_run(self, sql: str) -> None:
+        """Analyze-only (reference dryRun flag): raises on invalid SQL or
+        access-control violations, moves no data."""
+        self.sql(sql).schema  # Catalyst analysis is triggered by .schema
+
+    # ------------------------------------------------------- model expansion
+
+    def _strip_ns(self, sql: str) -> str:
+        """Strip ``catalog.schema.`` prefixes from model references — temp
+        views live in a flat namespace (model_anlayze.rs:56-64 step 3 does
+        the same before unparse)."""
+        cat, sch = self.manifest.catalog, self.manifest.schema
+        for pat in (
+            rf'"{cat}"\s*\.\s*"{sch}"\s*\.',
+            rf"\b{re.escape(cat)}\s*\.\s*{re.escape(sch)}\s*\.",
+            rf'\b{re.escape(sch)}\s*\.\s*(?=")',
+        ):
+            sql = re.sub(pat, "", sql)
+        # double-quoted identifiers -> backticks (Spark default parser)
+        return re.sub(r'"([^"]+)"', r"`\1`", sql)
+
+    def _source_df(self, model: Model) -> DataFrame:
+        if model.ref_sql:
+            return self.spark.sql(self._strip_ns(model.ref_sql))
+        return self.sources.resolve(model.table_reference)
+
+    def _expr(self, sql_expr: str) -> SparkColumn:
+        return F.expr(re.sub(r'"([^"]+)"', r"`\1`", sql_expr))
+
+    def _base_plan(self, model: Model) -> _ModelPlan:
+        """Expression-projected + RLS-filtered frame with *all* physical
+        columns (pre-CLAC). Cached per deploy."""
+        key = model.name.lower()
+        if key in self._plans:
+            return self._plans[key]
+        src = self._source_df(model)
+        cols = [self._expr(c.sql_expression).alias(c.name) for c in model.physical_columns]
+        base = src.select(*cols)
+        for rule in model.row_level_access_controls:
+            _sanitize_rls(rule.condition, rule.name)
+            cond = _substitute_vars(rule.condition, self.properties, rule)
+            base = base.filter(self._expr(cond))
+        plan = _ModelPlan(model=model, base=base)
+        self._plans[key] = plan
+        return plan
+
+    def _expand_model(self, model: Model) -> DataFrame:
+        plan = self._base_plan(model)
+        df = plan.base
+        calc_cols: list[str] = []
+        for col in model.calculated_columns:
+            df = self._attach_calculated(df, model, col)
+            calc_cols.append(col.name)
+        visible = [
+            c.name
+            for c in model.columns
+            if not c.is_relationship
+            and not c.is_hidden
+            and _clac_allows(c.column_level_access_control, self.properties)
+        ]
+        plan.visible = visible
+        return df.select(*[quote_ident(c) for c in visible])
+
+    # ------------------------------------------------ calculated-field joins
+
+    def _attach_calculated(self, df: DataFrame, model: Model, col: Column) -> DataFrame:
+        expr = col.expression or ""
+        paths = extract_paths(model, self.manifest, expr)
+        if not paths:
+            # plain expression over the model's own columns
+            return df.withColumn(col.name, self._expr(expr))
+        if is_aggregate_expression(expr):
+            return self._attach_to_many(df, model, col, expr, paths)
+        return self._attach_to_one(df, model, col, expr, paths)
+
+    def _path_frame(
+        self, model: Model, path: RelPath, prefix: str
+    ) -> tuple[DataFrame, str, str, dict[str, str]]:
+        """Build the joined far-side frame for a relationship path.
+
+        Returns (frame, base_key, far_key_col, rename_map) where ``frame``
+        contains the hop-1 join key named ``far_key_col`` and every column
+        of the terminal model prefixed, ``base_key`` is the column on the
+        base model to join against, and rename_map maps terminal-model
+        column names -> prefixed names (for expression rewriting).
+        """
+        cur_model = model
+        frame: DataFrame | None = None
+        far_key_col = ""
+        base_key = ""
+        rename: dict[str, str] = {}
+        for hop_idx, hop in enumerate(path.hops):
+            relcol = cur_model.column(hop)
+            rel = self.manifest.relationship(relcol.relationship)
+            near_key, far_key = _rel_keys(rel, cur_model.name)
+            target = self.manifest.model(rel.other_model(cur_model.name))
+            tplan = self._base_plan(target)
+            tdf = tplan.base
+            # inline the target's own non-relationship calculated columns so
+            # calc-on-calc works one level at a time (PartialModelPlanNode,
+            # plan.rs:1149-1201) — iterative, not recursive: deeper paths
+            # were already rejected by check_cycles.
+            for tcol in target.calculated_columns:
+                if not extract_paths(target, self.manifest, tcol.expression or ""):
+                    tdf = tdf.withColumn(tcol.name, self._expr(tcol.expression))
+            pfx = f"{prefix}_h{hop_idx}"
+            this_rename = {c: f"{pfx}__{c}" for c in tdf.columns}
+            tdf = tdf.select(*[F.col(quote_ident(c)).alias(n) for c, n in this_rename.items()])
+            if frame is None:
+                frame = tdf
+                base_key = near_key
+                far_key_col = this_rename[self._resolve_name(target, far_key)]
+            else:
+                # join previous chain to this hop's target
+                prev_key = rename[self._resolve_name(cur_model, near_key)]
+                frame = frame.join(
+                    tdf,
+                    on=F.col(quote_ident(prev_key))
+                    == F.col(quote_ident(this_rename[self._resolve_name(target, far_key)])),
+                    how="left",
+                )
+            rename = this_rename
+            cur_model = target
+        return frame, base_key, far_key_col, rename
+
+    @staticmethod
+    def _resolve_name(model: Model, name: str) -> str:
+        c = model.column(name)
+        return c.name if c is not None else name
+
+    def _attach_to_one(
+        self, df: DataFrame, model: Model, col: Column, expr: str, paths: list[RelPath]
+    ) -> DataFrame:
+        """Inline a to-one calculated field: left-join the relationship
+        chain (each hop declared to-one, so base cardinality is stable —
+        invariant tested by model.slt:37-44) and evaluate the rewritten
+        expression."""
+        out = df
+        for i, path in enumerate(paths):
+            for hop_idx, hop in enumerate(path.hops):
+                relcol = (model if hop_idx == 0 else self.manifest.model(path.models[hop_idx - 1])).column(hop)
+                rel = self.manifest.relationship(relcol.relationship)
+                near = model.name if hop_idx == 0 else path.models[hop_idx - 1]
+                if not rel.is_to_one(near):
+                    raise PlanError(
+                        f"calculated field {model.name}.{col.name}: non-aggregate "
+                        f"expression crosses to-many relationship {rel.name}"
+                    )
+            prefix = f"__calc{abs(hash((col.name, i))) % 10_000}"
+            frame, base_key, far_key_col, rename = self._path_frame(model, path, prefix)
+            out = out.join(
+                frame,
+                on=F.col(quote_ident(base_key)) == F.col(quote_ident(far_key_col)),
+                how="left",
+            )
+            expr = expr.replace(path.raw, quote_ident(rename[self._resolve_name(
+                self.manifest.model(path.models[-1]), path.terminal)]))
+        out = out.withColumn(col.name, self._expr(expr))
+        return out.select(*[quote_ident(c) for c in df.columns], quote_ident(col.name))
+
+    def _attach_to_many(
+        self, df: DataFrame, model: Model, col: Column, expr: str, paths: list[RelPath]
+    ) -> DataFrame:
+        """Aggregate calculated field: pre-aggregate the far side grouped
+        by the hop-1 join key, then left-join 1:1 on the base key
+        (plan.rs:1038-1143 + model_generation.rs:212-260 semantics; the
+        pre-aggregation keeps base-model cardinality unchanged).
+
+        Requires a primary key when the expression mixes paths, matching
+        plan.rs:241-249."""
+        if len(paths) != 1:
+            raise PlanError(
+                f"calculated field {model.name}.{col.name}: multiple relationship "
+                f"paths in one aggregate expression are not yet supported"
+            )
+        path = paths[0]
+        prefix = f"__agg{abs(hash(col.name)) % 10_000}"
+        frame, base_key, far_key_col, rename = self._path_frame(model, path, prefix)
+        terminal_model = self.manifest.model(path.models[-1])
+        agg_expr = expr.replace(
+            path.raw, quote_ident(rename[self._resolve_name(terminal_model, path.terminal)])
+        )
+        grouped = frame.groupBy(F.col(quote_ident(far_key_col))).agg(
+            self._expr(agg_expr).alias(col.name)
+        )
+        out = df.join(
+            grouped,
+            on=F.col(quote_ident(base_key)) == F.col(quote_ident(far_key_col)),
+            how="left",
+        )
+        return out.select(*[quote_ident(c) for c in df.columns], quote_ident(col.name))
+
+    # ----------------------------------------------------------------- cubes
+
+    def _register_cube(self, cube) -> None:
+        """Cube -> groupBy(dims).agg(measures) view over its base model
+        (SURVEY §1.1 Cube row); ``cached`` materializes it."""
+        dims = [self._expr(d.expression).alias(d.name) for d in cube.dimensions]
+        dims += [self._expr(t.expression).alias(t.name) for t in cube.time_dimensions]
+        meas = [self._expr(m.expression).alias(m.name) for m in cube.measures]
+        base = self.spark.table(cube.base_object)
+        out = base.groupBy(*dims).agg(*meas) if dims else base.agg(*meas)
+        if cube.cached:
+            out = out.cache()
+        out.createOrReplaceTempView(cube.name)
+
+    # ------------------------------------------------------------- metadata
+
+    def model_schema(self, name: str) -> list[tuple[str, str]]:
+        """Visible (name, type) pairs for a deployed model view."""
+        df = self.spark.table(name)
+        return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]

@@ -1,0 +1,226 @@
+"""Deduplication operators.
+
+Scale design (100 TB of documents):
+  - exact/fingerprint dedup: hash-groupBy — one shuffle on a short hash
+    key, map-side combine; no data movement of full texts beyond the
+    first projection.
+  - n-gram Jaccard: inverted-index self-join on shingles (explode ->
+    distinct -> join on shingle) instead of a quadratic cross join; the
+    join key distribution is bounded by dropping ultra-frequent shingles
+    when requested (``max_doc_freq``), the standard stop-shingle guard
+    against skew.
+  - MinHash-LSH: signature matrix via a broadcast permutation table; the
+    only wide shuffle is groupBy(doc, perm) on fixed-width ints;
+    band-bucket join produces candidates, so cost scales with collisions,
+    not pairs.
+  - SimHash: 64 bit-counters per doc computed in one aggregation pass.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# 31-bit universal-hash domain: a*h + b stays < 2^62, safe under ANSI
+# long arithmetic (no overflow) while 2^31 slots is plenty for minhash.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate grouping by md5 of the raw text; keeps the minimum
+    id as the canonical representative. Returns (id, content_hash)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "content_hash")
+    )
+
+
+def normalize_text(col) -> F.Column:
+    """Lowercase, strip non-alphanumerics, collapse whitespace — the
+    canonical form used by fingerprint dedup."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact dedup on the normalized-text md5 fingerprint.
+    Returns (fingerprint, n_docs, min_id)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.md5(normalize_text(F.col(text_col)).cast("binary")).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
+    )
+
+
+def char_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """Distinct character n-gram shingles per doc: (id, shingle).
+
+    Built with explode(sequence(...)) + substring — stays in whole-stage
+    codegen, no Python."""
+    t = F.lower(F.col(text_col))
+    return (
+        df.select(F.col(id_col), t.alias("__t"))
+        .filter(F.length("__t") >= n)  # sequence(1, len-n+1) must ascend
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length("__t") - (n - 1))).alias("__i"),
+            "__t",
+        )
+        .select(F.col(id_col), F.substring(F.col("__t"), F.col("__i"), n).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
+
+    Inverted-index join: |pairs| is bounded by shingle co-occurrence. At
+    very large corpora set ``max_doc_freq`` to drop stop-shingles (those
+    in more than that many docs) — the standard skew guard; leaving it
+    None keeps results exact (used for the DuckDB oracle check).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = char_shingles(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = (
+            sh.join(freq.filter(F.col("__df") <= max_doc_freq), "shingle", "left_semi")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__c").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__c")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int = 64, n: int = 5, seed: int = 42
+) -> DataFrame:
+    """MinHash signature matrix: (id, perm_id, minhash).
+
+    Universal hashing h_i(x) = (a_i * x + b_i) mod p over xxhash64
+    shingle hashes; the permutation table is tiny and broadcast."""
+    rng = random.Random(seed)
+    perms = [(i, rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31)) for i in range(num_perm)]
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(perms, "perm_id INT, a LONG, b LONG")
+    sh = char_shingles(df, text_col, id_col, n).select(
+        id_col, F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("__h")
+    )
+    return (
+        sh.join(F.broadcast(pdf))
+        .select(
+            id_col,
+            "perm_id",
+            F.pmod(F.col("a") * F.col("__h") + F.col("b"), F.lit(_MERSENNE31)).alias("__ph"),
+        )
+        .groupBy(id_col, "perm_id")
+        .agg(F.min("__ph").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding over MinHash signatures.
+
+    Docs sharing >=1 band bucket become candidates; the estimated Jaccard
+    (matching-minhash fraction) is attached so callers can threshold.
+    Returns (id_a, id_b, n_shared_bands, est_jaccard).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm, n, seed)
+    banded = sig.withColumn("band", (F.col("perm_id") / rows_per_band).cast("int"))
+    band_sig = banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.to_json(F.sort_array(F.collect_list(F.struct("perm_id", "minhash"))))
+        ).alias("bsig")
+    )
+    a = band_sig.select(F.col(id_col).alias("id_a"), "band", "bsig")
+    b = band_sig.select(F.col(id_col).alias("id_b"), "band", "bsig")
+    cand = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    siga = sig.select(F.col(id_col).alias("id_a"), "perm_id", F.col("minhash").alias("mh_a"))
+    sigb = sig.select(F.col(id_col).alias("id_b"), "perm_id", F.col("minhash").alias("mh_b"))
+    est = (
+        cand.join(siga, "id_a")
+        .join(sigb, ["id_b", "perm_id"])
+        .groupBy("id_a", "id_b", "n_shared_bands")
+        .agg(
+            (
+                F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+                / F.lit(num_perm)
+            ).cast("double").alias("est_jaccard")
+        )
+    )
+    return est
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted
+    by token-hash bits, sign -> bit. One explode + one aggregation.
+    Returns (id, simhash)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("__h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    counted = hashed.groupBy(id_col).agg(*bit_aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return counted.select(F.col(id_col), sim.alias("simhash"))

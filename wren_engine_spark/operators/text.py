@@ -1,0 +1,74 @@
+"""Text-analysis operators: token stats, quality scoring, language-ID.
+
+All formulas are pure built-in column expressions (whole-stage codegen,
+zero Python) and are deliberately SQL-expressible so every operator has
+a DuckDB oracle: integer counts divided as doubles — deterministic
+across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic;
+# priority order matters and is mirrored in the oracle SQL.
+LANG_MARKERS: dict[str, str] = {
+    "es": r"\b(el|la|los|las|que|de|y|en|un|una|es)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+    "fr": r"\b(le|les|des|est|et|dans|pour|que|une|du)\b",
+    "zh": r"[一-鿿]",
+}
+EN_STOPWORDS = r"\b(the|a|an|and|of|to|in|is|it|that)\b"
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc token statistics: (id, n_chars, n_tokens, avg_token_len,
+    punct_ratio, stopword_ratio)."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+    n_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("bigint")
+    non_space = F.length(F.regexp_replace(t, r"\s", ""))
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    stop = F.regexp_count(F.lower(t), F.lit(EN_STOPWORDS)).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (non_space.cast("double") / n_tokens.cast("double")).alias("avg_token_len"),
+        (punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
+        (stop.cast("double") / n_tokens.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: rewards stopword presence and
+    mid-range length, penalizes punctuation soup. Deterministic double
+    arithmetic; formula mirrored in the oracle."""
+    stats = token_stats(df, text_col, id_col)
+    length_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 1000), 1.0).otherwise(0.0)
+    score = (
+        F.lit(0.4) * F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+        + F.lit(0.4) * length_ok
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0)))
+    )
+    return stats.select(F.col(id_col), score.alias("quality_score"))
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Marker-lexicon language-ID heuristic. Checks zh (CJK codepoints)
+    first, then counts marker hits per language; 'en' is the fallback.
+    Returns (id, lang_pred)."""
+    low = F.lower(F.col(text_col))
+    es = F.regexp_count(low, F.lit(LANG_MARKERS["es"]))
+    de = F.regexp_count(low, F.lit(LANG_MARKERS["de"]))
+    fr = F.regexp_count(low, F.lit(LANG_MARKERS["fr"]))
+    zh = F.regexp_count(F.col(text_col), F.lit(LANG_MARKERS["zh"]))
+    pred = (
+        F.when(zh > 0, "zh")
+        .when((es > de) & (es > fr) & (es > 0), "es")
+        .when((de > fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("en")
+    )
+    return df.select(F.col(id_col), pred.alias("lang_pred"))

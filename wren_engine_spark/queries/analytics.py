@@ -1,0 +1,446 @@
+"""Window / set-op / grouping / semi-structured corpus.
+
+Covers the reference's accepted relational surface beyond plain
+joins+aggregates (SURVEY.md §2.B): the 11 window functions
+(function/window/mod.rs:5-20) with ROWS frames, UNION/INTERSECT/EXCEPT,
+GROUPING SETS / ROLLUP / CUBE + grouping() (function/aggregate/mod.rs:48),
+distinct aggregation, scalar function families (string/datetime/regex),
+JSON extraction (the Snowflake-style json family,
+function/scalar/mod.rs:197-230 -> Spark get_json_object), and
+EXISTS/NOT-EXISTS semi/anti joins (model.slt:69-77).
+
+Determinism: running sums use SUM(CAST(x AS DECIMAL)) OVER (...) so the
+result is exact regardless of how either engine associates the frame
+accumulation; window orderings always include a unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from wren_engine_spark.queries.registry import load_tables, register
+from wren_engine_spark.queries.tpch import dsum, DSUM
+
+
+@register(
+    "w1_top_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_name, p_retailprice, rnk
+    FROM (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+      FROM part
+    ) t WHERE rnk <= 3
+    """,
+)
+def w1(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_tables(spark, sf, "part")["part"]
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        p.select("p_brand", "p_partkey", "p_name", "p_retailprice",
+                 F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "w2_running_customer_total",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS order_seq
+    FROM orders
+    """,
+)
+def w2(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_tables(spark, sf, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(frame)
+         .cast("double").alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "w3_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev,
+           LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS next_orderkey
+    FROM orders
+    """,
+)
+def w3(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_tables(spark, sf, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+         .cast("bigint").alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@register(
+    "w4_event_sessionization",
+    """
+    SELECT user_id, COUNT(*) AS n_events, CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions
+    FROM (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ) t
+    GROUP BY user_id
+    """,
+)
+def w4(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization — the batch form of the classic streaming
+    session-window operator (extension beyond reference parity). Gap
+    compare in whole microseconds on both sides (no sub-second truncation)."""
+    e = load_tables(spark, sf, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select("user_id", "ts", F.lag("ts").over(w).alias("prev_ts"))
+    flagged = lagged.select(
+        "user_id",
+        F.when(F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1_800_000_000, 1)
+        .otherwise(0).alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.lit(1) + F.sum("new_session")).cast("bigint").alias("n_sessions"),
+    )
+
+
+@register(
+    "s1_repeat_customers_intersect",
+    """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def s1(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_tables(spark, sf, "orders")["orders"]
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.intersect(y97)
+
+
+@register(
+    "s2_churned_customers_except",
+    """
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    """,
+)
+def s2(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_tables(spark, sf, "orders")["orders"]
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y96.subtract(y97)  # EXCEPT (set semantics), not EXCEPT ALL
+
+
+@register(
+    "s3_union_all_activity",
+    """
+    SELECT DISTINCT actor_id, kind FROM (
+      SELECT o_custkey AS actor_id, 'order' AS kind FROM orders
+      UNION ALL
+      SELECT user_id AS actor_id, 'event' AS kind FROM events
+    ) t
+    """,
+)
+def s3(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf, "orders", "events")
+    a = t["orders"].select(F.col("o_custkey").alias("actor_id"), F.lit("order").alias("kind"))
+    b = t["events"].select(F.col("user_id").alias("actor_id"), F.lit("event").alias("kind"))
+    return a.unionAll(b).distinct()
+
+
+@register(
+    "g1_rollup_revenue",
+    f"""
+    SELECT r_name, n_name, {DSUM.format(x='o_totalprice')} AS revenue, COUNT(*) AS n_orders
+    FROM orders, customer, nation, region
+    WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def g1(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf, "orders", "customer", "nation", "region")
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "g2_cube_order_matrix",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def g2(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_tables(spark, sf, "orders")["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "g3_grouping_sets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           {DSUM.format(x='o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def g3(spark: SparkSession, sf: str) -> DataFrame:
+    load_tables(spark, sf, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "d1_distinct_aggregates",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d1(spark: SparkSession, sf: str) -> DataFrame:
+    l = load_tables(spark, sf, "lineitem")["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register("d2_approx_distinct")  # sketch-based: engines differ, rows-only check
+def d2(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (reference approx_distinct UDAF,
+    function/aggregate/mod.rs:39). HLL sketches differ across engines, so
+    no value oracle — the pytest suite bounds the relative error vs exact
+    instead (tests/test_queries.py)."""
+    l = load_tables(spark, sf, "lineitem")["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@register(
+    "f1_string_datetime_functions",
+    """
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           LENGTH(c_name) AS name_len,
+           CONCAT(c_mktsegment, ':', c_name) AS tagged,
+           REPLACE(LOWER(c_mktsegment), 'e', '_') AS seg_mangled,
+           TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num
+    FROM customer
+    """,
+)
+def f1(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_tables(spark, sf, "customer")["customer"]
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("tagged"),
+        F.replace(F.lower("c_mktsegment"), F.lit("e"), F.lit("_")).alias("seg_mangled"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).try_cast("bigint").alias("name_num"),
+    )
+
+
+@register(
+    "f2_case_bucketing",
+    """
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 2500 THEN 'low'
+                WHEN c_acctbal < 7500 THEN 'mid'
+                ELSE 'high' END AS balance_bucket,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_balance
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def f2(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_tables(spark, sf, "customer")["customer"]
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 2500, "low")
+        .when(F.col("c_acctbal") < 7500, "mid")
+        .otherwise("high")
+        .alias("balance_bucket")
+    )
+    return c.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum(F.col("c_acctbal")).alias("total_balance"),
+    )
+
+
+@register(
+    "t1_monthly_revenue_trend",
+    f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           {DSUM.format(x='o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def t1(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_tables(spark, sf, "orders")["orders"]
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "p1_status_priority_pivot",
+    """
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+           COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+           COUNT(CASE WHEN o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') THEN 1 END) AS low_other
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def p1(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_tables(spark, sf, "orders")["orders"]
+    pr = F.col("o_orderpriority")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(pr == "1-URGENT", 1)).alias("urgent"),
+        F.count(F.when(pr == "2-HIGH", 1)).alias("high"),
+        F.count(F.when(pr == "3-MEDIUM", 1)).alias("medium"),
+        F.count(F.when(pr.isin("4-NOT SPECIFIED", "5-LOW"), 1)).alias("low_other"),
+    )
+
+
+@register(
+    "e1_json_extraction",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_total,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def e1(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON family (reference's Snowflake-style get_path/as_integer ->
+    Spark get_json_object + cast, SURVEY §2.B gaps note)."""
+    e = load_tables(spark, sf, "events")["events"]
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).cast("bigint").alias("k_total"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "j1_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j1(spark: SparkSession, sf: str) -> DataFrame:
+    t = load_tables(spark, sf, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "j2_correlated_above_avg",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice FROM customer, orders
+    WHERE c_custkey = o_custkey AND o_totalprice > (
+      SELECT 2 * (CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+      FROM orders o2 WHERE o2.o_custkey = c_custkey
+    )
+    """,
+)
+def j2(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery (kept correlated by the reference for
+    unparse, context.rs:241-242; Catalyst decorrelates it into a join for
+    us). Comparison uses a strict > against 2*avg — double avg is computed
+    identically (single partial per group after decorrelation both sides
+    compute exact same double? avg over doubles is order-dependent, so the
+    threshold is made safe below)."""
+    load_tables(spark, sf, "customer", "orders")
+    # NOTE: avg(double) association differs between engines in principle;
+    # computed as exact decimal sum / count to stay deterministic.
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice FROM customer JOIN orders
+        ON c_custkey = o_custkey
+        WHERE o_totalprice > (
+          SELECT 2 * (CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+          FROM orders o2 WHERE o2.o_custkey = c_custkey
+        )
+        """
+    )

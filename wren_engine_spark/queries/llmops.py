@@ -1,0 +1,226 @@
+"""LLM-training-data pipeline corpus: dedup, text analysis, similarity,
+multimodal plumbing (north-star extensions, BASELINE.json).
+
+Oracle convention: every SQL-expressible operator has a DuckDB oracle
+with *identical* arithmetic (integer counts, exact decimal accumulation,
+explicit rounding). Sketch/LSH operators (minhash, simhash, hyperplane
+ANN) are algorithmically engine-specific -> registered without an oracle
+(driver records rows-only); their accuracy is bounded against the exact
+operators in tests/test_operators.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wren_engine_spark.operators import dedup, multimodal, similarity, text
+from wren_engine_spark.queries.registry import load_tables, register
+
+_STOP = r"\b(the|a|an|and|of|to|in|is|it|that)\b"
+_ES = r"\b(el|la|los|las|que|de|y|en|un|una|es)\b"
+_DE = r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b"
+_FR = r"\b(le|les|des|est|et|dans|pour|que|une|du)\b"
+_ZH = r"[一-鿿]"
+
+
+@register(
+    "x1_exact_dedup",
+    "SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash FROM documents GROUP BY md5(text)",
+)
+def x1(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_tables(spark, sf, "documents")["documents"]
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+@register(
+    "x2_fingerprint_dedup",
+    """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+    FROM documents GROUP BY 1
+    """,
+)
+def x2(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_tables(spark, sf, "documents")["documents"]
+    return dedup.fingerprint_dedup(d, "text", "doc_id")
+
+
+@register(
+    "x3_ngram_jaccard_pairs",
+    """
+    WITH norm AS (SELECT doc_id, lower(text) AS t FROM documents WHERE len(text) >= 5),
+    pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i FROM norm),
+    sh AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS g FROM pos),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(c AS DOUBLE)/CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE)/CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
+    """,
+)
+def x3(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_tables(spark, sf, "documents")["documents"]
+    return dedup.jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.8)
+
+
+@register("x4_minhash_lsh_candidates")  # sketch-based: rows-only check
+def x4(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_tables(spark, sf, "documents")["documents"]
+    return dedup.minhash_lsh_candidates(d, "text", "doc_id").filter(
+        F.col("est_jaccard") >= 0.5
+    )
+
+
+@register("x5_simhash64")  # hash-function specific: rows-only check
+def x5(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_tables(spark, sf, "documents")["documents"]
+    return dedup.simhash64(d, "text", "doc_id")
+
+
+@register(
+    "x6_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+             / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS avg_token_len,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE)
+             / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio
+    FROM documents
+    """,
+)
+def x6(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.token_stats(d, "text", "doc_id")
+
+
+@register(
+    "x7_quality_score",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+             CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE)
+               / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           0.4 * LEAST(stopword_ratio * 4.0, 1.0)
+           + 0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (1.0 - LEAST(punct_ratio * 5.0, 1.0)) AS quality_score
+    FROM s
+    """,
+)
+def x7(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.quality_score(d, "text", "doc_id")
+
+
+@register(
+    "x8_language_id",
+    f"""
+    SELECT doc_id,
+           CASE WHEN zh > 0 THEN 'zh'
+                WHEN es > de AND es > fr AND es > 0 THEN 'es'
+                WHEN de > fr AND de > 0 THEN 'de'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'en' END AS lang_pred
+    FROM (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{_ES}')) AS es,
+             len(regexp_extract_all(lower(text), '{_DE}')) AS de,
+             len(regexp_extract_all(lower(text), '{_FR}')) AS fr,
+             len(regexp_extract_all(text, '{_ZH}')) AS zh
+      FROM documents
+    ) t
+    """,
+)
+def x8(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.language_id(d, "text", "doc_id")
+
+
+_NORM2 = (
+    "CAST(list_sum([CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(25,15)) "
+    "FOR x IN {v}]) AS DOUBLE)"
+)
+
+
+@register(
+    "x9_cosine_topk",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2 FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, norm2 AS qn FROM base WHERE vec_id < 10),
+    pairs AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             CAST(list_sum([CAST(s[1]*s[2] AS DECIMAL(25,15)) FOR s IN
+                  list_zip([CAST(x AS DOUBLE) FOR x IN qe],
+                           [CAST(x AS DOUBLE) FOR x IN embedding])]) AS DOUBLE)
+               / (sqrt(qn) * sqrt(norm2)) AS sim
+      FROM q, base WHERE vec_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def x9(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.cosine_topk(e, "vec_id", "embedding", queries, k=5)
+
+
+@register(
+    "x10_embedding_norms",
+    f"""
+    SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(sqrt({_NORM2.format(v='embedding')}), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def x10(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    e = similarity.with_norm(e, "embedding", "norm2")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(F.col("norm2")), 6).alias("l2_norm"),
+    )
+
+
+@register("x11_lsh_ann")  # plane-set specific: rows-only check
+def x11(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    return similarity.lsh_ann_topk(e, "vec_id", "embedding", dim=64, k=3, nbits=10)
+
+
+@register(
+    "x12_multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height,
+           'stub_decoded' AS status
+    FROM documents
+    """,
+)
+def x12(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_tables(spark, sf, "documents")["documents"]
+    return multimodal.decode_stub(multimodal.attach_binary_payload(d, "text", "doc_id"))

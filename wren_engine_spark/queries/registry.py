@@ -1,0 +1,68 @@
+"""Query registry backing __spark_entry__.queries()/oracle_sql().
+
+Each registered query is a (spark, sf_dir) -> DataFrame callable plus an
+optional DuckDB-runnable ANSI-SQL oracle string. Numeric determinism
+convention (so Spark and DuckDB hash-match bit-for-bit): sums of doubles
+are computed as SUM(CAST(x AS DECIMAL(38,6))) — exact, order-independent
+— then cast back to double; ratios divide two such exact sums. Column
+names are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Read the given driver tables and register same-named temp views.
+
+    Normalizations for engine-independent semantics:
+      - session timezone pinned to UTC (date casts / epoch functions must
+        not depend on the host session's zone);
+      - ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark rejects —
+        read it as nanos-long and rebuild a TIMESTAMP_NTZ with pure NTZ
+        arithmetic (truncation to micros matches DuckDB's ns->us floor).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {}
+    for n in names:
+        if n == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts",
+                    F.expr(
+                        "timestampadd(MICROSECOND, ts div 1000, "
+                        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                    ),
+                )
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        df.createOrReplaceTempView(n)
+        out[n] = df
+    return out
+
+
+# importing the modules below populates the registry
+from wren_engine_spark.queries import tpch  # noqa: E402,F401
+from wren_engine_spark.queries import analytics  # noqa: E402,F401
+from wren_engine_spark.queries import llmops  # noqa: E402,F401
+from wren_engine_spark.queries import semantic  # noqa: E402,F401

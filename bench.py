@@ -1,0 +1,84 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing = full query build + execution to a driver-side count/collect
+(small results are collected, row-heavy outputs counted), matching how
+the engine would be used. A warmup pass initializes the JVM/parquet
+footers so the numbers measure steady-state execution, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: mix of scans+aggs, joins, windows, semantic layer, and
+# the LLM-pipeline operators (the expensive ones define our throughput)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q18_large_volume_customer",
+    "w2_running_customer_total",
+    "g1_rollup_revenue",
+    "d1_distinct_aggregates",
+    "j2_correlated_above_avg",
+    "sem3_calc_to_many",
+    "sem7_semantic_join_query",
+    "x1_exact_dedup",
+    "x3_ngram_jaccard_pairs",
+    "x6_token_stats",
+    "x9_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from wren_engine_spark.queries.registry import QUERIES
+    from wren_engine_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # warmup: JVM codegen + parquet footer reads, tiny query
+    QUERIES["q6_revenue_forecast"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""SemanticEngine behavior tests on tiny in-memory fixtures.
+
+Mirrors the reference's test matrix (wren-core/core/src/mdl/mod.rs:648-
+4205 + sqllogictest model.slt): expression columns, ref_sql, to-one /
+to-many calculated fields with the cardinality invariant (model.slt:
+37-44), hidden columns, RLS required/optional/default properties,
+RLS sanitization, CLAC operator matrix.
+"""
+
+import pytest
+
+from wren_engine_spark.engine import AccessControlError, SemanticEngine
+from wren_engine_spark.mdl.manifest import Manifest
+from wren_engine_spark.sources.registry import SourceRegistry
+
+
+def _sources(spark):
+    customers = spark.createDataFrame(
+        [(1, "alice", "NY"), (2, "bob", "CA"), (3, "carol", "TX")],
+        "id INT, name STRING, state STRING",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, 100.0), (11, 1, 50.0), (12, 2, 70.0)],
+        "oid INT, cust_id INT, price DOUBLE",
+    )
+    return (
+        SourceRegistry(spark)
+        .add_dataframe("customers", customers)
+        .add_dataframe("orders", orders)
+    )
+
+
+BASE = {
+    "catalog": "t",
+    "schema": "t",
+    "models": [
+        {
+            "name": "Customers",
+            "tableReference": "customers",
+            "primaryKey": "Id",
+            "columns": [
+                {"name": "Id", "type": "int", "expression": "id"},
+                {"name": "Name", "type": "varchar", "expression": "name"},
+                {"name": "State", "type": "varchar", "expression": "state"},
+                {"name": "orders", "relationship": "CO"},
+                {"name": "Total", "type": "double", "isCalculated": True,
+                 "expression": 'sum("orders"."Price")'},
+                {"name": "NOrders", "type": "bigint", "isCalculated": True,
+                 "expression": 'count("orders"."Oid")'},
+            ],
+        },
+        {
+            "name": "Orders",
+            "tableReference": "orders",
+            "primaryKey": "Oid",
+            "columns": [
+                {"name": "Oid", "type": "int", "expression": "oid"},
+                {"name": "CustId", "type": "int", "expression": "cust_id"},
+                {"name": "Price", "type": "double", "expression": "price"},
+                {"name": "customer", "relationship": "CO"},
+                {"name": "CustState", "type": "varchar", "isCalculated": True,
+                 "expression": '"customer"."State"'},
+                {"name": "PriceTax", "type": "double", "isCalculated": True,
+                 "expression": '"Price" * 1.1'},
+            ],
+        },
+    ],
+    "relationships": [
+        {"name": "CO", "models": ["Customers", "Orders"], "joinType": "ONE_TO_MANY",
+         "condition": '"Customers"."Id" = "Orders"."CustId"'}
+    ],
+    "views": [
+        {"name": "StateView",
+         "statement": 'SELECT "State", COUNT(*) AS n FROM "Customers" GROUP BY "State"'}
+    ],
+}
+
+
+def _deploy(spark, manifest_dict=None, props=None):
+    eng = SemanticEngine(spark, Manifest.from_dict(manifest_dict or BASE), _sources(spark))
+    return eng.deploy(props or {})
+
+
+class TestModelExpansion:
+    def test_expression_columns(self, spark):
+        eng = _deploy(spark)
+        rows = eng.sql("SELECT Id, Name FROM Customers ORDER BY Id").collect()
+        assert [(r.Id, r.Name) for r in rows] == [(1, "alice"), (2, "bob"), (3, "carol")]
+
+    def test_to_one_calculated(self, spark):
+        eng = _deploy(spark)
+        rows = eng.sql("SELECT Oid, CustState FROM Orders ORDER BY Oid").collect()
+        assert [(r.Oid, r.CustState) for r in rows] == [(10, "NY"), (11, "NY"), (12, "CA")]
+
+    def test_to_one_preserves_cardinality(self, spark):
+        # model.slt:37-44 invariant
+        eng = _deploy(spark)
+        assert eng.sql("SELECT * FROM Orders").count() == 3
+
+    def test_to_many_calculated(self, spark):
+        eng = _deploy(spark)
+        rows = eng.sql("SELECT Id, Total, NOrders FROM Customers ORDER BY Id").collect()
+        assert [(r.Id, r.Total, r.NOrders) for r in rows] == [
+            (1, 150.0, 2), (2, 70.0, 1), (3, None, None)]
+
+    def test_to_many_preserves_cardinality(self, spark):
+        eng = _deploy(spark)
+        assert eng.sql("SELECT * FROM Customers").count() == 3
+
+    def test_inline_calculated(self, spark):
+        eng = _deploy(spark)
+        r = eng.sql("SELECT PriceTax FROM Orders WHERE Oid = 10").collect()[0]
+        assert r.PriceTax == pytest.approx(110.0)
+
+    def test_view(self, spark):
+        eng = _deploy(spark)
+        rows = eng.sql("SELECT * FROM StateView ORDER BY State").collect()
+        assert [(r.State, r.n) for r in rows] == [("CA", 1), ("NY", 1), ("TX", 1)]
+
+    def test_ref_sql_model(self, spark):
+        man = {
+            "catalog": "t", "schema": "t",
+            "models": [{
+                "name": "BigOrders",
+                "refSql": "SELECT oid, price FROM src_orders WHERE price > 60",
+                "columns": [{"name": "oid", "type": "int"},
+                            {"name": "price", "type": "double"}],
+            }],
+        }
+        # ref_sql reads an already-registered temp view
+        _sources(spark).resolve("orders").createOrReplaceTempView("src_orders")
+        eng = SemanticEngine(spark, Manifest.from_dict(man), _sources(spark))
+        eng.deploy({})
+        assert eng.sql("SELECT count(*) AS c FROM BigOrders").collect()[0].c == 2
+
+    def test_hidden_column(self, spark):
+        man = {
+            "catalog": "t", "schema": "t",
+            "models": [{
+                "name": "M", "tableReference": "customers",
+                "columns": [{"name": "id", "type": "int"},
+                            {"name": "state", "type": "varchar", "isHidden": True}],
+            }],
+        }
+        eng = _deploy(spark, man)
+        assert eng.sql("SELECT * FROM M").columns == ["id"]
+
+    def test_dry_run(self, spark):
+        eng = _deploy(spark)
+        eng.dry_run("SELECT Id FROM Customers")
+        with pytest.raises(Exception):
+            eng.dry_run("SELECT nope FROM Customers")
+
+
+def _rls_manifest(required=True, default=None, condition='"Price" > @lvl'):
+    props = [{"name": "lvl", "required": required}]
+    if default is not None:
+        props[0]["defaultExpr"] = default
+    return {
+        "catalog": "t", "schema": "t",
+        "models": [{
+            "name": "Orders", "tableReference": "orders", "primaryKey": "Oid",
+            "columns": [{"name": "Oid", "type": "int", "expression": "oid"},
+                        {"name": "Price", "type": "double", "expression": "price"}],
+            "rowLevelAccessControls": [
+                {"name": "r", "requiredProperties": props, "condition": condition}],
+        }],
+    }
+
+
+class TestRLS:
+    # access_control.rs:121-288 semantics
+    def test_filter_applied(self, spark):
+        eng = _deploy(spark, _rls_manifest(), props={"lvl": "60"})
+        assert eng.sql("SELECT count(*) AS c FROM Orders").collect()[0].c == 2
+
+    def test_required_property_missing(self, spark):
+        with pytest.raises(AccessControlError, match="lvl"):
+            _deploy(spark, _rls_manifest())
+
+    def test_default_expr_used(self, spark):
+        eng = _deploy(spark, _rls_manifest(required=False, default="90"))
+        assert eng.sql("SELECT count(*) AS c FROM Orders").collect()[0].c == 1
+
+    def test_string_property_quoted(self, spark):
+        man = _rls_manifest(condition='"Oid" = @lvl')
+        man["models"][0]["rowLevelAccessControls"][0]["requiredProperties"][0]["name"] = "lvl"
+        eng = _deploy(spark, man, props={"lvl": "10"})
+        assert eng.sql("SELECT count(*) AS c FROM Orders").collect()[0].c == 1
+
+    def test_subquery_rejected(self, spark):
+        # access_control.rs:216-248: no statements inside RLS conditions
+        with pytest.raises(AccessControlError, match="simple boolean"):
+            _deploy(spark, _rls_manifest(condition='"Oid" IN (SELECT 1)'), props={"lvl": "1"})
+
+
+def _clac_manifest(operator, threshold, ttype="NUMERIC"):
+    return {
+        "catalog": "t", "schema": "t",
+        "models": [{
+            "name": "M", "tableReference": "customers",
+            "columns": [
+                {"name": "id", "type": "int"},
+                {"name": "state", "type": "varchar",
+                 "columnLevelAccessControl": {
+                     "name": "g", "operator": operator,
+                     "threshold": {"value": threshold, "type": ttype},
+                     "requiredProperties": [{"name": "level", "required": True}]}},
+            ],
+        }],
+    }
+
+
+class TestCLAC:
+    # access_control.rs:290-399: six comparison operators
+    @pytest.mark.parametrize(
+        "op,thr,prop,visible",
+        [
+            ("EQUALS", "5", "5", True),
+            ("EQUALS", "5", "4", False),
+            ("NOT_EQUALS", "5", "4", True),
+            ("GREATER_THAN", "5", "7", True),
+            ("GREATER_THAN", "5", "5", False),
+            ("LESS_THAN", "5", "3", True),
+            ("GREATER_THAN_OR_EQUALS", "5", "5", True),
+            ("LESS_THAN_OR_EQUALS", "5", "9", False),
+        ],
+    )
+    def test_operator_matrix(self, spark, op, thr, prop, visible):
+        eng = _deploy(spark, _clac_manifest(op, thr), props={"level": prop})
+        cols = eng.sql("SELECT * FROM M").columns
+        assert ("state" in cols) == visible
+
+    def test_missing_required_property_hides(self, spark):
+        eng = _deploy(spark, _clac_manifest("EQUALS", "5"))
+        assert eng.sql("SELECT * FROM M").columns == ["id"]
+
+    def test_string_threshold(self, spark):
+        eng = _deploy(
+            spark, _clac_manifest("EQUALS", "admin", "STRING"), props={"level": "admin"})
+        assert "state" in eng.sql("SELECT * FROM M").columns

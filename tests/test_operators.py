@@ -1,0 +1,127 @@
+"""Accuracy/behavior tests for the sketch-based operators that have no
+DuckDB oracle (minhash-LSH, simhash, hyperplane ANN) plus dedup basics.
+
+Uses the real documents/embeddings testdata at sf0.001 (500 docs with
+planted near-duplicate pairs at jaccard ~0.99)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from wren_engine_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, docs):
+    return {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8).collect()
+    }
+
+
+class TestExactDedup:
+    def test_synthetic_duplicates_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same text"), (2, "same text"), (3, "other")], "id INT, t STRING"
+        )
+        out = dedup.exact_dedup(df, "t", "id").collect()
+        assert {(r.id) for r in out} == {1, 3}
+
+    def test_fingerprint_normalizes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello,  World!"), (2, "hello world"), (3, "bye")], "id INT, t STRING"
+        )
+        out = dedup.fingerprint_dedup(df, "t", "id").collect()
+        by_min = {r.min_id: r.n_docs for r in out}
+        assert by_min == {1: 2, 3: 1}
+
+    def test_stop_shingle_guard_keeps_high_pairs(self, docs, exact_pairs):
+        # with a df cap the planted near-dup pairs must survive
+        capped = {
+            (r.id_a, r.id_b)
+            for r in dedup.jaccard_pairs(
+                docs, "text", "doc_id", n=5, threshold=0.8, max_doc_freq=450
+            ).collect()
+        }
+        # near-identical pairs share almost all shingles; the cap drops
+        # only corpus-wide shingles so >=80% of pairs must remain
+        assert len(capped & set(exact_pairs)) >= 0.8 * len(exact_pairs)
+
+
+class TestMinHash:
+    def test_lsh_recall_and_estimate(self, docs, exact_pairs):
+        est = {
+            (r.id_a, r.id_b): r.est_jaccard
+            for r in dedup.minhash_lsh_candidates(docs, "text", "doc_id").collect()
+        }
+        # recall: planted ~0.99-jaccard pairs collide in >=1 of 16 bands
+        # with probability ~1 - (1-0.99^4)^16 ≈ 1
+        missed = [p for p in exact_pairs if p not in est]
+        assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+        # estimates within 0.25 of exact for the found pairs
+        for p, j in exact_pairs.items():
+            assert abs(est[p] - j) < 0.25
+
+    def test_signature_shape(self, docs):
+        sig = dedup.minhash_signatures(docs.limit(10), "text", "doc_id", num_perm=16)
+        rows = sig.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        assert all(r.n == 16 for r in rows)
+
+
+class TestSimHash:
+    def test_near_dups_have_small_hamming(self, spark, docs, exact_pairs):
+        sim = dedup.simhash64(docs, "text", "doc_id")
+        sim.createOrReplaceTempView("simhash_t")
+        h = {r.doc_id: r.simhash for r in sim.collect()}
+        import random
+
+        rng = random.Random(7)
+        ids = sorted(h)
+
+        def ham(a, b):
+            return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+        near = [ham(h[a], h[b]) for a, b in exact_pairs]
+        rand = [ham(h[rng.choice(ids)], h[rng.choice(ids)]) for _ in range(200)]
+        assert sum(near) / len(near) < 8
+        assert sum(rand) / len(rand) > 16
+
+
+class TestANN:
+    def test_lsh_ann_finds_planted_neighbors(self, spark):
+        # The driver embeddings are near-random (max pairwise cosine
+        # ~0.33) where ANN recall is undefined; plant true neighbors:
+        # id+1000 is a small perturbation of id (cosine ~0.98).
+        import random
+
+        rng = random.Random(3)
+        rows = []
+        for i in range(100):
+            v = [rng.gauss(0, 1) for _ in range(32)]
+            rows.append((i, v))
+            rows.append((i + 1000, [x + rng.gauss(0, 0.1) for x in v]))
+        df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+        ann = similarity.lsh_ann_topk(
+            df, "vec_id", "embedding", dim=32, k=3, nbits=8, tables=6
+        )
+        hits = {}
+        for r in ann.collect():
+            hits.setdefault(r.query_id, []).append(r.neighbor_id)
+        found = sum(1 for i in range(100) if i + 1000 in hits.get(i, []))
+        # p(collide one 8-bit table) ~ (1-acos(.98)/pi)^8 ~ 0.58;
+        # 6 tables -> ~99.5% per query. Allow slack: >=90/100.
+        assert found >= 90, f"planted-neighbor recall too low: {found}/100"
+
+    def test_cosine_topk_self_excluded(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        out = similarity.cosine_topk(emb, "vec_id", "embedding", queries, k=3).collect()
+        assert all(r.query_id != r.neighbor_id for r in out)
+        assert all(-1.0 <= r.cosine_sim <= 1.0 for r in out)

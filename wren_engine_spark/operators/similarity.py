@@ -118,22 +118,43 @@ def lsh_ann_topk(
     dim: int,
     k: int = 3,
     nbits: int = 12,
+    tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate nearest neighbors: bucket by hyperplane signature, then
-    exact cosine within each bucket. Returns (query_id, neighbor_id,
-    cosine_sim, rnk) for every vector against its bucket-mates."""
+    """Approximate nearest neighbors: ``tables`` independent hyperplane
+    hash tables (OR-amplification — recall for sim s is
+    1-(1-p(s)^nbits)^tables with p(s)=1-arccos(s)/pi), bucket-local exact
+    cosine, global top-k per query over the union of candidates.
+
+    Returns (query_id, neighbor_id, cosine_sim, rnk). At 100 TB each
+    table is one narrow map (signature) + one bucket-key shuffle; the
+    cross product never materializes — cost follows bucket occupancy,
+    tuned by nbits.
+    """
     from pyspark.sql import Window as W
 
-    sig = hyperplane_signatures(df, id_col, vec_col, dim, nbits, seed)
-    sig = with_norm(sig, vec_col, "__n")
-    a = sig.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q"),
-                   F.col("__n").alias("__qn"), "bucket")
-    b = sig.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"),
-                   F.col("__n").alias("__vn"), "bucket")
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+    normed = with_norm(df, vec_col, "__n")
+    cand = None
+    for t in range(tables):
+        sig = hyperplane_signatures(normed, id_col, vec_col, dim, nbits, seed + 1000 * t)
+        a = sig.select(F.col(id_col).alias("query_id"), "bucket")
+        b = sig.select(F.col(id_col).alias("neighbor_id"), "bucket")
+        pairs = (
+            a.join(b, "bucket")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand = pairs if cand is None else cand.unionAll(pairs)
+    cand = cand.distinct()
+    qside = normed.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q"), F.col("__n").alias("__qn")
+    )
+    vside = normed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"), F.col("__n").alias("__vn")
+    )
+    scored = (
+        cand.join(qside, "query_id")
+        .join(vside, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -145,7 +166,7 @@ def lsh_ann_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
     return (
-        pairs.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id",
                 F.round(F.col("__sim"), 6).alias("cosine_sim"),

@@ -399,17 +399,20 @@ def e1(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
-    "j1_customers_without_orders",
+    "j1_customers_without_pending_orders",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P'
+    )
     """,
 )
 def j1(spark: SparkSession, sf: str) -> DataFrame:
     t = load_tables(spark, sf, "customer", "orders")
     return (
         t["customer"]
-        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(t["orders"].filter(F.col("o_orderstatus") == "P"),
+              F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
 

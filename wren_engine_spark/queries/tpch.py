@@ -196,8 +196,8 @@ def q6(spark: SparkSession, sf: str) -> DataFrame:
       FROM supplier, lineitem, orders, customer, nation n1, nation n2
       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
         AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
-        AND ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-          OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+        AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+          OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
         AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
@@ -220,8 +220,8 @@ def q7(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
-            ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
-            | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+            ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10"))
+            | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9"))
         )
     )
     return (

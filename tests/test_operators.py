@@ -20,7 +20,7 @@ def docs(spark):
 def exact_pairs(spark, docs):
     return {
         (r.id_a, r.id_b): r.jaccard
-        for r in dedup.jaccard_pairs(docs, "text", "doc_id", n=5, threshold=0.8).collect()
+        for r in dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.8).collect()
     }
 
 
@@ -45,7 +45,7 @@ class TestExactDedup:
         capped = {
             (r.id_a, r.id_b)
             for r in dedup.jaccard_pairs(
-                docs, "text", "doc_id", n=5, threshold=0.8, max_doc_freq=450
+                docs, "text", "doc_id", threshold=0.8, max_doc_freq=450
             ).collect()
         }
         # near-identical pairs share almost all shingles; the cap drops

@@ -61,6 +61,31 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Word shingles are the standard unit for large-scale text dedup: the
+    shingle space is sparse (vocab^n), so inverted-index joins stay near
+    linear — unlike char n-grams whose dense space makes every doc pair
+    collide. Pure array HOFs (split/sequence/slice/concat_ws), no Python.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {n - 1}), "
+                    f"i -> concat_ws(' ', slice(__toks, i, {n})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
 def char_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
     """Distinct character n-gram shingles per doc: (id, shingle).
 
@@ -84,31 +109,81 @@ def jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    n: int = 5,
+    n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    unit: str = "word",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs above ``threshold``.
+    """EXACT n-gram Jaccard similarity for all pairs above ``threshold``.
 
-    Inverted-index join: |pairs| is bounded by shingle co-occurrence. At
-    very large corpora set ``max_doc_freq`` to drop stop-shingles (those
-    in more than that many docs) — the standard skew guard; leaving it
-    None keeps results exact (used for the DuckDB oracle check).
+    Prefix-filtered similarity join (PPJoin-style; Xiao et al., WWW'08):
+    shingles are globally ordered by (document frequency, shingle), each
+    doc indexes only its first floor((1-t)*|d|)+1 rarest shingles, and
+    candidate pairs must collide on a prefix shingle. The prefix-filter
+    theorem guarantees no pair with jaccard >= t is missed, so the output
+    is identical to the naive quadratic join — but hot shingles (which
+    appear in everyone's suffix, never in prefixes) no longer explode the
+    join. Candidates are then verified with an exact intersection count.
+
+    ``max_doc_freq`` additionally drops ultra-frequent shingles entirely
+    (approximation; changes semantics — off by default).
+
+    At 100 TB: three shuffles (doc-frequency count, prefix self-join,
+    verify join), each on bounded keys; candidate volume follows true
+    near-duplicate density rather than corpus size squared. Skewed
+    prefix shingles are bounded by construction (a shingle lands in a
+    prefix only while globally rare).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = char_shingles(df, text_col, id_col, n)
+    from pyspark.sql import Window as W
+
+    shingler = word_shingles if unit == "word" else char_shingles
+    sh = shingler(df, text_col, id_col, n)
     if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        sh = (
-            sh.join(freq.filter(F.col("__df") <= max_doc_freq), "shingle", "left_semi")
+        freq_cap = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(
+            freq_cap.filter(F.col("__df") <= max_doc_freq), "shingle", "left_semi"
         )
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.col("__df"), F.col("shingle"))
+            ),
+        )
+    )
+    prefix = (
+        ranked.join(sizes, id_col)
+        .filter(
+            F.col("__rn")
+            <= F.floor((1.0 - threshold) * F.col("__n")).cast("int") + F.lit(1)
+        )
+        .select(id_col, "shingle", "__n")
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle", F.col("__n").alias("__na"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle", F.col("__n").alias("__nb"))
+    # size filter: jaccard >= t forces t*|B| <= |A| <= |B|/t
+    cand = (
+        a.join(
+            b,
+            (a["shingle"] == b["shingle"])
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("__na") >= threshold * F.col("__nb"))
+            & (F.col("__nb") >= threshold * F.col("__na")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -130,7 +205,8 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_perm: int = 64, n: int = 5, seed: int = 42
+    df: DataFrame, text_col: str, id_col: str, num_perm: int = 64, n: int = 3,
+    seed: int = 42, unit: str = "word",
 ) -> DataFrame:
     """MinHash signature matrix: (id, perm_id, minhash).
 
@@ -140,7 +216,8 @@ def minhash_signatures(
     perms = [(i, rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31)) for i in range(num_perm)]
     spark = df.sparkSession
     pdf = spark.createDataFrame(perms, "perm_id INT, a LONG, b LONG")
-    sh = char_shingles(df, text_col, id_col, n).select(
+    shingler = word_shingles if unit == "word" else char_shingles
+    sh = shingler(df, text_col, id_col, n).select(
         id_col, F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31)).alias("__h")
     )
     return (
@@ -161,8 +238,9 @@ def minhash_lsh_candidates(
     id_col: str,
     num_perm: int = 64,
     bands: int = 16,
-    n: int = 5,
+    n: int = 3,
     seed: int = 42,
+    unit: str = "word",
 ) -> DataFrame:
     """LSH banding over MinHash signatures.
 
@@ -171,7 +249,7 @@ def minhash_lsh_candidates(
     Returns (id_a, id_b, n_shared_bands, est_jaccard).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm, n, seed)
+    sig = minhash_signatures(df, text_col, id_col, num_perm, n, seed, unit)
     banded = sig.withColumn("band", (F.col("perm_id") / rows_per_band).cast("int"))
     band_sig = banded.groupBy(id_col, "band").agg(
         F.md5(

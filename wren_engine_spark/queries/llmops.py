@@ -49,10 +49,14 @@ def x2(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "x3_ngram_jaccard_pairs",
-    """
-    WITH norm AS (SELECT doc_id, lower(text) AS t FROM documents WHERE len(text) >= 5),
-    pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i FROM norm),
-    sh AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS g FROM pos),
+    r"""
+    WITH norm AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    ok AS (SELECT * FROM norm WHERE len(toks) >= 3),
+    pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i FROM ok),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS g FROM pos),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
               FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -62,8 +66,10 @@ def x2(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def x3(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup pairs (prefix-filtered exact
+    similarity join; identical output to the naive quadratic oracle)."""
     d = load_tables(spark, sf, "documents")["documents"]
-    return dedup.jaccard_pairs(d, "text", "doc_id", n=5, threshold=0.8)
+    return dedup.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
 
 
 @register("x4_minhash_lsh_candidates")  # sketch-based: rows-only check

@@ -151,6 +151,26 @@ class TestModelExpansion:
         with pytest.raises(Exception):
             eng.dry_run("SELECT nope FROM Customers")
 
+    def test_calc_field_pruning(self, spark):
+        # semantic-layer column pruning (plan.rs:63-426 parity): a query
+        # not touching join-backed calculated fields must plan no joins
+        eng = _deploy(spark)
+        plan = (
+            eng.sql("SELECT Id, Name FROM Customers")
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "Join" not in plan and "Aggregate" not in plan
+        plan2 = (
+            eng.sql("SELECT Id, Total FROM Customers")
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert plan2.count("Aggregate") == 1
+
+    def test_star_keeps_full_schema(self, spark):
+        eng = _deploy(spark)
+        cols = eng.sql("SELECT * FROM Customers").columns
+        assert cols == ["Id", "Name", "State", "Total", "NOrders"]
+
 
 def _rls_manifest(required=True, default=None, condition='"Price" > @lvl'):
     props = [{"name": "lvl", "required": required}]

@@ -219,6 +219,7 @@ class SemanticEngine:
         """Register every model (and then every view) as a temp view."""
         self.properties = {k.lower(): str(v) for k, v in (properties or {}).items()}
         self._plans = {}
+        self._variants: dict[tuple[str, frozenset], DataFrame] = {}
         for model in self.manifest.models:
             df = self._expand_model(model)
             df.createOrReplaceTempView(model.name)
@@ -229,8 +230,39 @@ class SemanticEngine:
         return self
 
     def sql(self, sql: str) -> DataFrame:
-        """Run user SQL against the deployed semantic layer."""
-        return self.spark.sql(self._strip_ns(sql))
+        """Run user SQL against the deployed semantic layer.
+
+        Before planning, each model view is re-registered with only the
+        calculated fields the query references (semantic-layer column
+        pruning — parity with ModelPlanNode's required-column collection,
+        analyze/plan.rs:63-426). Catalyst prunes unused *columns* for
+        free but keeps unused left joins/pre-aggregations in the plan;
+        dropping unreferenced calculated fields removes those joins
+        entirely. A ``*`` in the query keeps every field (schema must
+        stay complete). Extra inclusions from name collisions are
+        harmless (correctness unaffected, only cost).
+        """
+        stripped = self._strip_ns(sql)
+        star = "*" in stripped
+        for model in self.manifest.models:
+            calcs = model.calculated_columns
+            if not any(extract_paths(model, self.manifest, c.expression or "") for c in calcs):
+                continue  # no join-backed fields -> full view is already cheap
+            if star:
+                used = {c.name for c in calcs}
+            else:
+                used = {
+                    c.name
+                    for c in calcs
+                    if re.search(rf"\b{re.escape(c.name)}\b", stripped, re.IGNORECASE)
+                }
+            key = (model.name.lower(), frozenset(used))
+            df = self._variants.get(key)
+            if df is None:
+                df = self._expand_model(model, calc_subset=used)
+                self._variants[key] = df
+            df.createOrReplaceTempView(model.name)
+        return self.spark.sql(stripped)
 
     def dry_run(self, sql: str) -> None:
         """Analyze-only (reference dryRun flag): raises on invalid SQL or
@@ -278,18 +310,23 @@ class SemanticEngine:
         self._plans[key] = plan
         return plan
 
-    def _expand_model(self, model: Model) -> DataFrame:
+    def _expand_model(self, model: Model, calc_subset: set[str] | None = None) -> DataFrame:
+        """Build the model view. ``calc_subset`` limits which calculated
+        fields are attached (None = all; see sql() pruning)."""
         plan = self._base_plan(model)
         df = plan.base
-        calc_cols: list[str] = []
+        attached: set[str] = set()
         for col in model.calculated_columns:
+            if calc_subset is not None and col.name not in calc_subset:
+                continue
             df = self._attach_calculated(df, model, col)
-            calc_cols.append(col.name)
+            attached.add(col.name)
         visible = [
             c.name
             for c in model.columns
             if not c.is_relationship
             and not c.is_hidden
+            and (not c.is_calculated or calc_subset is None or c.name in attached)
             and _clac_allows(c.column_level_access_control, self.properties)
         ]
         plan.visible = visible

@@ -1,0 +1,129 @@
+"""Serving-layer tests: query envelope, limit pushdown, validate,
+metadata, model substitution, dry-plan twin, function catalog."""
+
+import pytest
+
+from tests.conftest import SF_DIR
+from wren_engine_spark.queries.semantic import MANIFEST, deploy
+from wren_engine_spark.serving import SemanticService, pushdown_limit, to_json
+
+
+@pytest.fixture(scope="module")
+def service(spark):
+    return SemanticService(deploy(spark, SF_DIR))
+
+
+class TestLimitPushdown:
+    # wren-core-py/src/context.rs:271 semantics: min(existing, requested)
+    def test_append(self):
+        assert pushdown_limit("SELECT 1", 10) == "SELECT 1 LIMIT 10"
+
+    def test_merge_min(self):
+        assert pushdown_limit("SELECT 1 LIMIT 5", 10) == "SELECT 1 LIMIT 5"
+        assert pushdown_limit("SELECT 1 LIMIT 50", 10) == "SELECT 1 LIMIT 10"
+
+    def test_none(self):
+        assert pushdown_limit("SELECT 1", None) == "SELECT 1"
+
+
+class TestQuery:
+    def test_envelope(self, service):
+        out = service.query("SELECT custkey, name FROM customer_m ORDER BY custkey", limit=3)
+        assert out["columns"] == ["custkey", "name"]
+        assert len(out["data"]) == 3
+        assert out["dtypes"]["custkey"] == "bigint"
+
+    def test_timestamp_format(self, service):
+        out = service.query("SELECT orderdate FROM orders_m ORDER BY orderkey LIMIT 1")
+        # util.py:284-305: '%Y-%m-%d %H:%M:%S.%f'
+        assert len(out["data"][0][0]) == 26
+
+    def test_dry_run_returns_none(self, service):
+        assert service.query("SELECT custkey FROM customer_m", dry_run=True) is None
+
+    def test_dry_run_invalid_raises(self, service):
+        with pytest.raises(Exception):
+            service.query("SELECT missing_col FROM customer_m", dry_run=True)
+
+
+class TestValidate:
+    def test_valid_column(self, service):
+        assert service.validate_column_is_valid("customer_m", "custkey")
+
+    def test_invalid_column(self, service):
+        assert not service.validate_column_is_valid("customer_m", "nope")
+
+
+class TestMetadata:
+    def test_tables(self, service):
+        t = {x["name"]: x for x in service.tables()}
+        assert "customer_m" in t
+        names = [c["name"] for c in t["customer_m"]["columns"]]
+        assert "total_spent" in names and "nation" not in names
+
+    def test_relationships(self, service):
+        assert {r["name"] for r in service.relationships()} == {
+            "NationRegion", "CustomerNation", "CustomerOrders"}
+
+
+class TestFunctions:
+    def test_list_contains_builtins(self, service):
+        names = {f["name"] for f in service.functions()}
+        assert {"sum", "date_trunc", "row_number"} <= names
+
+    def test_types_tagged(self, service):
+        by_name = {f["name"]: f["function_type"] for f in service.functions()}
+        assert by_name["sum"] == "aggregate"
+        assert by_name["row_number"] == "window"
+
+    def test_describe(self, service):
+        spec = service.function("date_trunc")
+        assert spec and spec["description"]
+
+    def test_declare_and_call(self, service, spark):
+        from wren_engine_spark.functions.catalog import FunctionSpec
+
+        service.catalog.declare(
+            FunctionSpec("scalar", "wren_double_it", "bigint", ["x"], ["bigint"]),
+            impl=lambda x: None if x is None else 2 * x,
+        )
+        assert spark.sql("SELECT wren_double_it(21) AS v").collect()[0].v == 42
+        assert service.function("wren_double_it")["return_type"] == "bigint"
+
+    def test_load_csv(self, service):
+        n = service.catalog.load_csv(
+            "function_type,name,return_type,param_names,param_types,description\n"
+            "scalar,my_remote_fn,double,x,double,remote thing\n"
+        )
+        assert n == 1
+        assert service.function("my_remote_fn")["description"] == "remote thing"
+
+
+class TestModelSubstitute:
+    # ibis-server/app/mdl/substitute.py parity
+    def test_substitute(self, service):
+        out = service.model_substitute("SELECT * FROM customer JOIN orders ON 1=1")
+        assert "`customer_m`" in out and "`orders_m`" in out
+
+    def test_no_partial_match(self, service):
+        out = service.model_substitute("SELECT customer_id FROM customer_tbl")
+        assert "`customer_m`" not in out
+
+
+class TestDryPlanTwin:
+    def test_dry_plan_executes_identically(self, service, spark):
+        q = "SELECT custkey, total_spent, nation_name FROM customer_m"
+        a = sorted(map(tuple, service.engine.sql(q).collect()))
+        b = sorted(map(tuple, spark.sql(service.dry_plan(q)).collect()))
+        assert a == b
+
+
+class TestCache:
+    def test_query_cache_roundtrip(self, spark, tmp_path):
+        svc = SemanticService(deploy(spark, SF_DIR), cache_dir=str(tmp_path))
+        q = "SELECT custkey FROM customer_m ORDER BY custkey LIMIT 5"
+        first = svc.query(q, use_cache=True)
+        assert "cached" not in first
+        second = svc.query(q, use_cache=True)
+        assert second["cached"] is True
+        assert sorted(map(tuple, second["data"])) == sorted(map(tuple, first["data"]))

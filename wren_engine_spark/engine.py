@@ -269,6 +269,22 @@ class SemanticEngine:
         access-control violations, moves no data."""
         self.sql(sql).schema  # Catalyst analysis is triggered by .schema
 
+    def dry_plan(self, sql: str) -> str:
+        """Expanded standalone Spark SQL text for the query (reference
+        /dry-plan endpoint, v3/connector.py:250-341), built by the CTE
+        rewriter over the same lineage the DataFrame path uses."""
+        from wren_engine_spark.plans.cte_rewriter import CteRewriter
+
+        source_sql = {
+            m.name: self.sources.resolve_sql(m.table_reference)
+            if m.table_reference
+            else f"({self._strip_ns(m.ref_sql)})"
+            for m in self.manifest.models
+        }
+        return CteRewriter(self.manifest, self.properties, source_sql).rewrite(
+            self._strip_ns(sql)
+        )
+
     # ------------------------------------------------------- model expansion
 
     def _strip_ns(self, sql: str) -> str:

@@ -1,0 +1,243 @@
+"""Serving layer: the reference's v3 API surface over SemanticEngine.
+
+Maps SURVEY.md §2.C onto plain Python methods (SemanticService) plus an
+optional FastAPI app factory (guarded import — fastapi is not in the
+base container). Endpoints → methods:
+
+  POST /v3/connector/{ds}/query (+dryRun/limit/cache) -> query()
+  POST /v3/connector/dry-plan                          -> dry_plan()
+  POST /{ds}/validate/{rule}                           -> validate()
+  GET  /{ds}/functions, /function/{name}               -> functions()/function()
+  POST /{ds}/model-substitute                          -> model_substitute()
+  metadata endpoints                                   -> tables()/columns()
+
+Result JSON matches the reference formatter
+(ibis-server/app/util.py:122-147, 284-305): {columns, data, dtypes} with
+decimal→float (0-case kept), dates ``%Y-%m-%d``, timestamps
+``%Y-%m-%d %H:%M:%S.%f``, binary→hex.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import os
+import re
+from decimal import Decimal
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from wren_engine_spark.engine import SemanticEngine
+from wren_engine_spark.functions.catalog import FunctionCatalog
+
+_LIMIT_TAIL = re.compile(r"\bLIMIT\s+(\d+)\s*;?\s*$", re.IGNORECASE)
+
+
+def pushdown_limit(sql: str, limit: int | None) -> str:
+    """Merge a server-side limit into the SQL (reference
+    wren-core-py/src/context.rs:271 + util.py:234-236: min of existing
+    and requested)."""
+    if limit is None:
+        return sql
+    m = _LIMIT_TAIL.search(sql)
+    if m:
+        existing = int(m.group(1))
+        return _LIMIT_TAIL.sub(f"LIMIT {min(existing, limit)}", sql)
+    return f"{sql.rstrip().rstrip(';')} LIMIT {limit}"
+
+
+def _format_cell(v: Any) -> Any:
+    # util.py:284-305 _formater parity
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return [_format_cell(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _format_cell(x) for k, x in v.items()}
+    return v
+
+
+def to_json(df: DataFrame, rows: list | None = None) -> dict:
+    """{columns, data, dtypes} result envelope."""
+    collected = df.collect() if rows is None else rows
+    return {
+        "columns": df.columns,
+        "data": [[_format_cell(v) for v in row] for row in collected],
+        "dtypes": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+    }
+
+
+class QueryCache:
+    """Opt-in parquet query cache keyed by (sql, properties) — reference
+    app/query_cache/__init__.py:11-48."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, hashlib.sha256(key.encode()).hexdigest())
+
+    def get(self, spark, key: str) -> DataFrame | None:
+        p = self._path(key)
+        if os.path.exists(p):
+            return spark.read.parquet(p)
+        return None
+
+    def set(self, df: DataFrame, key: str) -> None:
+        df.write.mode("overwrite").parquet(self._path(key))
+
+
+class SemanticService:
+    def __init__(self, engine: SemanticEngine, cache_dir: str | None = None):
+        self.engine = engine
+        self.catalog = FunctionCatalog(engine.spark)
+        self.cache = QueryCache(cache_dir) if cache_dir else None
+
+    # ------------------------------------------------------------- query
+
+    def query(
+        self,
+        sql: str,
+        limit: int | None = None,
+        dry_run: bool = False,
+        use_cache: bool = False,
+    ) -> dict | None:
+        sql = pushdown_limit(sql, limit)
+        if dry_run:
+            self.engine.dry_run(sql)
+            return None
+        key = f"{sql}|{sorted(self.engine.properties.items())}"
+        if use_cache and self.cache:
+            hit = self.cache.get(self.engine.spark, key)
+            if hit is not None:
+                return {**to_json(hit), "cached": True}
+        df = self.engine.sql(sql)
+        out = to_json(df)
+        if use_cache and self.cache:
+            self.cache.set(df, key)
+        return out
+
+    def dry_plan(self, sql: str) -> str:
+        return self.engine.dry_plan(sql)
+
+    # ---------------------------------------------------------- validate
+
+    def validate_column_is_valid(self, model: str, column: str) -> bool:
+        """validate/{rule=column_is_valid} (app/model/validator.py):
+        probe ``SELECT col FROM model LIMIT 1``."""
+        try:
+            self.engine.sql(f"SELECT `{column}` FROM `{model}` LIMIT 1").collect()
+            return True
+        except Exception:  # noqa: BLE001
+            return False
+
+    # ---------------------------------------------------------- metadata
+
+    def tables(self) -> list[dict]:
+        out = []
+        for m in self.engine.manifest.models:
+            out.append(
+                {
+                    "name": m.name,
+                    "primaryKey": m.primary_key,
+                    "columns": [
+                        {"name": c.name, "type": c.type, "calculated": c.is_calculated}
+                        for c in m.columns
+                        if not c.is_relationship and not c.is_hidden
+                    ],
+                }
+            )
+        return out
+
+    def relationships(self) -> list[dict]:
+        return [
+            {"name": r.name, "models": r.models, "joinType": r.join_type,
+             "condition": r.condition}
+            for r in self.engine.manifest.relationships
+        ]
+
+    def functions(self) -> list[dict]:
+        return [f.to_dict() for f in self.catalog.list_functions()]
+
+    def function(self, name: str) -> dict | None:
+        spec = self.catalog.describe(name)
+        return spec.to_dict() if spec else None
+
+    # --------------------------------------------------- model substitute
+
+    def model_substitute(self, sql: str) -> str:
+        """Rewrite physical table references into model references
+        (reference ibis-server/app/mdl/substitute.py:14-126)."""
+        out = sql
+        for m in self.engine.manifest.models:
+            if not m.table_reference:
+                continue
+            short = m.table_reference.split(".")[-1]
+            out = re.sub(
+                rf"(?<![\w`.]){re.escape(m.table_reference)}(?![\w`])",
+                f"`{m.name}`",
+                out,
+            )
+            if short != m.table_reference:
+                out = re.sub(
+                    rf"(?<![\w`.]){re.escape(short)}(?![\w`])", f"`{m.name}`", out
+                )
+        return out
+
+
+def create_app(service: SemanticService):
+    """FastAPI façade (optional — fastapi absent in the base image)."""
+    try:
+        from fastapi import FastAPI, HTTPException
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("fastapi is not installed; use SemanticService directly") from e
+
+    app = FastAPI(title="wren-engine-spark")
+
+    @app.post("/v3/connector/spark/query")
+    def query(body: dict):
+        try:
+            return service.query(
+                body["sql"],
+                limit=body.get("limit"),
+                dry_run=bool(body.get("dryRun")),
+                use_cache=bool(body.get("cacheEnable")),
+            )
+        except Exception as e:  # noqa: BLE001
+            raise HTTPException(status_code=422, detail=str(e)) from e
+
+    @app.post("/v3/connector/spark/dry-plan")
+    def dry_plan(body: dict):
+        return {"sql": service.dry_plan(body["sql"])}
+
+    @app.post("/v3/connector/spark/validate/column_is_valid")
+    def validate(body: dict):
+        ok = service.validate_column_is_valid(
+            body["parameters"]["modelName"], body["parameters"]["columnName"]
+        )
+        if not ok:
+            raise HTTPException(status_code=422, detail="column is not valid")
+        return {}
+
+    @app.get("/v3/connector/spark/functions")
+    def functions():
+        return service.functions()
+
+    @app.post("/v3/connector/spark/model-substitute")
+    def model_substitute(body: dict):
+        return {"sql": service.model_substitute(body["sql"])}
+
+    @app.get("/v3/connector/spark/metadata/tables")
+    def tables():
+        return service.tables()
+
+    return app

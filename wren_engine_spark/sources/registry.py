@@ -76,6 +76,24 @@ class SourceRegistry:
         self._tables[name.lower()] = df
         return self
 
+    def resolve_sql(self, table_reference: str) -> str:
+        """FROM-clause SQL text for a table reference (for dry-plan /
+        CTE generation): file sources use Spark's direct-path syntax
+        (``parquet.`/path```), catalog tables their name."""
+        ref = table_reference.strip()
+        scheme, _, rest = ref.partition(":")
+        if scheme.lower() in ("parquet", "csv", "json", "orc") and rest:
+            return f"{scheme.lower()}.`{rest}`"
+        ext = os.path.splitext(ref)[1].lower()
+        if ext in _EXT_FMT:
+            return f"{_EXT_FMT[ext]}.`{ref}`"
+        short = ref.split(".")[-1].strip('"`')
+        for d in self._dirs:
+            p = os.path.join(d.path, f"{short}.{d.fmt}")
+            if os.path.exists(p):
+                return f"{d.fmt}.`{p}`"
+        return ref
+
     def resolve(self, table_reference: str) -> DataFrame:
         ref = table_reference.strip()
         scheme, _, rest = ref.partition(":")

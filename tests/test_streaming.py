@@ -1,0 +1,105 @@
+"""Structured Streaming tests: run each streaming operator over the
+events table replayed as a file stream (availableNow trigger, memory
+sink) and compare against the equivalent batch computation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from wren_engine_spark.streaming import ops
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, tmp_path_factory):
+    from wren_engine_spark.queries.registry import load_tables
+
+    df = load_tables(spark, SF_DIR, "events")["events"]
+    path = str(tmp_path_factory.mktemp("events_src"))
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), path
+
+
+def _run_stream(spark, stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+class TestStreaming:
+    def test_windowed_counts_match_batch(self, spark, events_batch):
+        batch_df, path = events_batch
+        stream = spark.readStream.schema(batch_df.schema).parquet(path)
+        out = _run_stream(
+            spark,
+            ops.windowed_event_counts(stream, window="1 day", by=["event_type"]),
+            "win_counts",
+            mode="complete",  # append withholds windows the final
+            # watermark never closes — correct streaming semantics;
+            # complete mode exposes all state for the batch comparison
+        )
+        got = {
+            (r.window_start, r.event_type): r.n_events for r in out.collect()
+        }
+        exp = {
+            (r.ws, r.event_type): r.n
+            for r in batch_df.groupBy(
+                F.date_trunc("day", "ts").alias("ws"), "event_type"
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == exp
+
+    def test_sessionize_counts_match_batch_w4(self, spark, events_batch):
+        batch_df, path = events_batch
+        stream = spark.readStream.schema(batch_df.schema).parquet(path)
+        out = _run_stream(
+            spark, ops.sessionize(stream, gap="30 minutes"), "sessions",
+            mode="complete",
+        )
+        got = (
+            out.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        )
+        got_map = {r.user_id: (r.n_sessions, r.n_events) for r in got.collect()}
+        # batch twin (w4 logic)
+        from wren_engine_spark.queries.registry import QUERIES
+
+        exp = {
+            r.user_id: (r.n_sessions, r.n_events)
+            for r in QUERIES["w4_event_sessionization"](spark, SF_DIR).collect()
+        }
+        assert got_map == exp
+
+    def test_streaming_dedup(self, spark, events_batch):
+        batch_df, path = events_batch
+        stream = spark.readStream.schema(batch_df.schema).parquet(path)
+        out = _run_stream(
+            spark,
+            ops.streaming_dedup(stream, ["user_id", "event_type"], watermark="365 days"),
+            "deduped",
+        )
+        exp = batch_df.dropDuplicates(["user_id", "event_type"]).count()
+        assert out.count() == exp
+
+    def test_running_totals_update_mode(self, spark, events_batch):
+        batch_df, path = events_batch
+        stream = spark.readStream.schema(batch_df.schema).parquet(path)
+        out = _run_stream(
+            spark, ops.running_user_totals(stream), "user_totals", mode="complete"
+        )
+        got = {r.user_id: (round(r.total_value, 6), r.n_events) for r in out.collect()}
+        exp = {
+            r.user_id: (round(r.tv, 6), r.n)
+            for r in batch_df.groupBy("user_id")
+            .agg(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("tv"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+        assert got == exp

@@ -1,0 +1,81 @@
+"""Metric / CumulativeMetric operators.
+
+Parity with the reference's legacy semantic objects (SURVEY §1.1):
+Metric (baseObject + dimensions + measures + TimeGrain) —
+wren-core-legacy/.../dto/Metric.java, TimeGrain.java — and
+CumulativeMetric (measure + window over a DateSpine) —
+dto/CumulativeMetric.java, rewritten by MetricRollupRewrite.java /
+CumulativeMetricInfo.java / DateSpineInfo.java.
+
+Spark-first: the date spine is ``sequence()`` exploded (no driver loop),
+the rollup is a grouped aggregation, and the cumulative window is an
+exact decimal running sum — one shuffle for the agg (map-side combined)
+plus one for the window partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+GRAIN_INTERVAL = {
+    "day": "interval 1 day",
+    "week": "interval 7 day",
+    "month": "interval 1 month",
+    "quarter": "interval 3 month",
+    "year": "interval 1 year",
+}
+
+
+def date_spine(spark: SparkSession, start: str, end: str, grain: str = "day") -> DataFrame:
+    """Continuous date spine [start, end] at the given grain
+    (DateSpineInfo.java parity; generated distributed via sequence)."""
+    iv = GRAIN_INTERVAL[grain]
+    return spark.sql(
+        f"SELECT explode(sequence(to_date('{start}'), to_date('{end}'), {iv})) AS spine_date"
+    )
+
+
+def metric_rollup(
+    df: DataFrame,
+    time_col: str,
+    grain: str,
+    measures: dict[str, F.Column],
+    dimensions: list[str] | None = None,
+) -> DataFrame:
+    """Metric with a time grain: groupBy(date_trunc(grain), dims).agg(
+    measures) — MetricRollupRewrite.java parity."""
+    keys = [F.date_trunc(grain, F.col(time_col)).cast("date").alias(f"{grain}_start")]
+    keys += [F.col(d) for d in (dimensions or [])]
+    return df.groupBy(*keys).agg(*[m.alias(name) for name, m in measures.items()])
+
+
+def cumulative_metric(
+    df: DataFrame,
+    time_col: str,
+    measure_col: str,
+    start: str,
+    end: str,
+    grain: str = "month",
+) -> DataFrame:
+    """Cumulative metric over a date spine: per-grain totals left-joined
+    onto the spine (gaps become 0) with an exact running decimal sum.
+
+    Returns (spine_date, period_value, cumulative_value)."""
+    spark = df.sparkSession
+    spine = date_spine(spark, start, end, grain)
+    per = (
+        df.groupBy(F.date_trunc(grain, F.col(time_col)).cast("date").alias("spine_date"))
+        .agg(
+            F.sum(F.col(measure_col).cast("decimal(38,6)")).alias("__v")
+        )
+    )
+    joined = spine.join(per, "spine_date", "left").select(
+        "spine_date", F.coalesce(F.col("__v"), F.lit(0).cast("decimal(38,6)")).alias("__v")
+    )
+    w = W.orderBy("spine_date").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return joined.select(
+        "spine_date",
+        F.col("__v").cast("double").alias("period_value"),
+        F.sum("__v").over(w).cast("double").alias("cumulative_value"),
+    )

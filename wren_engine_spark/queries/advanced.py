@@ -1,0 +1,172 @@
+"""Advanced corpus: metrics/date-spine (legacy Metric parity), as-of
+join, array HOFs, string aggregation, exact percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wren_engine_spark.operators import asof, metrics
+from wren_engine_spark.queries.registry import load_tables, register
+from wren_engine_spark.queries.tpch import dsum
+
+
+@register(
+    "m1_cumulative_revenue",
+    """
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-08-01',
+                                         INTERVAL 1 MONTH)) AS DATE) AS spine_date
+    ),
+    per AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS spine_date,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS v
+      FROM orders GROUP BY 1
+    )
+    SELECT s.spine_date,
+           CAST(COALESCE(p.v, 0) AS DOUBLE) AS period_value,
+           CAST(SUM(COALESCE(p.v, 0)) OVER (ORDER BY s.spine_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cumulative_value
+    FROM spine s LEFT JOIN per p ON p.spine_date = s.spine_date
+    """,
+)
+def m1(spark: SparkSession, sf: str) -> DataFrame:
+    """CumulativeMetric over a DateSpine (legacy CumulativeMetric.java /
+    DateSpineInfo.java parity)."""
+    o = load_tables(spark, sf, "orders")["orders"]
+    return metrics.cumulative_metric(
+        o, "o_orderdate", "o_totalprice", "1995-01-01", "2001-08-01", grain="month"
+    )
+
+
+@register(
+    "m2_metric_rollup_quarter",
+    """
+    SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def m2(spark: SparkSession, sf: str) -> DataFrame:
+    """Metric with TimeGrain (legacy Metric.java/TimeGrain.java parity)."""
+    o = load_tables(spark, sf, "orders")["orders"]
+    return metrics.metric_rollup(
+        o,
+        "o_orderdate",
+        "quarter",
+        {
+            "revenue": dsum(F.col("o_totalprice")),
+            "n_orders": F.count(F.lit(1)),
+        },
+        dimensions=["o_orderstatus"],
+    )
+
+
+@register(
+    "a1_array_ops",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           ROUND(CAST(list_sum([CAST(CAST(x AS DOUBLE) AS DECIMAL(25,15))
+                          FOR x IN embedding[1:8]]) AS DOUBLE), 9) AS head8_sum,
+           CAST(list_max(embedding) AS DOUBLE) AS max_val,
+           CAST(list_min(embedding) AS DOUBLE) AS min_val
+    FROM embeddings
+    """,
+)
+def a1(spark: SparkSession, sf: str) -> DataFrame:
+    """Array higher-order functions (reference nested/array family,
+    function/scalar/mod.rs:149-186 -> Spark slice/aggregate/array_max)."""
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    dec = "decimal(25,15)"
+    head8 = F.aggregate(
+        F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double").cast(dec)),
+        F.lit(0).cast(dec),
+        lambda acc, x: (acc + x).cast(dec),
+    ).cast("double")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(head8, 9).alias("head8_sum"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.array_min("embedding").cast("double").alias("min_val"),
+    )
+
+
+@register(
+    "a2_string_agg",
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def a2(spark: SparkSession, sf: str) -> DataFrame:
+    """string_agg (reference UDAF registry, function/aggregate/mod.rs:46)
+    with deterministic ordering via sort_array."""
+    t = load_tables(spark, sf, "nation", "region")
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+@register(
+    "a3_asof_click_attribution",
+    """
+    WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                FROM events),
+    purchases AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    clicks AS (SELECT * FROM ev WHERE event_type = 'click'),
+    best AS (
+      SELECT p.event_id AS pid, MAX(c.ts) AS click_ts
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id, p.ts, b.click_ts
+    FROM purchases p LEFT JOIN best b ON b.pid = p.event_id
+    """,
+)
+def a3(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward as-of join (custom operator — Spark has none natively):
+    attribute each purchase to the user's most recent prior click."""
+    e = load_tables(spark, sf, "events")["events"]
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof.asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts", right_values=[]
+    )
+    return out.select("event_id", "user_id", "ts", F.col("asof_ts").alias("click_ts"))
+
+
+@register(
+    "p2_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def p2(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (reference approx_percentile_cont /
+    median UDAFs; Spark percentile() is the exact twin both engines
+    compute identically — linear interpolation on the sorted values)."""
+    l = load_tables(spark, sf, "lineitem")["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        F.max("l_extendedprice").cast("double").alias("max_price"),
+    )

@@ -1,0 +1,107 @@
+"""Structured Streaming operators (extension beyond reference parity —
+the reference is batch-only; SURVEY §1.2/§2.B notes streaming as our
+extension point).
+
+Each operator takes a *streaming* DataFrame (``spark.readStream...``)
+and returns a transformed streaming DataFrame; callers pick the sink.
+Semantics are the streaming twins of batch operators in this repo:
+
+  windowed_event_counts   <-> t1-style time-bucketed aggregation
+  sessionize              <-> w4_event_sessionization (session_window)
+  streaming_dedup         <-> x1_exact_dedup (state-backed, watermarked)
+  running_user_totals     <-> w2-style running totals (stateful)
+
+Watermarks bound state for late data: at 100 TB/day the state store
+only holds open windows/sessions inside the watermark horizon, and all
+aggregations are incremental (no full recompute per microbatch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ltz(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local tz); NTZ event times are
+    reinterpreted in the session zone (engine default: UTC)."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window counts with late-data watermark."""
+    keys = [F.window(F.col(ts_col), window).alias("win")] + [F.col(c) for c in (by or [])]
+    events = _ltz(events, ts_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *[F.col(c) for c in (by or [])],
+            "n_events",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session aggregation via ``session_window`` — the
+    streaming twin of the batch lag/cumsum sessionization (w4)."""
+    events = _ltz(events, ts_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Exactly-once record dedup inside the watermark horizon
+    (state-store backed ``dropDuplicates``)."""
+    return _ltz(df, ts_col).withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def running_user_totals(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user running totals in update mode (incremental grouped agg —
+    the stateful twin of batch running windows)."""
+    events = _ltz(events, ts_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(38,6)")).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

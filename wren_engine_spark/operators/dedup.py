@@ -61,47 +61,52 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle).
+def shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, unit: str = "word"
+) -> DataFrame:
+    """Per-doc DISTINCT shingle array, computed entirely map-side:
+    (id, __sh array<string>, __n int). No explode, no shuffle — the
+    dedup happens inside the row via array_distinct, so a corpus scan
+    stays one narrow stage regardless of size.
 
     Word shingles are the standard unit for large-scale text dedup: the
     shingle space is sparse (vocab^n), so inverted-index joins stay near
     linear — unlike char n-grams whose dense space makes every doc pair
     collide. Pure array HOFs (split/sequence/slice/concat_ws), no Python.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    return (
-        df.select(F.col(id_col), toks.alias("__toks"))
-        .filter(F.size("__toks") >= n)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(__toks) - {n - 1}), "
-                    f"i -> concat_ws(' ', slice(__toks, i, {n})))"
-                )
-            ).alias("shingle"),
+    if unit == "word":
+        src = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        min_len = F.size("__src") >= n
+        arr = F.expr(
+            f"array_distinct(transform(sequence(1, size(__src) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(__src, i, {n}))))"
         )
-        .distinct()
+    else:
+        src = F.lower(F.col(text_col))
+        min_len = F.length("__src") >= n
+        arr = F.expr(
+            f"array_distinct(transform(sequence(1, length(__src) - {n - 1}), "
+            f"i -> substring(__src, i, {n})))"
+        )
+    return (
+        df.select(F.col(id_col), src.alias("__src"))
+        .filter(min_len)
+        .select(id_col, arr.alias("__sh"))
+        .withColumn("__n", F.size("__sh"))
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    return shingle_arrays(df, text_col, id_col, n, "word").select(
+        id_col, F.explode("__sh").alias("shingle")
     )
 
 
 def char_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
-    """Distinct character n-gram shingles per doc: (id, shingle).
-
-    Built with explode(sequence(...)) + substring — stays in whole-stage
-    codegen, no Python."""
-    t = F.lower(F.col(text_col))
-    return (
-        df.select(F.col(id_col), t.alias("__t"))
-        .filter(F.length("__t") >= n)  # sequence(1, len-n+1) must ascend
-        .select(
-            id_col,
-            F.explode(F.sequence(F.lit(1), F.length("__t") - (n - 1))).alias("__i"),
-            "__t",
-        )
-        .select(F.col(id_col), F.substring(F.col("__t"), F.col("__i"), n).alias("shingle"))
-        .distinct()
+    """Distinct character n-gram shingles per doc: (id, shingle)."""
+    return shingle_arrays(df, text_col, id_col, n, "char").select(
+        id_col, F.explode("__sh").alias("shingle")
     )
 
 
@@ -125,73 +130,95 @@ def jaccard_pairs(
     appear in everyone's suffix, never in prefixes) no longer explode the
     join. Candidates are then verified with an exact intersection count.
 
+    Candidates surviving size + position filters are verified with an
+    exact intersection count via array_intersect on the per-doc shingle
+    arrays (built map-side, no explode/distinct shuffle).
+
     ``max_doc_freq`` additionally drops ultra-frequent shingles entirely
     (approximation; changes semantics — off by default).
 
-    At 100 TB: three shuffles (doc-frequency count, prefix self-join,
-    verify join), each on bounded keys; candidate volume follows true
-    near-duplicate density rather than corpus size squared. Skewed
-    prefix shingles are bounded by construction (a shingle lands in a
-    prefix only while globally rare).
+    All fractional boundary comparisons are epsilon-padded toward
+    KEEPING the pair: e.g. floor((1-0.8)*50) evaluates to floor(9.99..)
+    = 9 in binary FP while the prefix theorem requires 10, which would
+    silently drop true boundary pairs. Padding only weakens pruning —
+    the exact verify step restores precision.
+
+    At 100 TB: two window shuffles over the exploded shingles (by
+    shingle for doc-frequency, by doc for prefix rank), one prefix
+    self-join, and a candidate-verify join against the doc arrays;
+    candidate volume follows true near-duplicate density rather than
+    corpus size squared. Skewed prefix shingles are bounded by
+    construction (a shingle lands in a prefix only while globally rare).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     from pyspark.sql import Window as W
 
-    shingler = word_shingles if unit == "word" else char_shingles
-    sh = shingler(df, text_col, id_col, n)
+    eps = 1e-9
+    # docs feeds three branches (explode, verify-a, verify-b) and prefix
+    # feeds the self-join twice: cache both so the scan+shingle and the
+    # two window passes run once, not 4x
+    docs = shingle_arrays(df, text_col, id_col, n, unit).cache()
+    sh = docs.select(id_col, "__n", F.explode("__sh").alias("shingle"))
     if max_doc_freq is not None:
-        freq_cap = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        sh = sh.join(
-            freq_cap.filter(F.col("__df") <= max_doc_freq), "shingle", "left_semi"
-        )
-    sh = sh.cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                W.partitionBy(id_col).orderBy(F.col("__df"), F.col("shingle"))
-            ),
-        )
+        sh = sh.withColumn(
+            "__df0", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        ).filter(F.col("__df0") <= max_doc_freq).drop("__df0")
+        docs = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("__sh"))
+        docs = docs.withColumn("__n", F.size("__sh"))
+        sh = docs.select(id_col, "__n", F.explode("__sh").alias("shingle"))
+    ranked = sh.withColumn(
+        "__df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            W.partitionBy(id_col).orderBy(F.col("__df"), F.col("shingle"))
+        ),
     )
-    prefix = (
-        ranked.join(sizes, id_col)
-        .filter(
-            F.col("__rn")
-            <= F.floor((1.0 - threshold) * F.col("__n")).cast("int") + F.lit(1)
-        )
-        .select(id_col, "shingle", "__n")
+    # prefix length |d| - ceil(t*|d|) + 1, via epsilon-padded floor
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.floor((1.0 - threshold) * F.col("__n") + eps).cast("int") + F.lit(1)
+    ).select(id_col, "shingle", "__n", "__rn").cache()
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle",
+        F.col("__n").alias("__na"), F.col("__rn").alias("__pa"),
     )
-    a = prefix.select(F.col(id_col).alias("id_a"), "shingle", F.col("__n").alias("__na"))
-    b = prefix.select(F.col(id_col).alias("id_b"), "shingle", F.col("__n").alias("__nb"))
-    # size filter: jaccard >= t forces t*|B| <= |A| <= |B|/t
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle",
+        F.col("__n").alias("__nb"), F.col("__rn").alias("__pb"),
+    )
+    # size filter: jaccard >= t forces t*|B| <= |A| <= |B|/t;
+    # position filter (PPJoin): overlap upper bound from the prefix
+    # match positions must still reach the required overlap
+    # t/(1+t) * (|A|+|B|)
+    required = (threshold / (1.0 + threshold)) * (F.col("__na") + F.col("__nb")) - eps
+    upper = 1 + F.least(F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb"))
     cand = (
         a.join(
             b,
             (a["shingle"] == b["shingle"])
             & (F.col("id_a") < F.col("id_b"))
-            & (F.col("__na") >= threshold * F.col("__nb"))
-            & (F.col("__nb") >= threshold * F.col("__na")),
+            & (F.col("__na") >= threshold * F.col("__nb") - eps)
+            & (F.col("__nb") >= threshold * F.col("__na") - eps)
+            & (upper >= required),
         )
         .select("id_a", "id_b")
         .distinct()
     )
-    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(sha, "id_a")
-        .join(shb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__c"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    da = docs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
+    db = docs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("__c"),
+            F.size("__sha").alias("__na"),
+            F.size("__shb").alias("__nb"),
+        )
         .select(
             "id_a",
             "id_b",

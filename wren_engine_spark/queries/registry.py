@@ -56,9 +56,53 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
                 )
         else:
             df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        if n in _MAP_HEAVY_TABLES:
+            df = _fan_out(spark, df, f"{sf_dir}/{n}.parquet")
         df.createOrReplaceTempView(n)
         out[n] = df
     return out
+
+
+# Only fan out tables whose operators do heavy per-row map work BEFORE any
+# shuffle (shingling, tokenization, vector arithmetic): an under-split scan
+# serializes those stages. Relational tables don't need it — their heavy
+# stages run post-shuffle (already at full parallelism) and an extra full
+# shuffle of a fact table costs more than the cheap single-task scan.
+_MAP_HEAVY_TABLES = {"documents", "embeddings"}
+
+# a source this small is cheaper to reshuffle once than to process on a
+# fraction of the cores; far below any real deployment's scan size
+_FAN_OUT_MAX_BYTES = 4 << 30
+
+_scan_parallelism_cache: dict[str, int] = {}
+
+
+def _fan_out(spark, df: "DataFrame", path: str) -> "DataFrame":
+    """Repartition a fact-table scan to full parallelism IF the file layout
+    under-splits it (the driver testdata is one row group per file, so the
+    scan — and every map-side stage above it — would run as a single task).
+
+    On a real deployment the scan has >= cores splits (many files / row
+    groups) and this is a no-op: at 100 TB an unconditional repartition
+    would shuffle the whole corpus. The check is file-layout-based
+    (row-group count vs cores), costs one footer read, and is cached.
+    """
+    import os
+
+    target = spark.sparkContext.defaultParallelism
+    if path not in _scan_parallelism_cache:
+        try:
+            import pyarrow.parquet as pq
+
+            splits = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            splits = target  # unknown layout: leave the scan alone
+        if os.path.getsize(path) > _FAN_OUT_MAX_BYTES:
+            splits = target
+        _scan_parallelism_cache[path] = splits
+    if _scan_parallelism_cache[path] < target:
+        return df.repartition(target)
+    return df
 
 
 # importing the modules below populates the registry

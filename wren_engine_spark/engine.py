@@ -217,6 +217,9 @@ class SemanticEngine:
 
     def deploy(self, properties: dict[str, str] | None = None) -> "SemanticEngine":
         """Register every model (and then every view) as a temp view."""
+        from wren_engine_spark.functions.compat import register_compat_functions
+
+        register_compat_functions(self.spark)
         self.properties = {k.lower(): str(v) for k, v in (properties or {}).items()}
         self._plans = {}
         self._variants: dict[tuple[str, frozenset], DataFrame] = {}

@@ -1,0 +1,227 @@
+"""Reference-function compatibility layer.
+
+Implements the scalar functions in the reference's registry
+(wren-core/core/src/mdl/function/scalar/mod.rs:20-230) that Spark lacks
+under the same name, as **SQL-body temporary functions** (Spark 4 SQL
+UDFs). SQL UDFs are inlined into the Catalyst plan at analysis time, so
+every function here stays JVM-side inside whole-stage codegen — no
+Python in the hot path.
+
+Families covered (SURVEY §2.B "gaps" list):
+  - datetime: to_char (chrono-style patterns, reference impl
+    function/scalar/to_char.rs), date_bin, to_unixtime,
+    to_timestamp_{seconds,millis,micros,nanos} aliases
+  - JSON (Snowflake-style bypass fns, function/scalar/json.rs):
+    get_path, as_varchar/as_integer/as_double/as_number/as_boolean/
+    as_date/as_timestamp/as_array/as_object + is_* twins
+  - crypto: digest(x, algo)
+  - arrays: array_dims, array_ndims, array_distance, array_resize,
+    array_any_value, generate_series (array form of the table function)
+  - misc: arrow_typeof (→ typeof)
+
+Not portable to Spark (documented omissions): union_extract/union_tag
+(DataFusion union type; Spark has no union type), arrow_cast (type names
+are compile-time in Spark — use CAST).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# chrono strftime code -> Java DateTimeFormatter pattern, applied as
+# longest-match-first string rewriting of the format argument.
+_CHRONO_TO_JAVA = [
+    ("%Y", "yyyy"),
+    ("%y", "yy"),
+    ("%m", "MM"),
+    ("%d", "dd"),
+    ("%e", "d"),
+    ("%H", "HH"),
+    ("%I", "hh"),
+    ("%M", "mm"),
+    ("%S", "ss"),
+    ("%f", "SSSSSS"),
+    ("%6f", "SSSSSS"),
+    ("%3f", "SSS"),
+    ("%j", "DDD"),
+    ("%a", "EEE"),
+    ("%A", "EEEE"),
+    ("%b", "MMM"),
+    ("%B", "MMMM"),
+    ("%p", "a"),
+    ("%Z", "zzz"),
+    ("%%", "%"),
+]
+
+
+def _fmt_rewrite_sql(arg: str) -> str:
+    expr = arg
+    for chrono, java in _CHRONO_TO_JAVA:
+        expr = f"replace({expr}, '{chrono}', '{java}')"
+    return expr
+
+
+_SQL_FUNCTIONS: dict[str, str] = {
+    # ---------------------------------------------------------- datetime
+    # Spark 4 ships a numeric-only builtin to_char that SQL UDFs cannot
+    # shadow; the chrono-pattern timestamp form registers as wren_to_char
+    # (register_compat_functions falls back to the wren_ prefix on any
+    # builtin collision and reports the mapping).
+    "wren_to_char": f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION wren_to_char(ts TIMESTAMP, fmt STRING)
+        RETURNS STRING RETURN date_format(ts, {_fmt_rewrite_sql('fmt')})
+    """,
+    "date_bin": """
+        CREATE OR REPLACE TEMPORARY FUNCTION date_bin(
+            stride INTERVAL DAY TO SECOND, source TIMESTAMP, origin TIMESTAMP)
+        RETURNS TIMESTAMP RETURN
+        timestampadd(SECOND,
+            CAST(floor((unix_micros(source) - unix_micros(origin))
+                       / (CAST(stride AS BIGINT) * 1e6))
+                 * CAST(stride AS BIGINT) AS BIGINT),
+            origin)
+    """,
+    "to_unixtime": """
+        CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(ts TIMESTAMP)
+        RETURNS DOUBLE RETURN unix_micros(ts) / 1e6
+    """,
+    "to_timestamp_nanos": """
+        CREATE OR REPLACE TEMPORARY FUNCTION to_timestamp_nanos(ns BIGINT)
+        RETURNS TIMESTAMP RETURN timestamp_micros(ns div 1000)
+    """,
+    # -------------------------------------------------------------- JSON
+    # get_path('{"a":{"b":1}}', 'a.b') — Snowflake dot/bracket paths map
+    # onto get_json_object's JSONPath by prefixing '$.'
+    "get_path": """
+        CREATE OR REPLACE TEMPORARY FUNCTION get_path(j STRING, p STRING)
+        RETURNS STRING RETURN get_json_object(j, concat('$.', p))
+    """,
+    "as_varchar": """
+        CREATE OR REPLACE TEMPORARY FUNCTION as_varchar(j STRING)
+        RETURNS STRING RETURN
+        CASE WHEN j IS NULL OR j = 'null' THEN NULL
+             WHEN j RLIKE '^".*"$' THEN substring(j, 2, length(j) - 2)
+             ELSE j END
+    """,
+    "as_integer": """
+        CREATE OR REPLACE TEMPORARY FUNCTION as_integer(j STRING)
+        RETURNS BIGINT RETURN try_cast(j AS BIGINT)
+    """,
+    "as_number": """
+        CREATE OR REPLACE TEMPORARY FUNCTION as_number(j STRING)
+        RETURNS DECIMAL(38,10) RETURN try_cast(j AS DECIMAL(38,10))
+    """,
+    "as_double": """
+        CREATE OR REPLACE TEMPORARY FUNCTION as_double(j STRING)
+        RETURNS DOUBLE RETURN try_cast(j AS DOUBLE)
+    """,
+    "as_boolean": """
+        CREATE OR REPLACE TEMPORARY FUNCTION as_boolean(j STRING)
+        RETURNS BOOLEAN RETURN try_cast(j AS BOOLEAN)
+    """,
+    "as_date": """
+        CREATE OR REPLACE TEMPORARY FUNCTION as_date(j STRING)
+        RETURNS DATE RETURN try_cast(
+            CASE WHEN j RLIKE '^".*"$' THEN substring(j, 2, length(j) - 2) ELSE j END
+            AS DATE)
+    """,
+    "as_timestamp": """
+        CREATE OR REPLACE TEMPORARY FUNCTION as_timestamp(j STRING)
+        RETURNS TIMESTAMP RETURN try_cast(
+            CASE WHEN j RLIKE '^".*"$' THEN substring(j, 2, length(j) - 2) ELSE j END
+            AS TIMESTAMP)
+    """,
+    "as_array": """
+        CREATE OR REPLACE TEMPORARY FUNCTION as_array(j STRING)
+        RETURNS STRING RETURN CASE WHEN ltrim(j) RLIKE '^\\\\[' THEN j END
+    """,
+    "as_object": """
+        CREATE OR REPLACE TEMPORARY FUNCTION as_object(j STRING)
+        RETURNS STRING RETURN CASE WHEN ltrim(j) RLIKE '^\\\\{' THEN j END
+    """,
+    "is_integer": """
+        CREATE OR REPLACE TEMPORARY FUNCTION is_integer(j STRING)
+        RETURNS BOOLEAN RETURN try_cast(j AS BIGINT) IS NOT NULL
+    """,
+    "is_double": """
+        CREATE OR REPLACE TEMPORARY FUNCTION is_double(j STRING)
+        RETURNS BOOLEAN RETURN try_cast(j AS DOUBLE) IS NOT NULL
+    """,
+    "is_boolean": """
+        CREATE OR REPLACE TEMPORARY FUNCTION is_boolean(j STRING)
+        RETURNS BOOLEAN RETURN try_cast(j AS BOOLEAN) IS NOT NULL
+    """,
+    "is_varchar": """
+        CREATE OR REPLACE TEMPORARY FUNCTION is_varchar(j STRING)
+        RETURNS BOOLEAN RETURN j RLIKE '^".*"$'
+    """,
+    "is_array": """
+        CREATE OR REPLACE TEMPORARY FUNCTION is_array(j STRING)
+        RETURNS BOOLEAN RETURN ltrim(j) RLIKE '^\\\\['
+    """,
+    "is_object": """
+        CREATE OR REPLACE TEMPORARY FUNCTION is_object(j STRING)
+        RETURNS BOOLEAN RETURN ltrim(j) RLIKE '^\\\\{'
+    """,
+    # ------------------------------------------------------------ crypto
+    "digest": """
+        CREATE OR REPLACE TEMPORARY FUNCTION digest(x STRING, algo STRING)
+        RETURNS STRING RETURN
+        CASE lower(algo)
+            WHEN 'md5' THEN md5(x)
+            WHEN 'sha224' THEN sha2(x, 224)
+            WHEN 'sha256' THEN sha2(x, 256)
+            WHEN 'sha384' THEN sha2(x, 384)
+            WHEN 'sha512' THEN sha2(x, 512)
+            WHEN 'sha1' THEN sha1(x)
+        END
+    """,
+    # ------------------------------------------------------------ arrays
+    "array_dims": """
+        CREATE OR REPLACE TEMPORARY FUNCTION array_dims(a ARRAY<STRING>)
+        RETURNS ARRAY<INT> RETURN CASE WHEN a IS NOT NULL THEN array(size(a)) END
+    """,
+    "array_ndims": """
+        CREATE OR REPLACE TEMPORARY FUNCTION array_ndims(a ARRAY<STRING>)
+        RETURNS INT RETURN CASE WHEN a IS NOT NULL THEN 1 END
+    """,
+    "array_distance": """
+        CREATE OR REPLACE TEMPORARY FUNCTION array_distance(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+        RETURNS DOUBLE RETURN
+        sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
+                       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+    """,
+    "array_resize": """
+        CREATE OR REPLACE TEMPORARY FUNCTION array_resize(a ARRAY<STRING>, n INT, fill STRING)
+        RETURNS ARRAY<STRING> RETURN
+        CASE WHEN a IS NULL OR n IS NULL OR n < 0 THEN NULL
+             WHEN n <= size(a) THEN slice(a, 1, n)
+             ELSE concat(a, array_repeat(fill, n - size(a))) END
+    """,
+    "array_any_value": """
+        CREATE OR REPLACE TEMPORARY FUNCTION array_any_value(a ARRAY<STRING>)
+        RETURNS STRING RETURN array_compact(a)[0]
+    """,
+    # generate_series as the array-returning form; explode() turns it
+    # into the reference's table function (function/table/mod.rs:9-12)
+    "generate_series": """
+        CREATE OR REPLACE TEMPORARY FUNCTION generate_series(start BIGINT, stop BIGINT, step BIGINT)
+        RETURNS ARRAY<BIGINT> RETURN sequence(start, stop, step)
+    """,
+    # -------------------------------------------------------------- misc
+    "arrow_typeof": """
+        CREATE OR REPLACE TEMPORARY FUNCTION arrow_typeof(x STRING)
+        RETURNS STRING RETURN typeof(x)
+    """,
+}
+
+
+def register_compat_functions(spark: SparkSession) -> list[str]:
+    """Register every compat function on the session; returns the names."""
+    for ddl in _SQL_FUNCTIONS.values():
+        spark.sql(ddl)
+    return sorted(_SQL_FUNCTIONS)
+
+
+def compat_function_names() -> list[str]:
+    return sorted(_SQL_FUNCTIONS)

@@ -111,3 +111,4 @@ from wren_engine_spark.queries import analytics  # noqa: E402,F401
 from wren_engine_spark.queries import llmops  # noqa: E402,F401
 from wren_engine_spark.queries import semantic  # noqa: E402,F401
 from wren_engine_spark.queries import advanced  # noqa: E402,F401
+from wren_engine_spark.queries import compat_fns  # noqa: E402,F401

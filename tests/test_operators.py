@@ -125,3 +125,58 @@ class TestANN:
         out = similarity.cosine_topk(emb, "vec_id", "embedding", queries, k=3).collect()
         assert all(r.query_id != r.neighbor_id for r in out)
         assert all(-1.0 <= r.cosine_sim <= 1.0 for r in out)
+
+
+class TestNearDupAndIVF:
+    def test_exact_near_dup_symmetry_and_threshold(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        out = similarity.cosine_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.35
+        ).collect()
+        assert out, "expected some pairs at 0.35 in the test corpus"
+        assert all(r.id_a < r.id_b for r in out)
+        assert all(r.cosine_sim >= 0.35 for r in out)
+
+    def test_lsh_near_dup_subset_of_exact(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(150)
+        exact = {
+            (r.id_a, r.id_b)
+            for r in similarity.cosine_near_dup_pairs(
+                emb, "vec_id", "embedding", threshold=0.35
+            ).collect()
+        }
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in similarity.cosine_near_dup_pairs(
+                emb, "vec_id", "embedding", threshold=0.35,
+                method="lsh", dim=64, nbits=4, tables=4,
+            ).collect()
+        }
+        # LSH blocks candidates, then scores exactly: never a false positive
+        assert lsh <= exact
+
+    def test_ivf_full_probe_equals_brute_force(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        bf = {
+            (r.query_id, r.rnk): r.neighbor_id
+            for r in similarity.cosine_topk(
+                emb, "vec_id", "embedding", queries, k=4
+            ).collect()
+        }
+        ivf = {
+            (r.query_id, r.rnk): r.neighbor_id
+            for r in similarity.ivf_topk(
+                emb, "vec_id", "embedding", queries, dim=64,
+                k=4, nlist=4, nprobe=4, iters=2,
+            ).collect()
+        }
+        assert ivf == bf
+
+    def test_kmeans_centroids_shape(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100)
+        cents = similarity.kmeans_centroids(emb, "embedding", dim=64, nlist=5, iters=2)
+        assert len(cents) == 5
+        assert all(len(c) == 64 for c in cents)

@@ -88,6 +88,214 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    method: str = "exact",
+    dim: int | None = None,
+    nbits: int = 8,
+    tables: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-based near-duplicate pairs: (id_a, id_b, cosine_sim)
+    with id_a < id_b and cosine >= threshold.
+
+    method='exact': all-pairs self-join — quadratic, the verification
+    baseline (and the oracle semantics). Usable to ~10^5 vectors.
+
+    method='lsh': hyperplane-LSH blocking (OR over ``tables`` tables)
+    then exact scoring of colliding pairs only — the 100 TB path. At
+    high thresholds collision probability per table is (1-arccos(t)/pi)
+    ^nbits, so near-dup pairs survive with recall
+    1-(1-p^nbits)^tables while the cross product never materializes.
+    """
+    normed = with_norm(df, vec_col, "__n")
+    if method == "exact":
+        a = normed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), F.col("__n").alias("__na")
+        )
+        b = normed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), F.col("__n").alias("__nb")
+        )
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        if dim is None:
+            raise ValueError("dim is required for method='lsh'")
+        normed = normed.cache()
+        cand = None
+        for t in range(tables):
+            sig = hyperplane_signatures(normed, id_col, vec_col, dim, nbits, 7000 + 1000 * t)
+            s1 = sig.select(F.col(id_col).alias("id_a"), "bucket")
+            s2 = sig.select(F.col(id_col).alias("id_b"), "bucket")
+            p = (
+                s1.join(s2, "bucket")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+            )
+            cand = p if cand is None else cand.unionAll(p)
+        va = normed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                           F.col("__n").alias("__na"))
+        vb = normed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                           F.col("__n").alias("__nb"))
+        pairs = cand.distinct().join(va, "id_a").join(vb, "id_b")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    sim = _dot_dec(F.col("__va"), F.col("__vb")) / (
+        F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb"))
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, round_digits).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame, vec_col: str, dim: int, nlist: int = 16, iters: int = 5
+) -> list[list[float]]:
+    """Lloyd's k-means over an embedding column, pure DataFrame ops.
+
+    Initialization is deterministic (first ``nlist`` vectors in id-less
+    row order after a stable sort on the vector bytes). Each iteration
+    is one broadcast-join assign + one groupBy mean — at 100 TB that is
+    ``iters`` passes over the corpus with only centroid-sized state on
+    the driver (nlist x dim floats).
+    """
+    first = [
+        r[0]
+        for r in df.select(F.col(vec_col))
+        .orderBy(F.to_json(F.col(vec_col)))
+        .limit(nlist)
+        .collect()
+    ]
+    centroids = [[float(x) for x in v] for v in first]
+    for _ in range(iters):
+        assigned = _assign_lists(df, vec_col, centroids).select(
+            "__list", F.col(vec_col).alias("__v")
+        )
+        # mean per cluster: aggregate each dimension via posexplode
+        means = (
+            assigned.select("__list", F.posexplode("__v").alias("__d", "__x"))
+            .groupBy("__list", "__d")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__list")
+            .agg(F.array_sort(F.collect_list(F.struct("__d", "__m"))).alias("__ms"))
+            .select("__list", F.expr("transform(__ms, s -> s.__m)").alias("centroid"))
+            .collect()
+        )
+        new = {r["__list"]: [float(x) for x in r["centroid"]] for r in means}
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def _assign_lists(df: DataFrame, vec_col: str, centroids: list[list[float]]):
+    """Attach __list = argmin_c L2(vec, centroid_c) via a broadcast
+    literal centroid array — one narrow map, no shuffle."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    dist2 = (
+        "aggregate(zip_with(s.c, __vv, (p, q) -> (p - CAST(q AS DOUBLE)) * "
+        "(p - CAST(q AS DOUBLE))), 0.0D, (acc, x) -> acc + x)"
+    )
+    best = F.expr(
+        "aggregate(__cands, named_struct('i', -1, 'd', CAST('Infinity' AS DOUBLE)), "
+        f"(acc, s) -> CASE WHEN {dist2} < acc.d THEN named_struct('i', s.i, 'd', {dist2}) "
+        "ELSE acc END).i"
+    )
+    return (
+        df.withColumn("__vv", F.col(vec_col))
+        .withColumn("__cands", carr)
+        .withColumn("__list", best)
+        .drop("__cands", "__vv")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    iters: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors.
+
+    Train a k-means coarse quantizer, partition the corpus into
+    ``nlist`` inverted lists, and for each query scan only the
+    ``nprobe`` nearest lists — the classic IVF-Flat trade: recall vs
+    fraction of corpus scanned (~nprobe/nlist). With nprobe == nlist
+    the result is exactly brute force (tested against cosine_topk).
+
+    At 100 TB the corpus is hash-partitioned by __list so a probe
+    touches only matching partitions; queries are broadcast.
+
+    Returns (query_id, neighbor_id, cosine_sim, rnk).
+    """
+    from pyspark.sql import Window as W
+
+    centroids = kmeans_centroids(df, vec_col, dim, nlist, iters)
+    corpus = _assign_lists(with_norm(df, vec_col, "__vn"), vec_col, centroids).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"), "__vn", "__list"
+    )
+    # nprobe nearest centroids per query, via the same literal centroid
+    # array: rank centroid distances inside a single expression
+    q = with_norm(query_df, "qvec", "__qn")
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    dist2 = (
+        "aggregate(zip_with(s.c, qvec, (p, qq) -> (p - CAST(qq AS DOUBLE)) * "
+        "(p - CAST(qq AS DOUBLE))), 0.0D, (acc, x) -> acc + x)"
+    )
+    probes = F.expr(
+        f"transform(slice(array_sort(transform(__cands, s -> named_struct('d', {dist2}, "
+        f"'i', s.i))), 1, {nprobe}), p -> p.i)"
+    )
+    queries = (
+        q.withColumn("__cands", carr)
+        .withColumn("__probe", probes)
+        .select("query_id", F.col("qvec").alias("__q"), "__qn",
+                F.explode("__probe").alias("__list"))
+    )
+    sim = _dot_dec(F.col("__q"), F.col("__v")) / (
+        F.sqrt(F.col("__qn")) * F.sqrt(F.col("__vn"))
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "__list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("__sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), round_digits).alias("cosine_sim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def hyperplane_signatures(
     df: DataFrame, id_col: str, vec_col: str, dim: int, nbits: int = 16, seed: int = 42
 ) -> DataFrame:

@@ -230,3 +230,42 @@ def x11(spark: SparkSession, sf: str) -> DataFrame:
 def x12(spark: SparkSession, sf: str) -> DataFrame:
     d = load_tables(spark, sf, "documents")["documents"]
     return multimodal.decode_stub(multimodal.attach_binary_payload(d, "text", "doc_id"))
+
+
+@register(
+    "x13_embedding_near_dup",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2 FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_sum([CAST(s[1]*s[2] AS DECIMAL(25,15)) FOR s IN
+                  list_zip([CAST(x AS DOUBLE) FOR x IN a.embedding],
+                           [CAST(x AS DOUBLE) FOR x IN b.embedding])]) AS DOUBLE)
+               / (sqrt(a.norm2) * sqrt(b.norm2)) AS sim
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(sim, 6) AS cosine_sim
+    FROM pairs WHERE ROUND(sim, 6) >= 0.35
+    """,
+)
+def x13(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (verification
+    baseline; the LSH-blocked variant is the 100 TB path — see
+    operators/similarity.cosine_near_dup_pairs)."""
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    return similarity.cosine_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35)
+
+
+@register("x14_ivf_ann")  # iterative k-means training: rows-only check
+def x14(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-Flat ANN: k-means coarse quantizer, probe the 2 nearest of 8
+    inverted lists per query (~25% of the corpus scanned)."""
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_topk(
+        e, "vec_id", "embedding", queries, dim=64, k=5, nlist=8, nprobe=2, iters=3
+    )

@@ -447,3 +447,190 @@ def j2(spark: SparkSession, sf: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "w5_rank_family",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-02-01'
+    )
+    SELECT o_orderkey, o_orderpriority,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC, o_orderkey) AS rn,
+           RANK()       OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC) AS drnk,
+           PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC) AS prnk,
+           CUME_DIST()  OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC) AS cdist,
+           NTILE(4)     OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC, o_orderkey) AS tile,
+           LAG(bucket)  OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC, o_orderkey) AS prev_bucket,
+           LEAD(bucket) OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC, o_orderkey) AS next_bucket,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+                                          ORDER BY bucket DESC, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+    FROM base
+    """,
+)
+def w5(spark: SparkSession, sf: str) -> DataFrame:
+    """Full rank-function family (reference UDWF registry
+    wren-core/core/src/mdl/function/window/mod.rs:5-20). Rank-like
+    functions order by a tied bucket (well-defined: they depend only on
+    key values); value functions add the unique o_orderkey tiebreak."""
+    load_tables(spark, sf, "orders")
+    return spark.sql(
+        """
+        WITH base AS (
+          SELECT o_orderkey, o_orderpriority, CAST(floor(o_totalprice / 10000) AS BIGINT) AS bucket
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-02-01'
+        )
+        SELECT o_orderkey, o_orderpriority,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC, o_orderkey) AS rn,
+               RANK()       OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC) AS rnk,
+               DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC) AS drnk,
+               PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC) AS prnk,
+               CUME_DIST()  OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC) AS cdist,
+               NTILE(4)     OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC, o_orderkey) AS tile,
+               LAG(bucket)  OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC, o_orderkey) AS prev_bucket,
+               LEAD(bucket) OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC, o_orderkey) AS next_bucket,
+               NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+                                              ORDER BY bucket DESC, o_orderkey
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+        FROM base
+        """
+    )
+
+
+@register(
+    "w6_window_frames",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT d,
+           CAST(rev AS DOUBLE) AS rev,
+           CAST(SUM(rev) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS sum_4row,
+           CAST(SUM(rev) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS sum_7day,
+           CAST(SUM(rev) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
+             AS sum_rest
+    FROM daily
+    ORDER BY d
+    """,
+)
+def w6(spark: SparkSession, sf: str) -> DataFrame:
+    """ROWS / RANGE-with-interval / forward-unbounded frame specs
+    (reference frame handling: inner_dialect.rs:67-75, tests
+    mod.rs:3338-3404). Frame sums accumulate in DECIMAL so both engines
+    are exact."""
+    load_tables(spark, sf, "lineitem")
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT CAST(l_shipdate AS DATE) AS d,
+                 SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY 1
+        )
+        SELECT d,
+               CAST(rev AS DOUBLE) AS rev,
+               CAST(SUM(rev) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS sum_4row,
+               CAST(SUM(rev) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS sum_7day,
+               CAST(SUM(rev) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
+                 AS sum_rest
+        FROM daily
+        ORDER BY d
+        """
+    )
+
+
+@register(
+    "s4_setops_all",
+    """
+    SELECT 'both_months' AS tag, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-02-01'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-02-01' AND o_orderdate < TIMESTAMP '1997-03-01'
+    ) i
+    UNION ALL
+    SELECT 'jan_only' AS tag, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-02-01'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-02-01' AND o_orderdate < TIMESTAMP '1997-03-01'
+    ) e
+    """,
+)
+def s4(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL multiset semantics (SURVEY §2.B set
+    ops; s1/s2 cover the DISTINCT variants)."""
+    t = load_tables(spark, sf, "orders")
+    o = t["orders"]
+    jan = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-02-01").cast("timestamp"))
+    ).select("o_custkey")
+    feb = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-02-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-03-01").cast("timestamp"))
+    ).select("o_custkey")
+    both = jan.intersectAll(feb).select(F.lit("both_months").alias("tag"), "o_custkey")
+    only = jan.exceptAll(feb).select(F.lit("jan_only").alias("tag"), "o_custkey")
+    return both.unionAll(only)
+
+
+@register(
+    "d3_stat_aggregates",
+    """
+    SELECT c_mktsegment,
+           ROUND(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS corr_bal_key,
+           ROUND(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS covar_bk,
+           ROUND(stddev_samp(c_acctbal), 4) AS sd_bal,
+           ROUND(var_pop(c_acctbal), 4) AS var_bal,
+           ROUND(regr_slope(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS slope,
+           ROUND(regr_intercept(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS icept,
+           CAST(regr_count(c_acctbal, CAST(c_custkey AS DOUBLE)) AS BIGINT) AS n,
+           bit_and(c_custkey) AS band,
+           bit_or(c_custkey) AS bor,
+           bit_xor(c_custkey) AS bxor,
+           bool_and(c_acctbal > -999.0) AS all_above,
+           bool_or(c_acctbal > 9999.0) AS any_high
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def d3(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical + bitwise + boolean UDAF families (reference registry
+    wren-core/core/src/mdl/function/aggregate/mod.rs:11-51: corr,
+    covar_samp, stddev, var_pop, regr_*, bit_and/or/xor, bool_and/or).
+    FP-order-sensitive aggregates are rounded to 4 decimals."""
+    load_tables(spark, sf, "customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               ROUND(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS corr_bal_key,
+               ROUND(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS covar_bk,
+               ROUND(stddev_samp(c_acctbal), 4) AS sd_bal,
+               ROUND(var_pop(c_acctbal), 4) AS var_bal,
+               ROUND(regr_slope(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS slope,
+               ROUND(regr_intercept(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS icept,
+               regr_count(c_acctbal, CAST(c_custkey AS DOUBLE)) AS n,
+               bit_and(c_custkey) AS band,
+               bit_or(c_custkey) AS bor,
+               bit_xor(c_custkey) AS bxor,
+               bool_and(c_acctbal > -999.0) AS all_above,
+               bool_or(c_acctbal > 9999.0) AS any_high
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )

@@ -180,3 +180,38 @@ class TestNearDupAndIVF:
         cents = similarity.kmeans_centroids(emb, "embedding", dim=64, nlist=5, iters=2)
         assert len(cents) == 5
         assert all(len(c) == 64 for c in cents)
+
+
+class TestMultimodalPlumbing:
+    def _payloads(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+        from wren_engine_spark.operators import multimodal
+        return multimodal.attach_binary_payload(docs, "text", "doc_id")
+
+    def test_resize_exact_output_size(self, spark):
+        from wren_engine_spark.operators import multimodal
+        out = multimodal.resize_stub(self._payloads(spark), width=16, height=8).collect()
+        assert out
+        assert all(len(r.payload) == 128 for r in out)
+        assert all(r.width == 16 and r.height == 8 for r in out)
+
+    def test_frame_sample_fanout_matches_length(self, spark):
+        from wren_engine_spark.operators import multimodal
+        pay = self._payloads(spark)
+        lens = {r.doc_id: len(r.payload) for r in pay.collect()}
+        frames = multimodal.frame_sample_stub(pay, bytes_per_frame=100).collect()
+        per_doc = {}
+        for r in frames:
+            per_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, rows in per_doc.items():
+            assert len(rows) == lens[doc_id] // 100 + 1
+            assert sum(r.frame_bytes for r in rows) == lens[doc_id]
+
+    def test_feature_extraction_shape_and_determinism(self, spark):
+        from wren_engine_spark.operators import multimodal
+        pay = self._payloads(spark)
+        f1 = {r.doc_id: list(r.feature) for r in multimodal.extract_features_stub(pay).collect()}
+        f2 = {r.doc_id: list(r.feature) for r in multimodal.extract_features_stub(pay).collect()}
+        assert f1 == f2
+        assert all(len(v) == multimodal.FEATURE_DIM for v in f1.values())
+        assert all(all(0 <= x < 97 for x in v) for v in f1.values())

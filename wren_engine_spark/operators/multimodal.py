@@ -56,6 +56,93 @@ def decode_stub(payloads: DataFrame) -> DataFrame:
     return payloads.select("doc_id", "payload").mapInPandas(_decode_batches, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id BIGINT, payload BINARY, width INT, height INT, status STRING"
+
+
+def resize_stub(payloads: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
+    """STUB image resize via mapInPandas: a real implementation calls
+    PIL.Image.resize per batch. The fake keeps width*height bytes of the
+    payload (truncate/tile) so output size is deterministic and the
+    Arrow batch shape matches a real resize (binary out, typed dims)."""
+    target = width * height
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fake_resize(b: bytes) -> bytes:
+                if len(b) >= target:
+                    return bytes(b[:target])
+                reps = target // max(len(b), 1) + 1
+                return bytes((b * reps)[:target])
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(fake_resize),
+                    "width": width,
+                    "height": height,
+                    "status": "stub_resized",
+                }
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx BIGINT, frame_bytes BIGINT, status STRING"
+
+
+def frame_sample_stub(payloads: DataFrame, bytes_per_frame: int = 256) -> DataFrame:
+    """STUB video frame sampling: 1 -> N rows per payload via
+    mapInPandas (the real version seeks keyframes with ffmpeg). Emits
+    one row per ``bytes_per_frame`` chunk — deterministic, so the
+    fan-out is SQL-oracle-checkable: frame_idx in [0, len div bpf]."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                nframes = n // bytes_per_frame + 1
+                for i in range(nframes):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(min(bytes_per_frame, n - i * bytes_per_frame))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_bytes": sizes,
+                    "status": "stub_frame",
+                }
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(_batches, FRAME_SCHEMA)
+
+
+FEATURE_DIM = 8
+FEATURE_SCHEMA = f"doc_id BIGINT, feature ARRAY<DOUBLE>"
+
+
+def extract_features_stub(payloads: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """STUB embedding extraction: payload -> fixed-dim float vector via
+    mapInPandas (a real version runs a vision/audio encoder per Arrow
+    batch). The fake is position-weighted byte sums mod 97 — cheap,
+    deterministic, and shaped exactly like a model output, so the
+    result feeds the similarity operators (cosine_topk / ivf_topk)
+    unchanged."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                v = [0] * dim
+                for pos, byte in enumerate(payload):
+                    v[pos % dim] = (v[pos % dim] + byte) % 97
+                feats.append([float(x) for x in v])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return payloads.select("doc_id", "payload").mapInPandas(_batches, FEATURE_SCHEMA)
+
+
 def real_decode_example() -> None:
     """Where a real decoder would plug in. Kept as an explicit stub."""
     raise NotImplementedError(

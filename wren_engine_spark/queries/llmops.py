@@ -269,3 +269,43 @@ def x14(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_topk(
         e, "vec_id", "embedding", queries, dim=64, k=5, nlist=8, nprobe=2, iters=3
     )
+
+
+@register(
+    "x15_multimodal_frames",
+    """
+    SELECT doc_id,
+           n_bytes // 256 + 1 AS n_frames,
+           n_bytes AS total_bytes
+    FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents)
+    """,
+)
+def x15(spark: SparkSession, sf: str) -> DataFrame:
+    """Video-style frame sampling plumbing: binary payload -> 1-to-N
+    frame rows via Arrow-batched mapInPandas, re-aggregated per doc.
+    The deterministic stub fan-out lets the whole mapInPandas path be
+    oracle-checked (operators/multimodal.frame_sample_stub)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    payloads = multimodal.attach_binary_payload(d, "text", "doc_id")
+    frames = multimodal.frame_sample_stub(payloads, bytes_per_frame=256)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_bytes").alias("total_bytes"),
+    )
+
+
+@register("x16_multimodal_embedding_pipeline")  # stub encoder: rows-only
+def x16(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end multimodal pipeline: binary payload -> stub encoder
+    (mapInPandas, Arrow batches) -> embedding column -> brute-force
+    cosine top-k over the extracted features. Swapping the stub for a
+    real vision encoder changes nothing downstream."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    payloads = multimodal.attach_binary_payload(d, "text", "doc_id")
+    feats = multimodal.extract_features_stub(payloads).withColumn(
+        "feature", F.col("feature").cast("array<float>")
+    )
+    queries = feats.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("feature").alias("qvec")
+    )
+    return similarity.cosine_topk(feats, "doc_id", "feature", queries, k=3)

@@ -127,3 +127,63 @@ class TestCache:
         second = svc.query(q, use_cache=True)
         assert second["cached"] is True
         assert sorted(map(tuple, second["data"])) == sorted(map(tuple, first["data"]))
+
+
+class TestQueryTimeout:
+    def test_fast_query_unaffected(self, service):
+        out = service.query("SELECT COUNT(*) AS n FROM customer_m", timeout_s=120)
+        assert out["data"][0][0] > 0
+
+    def test_slow_query_cancelled(self, spark, service):
+        import time
+
+        from wren_engine_spark.serving import QueryTimeoutError, collect_with_timeout
+
+        # 5-way cross join (~7.6e10 rows at sf0.001): cannot finish
+        # inside the timeout even on a warm 32-core JVM
+        c = spark.table("customer_m").select("custkey")
+        slow = (
+            c.crossJoin(c.selectExpr("custkey AS k2"))
+            .crossJoin(c.selectExpr("custkey AS k3"))
+            .crossJoin(c.selectExpr("custkey AS k4"))
+            .crossJoin(c.selectExpr("custkey AS k5"))
+            .selectExpr("SUM(custkey * k2 * k3 * k4 * k5) AS s")
+        )
+        t0 = time.time()
+        with pytest.raises(QueryTimeoutError):
+            collect_with_timeout(slow, timeout_s=2)
+        assert time.time() - t0 < 30, "cancellation should be prompt"
+
+
+class TestCube:
+    def test_cube_view_and_cached(self, spark):
+        from tests.conftest import SF_DIR
+        from wren_engine_spark.queries.semantic import MANIFEST, deploy
+
+        manifest = {
+            **MANIFEST,
+            "cubes": [
+                {
+                    "name": "sales_cube",
+                    "baseObject": "customer_m",
+                    "cached": True,
+                    "measures": [
+                        {"name": "n_customers", "expression": "count(*)", "type": "bigint"},
+                        {"name": "total_bal", "expression": "sum(acctbal)", "type": "double"},
+                    ],
+                    "dimensions": [
+                        {"name": "segment", "expression": "mktsegment", "type": "varchar"}
+                    ],
+                }
+            ],
+        }
+        deploy(spark, SF_DIR, manifest)
+        rows = spark.table("sales_cube").collect()
+        assert {r.segment for r in rows} == {
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"
+        }
+        direct = spark.sql(
+            "SELECT mktsegment, COUNT(*) n FROM customer_m GROUP BY 1"
+        ).collect()
+        got = {r.segment: r.n_customers for r in rows}
+        assert got == {r.mktsegment: r.n for r in direct}

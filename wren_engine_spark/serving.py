@@ -96,6 +96,45 @@ class QueryCache:
         df.write.mode("overwrite").parquet(self._path(key))
 
 
+class QueryTimeoutError(TimeoutError):
+    """Raised when a query exceeds its timeout; the Spark job group is
+    cancelled so executors stop burning (reference timeout envelope:
+    ibis-server/app/util.py:319-475 — asyncio timeout + connector
+    close; here the Spark-native equivalent is job-group cancellation)."""
+
+
+def collect_with_timeout(df: DataFrame, timeout_s: float | None) -> list:
+    """Collect ``df``, cancelling the underlying Spark jobs if they run
+    past ``timeout_s`` seconds."""
+    if not timeout_s:
+        return df.collect()
+    import threading
+    import uuid
+
+    sc = df.sparkSession.sparkContext
+    group = f"weng-timeout-{uuid.uuid4().hex[:8]}"
+    result: list = []
+    err: list = []
+
+    def run() -> None:
+        # job-group tags are thread-local; set inside the worker thread
+        sc.setJobGroup(group, "query-with-timeout", interruptOnCancel=True)
+        try:
+            result.append(df.collect())
+        except Exception as e:  # noqa: BLE001 - surfaced to caller
+            err.append(e)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        sc.cancelJobGroup(group)
+        raise QueryTimeoutError(f"query exceeded {timeout_s}s and was cancelled")
+    if err:
+        raise err[0]
+    return result[0]
+
+
 class SemanticService:
     def __init__(self, engine: SemanticEngine, cache_dir: str | None = None):
         self.engine = engine
@@ -110,6 +149,7 @@ class SemanticService:
         limit: int | None = None,
         dry_run: bool = False,
         use_cache: bool = False,
+        timeout_s: float | None = None,
     ) -> dict | None:
         sql = pushdown_limit(sql, limit)
         if dry_run:
@@ -121,7 +161,7 @@ class SemanticService:
             if hit is not None:
                 return {**to_json(hit), "cached": True}
         df = self.engine.sql(sql)
-        out = to_json(df)
+        out = to_json(df, rows=collect_with_timeout(df, timeout_s))
         if use_cache and self.cache:
             self.cache.set(df, key)
         return out
@@ -211,7 +251,10 @@ def create_app(service: SemanticService):
                 limit=body.get("limit"),
                 dry_run=bool(body.get("dryRun")),
                 use_cache=bool(body.get("cacheEnable")),
+                timeout_s=body.get("timeoutSeconds"),
             )
+        except QueryTimeoutError as e:
+            raise HTTPException(status_code=504, detail=str(e)) from e
         except Exception as e:  # noqa: BLE001
             raise HTTPException(status_code=422, detail=str(e)) from e
 

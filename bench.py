@@ -27,18 +27,24 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q9_product_type_profit",
     "q10_returned_items",
     "q18_large_volume_customer",
+    "q21_suppliers_kept_waiting",
     "w2_running_customer_total",
+    "w5_rank_family",
     "g1_rollup_revenue",
     "d1_distinct_aggregates",
     "j2_correlated_above_avg",
     "sem3_calc_to_many",
     "sem7_semantic_join_query",
+    "a4_map_struct_ops",
+    "f3_compat_datetime_json",
     "x1_exact_dedup",
     "x3_ngram_jaccard_pairs",
     "x6_token_stats",
     "x9_cosine_topk",
+    "x13_embedding_near_dup",
 ]
 
 
@@ -53,15 +59,20 @@ def main() -> None:
     QUERIES["q6_revenue_forecast"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    plan_ms: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
+        df = fn(spark, sf_dir)  # build: query construction / semantic rewrite
+        t1 = time.perf_counter()
         n = df.count()
+        plan_ms[name] = round((t1 - t0) * 1000, 1)
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows, plan {plan_ms[name]:.0f}ms)",
+              file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    mean_plan = round(sum(plan_ms.values()) / len(plan_ms), 1)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -75,6 +86,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "mean_plan_ms": mean_plan,
             }
         )
     )

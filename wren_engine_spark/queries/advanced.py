@@ -170,3 +170,51 @@ def p2(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
         F.max("l_extendedprice").cast("double").alias("max_price"),
     )
+
+
+@register(
+    "a4_map_struct_ops",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             map {'orders': CAST(COUNT(*) AS BIGINT),
+                  'urgent': CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)} AS m,
+             {'first_dt': MIN(o_orderdate), 'last_dt': MAX(o_orderdate)} AS s
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           list_sort(map_keys(m)) AS mkeys,
+           m['orders'][1] AS n_orders,
+           m['urgent'][1] AS n_urgent,
+           CAST(s.first_dt AS DATE) AS first_date,
+           CAST(s.last_dt AS DATE) AS last_date
+    FROM per
+    WHERE o_custkey < 200
+    """,
+)
+def a4(spark: SparkSession, sf: str) -> DataFrame:
+    """Map + struct function family (reference map fns
+    function/scalar/mod.rs:187-192, named_struct/get_field
+    mod.rs:20-46): map construction, map_keys, element_at, struct
+    construction and field access. Nested values are projected to
+    scalars/arrays in the output so the oracle compare stays exact."""
+    load_tables(spark, sf, "orders")
+    return spark.sql(
+        """
+        WITH per AS (
+          SELECT o_custkey,
+                 map('orders', COUNT(*),
+                     'urgent', COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)) AS m,
+                 named_struct('first_dt', MIN(o_orderdate), 'last_dt', MAX(o_orderdate)) AS s
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey,
+               sort_array(map_keys(m)) AS mkeys,
+               element_at(m, 'orders') AS n_orders,
+               element_at(m, 'urgent') AS n_urgent,
+               CAST(s.first_dt AS DATE) AS first_date,
+               CAST(s.last_dt AS DATE) AS last_date
+        FROM per
+        WHERE o_custkey < 200
+        """
+    )

@@ -52,9 +52,9 @@ def f3(spark: SparkSession, sf: str) -> DataFrame:
     "f4_compat_array_distance",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(sqrt(list_sum([CAST((s[1]-s[2])*(s[1]-s[2]) AS DOUBLE) FOR s IN
-                 list_zip([CAST(x AS DOUBLE) FOR x IN a.embedding],
-                          [CAST(x AS DOUBLE) FOR x IN b.embedding])])), 6) AS l2_dist
+           ROUND(sqrt(list_reduce(list_prepend(0.0,
+                 [(CAST(s[1] AS DOUBLE)-CAST(s[2] AS DOUBLE))*(CAST(s[1] AS DOUBLE)-CAST(s[2] AS DOUBLE))
+                  FOR s IN list_zip(a.embedding, b.embedding)]), (acc, v) -> acc + v)), 6) AS l2_dist
     FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
     WHERE a.vec_id < 20
     ORDER BY id_a

@@ -154,9 +154,11 @@ def x8(spark: SparkSession, sf: str) -> DataFrame:
     return text.language_id(d, "text", "doc_id")
 
 
+# double left fold == Spark aggregate HOF bit-for-bit (see
+# operators/similarity.py)
 _NORM2 = (
-    "CAST(list_sum([CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(25,15)) "
-    "FOR x IN {v}]) AS DOUBLE)"
+    "list_reduce(list_prepend(0.0, [CAST(x AS DOUBLE)*CAST(x AS DOUBLE) "
+    "FOR x IN {v}]), (acc, v) -> acc + v)"
 )
 
 
@@ -169,9 +171,8 @@ _NORM2 = (
     q AS (SELECT vec_id AS query_id, embedding AS qe, norm2 AS qn FROM base WHERE vec_id < 10),
     pairs AS (
       SELECT query_id, vec_id AS neighbor_id,
-             CAST(list_sum([CAST(s[1]*s[2] AS DECIMAL(25,15)) FOR s IN
-                  list_zip([CAST(x AS DOUBLE) FOR x IN qe],
-                           [CAST(x AS DOUBLE) FOR x IN embedding])]) AS DOUBLE)
+             list_reduce(list_prepend(0.0, [CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE) FOR s IN
+                  list_zip(qe, embedding)]), (acc, v) -> acc + v)
                / (sqrt(qn) * sqrt(norm2)) AS sim
       FROM q, base WHERE vec_id <> query_id
     ),
@@ -240,9 +241,8 @@ def x12(spark: SparkSession, sf: str) -> DataFrame:
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(list_sum([CAST(s[1]*s[2] AS DECIMAL(25,15)) FOR s IN
-                  list_zip([CAST(x AS DOUBLE) FOR x IN a.embedding],
-                           [CAST(x AS DOUBLE) FOR x IN b.embedding])]) AS DOUBLE)
+             list_reduce(list_prepend(0.0, [CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE) FOR s IN
+                  list_zip(a.embedding, b.embedding)]), (acc, v) -> acc + v)
                / (sqrt(a.norm2) * sqrt(b.norm2)) AS sim
       FROM base a JOIN base b ON a.vec_id < b.vec_id
     )

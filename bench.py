@@ -73,6 +73,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     mean_plan = round(sum(plan_ms.values()) / len(plan_ms), 1)
+
+    # semantic-rewrite planning latency (BASELINE.md bar: <= ~10 ms/query
+    # for the MDL->Spark-plan rewrite, reference planning-latency envelope
+    # wren-core/benchmarks/README.md:62-84). Measured on a deployed
+    # engine: SQL text -> analyzed DataFrame, no execution.
+    from wren_engine_spark.queries.semantic import deploy
+
+    eng = deploy(spark, sf_dir)
+    rewrite_sql = (
+        "SELECT n.name, SUM(o.totalprice) AS rev, COUNT(*) AS n_orders "
+        "FROM orders_m o JOIN customer_m c ON o.custkey = c.custkey "
+        "JOIN nation_m n ON c.nation_key = n.nationkey GROUP BY n.name"
+    )
+    eng.sql(rewrite_sql)  # warm
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        eng.sql(rewrite_sql)
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+    semantic_plan_ms = round(lat[len(lat) // 2], 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -87,6 +108,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "mean_plan_ms": mean_plan,
+                "semantic_plan_ms_p50": semantic_plan_ms,
             }
         )
     )

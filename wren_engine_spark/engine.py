@@ -223,6 +223,7 @@ class SemanticEngine:
         self.properties = {k.lower(): str(v) for k, v in (properties or {}).items()}
         self._plans = {}
         self._variants: dict[tuple[str, frozenset], DataFrame] = {}
+        self._active_variant: dict[str, frozenset] = {}
         for model in self.manifest.models:
             df = self._expand_model(model)
             df.createOrReplaceTempView(model.name)
@@ -264,7 +265,11 @@ class SemanticEngine:
             if df is None:
                 df = self._expand_model(model, calc_subset=used)
                 self._variants[key] = df
-            df.createOrReplaceTempView(model.name)
+            # re-register only when the active variant actually changes
+            # (one py4j round-trip per model otherwise)
+            if self._active_variant.get(model.name.lower()) != key[1]:
+                df.createOrReplaceTempView(model.name)
+                self._active_variant[model.name.lower()] = key[1]
         return self.spark.sql(stripped)
 
     def dry_run(self, sql: str) -> None:

@@ -103,3 +103,33 @@ class TestStreaming:
             .collect()
         }
         assert got == exp
+
+
+class TestThresholdAlerts:
+    def test_alerts_match_batch_totals(self, spark, events_batch):
+        batch_df, path = events_batch
+        stream = spark.readStream.schema(batch_df.schema).parquet(path)
+        out = _run_stream(
+            spark,
+            ops.threshold_alerts(stream, threshold=500.0),
+            "alerts",
+            mode="append",
+        )
+        alerts = {r.user_id: r for r in out.collect()}
+        assert alerts, "expected at least one alert"
+        # single availableNow pass: the alert per user must carry that
+        # user's full batch total and the consistent level
+        exp = {
+            r.user_id: (float(r.total), int(r.n))
+            for r in batch_df.groupBy("user_id")
+            .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for uid, r in alerts.items():
+            total, n = exp[uid]
+            assert r.total_value == pytest.approx(total)
+            assert r.n_events == n
+            assert r.alert_level == int(total // 500.0)
+        # users that never crossed the threshold emit nothing
+        silent = set(exp) - set(alerts)
+        assert all(exp[u][0] < 500.0 for u in silent)

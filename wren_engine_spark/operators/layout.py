@@ -1,0 +1,81 @@
+"""Data-layout operators for shuffle elimination at scale.
+
+SURVEY §2/§4 scale notes: big-big joins shuffle both sides on the join
+key every query. For recurring join keys the classic fixes are:
+
+  - **Bucketing** (``write_bucketed``): persist both tables bucketed and
+    sorted on the join key; Spark's bucketed scan then feeds SortMergeJoin
+    directly — zero Exchange in the plan (verified by
+    ``shuffle_exchanges``). At 100 TB this converts every recurring
+    fact-fact join from a full dual shuffle into a co-located merge.
+  - **Salting** (``salted_join``): when one key value is hot enough to
+    stall a single reducer and the small side is too big to broadcast,
+    spread the hot rows over ``salts`` sub-keys and replicate the other
+    side per salt. AQE's skew-join split handles sort-merge skew
+    automatically; salting remains the explicit fallback for aggregation
+    pipelines and non-SMJ shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    buckets: int = 16,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> str:
+    """Persist ``df`` as a bucketed (and bucket-sorted) managed table.
+
+    Joining two tables bucketed on the same key with the same bucket
+    count runs shuffle-free (bucketed scan -> SMJ)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = df.write.mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+    return table
+
+
+def shuffle_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the final physical plan
+    (broadcast exchanges excluded) — 0 means fully co-located."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    other: DataFrame,
+    key: str,
+    how: str = "inner",
+    salts: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-resistant equi-join: the big side gets a uniform random salt
+    in [0, salts); the other side is replicated once per salt value, so
+    a hot key's rows spread over ``salts`` reducers instead of one.
+
+    Output equals ``big.join(other, key, how)`` for 'inner'/'left' (the
+    supported modes). Replication multiplies the other side by
+    ``salts`` — size it like a broadcast-threshold decision.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    big_s = big.withColumn("__salt", (F.rand(seed) * salts).cast("int"))
+    other_s = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    out = big_s.join(other_s, [key, "__salt"], how)
+    return out.drop("__salt")

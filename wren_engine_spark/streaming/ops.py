@@ -105,3 +105,65 @@ def running_user_totals(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+THRESHOLD_ALERT_SCHEMA = (
+    "user_id BIGINT, alert_level BIGINT, total_value DOUBLE, n_events BIGINT"
+)
+_ALERT_STATE_SCHEMA = "total DOUBLE, n BIGINT, emitted BIGINT"
+
+
+def threshold_alerts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    threshold: float = 100.0,
+    watermark: str = "1 hour",
+    state_timeout_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per user,
+    accumulate value across microbatches and emit one alert row each
+    time the running total crosses another multiple of ``threshold``
+    (alert_level = floor(total/threshold)).
+
+    This is the semantics grouped aggregation can't express: output
+    rows are emitted on *state transitions*, not per window — the
+    classic custom-state shape (fraud/quota alerting). State per user is
+    three scalars; the GroupStateTimeout reaps idle users, so state is
+    bounded by active users in the timeout horizon, not corpus size.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        total, n, emitted = state.get if state.exists else (0.0, 0, 0)
+        for pdf in pdfs:
+            total += float(pdf[value_col].sum())
+            n += len(pdf)
+        level = int(total // threshold)
+        state.update((total, n, level))
+        state.setTimeoutDuration(state_timeout_ms)
+        import pandas as pd
+
+        if level > emitted:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "alert_level": [level],
+                    "total_value": [total],
+                    "n_events": [n],
+                }
+            )
+
+    events = _ltz(events, ts_col)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=THRESHOLD_ALERT_SCHEMA,
+            stateStructType=_ALERT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

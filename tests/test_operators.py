@@ -215,3 +215,68 @@ class TestMultimodalPlumbing:
         assert f1 == f2
         assert all(len(v) == multimodal.FEATURE_DIM for v in f1.values())
         assert all(all(0 <= x < 97 for x in v) for v in f1.values())
+
+
+class TestSimhashAndWinnowing:
+    def test_simhash_banding_equals_brute_force(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+        banded = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_near_dup(
+                docs, "text", "doc_id", max_hamming=6, bands=8
+            ).collect()
+        }
+        sig = dedup.simhash64(docs, "text", "doc_id")
+        a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+        b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+        brute = {
+            (r.id_a, r.id_b, r.h)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.expr("sa ^ sb")).cast("int").alias("h"))
+            .filter("h <= 6")
+            .collect()
+        }
+        assert banded == brute
+
+    def test_simhash_banding_requires_enough_bands(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+        with pytest.raises(ValueError):
+            dedup.simhash_near_dup(docs, "text", "doc_id", max_hamming=4, bands=4)
+
+    def test_winnow_identical_docs_share_all_fingerprints(self, spark):
+        rows = [(1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog"),
+                (3, "a completely different sentence with other words")]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        fps = dedup.winnow_fingerprints(df, "text", "doc_id")
+        sets = {}
+        for r in fps.collect():
+            sets.setdefault(r.doc_id, set()).add(r.fingerprint)
+        assert sets[1] == sets[2]
+        assert sets[1] != sets[3]
+
+    def test_winnow_shared_substring_guarantee(self, spark):
+        # winnowing guarantee: any shared substring of length >= w+k-1
+        # (=8 here) yields at least one shared fingerprint
+        common = "unmistakably unique shared passage of text"
+        rows = [(1, "prefix one " + common + " suffix alpha"),
+                (2, "other beginning " + common + " different end")]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        fps = dedup.winnow_fingerprints(df, "text", "doc_id", k=5, w=4)
+        sets = {}
+        for r in fps.collect():
+            sets.setdefault(r.doc_id, set()).add(r.fingerprint)
+        assert sets[1] & sets[2], "shared substring must share a fingerprint"
+
+    def test_winnow_density(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+        k, w = 5, 4
+        fps = dedup.winnow_fingerprints(docs, "text", "doc_id", k=k, w=w)
+        n_fp = fps.groupBy("doc_id").count().agg(F.avg("count")).collect()[0][0]
+        n_grams = docs.select(
+            (F.length(F.lower("text")) - (k - 1)).alias("n")
+        ).agg(F.avg("n")).collect()[0][0]
+        density = n_fp / n_grams
+        # expected ~2/(w+1) = 0.4; allow generous band (dedup lowers it)
+        assert 0.1 < density < 0.7, density

@@ -46,4 +46,5 @@ def test_oracle_coverage():
     # only genuinely non-SQL-expressible ops may omit an oracle
     assert missing <= {"d2_approx_distinct", "x4_minhash_lsh_candidates",
                        "x5_simhash64", "x11_lsh_ann", "x14_ivf_ann",
-                       "x16_multimodal_embedding_pipeline"}
+                       "x16_multimodal_embedding_pipeline",
+                       "x17_simhash_near_dup", "x18_winnow_fingerprints"}

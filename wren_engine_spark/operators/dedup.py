@@ -307,6 +307,105 @@ def minhash_lsh_candidates(
     return est
 
 
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= max_hamming.
+
+    Banded LSH join with a pigeonhole guarantee: split the 64-bit
+    signature into ``bands`` equal slices; two signatures within
+    Hamming distance ``bands - 1`` MUST agree on at least one slice, so
+    with ``bands > max_hamming`` the candidate join is lossless and the
+    result is exactly the brute-force pair set. One band-key shuffle +
+    bit_count verify — never a cross product.
+
+    Returns (id_a, id_b, hamming).
+    """
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for exact recall")
+    width = 64 // bands
+    sig = simhash64(df, text_col, id_col)
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(id_col, "simhash", F.explode(band_arr).alias("b")).select(
+        id_col, "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), "band", "val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.expr("__sa ^ __sb")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS algorithm): hash every character k-gram, slide a window of
+    ``w`` consecutive hashes, keep each window's minimum. Guarantees at
+    least one shared fingerprint for any common substring of length
+    >= w + k - 1, with density ~2/(w+1).
+
+    Built as explode + frame-window min (one shuffle on doc id); the
+    fingerprint set is orders of magnitude smaller than the k-gram set,
+    so downstream overlap joins stay cheap at corpus scale.
+
+    Returns distinct (id, fingerprint).
+    """
+    from pyspark.sql import Window as W
+
+    t = F.lower(F.col(text_col))
+    grams = (
+        df.select(F.col(id_col), t.alias("__t"))
+        .filter(F.length("__t") >= k + w - 1)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.length("__t") - (k - 1))).alias("__pos"),
+            "__t",
+        )
+        .select(
+            F.col(id_col),
+            "__pos",
+            F.xxhash64(F.substring(F.col("__t"), F.col("__pos"), k)).alias("__h"),
+            (F.length("__t") - (k - 1)).alias("__ngrams"),
+        )
+    )
+    win = W.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("__wmin", F.min("__h").over(win))
+        # only positions with a full w-window define fingerprints
+        .filter(F.col("__pos") <= F.col("__ngrams") - (w - 1))
+        .select(F.col(id_col), F.col("__wmin").alias("fingerprint"))
+        .distinct()
+    )
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted
     by token-hash bits, sign -> bit. One explode + one aggregation.

@@ -309,3 +309,21 @@ def x16(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), F.col("feature").alias("qvec")
     )
     return similarity.cosine_topk(feats, "doc_id", "feature", queries, k=3)
+
+
+@register("x17_simhash_near_dup")  # xxhash64-based: rows-only check
+def x17(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs via banded LSH with a pigeonhole recall
+    guarantee (bands > max_hamming => exact; proven equal to brute force
+    in tests/test_operators.py)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return dedup.simhash_near_dup(d, "text", "doc_id", max_hamming=6, bands=8)
+
+
+@register("x18_winnow_fingerprints")  # xxhash64-based: rows-only check
+def x18(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint profile per document: fingerprint
+    count + density (guaranteed ~2/(w+1) of k-gram positions)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    fps = dedup.winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
+    return fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fingerprints"))

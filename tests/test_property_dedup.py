@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis): the prefix-filtered jaccard join
+must equal the brute-force quadratic join on arbitrary corpora — this is
+the strongest check on the PPJoin prefix/size/position filter boundary
+math (the epsilon-padded FP comparisons in operators/dedup.py).
+"""
+
+import itertools
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from wren_engine_spark.operators import dedup
+
+# small vocabulary forces heavy shingle collisions -> worst case for the
+# candidate filters; doc sizes straddle the prefix-length boundaries
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc = st.lists(_word, min_size=3, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=8)
+
+
+def _brute_force(rows, n, threshold):
+    def shingles(txt):
+        toks = txt.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in rows if len(t.split()) >= n}
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= threshold:
+            out.add((a, b, round(inter / union, 9)))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus)
+def test_jaccard_pairs_equals_brute_force(spark, corpus, threshold):
+    rows = list(enumerate(corpus))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in dedup.jaccard_pairs(
+            df, "text", "doc_id", n=2, threshold=threshold
+        ).collect()
+    }
+    assert got == _brute_force(rows, 2, threshold)
+
+
+def test_boundary_ratio_pair(spark):
+    """Regression for the FP-floor bug: |A|=10, |B|=8, B subset of A gives
+    jaccard exactly 0.8; prefix len floor(0.2*10)+1 must be 3, but binary
+    floor(0.19999..*10) evaluates to 1 without the epsilon pad."""
+    a_words = [f"w{i}" for i in range(11)]  # 11 words -> 10 bigrams
+    b_words = a_words[:9]  # 9 words -> 8 bigrams, all shared
+    df = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, " ".join(b_words))], "doc_id LONG, text STRING"
+    )
+    got = dedup.jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.8).collect()
+    assert len(got) == 1
+    assert got[0].jaccard == pytest.approx(0.8)

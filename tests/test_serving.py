@@ -187,3 +187,24 @@ class TestCube:
         ).collect()
         got = {r.segment: r.n_customers for r in rows}
         assert got == {r.mktsegment: r.n for r in direct}
+
+
+class TestAnalysis:
+    def test_analyze_models_and_calc_fields(self, service):
+        out = service.analyze(
+            "SELECT name, nation_name FROM customer_m WHERE acctbal > 0"
+        )
+        models = {m["model"]: m for m in out["models"]}
+        assert "customer_m" in models
+        cust = models["customer_m"]
+        assert "acctbal" in cust["columns"]
+        calc = {c["name"]: c for c in cust["calculated_fields"]}
+        assert "nation_name" in calc
+        # the to-one calc crosses the customer->nation relationship
+        rels = calc["nation_name"]["relationships"]
+        assert rels and rels[0]["hops"]
+
+    def test_analyze_untouched_model_absent(self, service):
+        out = service.analyze("SELECT 1 FROM region_m")
+        names = {m["model"] for m in out["models"]}
+        assert "region_m" in names and "customer_m" not in names

@@ -169,6 +169,51 @@ class SemanticService:
     def dry_plan(self, sql: str) -> str:
         return self.engine.dry_plan(sql)
 
+    def analyze(self, sql: str) -> dict:
+        """Decision-point analysis of a SQL against the deployed semantic
+        layer (reference ``GET /v2/analysis/sql``,
+        ibis-server/app/routers/v2/analysis.py:9-16 / app/mdl/analyzer.py):
+        which models the query touches, which of their columns resolve,
+        which calculated fields expand (and across which relationship
+        paths), and the physical source behind each model."""
+        import re as _re
+
+        from wren_engine_spark.mdl.lineage import extract_paths
+
+        out: list[dict] = []
+        for model in self.engine.manifest.models:
+            if not _re.search(rf"\b{_re.escape(model.name)}\b", sql, _re.IGNORECASE):
+                continue
+            used_cols = [
+                c.name
+                for c in model.columns
+                if not c.is_hidden and not c.is_relationship
+                and _re.search(rf"\b{_re.escape(c.name)}\b", sql, _re.IGNORECASE)
+            ]
+            calc = []
+            for c in model.calculated_columns:
+                if c.name not in used_cols:
+                    continue
+                paths = extract_paths(model, self.engine.manifest, c.expression or "")
+                calc.append(
+                    {
+                        "name": c.name,
+                        "expression": c.expression,
+                        "relationships": [
+                            {"hops": p.hops, "models": p.models} for p in paths
+                        ],
+                    }
+                )
+            out.append(
+                {
+                    "model": model.name,
+                    "source": model.table_reference or "(ref_sql)",
+                    "columns": used_cols,
+                    "calculated_fields": calc,
+                }
+            )
+        return {"models": out}
+
     # ---------------------------------------------------------- validate
 
     def validate_column_is_valid(self, model: str, column: str) -> bool:
@@ -282,5 +327,9 @@ def create_app(service: SemanticService):
     @app.get("/v3/connector/spark/metadata/tables")
     def tables():
         return service.tables()
+
+    @app.post("/v2/analysis/sql")
+    def analysis(body: dict):
+        return service.analyze(body["sql"])
 
     return app

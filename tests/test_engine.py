@@ -259,3 +259,21 @@ class TestCLAC:
         eng = _deploy(
             spark, _clac_manifest("EQUALS", "admin", "STRING"), props={"level": "admin"})
         assert "state" in eng.sql("SELECT * FROM M").columns
+
+
+class TestCachedModel:
+    def test_cached_model_materializes(self, spark):
+        from tests.conftest import SF_DIR
+        from wren_engine_spark.queries.semantic import MANIFEST, deploy
+
+        manifest = {**MANIFEST}
+        manifest["models"] = [
+            {**m, "cached": True} if m["name"] == "region_m" else m
+            for m in MANIFEST["models"]
+        ]
+        deploy(spark, SF_DIR, manifest)
+        df = spark.table("region_m")
+        assert df.storageLevel.useMemory
+        assert df.count() == 5
+        # leave the session clean for other tests
+        df.unpersist()

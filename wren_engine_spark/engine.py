@@ -226,6 +226,12 @@ class SemanticEngine:
         self._active_variant: dict[str, frozenset] = {}
         for model in self.manifest.models:
             df = self._expand_model(model)
+            if model.cached:
+                # materialization hint (manifest-macro/src/lib.rs:141-168
+                # `cached`+`refresh_time`); Spark equivalent: keep the
+                # expanded view in executor storage. A production deploy
+                # would write a refresh_time-scheduled Delta table.
+                df = df.cache()
             df.createOrReplaceTempView(model.name)
         for view in self.manifest.views:
             self.spark.sql(self._strip_ns(view.statement)).createOrReplaceTempView(view.name)

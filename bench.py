@@ -74,6 +74,16 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     mean_plan = round(sum(plan_ms.values()) / len(plan_ms), 1)
 
+    # full TPC-H suite (22 adapted queries) as a secondary throughput
+    # metric — the reference's correctness corpus is TPC-H, so this is
+    # the closest apples-to-apples execution number
+    tpch = sorted(n for n in QUERIES if n[0] == "q" and n[1].isdigit())
+    t0 = time.perf_counter()
+    for name in tpch:
+        QUERIES[name](spark, sf_dir).count()
+    tpch_total = round(time.perf_counter() - t0, 3)
+    print(f"# tpch suite ({len(tpch)} queries): {tpch_total:.1f}s", file=sys.stderr)
+
     # semantic-rewrite planning latency (BASELINE.md bar: <= ~10 ms/query
     # for the MDL->Spark-plan rewrite, reference planning-latency envelope
     # wren-core/benchmarks/README.md:62-84). Measured on a deployed
@@ -109,6 +119,7 @@ def main() -> None:
                 "sf": sf_val,
                 "mean_plan_ms": mean_plan,
                 "semantic_plan_ms_p50": semantic_plan_ms,
+                "tpch_suite_s": tpch_total,
             }
         )
     )

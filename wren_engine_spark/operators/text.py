@@ -72,3 +72,28 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .otherwise("en")
     )
     return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+# GPT-2-style pretokenizer shape: contractions, letter runs, digit runs,
+# punctuation runs (each with optional leading space), whitespace runs.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Pretokenizer-based token counting (the BPE-ish proxy for LLM token
+    budgeting): count GPT-2-pretokenizer segments, excluding pure
+    whitespace segments; plus whitespace token count and the ratio.
+    Pure regexp_count — JVM-side, no Python."""
+    t = F.col(text_col)
+    total = F.regexp_count(t, F.lit(BPE_PRETOKEN_RE)).cast("bigint")
+    ws = F.regexp_count(t, F.lit(r"\s+")).cast("bigint")
+    n_ws_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("bigint")
+    bpe = (total - ws).alias("n_bpe_tokens")
+    return df.select(
+        F.col(id_col),
+        bpe,
+        n_ws_tokens.alias("n_ws_tokens"),
+        ((total - ws).cast("double") / n_ws_tokens.cast("double")).alias(
+            "bpe_per_ws_token"
+        ),
+    )

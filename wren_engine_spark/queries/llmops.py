@@ -327,3 +327,25 @@ def x18(spark: SparkSession, sf: str) -> DataFrame:
     d = load_tables(spark, sf, "documents")["documents"]
     fps = dedup.winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
     return fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fingerprints"))
+
+
+_BPE_RE = r"''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+@register(
+    "x19_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) -
+                len(regexp_extract_all(text, '\\s+')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) -
+                len(regexp_extract_all(text, '\\s+')) AS DOUBLE)
+             / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS bpe_per_ws_token
+    FROM documents
+    """,
+)
+def x19(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-2-pretokenizer token counting (LLM token-budget proxy)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.bpe_token_count(d, "text", "doc_id")

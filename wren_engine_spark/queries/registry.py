@@ -43,6 +43,14 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for n in names:
+        memo_key = (id(spark), sf_dir, n)
+        if memo_key in _TABLE_MEMO:
+            out[n] = _TABLE_MEMO[memo_key]
+            # the session's view may point at another sf_dir: re-register
+            if _ACTIVE_VIEW.get((id(spark), n)) != sf_dir:
+                out[n].createOrReplaceTempView(n)
+                _ACTIVE_VIEW[(id(spark), n)] = sf_dir
+            continue
         if n == "events":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
@@ -59,8 +67,17 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
         if n in _MAP_HEAVY_TABLES:
             df = _fan_out(spark, df, f"{sf_dir}/{n}.parquet")
         df.createOrReplaceTempView(n)
+        _TABLE_MEMO[memo_key] = df
+        _ACTIVE_VIEW[(id(spark), n)] = sf_dir
         out[n] = df
     return out
+
+
+# DataFrame objects are immutable plans — reuse them across queries in a
+# session instead of re-reading footers and re-registering views per query
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+# which sf_dir each session's temp view currently points at
+_ACTIVE_VIEW: dict[tuple, str] = {}
 
 
 # Only fan out tables whose operators do heavy per-row map work BEFORE any

@@ -277,3 +277,25 @@ class TestCachedModel:
         assert df.count() == 5
         # leave the session clean for other tests
         df.unpersist()
+
+
+class TestPermissionAnalyze:
+    # mod.rs:543-592: clean permission error instead of UNRESOLVED_COLUMN
+    def test_denied_column_raises_access_error(self, spark):
+        from wren_engine_spark.engine import AccessControlError
+
+        eng = _deploy(spark, _clac_manifest("EQUALS", "5"), props={"level": "4"})
+        with pytest.raises(AccessControlError, match=r"M\.state"):
+            eng.sql("SELECT state FROM M")
+
+    def test_plain_unknown_column_not_masked(self, spark):
+        from wren_engine_spark.engine import AccessControlError
+
+        eng = _deploy(spark, _clac_manifest("EQUALS", "5"), props={"level": "5"})
+        with pytest.raises(Exception) as exc:
+            eng.sql("SELECT no_such FROM M")
+        assert not isinstance(exc.value, AccessControlError)
+
+    def test_allowed_column_unaffected(self, spark):
+        eng = _deploy(spark, _clac_manifest("EQUALS", "5"), props={"level": "5"})
+        assert eng.sql("SELECT state FROM M").columns == ["state"]

@@ -276,7 +276,36 @@ class SemanticEngine:
             if self._active_variant.get(model.name.lower()) != key[1]:
                 df.createOrReplaceTempView(model.name)
                 self._active_variant[model.name.lower()] = key[1]
-        return self.spark.sql(stripped)
+        try:
+            return self.spark.sql(stripped)
+        except Exception:
+            # PermissionAnalyze: turn UNRESOLVED_COLUMN on a CLAC-hidden
+            # column into a clean permission error
+            self.analyze_permissions(stripped)
+            raise
+
+    def analyze_permissions(self, sql: str) -> None:
+        """PermissionAnalyze pass (access_control.rs:290-399 error path,
+        mod.rs:543-592): when a query fails, distinguish "column denied
+        by CLAC under the current session properties" from a plain
+        unknown column, and raise a clean AccessControlError naming the
+        denied columns instead of Spark's UNRESOLVED_COLUMN."""
+        denied: list[str] = []
+        for model in self.manifest.models:
+            if not re.search(rf"\b{re.escape(model.name)}\b", sql, re.IGNORECASE):
+                continue
+            for c in model.columns:
+                if c.column_level_access_control is None:
+                    continue
+                if _clac_allows(c.column_level_access_control, self.properties):
+                    continue
+                if re.search(rf"\b{re.escape(c.name)}\b", sql, re.IGNORECASE):
+                    denied.append(f"{model.name}.{c.name}")
+        if denied:
+            raise AccessControlError(
+                "column access denied by column-level access control: "
+                + ", ".join(sorted(denied))
+            )
 
     def dry_run(self, sql: str) -> None:
         """Analyze-only (reference dryRun flag): raises on invalid SQL or

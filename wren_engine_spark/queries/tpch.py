@@ -468,19 +468,20 @@ def q2(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    esupply = _supply(t["lineitem"]).join(
-        F.broadcast(esupp), F.col("ps_suppkey") == F.col("s_suppkey")
-    )
-    min_cost = esupply.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
-        F.min("ps_supplycost").alias("mc_cost")
+    from pyspark.sql import Window as W
+
+    # per-part minimum via a window over the already-partitioned supply:
+    # one shuffle on ps_partkey, no second aggregation+join pass
+    esupply = (
+        _supply(t["lineitem"])
+        .join(F.broadcast(esupp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .withColumn("mc_cost", F.min("ps_supplycost").over(W.partitionBy("ps_partkey")))
     )
     parts = t["part"].filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
     return (
-        parts.join(esupply, F.col("p_partkey") == F.col("ps_partkey"))
-        .join(
-            min_cost,
-            (F.col("p_partkey") == F.col("mc_partkey"))
-            & (F.col("ps_supplycost") == F.col("mc_cost")),
+        parts.join(
+            esupply.filter(F.col("ps_supplycost") == F.col("mc_cost")),
+            F.col("p_partkey") == F.col("ps_partkey"),
         )
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
@@ -784,13 +785,22 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
     # order qualifies for supplier s iff it has >=2 distinct suppliers and
     # exactly one distinct LATE supplier (which must be s, since l1 is late).
     # One shuffle over lineitem instead of two self-joins.
+    from pyspark.sql import Window as W
+
     t = load_tables(spark, sf, "supplier", "lineitem", "orders", "nation")
     o = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
     l = t["lineitem"].join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    # per-order supplier counts via one window pass over the joined
+    # lineitems (single shuffle on l_orderkey) instead of a separate
+    # aggregation + semi-join re-reading lineitem
+    w = W.partitionBy("l_orderkey")
+    enriched = (
+        l.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)),
+        )
     )
     nat_supp = (
         t["supplier"]
@@ -798,10 +808,8 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
               F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name")
     )
-    l1 = l.filter(late).select(F.col("l_orderkey").alias("lo_orderkey"), "l_suppkey")
     return (
-        l1.join(per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
-                F.col("lo_orderkey") == F.col("l_orderkey"), "left_semi")
+        enriched.filter(late & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -349,3 +349,37 @@ def x19(spark: SparkSession, sf: str) -> DataFrame:
     """GPT-2-pretokenizer token counting (LLM token-budget proxy)."""
     d = load_tables(spark, sf, "documents")["documents"]
     return text.bpe_token_count(d, "text", "doc_id")
+
+
+@register(
+    "x20_frequent_tokens",
+    r"""
+    SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    )
+    WHERE length(tok) > 0
+    GROUP BY tok
+    ORDER BY n_occurrences DESC, tok
+    LIMIT 50
+    """,
+)
+def x20(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary head: exact top-50 tokens by occurrence (explode
+    -> map-side-combined count + distinct-doc count, TakeOrdered top-k).
+    The exact baseline for frequency-based corpus filtering."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "tok")
+        .limit(50)
+    )

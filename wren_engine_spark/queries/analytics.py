@@ -634,3 +634,62 @@ def d3(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@register(
+    "t2_event_funnel",
+    """
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT user_id,
+             CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS did_view,
+             CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END AS did_click_after,
+             CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+                  THEN 1 ELSE 0 END AS did_purchase_after
+      FROM steps
+    )
+    SELECT CAST(SUM(did_view) AS BIGINT) AS n_view,
+           CAST(SUM(did_click_after) AS BIGINT) AS n_view_click,
+           CAST(SUM(did_purchase_after) AS BIGINT) AS n_view_click_purchase,
+           CAST(SUM(did_purchase_after) AS DOUBLE) / CAST(SUM(did_view) AS DOUBLE)
+             AS conversion
+    FROM flags
+    """,
+)
+def t2(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-step funnel (view -> click -> purchase) via first-touch
+    timestamps per user: one shuffle on user_id, conditional-min pivot,
+    ordering enforced by timestamp comparison — the standard funnel shape
+    at any scale (no self-joins, no window over full event history)."""
+    load_tables(spark, sf, "events")
+    return spark.sql(
+        """
+        WITH steps AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM events GROUP BY user_id
+        ),
+        flags AS (
+          SELECT user_id,
+                 CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS did_view,
+                 CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END AS did_click_after,
+                 CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+                      THEN 1 ELSE 0 END AS did_purchase_after
+          FROM steps
+        )
+        SELECT CAST(SUM(did_view) AS BIGINT) AS n_view,
+               CAST(SUM(did_click_after) AS BIGINT) AS n_view_click,
+               CAST(SUM(did_purchase_after) AS BIGINT) AS n_view_click_purchase,
+               CAST(SUM(did_purchase_after) AS DOUBLE) / CAST(SUM(did_view) AS DOUBLE)
+                 AS conversion
+        FROM flags
+        """
+    )

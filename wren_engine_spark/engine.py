@@ -224,6 +224,7 @@ class SemanticEngine:
         self._plans = {}
         self._variants: dict[tuple[str, frozenset], DataFrame] = {}
         self._active_variant: dict[str, frozenset] = {}
+        self._deployed_models: dict[str, DataFrame] = {}
         for model in self.manifest.models:
             df = self._expand_model(model)
             if model.cached:
@@ -233,10 +234,22 @@ class SemanticEngine:
                 # would write a refresh_time-scheduled Delta table.
                 df = df.cache()
             df.createOrReplaceTempView(model.name)
+            self._deployed_models[model.name] = df
         for view in self.manifest.views:
             self.spark.sql(self._strip_ns(view.statement)).createOrReplaceTempView(view.name)
         for cube in self.manifest.cubes:
             self._register_cube(cube)
+        return self
+
+    def reattach(self) -> "SemanticEngine":
+        """Re-register this engine's views from the already-expanded
+        frames (no re-expansion). Needed when another engine deployed
+        same-named views on the shared session since this one did."""
+        for name, df in self._deployed_models.items():
+            df.createOrReplaceTempView(name)
+        self._active_variant = {}
+        for view in self.manifest.views:
+            self.spark.sql(self._strip_ns(view.statement)).createOrReplaceTempView(view.name)
         return self
 
     def sql(self, sql: str) -> DataFrame:

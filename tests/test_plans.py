@@ -1,0 +1,91 @@
+"""Plan-quality regression suite: assert the physical-plan properties
+the 100 TB design depends on — filter pushdown to the parquet scan,
+column pruning (ReadSchema), broadcast joins on dimension tables,
+map-side partial aggregation, and shuffle counts. These run on
+.explain output only (no job execution), so regressions in plan shape
+fail fast even when results stay correct.
+"""
+
+import re
+
+import pytest
+
+from tests.conftest import SF_DIR
+from wren_engine_spark.queries.registry import QUERIES
+
+
+def plan_of(spark, name: str, execute: bool = False) -> str:
+    import contextlib
+    import io
+
+    df = QUERIES[name](spark, SF_DIR)
+    if execute:
+        # collect() executes THIS df's QueryExecution, letting AQE
+        # finalize the plan (codegen ids appear only in the final plan)
+        df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+class TestPushdownAndPruning:
+    def test_q6_filters_reach_scan(self, spark):
+        p = plan_of(spark, "q6_revenue_forecast")
+        assert "PushedFilters: [" in p
+        assert "GreaterThanOrEqual(l_shipdate" in p
+        assert "LessThan(l_quantity" in p
+
+    def test_q6_prunes_columns(self, spark):
+        # 4 of lineitem's 11 columns are needed
+        schemas = read_schemas(plan_of(spark, "q6_revenue_forecast"))
+        assert schemas and all(len(s.split(",")) <= 4 for s in schemas)
+
+    def test_q3_segment_filter_pushed(self, spark):
+        p = plan_of(spark, "q3_shipping_priority")
+        assert "EqualTo(c_mktsegment,BUILDING)" in p
+
+    def test_q19_or_predicate_partially_pushed(self, spark):
+        p = plan_of(spark, "q19_discounted_revenue")
+        # brand/size/quantity OR-tree: at minimum the IsNotNull guards
+        # and the joint Or() reach the part scan
+        assert "Or(" in p or "In(p_brand" in p
+
+
+class TestJoinStrategy:
+    def test_q5_dimension_joins_broadcast(self, spark):
+        p = plan_of(spark, "q5_local_supplier_volume")
+        assert p.count("BroadcastHashJoin") >= 2  # nation, region at least
+
+    def test_no_cartesian_products_in_tpch(self, spark):
+        for name in sorted(n for n in QUERIES if n[0] == "q" and n[1].isdigit()):
+            p = plan_of(spark, name)
+            assert "CartesianProduct" not in p, name
+
+
+class TestAggregationShape:
+    def test_q1_partial_aggregation(self, spark):
+        # map-side combine: two HashAggregate levels around the exchange
+        p = plan_of(spark, "q1_pricing_summary")
+        assert p.count("HashAggregate") >= 2
+
+    def test_x1_single_algorithmic_shuffle(self, spark):
+        # one hash shuffle (the groupBy); the RoundRobin exchange is the
+        # test-layout fan-out (single-row-group files), not algorithmic
+        df = QUERIES["x1_exact_dedup"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestCodegen:
+    def test_q1_whole_stage_codegen(self, spark):
+        p = plan_of(spark, "q1_pricing_summary", execute=True)
+        assert "codegen id" in p  # whole-stage codegen spans in the final plan
+
+    def test_compat_functions_inline(self, spark):
+        p = plan_of(spark, "f3_compat_datetime_json")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

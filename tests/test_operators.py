@@ -280,3 +280,53 @@ class TestSimhashAndWinnowing:
         density = n_fp / n_grams
         # expected ~2/(w+1) = 0.4; allow generous band (dedup lowers it)
         assert 0.1 < density < 0.7, density
+
+
+class TestRangeJoin:
+    def test_equals_naive_nested_loop(self, spark):
+        from wren_engine_spark.queries.registry import load_tables
+        from wren_engine_spark.operators.rangejoin import range_join
+
+        ev = load_tables(spark, SF_DIR, "events")["events"].select(
+            "event_id", "ts", "value"
+        )
+        win = (
+            ev.filter(F.col("event_id") < 100)
+            .select(
+                F.col("event_id").alias("win_id"),
+                F.col("ts").alias("w_start"),
+                (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+            )
+        )
+        binned = {
+            (r.event_id, r.win_id)
+            for r in range_join(ev, win, "ts", "w_start", "w_end",
+                                bucket_width_s=3600).collect()
+        }
+        naive = {
+            (r.event_id, r.win_id)
+            for r in ev.join(
+                win,
+                (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")),
+            ).collect()
+        }
+        assert binned == naive and binned
+
+    def test_exclusive_end_boundary(self, spark):
+        pts = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 06:00:00")],
+            "pid LONG, ts STRING",
+        ).selectExpr("pid", "CAST(ts AS TIMESTAMP) AS ts")
+        win = spark.createDataFrame(
+            [(10, "2024-01-01 00:00:00", "2024-01-01 06:00:00")],
+            "win_id LONG, w_start STRING, w_end STRING",
+        ).selectExpr(
+            "win_id",
+            "CAST(w_start AS TIMESTAMP) AS w_start",
+            "CAST(w_end AS TIMESTAMP) AS w_end",
+        )
+        from wren_engine_spark.operators.rangejoin import range_join
+
+        got = range_join(pts, win, "ts", "w_start", "w_end",
+                         bucket_width_s=3600).collect()
+        assert [(r.pid, r.win_id) for r in got] == [(1, 10)]

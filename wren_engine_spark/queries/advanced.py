@@ -218,3 +218,48 @@ def a4(spark: SparkSession, sf: str) -> DataFrame:
         WHERE o_custkey < 200
         """
     )
+
+
+@register(
+    "a5_range_join",
+    """
+    WITH win AS (
+      SELECT event_id AS win_id, ts AS w_start, ts + INTERVAL 6 HOUR AS w_end
+      FROM events WHERE event_type = 'signup' AND event_id < 500
+    )
+    SELECT win_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events JOIN win ON ts >= w_start AND ts < w_end
+    GROUP BY win_id
+    ORDER BY win_id
+    """,
+)
+def a5(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval range join via bucket binning (operators/
+    rangejoin.py) — events landing in 6-hour windows after each signup. The naive
+    plan is a nested-loop over points x intervals; binning makes it an
+    equi-join on day buckets."""
+    from wren_engine_spark.operators.rangejoin import range_join
+
+    t = load_tables(spark, sf, "events")
+    win = (
+        t["events"]
+        .filter((F.col("event_type") == "signup") & (F.col("event_id") < 500))
+        .select(
+            F.col("event_id").alias("win_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+        )
+    )
+    joined = range_join(
+        t["events"].select("event_id", "ts", "value"),
+        win, "ts", "w_start", "w_end", bucket_width_s=6 * 3600,
+    )
+    return (
+        joined.groupBy("win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("win_id")
+    )

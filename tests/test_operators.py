@@ -330,3 +330,41 @@ class TestRangeJoin:
         got = range_join(pts, win, "ts", "w_start", "w_end",
                          bucket_width_s=3600).collect()
         assert [(r.pid, r.win_id) for r in got] == [(1, 10)]
+
+
+class TestHypertableRollup:
+    def test_each_grain_matches_direct_aggregation(self, spark):
+        from wren_engine_spark.operators import metrics
+        from wren_engine_spark.queries.registry import load_tables
+
+        ev = load_tables(spark, SF_DIR, "events")["events"]
+        rollups = metrics.hypertable_rollup(
+            ev, "ts", ["event_type"], "value", grains=("hour", "day", "month")
+        )
+        for grain in ("hour", "day", "month"):
+            direct = {
+                (r.bucket, r.event_type): (float(r.s), r.n)
+                for r in ev.groupBy(
+                    F.date_trunc(grain, "ts").alias("bucket"), "event_type"
+                )
+                .agg(
+                    F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            }
+            got = {
+                (r.bucket, r.event_type): (float(r.sum_value), r.n_rows)
+                for r in rollups[grain].collect()
+            }
+            assert got == direct, grain
+
+    def test_route_grain(self):
+        from wren_engine_spark.operators.metrics import route_grain
+
+        assert route_grain("day", ("hour", "day", "month")) == "day"
+        assert route_grain("quarter", ("hour", "day", "month")) == "month"
+        assert route_grain("hour", ("hour", "day")) == "hour"
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            route_grain("hour", ("day", "month"))

@@ -79,3 +79,65 @@ def cumulative_metric(
         F.col("__v").cast("double").alias("period_value"),
         F.sum("__v").over(w).cast("double").alias("cumulative_value"),
     )
+
+
+_GRAIN_ORDER = ["hour", "day", "month", "quarter", "year"]
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    dims: list[str],
+    value_col: str,
+    grains: tuple[str, ...] = ("hour", "day", "month"),
+) -> dict[str, DataFrame]:
+    """Continuous-aggregate hierarchy (Timescale-style hypertable
+    rollups): one pre-aggregation per time grain, each COARSER grain
+    re-aggregated from the next finer one — the raw table is scanned
+    exactly once no matter how many grains exist. Measures are the
+    re-aggregatable pair (decimal-exact sum, row count); avg derives as
+    sum/count at read time.
+
+    At 100 TB these frames would be written as partitioned tables
+    (partition by the grain bucket) and incrementally refreshed; a query
+    router picks the coarsest grain that satisfies the requested
+    resolution (``route_grain``).
+
+    Returns {grain: DataFrame(bucket, *dims, sum_value, n_rows)}.
+    """
+    order = [g for g in _GRAIN_ORDER if g in grains]
+    if list(grains) != order:
+        raise ValueError(f"grains must be fine-to-coarse from {_GRAIN_ORDER}")
+    out: dict[str, DataFrame] = {}
+    finest = order[0]
+    out[finest] = (
+        df.groupBy(F.date_trunc(finest, F.col(ts_col)).alias("bucket"),
+                   *[F.col(d) for d in dims])
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(38,6)")).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    for finer, coarser in zip(order, order[1:]):
+        out[coarser] = (
+            out[finer]
+            .groupBy(F.date_trunc(coarser, F.col("bucket")).alias("bucket"),
+                     *[F.col(d) for d in dims])
+            .agg(
+                F.sum("sum_value").alias("sum_value"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+        )
+    return out
+
+
+def route_grain(requested: str, available: tuple[str, ...]) -> str:
+    """Coarsest available grain that still satisfies ``requested``
+    resolution (query-routing rule for the rollup hierarchy)."""
+    if requested not in _GRAIN_ORDER:
+        raise ValueError(f"unknown grain {requested!r}")
+    req_i = _GRAIN_ORDER.index(requested)
+    ok = [g for g in available if _GRAIN_ORDER.index(g) <= req_i]
+    if not ok:
+        raise ValueError(f"no available grain satisfies {requested!r}")
+    return max(ok, key=_GRAIN_ORDER.index)

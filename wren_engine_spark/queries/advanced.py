@@ -263,3 +263,32 @@ def a5(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("win_id")
     )
+
+
+@register(
+    "m3_hypertable_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def m3(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable rollup hierarchy (hour -> day -> month), answering at
+    the routed 'day' grain. The day level is re-aggregated from the hour
+    level — verifying the whole hierarchy against the direct daily
+    aggregation oracle."""
+    t = load_tables(spark, sf, "events")
+    rollups = metrics.hypertable_rollup(
+        t["events"], "ts", ["event_type"], "value", grains=("hour", "day", "month")
+    )
+    grain = metrics.route_grain("day", ("hour", "day", "month"))
+    return rollups[grain].select(
+        F.col("bucket").cast("timestamp").alias("bucket"),
+        "event_type",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "n_rows",
+    )

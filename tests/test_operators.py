@@ -368,3 +368,32 @@ class TestHypertableRollup:
         import pytest as _pt
         with _pt.raises(ValueError):
             route_grain("hour", ("day", "month"))
+
+
+class TestProfilingAndSampling:
+    def test_profile_counts(self, spark):
+        from wren_engine_spark.operators import text as text_ops
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        prof = {r.column: r for r in text_ops.profile_columns(
+            docs, ["lang", "doc_id"]).collect()}
+        n = docs.count()
+        assert prof["doc_id"].n_rows == n
+        assert prof["doc_id"].n_distinct == n  # primary key
+        assert prof["doc_id"].n_nulls == 0
+        assert prof["lang"].n_distinct >= 1
+
+    def test_stratified_sample_proportions(self, spark):
+        from wren_engine_spark.operators import text as text_ops
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        sources = sorted(r.source for r in docs.select("source").distinct().collect())
+        keep, down = sources[0], sources[-1]
+        out = text_ops.stratified_sample(
+            docs, "source", {keep: 1.0, down: 0.2}, seed=7)
+        n_keep_in = docs.filter(F.col("source") == keep).count()
+        n_keep_out = out.filter(F.col("source") == keep).count()
+        n_down_in = docs.filter(F.col("source") == down).count()
+        n_down_out = out.filter(F.col("source") == down).count()
+        assert n_keep_out == n_keep_in          # fraction 1.0 keeps all
+        assert 0 < n_down_out < n_down_in       # downsampled
+        others = set(sources) - {keep, down}
+        assert out.filter(F.col("source").isin(*others)).count() == 0

@@ -47,4 +47,5 @@ def test_oracle_coverage():
     assert missing <= {"d2_approx_distinct", "x4_minhash_lsh_candidates",
                        "x5_simhash64", "x11_lsh_ann", "x14_ivf_ann",
                        "x16_multimodal_embedding_pipeline",
-                       "x17_simhash_near_dup", "x18_winnow_fingerprints"}
+                       "x17_simhash_near_dup", "x18_winnow_fingerprints",
+                       "x22_stratified_sample"}

@@ -97,3 +97,47 @@ def bpe_token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             "bpe_per_ws_token"
         ),
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass dataset profile: per column, row/null/distinct counts
+    and min/max (as strings for type uniformity) — the pre-training
+    sanity scan over a corpus table. One aggregation, map-side combined;
+    exact distinct counts (swap in approx_count_distinct at the 100 TB
+    tier where 2% error is acceptable to avoid the per-column shuffle
+    width)."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__{c}_rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__{c}_nulls"),
+            F.countDistinct(F.col(c)).alias(f"__{c}_distinct"),
+            F.min(F.col(c).cast("string")).alias(f"__{c}_min"),
+            F.max(F.col(c).cast("string")).alias(f"__{c}_max"),
+        ]
+    wide = df.agg(*aggs)
+    profile = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__{c}_rows").alias("n_rows"),
+                F.col(f"__{c}_nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"__{c}_distinct").alias("n_distinct"),
+                F.col(f"__{c}_min").alias("min_value"),
+                F.col(f"__{c}_max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(profile).alias("p")).select("p.*")
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, fractions: dict[str, float], seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): the standard
+    corpus re-balancing step (e.g. downsample over-represented sources).
+    Seeded and executor-deterministic for a fixed partition layout;
+    statistical properties are asserted in tests rather than exact
+    row sets."""
+    return df.sampleBy(stratum_col, fractions, seed)

@@ -383,3 +383,43 @@ def x20(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "tok")
         .limit(50)
     )
+
+
+@register(
+    "x21_profile_columns",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_nulls,
+             COUNT(DISTINCT lang) AS lang_distinct,
+             MIN(CAST(lang AS VARCHAR)) AS lang_min, MAX(CAST(lang AS VARCHAR)) AS lang_max,
+             SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source_nulls,
+             COUNT(DISTINCT source) AS source_distinct,
+             MIN(CAST(source AS VARCHAR)) AS source_min, MAX(CAST(source AS VARCHAR)) AS source_max,
+             SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nc_nulls,
+             COUNT(DISTINCT n_chars) AS nc_distinct,
+             MIN(CAST(n_chars AS VARCHAR)) AS nc_min, MAX(CAST(n_chars AS VARCHAR)) AS nc_max
+      FROM documents
+    )
+    SELECT 'lang' AS column, n_rows, lang_nulls AS n_nulls, lang_distinct AS n_distinct,
+           lang_min AS min_value, lang_max AS max_value FROM s
+    UNION ALL
+    SELECT 'source', n_rows, source_nulls, source_distinct, source_min, source_max FROM s
+    UNION ALL
+    SELECT 'n_chars', n_rows, nc_nulls, nc_distinct, nc_min, nc_max FROM s
+    """,
+)
+def x21(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass corpus profile over documents (lang/source/n_chars)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.profile_columns(d, ["lang", "source", "n_chars"])
+
+
+@register("x22_stratified_sample")  # randomized: rows-only check
+def x22(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-rebalancing sample: keep 100% of rare sources, downsample
+    the rest (corpus mixture control)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    sources = [r.source for r in d.select("source").distinct().collect()]
+    fractions = {s: (1.0 if i % 2 else 0.3) for i, s in enumerate(sorted(sources))}
+    return text.stratified_sample(d, "source", fractions)

@@ -299,3 +299,33 @@ class TestPermissionAnalyze:
     def test_allowed_column_unaffected(self, spark):
         eng = _deploy(spark, _clac_manifest("EQUALS", "5"), props={"level": "5"})
         assert eng.sql("SELECT state FROM M").columns == ["state"]
+
+
+class TestViewOrdering:
+    def _manifest_with_views(self, views):
+        return {
+            "catalog": "t", "schema": "t",
+            "models": [{
+                "name": "base_m", "tableReference": "customers",
+                "columns": [{"name": "id", "type": "int"},
+                            {"name": "state", "type": "varchar"}],
+            }],
+            "views": views,
+        }
+
+    def test_out_of_order_views_deploy(self, spark):
+        # v2 references v1 but is declared FIRST
+        eng = _deploy(spark, self._manifest_with_views([
+            {"name": "v2", "statement": "SELECT * FROM v1 WHERE id > 0"},
+            {"name": "v1", "statement": "SELECT id, state FROM base_m"},
+        ]))
+        assert eng.sql("SELECT COUNT(*) AS n FROM v2").collect()[0].n >= 0
+
+    def test_view_cycle_rejected(self, spark):
+        from wren_engine_spark.engine import PlanError
+
+        with pytest.raises(PlanError, match="cycle"):
+            _deploy(spark, self._manifest_with_views([
+                {"name": "va", "statement": "SELECT * FROM vb"},
+                {"name": "vb", "statement": "SELECT * FROM va"},
+            ]))

@@ -235,11 +235,46 @@ class SemanticEngine:
                 df = df.cache()
             df.createOrReplaceTempView(model.name)
             self._deployed_models[model.name] = df
-        for view in self.manifest.views:
+        for view in self._views_in_dependency_order():
             self.spark.sql(self._strip_ns(view.statement)).createOrReplaceTempView(view.name)
         for cube in self.manifest.cubes:
             self._register_cube(cube)
         return self
+
+    def _views_in_dependency_order(self):
+        """Register views so that a view referencing another view comes
+        after it, regardless of manifest order (the reference expands
+        views lazily — expand_view.rs:35-69 — so order never matters
+        there; eager temp-view registration needs the topological sort).
+        Cycles raise PlanError."""
+        views = list(self.manifest.views)
+        names = {v.name.lower(): v for v in views}
+        deps: dict[str, set[str]] = {}
+        for v in views:
+            refs = {
+                n.lower()
+                for n in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", v.statement)
+                if n.lower() in names and n.lower() != v.name.lower()
+            }
+            deps[v.name.lower()] = refs
+        ordered, done = [], set()
+        visiting: set[str] = set()
+
+        def visit(name: str) -> None:
+            if name in done:
+                return
+            if name in visiting:
+                raise PlanError(f"view dependency cycle involving {name!r}")
+            visiting.add(name)
+            for d in sorted(deps[name]):
+                visit(d)
+            visiting.discard(name)
+            done.add(name)
+            ordered.append(names[name])
+
+        for v in views:
+            visit(v.name.lower())
+        return ordered
 
     def reattach(self) -> "SemanticEngine":
         """Re-register this engine's views from the already-expanded
@@ -248,7 +283,7 @@ class SemanticEngine:
         for name, df in self._deployed_models.items():
             df.createOrReplaceTempView(name)
         self._active_variant = {}
-        for view in self.manifest.views:
+        for view in self._views_in_dependency_order():
             self.spark.sql(self._strip_ns(view.statement)).createOrReplaceTempView(view.name)
         return self
 

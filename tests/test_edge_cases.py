@@ -1,0 +1,77 @@
+"""Empty-input and degenerate-shape robustness: every operator must
+return an empty (or well-defined) result on empty/trivial corpora, not
+throw — the failure mode that surfaces in production when a filter
+upstream drains a partition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wren_engine_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id LONG, text STRING")
+
+
+@pytest.fixture(scope="module")
+def empty_vecs(spark):
+    return spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+class TestEmptyCorpora:
+    def test_exact_dedup_empty(self, empty_docs):
+        assert dedup.exact_dedup(empty_docs, "text", "doc_id").count() == 0
+
+    def test_jaccard_pairs_empty(self, empty_docs):
+        assert dedup.jaccard_pairs(empty_docs, "text", "doc_id").count() == 0
+
+    def test_minhash_empty(self, empty_docs):
+        assert dedup.minhash_lsh_candidates(empty_docs, "text", "doc_id").count() == 0
+
+    def test_simhash_near_dup_empty(self, empty_docs):
+        assert dedup.simhash_near_dup(empty_docs, "text", "doc_id").count() == 0
+
+    def test_winnow_empty(self, empty_docs):
+        assert dedup.winnow_fingerprints(empty_docs, "text", "doc_id").count() == 0
+
+    def test_near_dup_exact_empty(self, empty_vecs):
+        assert (
+            similarity.cosine_near_dup_pairs(empty_vecs, "vec_id", "embedding").count()
+            == 0
+        )
+
+    def test_token_stats_empty(self, empty_docs):
+        assert text.token_stats(empty_docs, "text", "doc_id").count() == 0
+
+    def test_profile_empty(self, empty_docs):
+        prof = {r.column: r for r in text.profile_columns(empty_docs, ["text"]).collect()}
+        assert prof["text"].n_rows == 0 and prof["text"].n_nulls == 0
+
+
+class TestDegenerateDocs:
+    def test_single_doc_no_pairs(self, spark):
+        df = spark.createDataFrame([(1, "one single document here")],
+                                   "doc_id LONG, text STRING")
+        assert dedup.jaccard_pairs(df, "text", "doc_id", n=2).count() == 0
+
+    def test_doc_shorter_than_shingle_ignored(self, spark):
+        df = spark.createDataFrame([(1, "too short"), (2, "a b c d e"), (3, "a b c d e")],
+                                   "doc_id LONG, text STRING")
+        pairs = dedup.jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.8).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(2, 3)}
+
+    def test_null_text_rows_dropped_not_fatal(self, spark):
+        df = spark.createDataFrame([(1, None), (2, "a b c d"), (3, "a b c d")],
+                                   "doc_id LONG, text STRING")
+        pairs = dedup.jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.8).collect()
+        assert {(r.id_a, r.id_b) for r in pairs} == {(2, 3)}
+
+    def test_identical_vectors_cosine_one(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0])],
+            "vec_id LONG, embedding ARRAY<FLOAT>",
+        )
+        out = similarity.cosine_near_dup_pairs(df, "vec_id", "embedding",
+                                               threshold=0.99).collect()
+        assert len(out) == 1 and out[0].cosine_sim == 1.0

@@ -207,6 +207,8 @@ def _exact_blocked_pairs(
 
     spark = df.sparkSession
     rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        return spark.createDataFrame([], "id_a LONG, id_b LONG, cosine_sim DOUBLE")
     ids_c = np.asarray([r[0] for r in rows], dtype=np.int64)
     C = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
     cn = np.zeros(len(C))

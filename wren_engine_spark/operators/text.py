@@ -110,7 +110,9 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"__{c}_rows"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__{c}_nulls"),
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias(f"__{c}_nulls"),
             F.countDistinct(F.col(c)).alias(f"__{c}_distinct"),
             F.min(F.col(c).cast("string")).alias(f"__{c}_min"),
             F.max(F.col(c).cast("string")).alias(f"__{c}_max"),

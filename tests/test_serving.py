@@ -2,6 +2,7 @@
 metadata, model substitution, dry-plan twin, function catalog."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 from wren_engine_spark.queries.semantic import MANIFEST, deploy
@@ -208,3 +209,41 @@ class TestAnalysis:
         out = service.analyze("SELECT 1 FROM region_m")
         names = {m["model"] for m in out["models"]}
         assert "region_m" in names and "customer_m" not in names
+
+
+class TestCubeRefresh:
+    def test_refresh_picks_up_new_base_state(self, spark):
+        from tests.conftest import SF_DIR
+        from wren_engine_spark.queries.semantic import MANIFEST, deploy
+
+        manifest = {
+            **MANIFEST,
+            "cubes": [{
+                "name": "refresh_cube_t",
+                "baseObject": "customer_m",
+                "cached": True,
+                "measures": [{"name": "n", "expression": "count(*)", "type": "bigint"}],
+                "dimensions": [{"name": "segment", "expression": "mktsegment",
+                                "type": "varchar"}],
+            }],
+        }
+        eng = deploy(spark, SF_DIR, manifest)
+        before = spark.table("refresh_cube_t").agg(F.sum("n")).collect()[0][0]
+        # shrink the base model's view, then refresh the materialization
+        spark.table("customer_m").filter(F.col("acctbal") > 0).createOrReplaceTempView(
+            "customer_m"
+        )
+        eng.refresh_cube("refresh_cube_t")
+        after = spark.table("refresh_cube_t").agg(F.sum("n")).collect()[0][0]
+        assert after < before
+
+    def test_unknown_cube_raises(self, spark):
+        from tests.conftest import SF_DIR
+        from wren_engine_spark.engine import PlanError
+        from wren_engine_spark.queries.semantic import deploy
+
+        eng = deploy(spark, SF_DIR, {"catalog": "t", "schema": "t", "models": [{
+            "name": "m_one", "tableReference": "region",
+            "columns": [{"name": "k", "type": "int", "expression": "r_regionkey"}]}]})
+        with pytest.raises(PlanError):
+            eng.refresh_cube("nope")

@@ -581,6 +581,22 @@ class SemanticEngine:
         if cube.cached:
             out = out.cache()
         out.createOrReplaceTempView(cube.name)
+        if not hasattr(self, "_cube_frames"):
+            self._cube_frames: dict[str, DataFrame] = {}
+        self._cube_frames[cube.name] = out
+
+    def refresh_cube(self, name: str) -> None:
+        """Recompute a cube's materialization (the ``refresh_time`` hook
+        — manifest-macro/src/lib.rs:141-168; production would schedule
+        this). Drops the cached frame and re-registers from the current
+        base model state."""
+        cube = next((c for c in self.manifest.cubes if c.name == name), None)
+        if cube is None:
+            raise PlanError(f"unknown cube {name!r}")
+        old = getattr(self, "_cube_frames", {}).get(name)
+        if old is not None:
+            old.unpersist()
+        self._register_cube(cube)
 
     # ------------------------------------------------------------- metadata
 

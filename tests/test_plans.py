@@ -89,3 +89,22 @@ class TestCodegen:
     def test_compat_functions_inline(self, spark):
         p = plan_of(spark, "f3_compat_datetime_json")
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestJoinShapes:
+    def test_q18_semi_join(self, spark):
+        p = plan_of(spark, "q18_large_volume_customer")
+        assert "LeftSemi" in p
+
+    def test_q22_anti_join(self, spark):
+        p = plan_of(spark, "q22_global_sales_opportunity")
+        assert "LeftAnti" in p
+
+    def test_q13_left_outer(self, spark):
+        p = plan_of(spark, "q13_customer_distribution")
+        assert "LeftOuter" in p
+
+    def test_a5_range_join_is_equi_not_nested_loop(self, spark):
+        # the binned range join must plan as a hash/sort-merge equi-join
+        p = plan_of(spark, "a5_range_join")
+        assert "NestedLoop" not in p and "CartesianProduct" not in p

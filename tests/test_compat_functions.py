@@ -83,3 +83,31 @@ def test_inlined_not_python(spark):
 
 def test_names_listed():
     assert len(compat_function_names()) >= 25
+
+
+ARRAY_CASES = [
+    ("array_pop_back(array('a','b','c'))", ["a", "b"]),
+    ("array_pop_back(array())", []),
+    ("array_pop_front(array('a','b'))", ["b"]),
+    ("array_positions(array('x','y','x'), 'x')", [1, 3]),
+    ("array_positions(array('x'), 'z')", []),
+]
+
+
+@pytest.mark.parametrize("expr,want", ARRAY_CASES, ids=[c[0][:40] for c in ARRAY_CASES])
+def test_array_family(spark, expr, want):
+    got = spark.sql(f"SELECT {expr} AS v").collect()[0][0]
+    assert list(got or []) == want
+
+
+def test_http_app_gated_without_fastapi(spark):
+    """create_app must fail with a clear error when fastapi is absent
+    (this container has no fastapi; the service layer stays usable)."""
+    try:
+        import fastapi  # noqa: F401
+        pytest.skip("fastapi installed here")
+    except ImportError:
+        pass
+    from wren_engine_spark import serving
+    with pytest.raises(RuntimeError, match="fastapi"):
+        serving.create_app(object())

@@ -225,3 +225,30 @@ def register_compat_functions(spark: SparkSession) -> list[str]:
 
 def compat_function_names() -> list[str]:
     return sorted(_SQL_FUNCTIONS)
+
+
+# appended array family (reference nested fns, scalar/mod.rs:149-186)
+_SQL_FUNCTIONS.update(
+    {
+        "array_pop_back": """
+        CREATE OR REPLACE TEMPORARY FUNCTION array_pop_back(a ARRAY<STRING>)
+        RETURNS ARRAY<STRING> RETURN
+        CASE WHEN a IS NOT NULL THEN slice(a, 1, greatest(size(a) - 1, 0)) END
+    """,
+        "array_pop_front": """
+        CREATE OR REPLACE TEMPORARY FUNCTION array_pop_front(a ARRAY<STRING>)
+        RETURNS ARRAY<STRING> RETURN
+        CASE WHEN a IS NOT NULL AND size(a) > 0 THEN slice(a, 2, size(a) - 1)
+             WHEN a IS NOT NULL THEN a END
+    """,
+        "array_positions": """
+        CREATE OR REPLACE TEMPORARY FUNCTION array_positions(a ARRAY<STRING>, x STRING)
+        RETURNS ARRAY<INT> RETURN
+        CASE WHEN a IS NOT NULL THEN
+          transform(filter(arrays_zip(a, sequence(1, size(a))),
+                           s -> s.a <=> x),
+                    s -> CAST(s['1'] AS INT))
+        END
+    """,
+    }
+)

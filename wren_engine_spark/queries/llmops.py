@@ -423,3 +423,61 @@ def x22(spark: SparkSession, sf: str) -> DataFrame:
     sources = [r.source for r in d.select("source").distinct().collect()]
     fractions = {s: (1.0 if i % 2 else 0.3) for i, s in enumerate(sorted(sources))}
     return text.stratified_sample(d, "source", fractions)
+
+
+@register(
+    "x23_curation_pipeline",
+    f"""
+    WITH stats AS (
+      SELECT doc_id, text, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+             CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE)
+               / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, source, n_tokens,
+             0.4 * LEAST(stopword_ratio * 4.0, 1.0)
+             + 0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (1.0 - LEAST(punct_ratio * 5.0, 1.0)) AS q
+      FROM stats
+    ),
+    kept AS (SELECT * FROM scored WHERE q >= 0.5),
+    dedup AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text))
+    SELECT k.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(k.n_tokens AS DECIMAL(38,6))) AS DOUBLE) AS total_tokens,
+           ROUND(AVG(k.q), 4) AS avg_quality
+    FROM kept k JOIN dedup d ON k.doc_id = d.doc_id
+    GROUP BY k.source
+    ORDER BY k.source
+    """,
+)
+def x23(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus curation: quality-score filter -> exact dedup
+    (canonical representative per content hash) -> per-source corpus
+    stats. The composition every training-data pipeline runs, built
+    entirely from this repo's operators — demonstrating they chain
+    without materialization barriers (one logical plan, Catalyst
+    optimizes across the stages)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    q = text.quality_score(d, "text", "doc_id").filter(F.col("quality_score") >= 0.5)
+    stats = text.token_stats(d, "text", "doc_id").select("doc_id", "n_tokens")
+    kept = (
+        d.join(q, "doc_id")
+        .join(stats, "doc_id")
+        .select("doc_id", "text", "source", "n_tokens", "quality_score")
+    )
+    canonical = dedup.exact_dedup(kept, "text", "doc_id").select("doc_id")
+    return (
+        kept.join(canonical, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("decimal(38,6)")).cast("double").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )

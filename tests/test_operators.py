@@ -397,3 +397,79 @@ class TestProfilingAndSampling:
         assert 0 < n_down_out < n_down_in       # downsampled
         others = set(sources) - {keep, down}
         assert out.filter(F.col("source").isin(*others)).count() == 0
+
+
+class TestClustersContaminationText:
+    def test_connected_components_chain_and_islands(self, spark):
+        # chain 1-2-3 plus island pair 10-11: transitivity must label
+        # 3 with 1 even though (1,3) is not an edge
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a INT, id_b INT"
+        )
+        comp = {r.node: r.component
+                for r in dedup.connected_components(edges).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_connected_components_long_path_converges(self, spark):
+        # path of 12 nodes: needs ~diameter iterations, well under max_iter
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], "id_a INT, id_b INT"
+        )
+        comp = {r.node: r.component
+                for r in dedup.connected_components(edges).collect()}
+        assert set(comp.values()) == {0} and len(comp) == 13
+
+    def test_duplicate_clusters_cover_all_docs(self, spark, docs):
+        out = dedup.duplicate_clusters(docs, "text", "doc_id")
+        rows = out.collect()
+        assert len(rows) == docs.count()            # every doc labeled
+        assert all(r.cluster_id <= r.doc_id for r in rows)  # min-id rep
+
+    def test_contamination_planted_overlap(self, spark):
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon")], "id INT, t STRING"
+        )
+        test = spark.createDataFrame(
+            [
+                (2, "alpha beta gamma delta epsilon"),   # fully leaked
+                (3, "zeta eta theta iota kappa"),        # disjoint
+            ],
+            "id INT, t STRING",
+        )
+        out = {r.id: r for r in
+               dedup.contamination(test, train, "t", "id", n=3).collect()}
+        assert out[2].contamination_ratio == 1.0
+        assert out[3].contamination_ratio == 0.0
+        assert out[2].n_shingles == 3 and out[3].n_overlap == 0
+
+    def test_pii_scrub_semantics(self, spark):
+        from wren_engine_spark.operators import text as text_ops
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@x-corp.io from 192.168.0.1 call 555-123-4567 done")],
+            "id INT, t STRING",
+        )
+        r = text_ops.pii_scrub(df, "t", "id").collect()[0]
+        assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+        assert r.scrubbed == "mail <EMAIL> from <IP> call <PHONE> done"
+
+    def test_repetition_stats_crafted(self, spark):
+        from wren_engine_spark.operators import text as text_ops
+        df = spark.createDataFrame(
+            [(1, "spam spam spam eggs"), (2, "a b c d")], "id INT, t STRING"
+        )
+        out = {r.id: r for r in
+               text_ops.repetition_stats(df, "t", "id").collect()}
+        assert out[1].top_token == "spam" and out[1].top_token_frac == 0.75
+        assert out[1].distinct_ratio == 0.5
+        assert out[2].distinct_ratio == 1.0 and out[2].top_token_frac == 0.25
+
+    def test_tfidf_rare_term_outranks_common(self, spark):
+        from wren_engine_spark.operators import text as text_ops
+        df = spark.createDataFrame(
+            [(1, "common rare"), (2, "common other"), (3, "common thing")],
+            "id INT, t STRING",
+        )
+        out = text_ops.tfidf_top_terms(df, "t", "id", k=1).collect()
+        top1 = {r.id: r.tok for r in out}
+        # 'common' is in every doc (df=3) so the doc-unique term wins
+        assert top1 == {1: "rare", 2: "other", 3: "thing"}

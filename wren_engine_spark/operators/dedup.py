@@ -406,6 +406,122 @@ def winnow_fingerprints(
     )
 
 
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node starts labeled with its own id and
+    repeatedly takes the minimum label among itself and its neighbors
+    until a fixpoint. Returns (node, component) where ``component`` is
+    the minimum node id in the component.
+
+    This is the step that turns pairwise near-duplicate EDGES into
+    duplicate CLUSTERS (pick one representative per component) — pair
+    output alone under-deletes because near-duplication is transitive
+    in practice (A~B, B~C but A!~C).
+
+    Scale: each iteration is one hash join (neighbor labels) + one
+    groupBy-min, both shuffling on node id; iterations needed = graph
+    diameter, which for duplicate clusters is small (near-clique
+    components). Lineage is truncated per iteration with
+    ``localCheckpoint`` so the plan does not grow across iterations;
+    convergence is detected by the (monotonically non-increasing) sum
+    of labels going stationary. For adversarial long-chain graphs swap
+    in the large-star/small-star variant (Kiveris et al., SoCC'14) —
+    same join primitives, O(log n) rounds.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("comp"))
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    for _ in range(max_iter):
+        nb = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .select(F.col("u").alias("node"), "comp")
+        )
+        labels = (
+            labels.union(nb).groupBy("node").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full dedup clustering: exact n-gram Jaccard pairs above
+    ``threshold`` -> connected components -> every document labeled with
+    its cluster id (singletons keep their own id). Returns
+    (id, cluster_id)."""
+    pairs = jaccard_pairs(df, text_col, id_col, n=n, threshold=threshold)
+    comp = connected_components(pairs)
+    return (
+        df.select(id_col)
+        .join(comp, F.col(id_col) == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
+def contamination(
+    test: DataFrame,
+    train: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    unit: str = "word",
+) -> DataFrame:
+    """Train/test contamination check: for every test document, the
+    fraction of its distinct word n-grams that appear anywhere in the
+    training corpus. Returns (id, n_shingles, n_overlap,
+    contamination_ratio).
+
+    Shape: test shingles (map-side arrays, exploded) LEFT SEMI join the
+    distinct train shingle set, then a per-doc count — cost scales with
+    shingle volume, never test x train pairs. At 100 TB the train
+    shingle set is the big side: keep the semi join shuffle-partitioned
+    on the shingle (Spark does), or swap the exact semi join for a
+    Bloom/xxhash64 filter broadcast when approximate membership is
+    acceptable.
+    """
+    tsh = shingle_arrays(test, text_col, id_col, n, unit).select(
+        id_col, F.explode("__sh").alias("shingle")
+    )
+    trsh = (
+        shingle_arrays(train, text_col, id_col, n, unit)
+        .select(F.explode("__sh").alias("shingle"))
+        .distinct()
+    )
+    per_doc = tsh.join(trsh, "shingle", "left_semi").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    sizes = tsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        sizes.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 weighted
     by token-hash bits, sign -> bit. One explode + one aggregation.

@@ -134,6 +134,112 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     return wide.select(F.explode(profile).alias("p")).select("p.*")
 
 
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/Rae et al. family of
+    corpus filters): distinct-token ratio and the most frequent token's
+    share of the document. Returns (id, n_tokens, distinct_ratio,
+    top_token, top_token_frac).
+
+    One explode + two aggregations, both keyed on the doc id (the second
+    reuses the first's partitioning — AQE coalesces, no extra wide
+    shuffle). The top token is selected with a lexicographic struct max
+    (count, then token) so ties are deterministic; the oracle mirrors
+    that with ORDER BY cnt DESC, tok DESC."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max(F.struct("cnt", "tok")).alias("__top"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "distinct_ratio"
+        ),
+        F.col("__top.tok").alias("top_token"),
+        (F.col("__top.cnt").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "top_token_frac"
+        ),
+    )
+
+
+# PII patterns chosen for identical semantics under Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Regex PII redaction (emails, IPv4, US-style phone numbers) — the
+    standard pre-training scrub pass. Applied in fixed order (email, ip,
+    phone) so overlapping matches resolve identically everywhere.
+    Returns (id, scrubbed, n_emails, n_ips, n_phones) — pure
+    regexp_count/regexp_replace, JVM-side, one narrow stage."""
+    t = F.col(text_col)
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).cast("bigint")
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+    scrubbed = t
+    for pat, repl in PII_PATTERNS.values():
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        counts["email"].alias("n_emails"),
+        counts["ip"].alias("n_ips"),
+        counts["phone"].alias("n_phones"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF with a rational
+    idf: score = tf * (N + 1) / (df + 1). Exact small-integer division
+    is correctly rounded in IEEE doubles, so scores are bit-identical
+    across engines (no transcendental log in the oracle path). Ranking
+    ties break on the token ascending. Returns
+    (id, tok, tf, doc_freq, tfidf, rank).
+
+    Shape: explode -> (doc,tok) count -> token doc-freq (map-side
+    combined) joined back on token -> per-doc window top-k. The
+    doc-freq table is vocabulary-sized (Zipf-small next to the corpus)
+    so at scale that join is a broadcast."""
+    from pyspark.sql import Window as W
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    docf = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = tf.join(F.broadcast(docf), "tok").select(
+        F.col(id_col),
+        "tok",
+        "tf",
+        "doc_freq",
+        (
+            (F.col("tf") * F.lit(n_docs + 1)).cast("double")
+            / (F.col("doc_freq") + 1).cast("double")
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def stratified_sample(
     df: DataFrame, stratum_col: str, fractions: dict[str, float], seed: int = 42
 ) -> DataFrame:

@@ -47,10 +47,10 @@ def x2(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.fingerprint_dedup(d, "text", "doc_id")
 
 
-@register(
-    "x3_ngram_jaccard_pairs",
-    r"""
-    WITH norm AS (
+# Word-trigram Jaccard pair CTE chain (threshold 0.8), shared by the x3
+# oracle and the x24 connected-components oracle.
+_PAIRS_CTES = r"""
+    norm AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
       FROM documents
     ),
@@ -59,11 +59,18 @@ def x2(spark: SparkSession, sf: str) -> DataFrame:
     sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS g FROM pos),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-    SELECT id_a, id_b, CAST(c AS DOUBLE)/CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
-    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(c AS DOUBLE)/CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
-    """,
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b, CAST(c AS DOUBLE)/CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(c AS DOUBLE)/CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
+    )
+"""
+
+
+@register(
+    "x3_ngram_jaccard_pairs",
+    f"WITH {_PAIRS_CTES} SELECT id_a, id_b, jaccard FROM pairs",
 )
 def x3(spark: SparkSession, sf: str) -> DataFrame:
     """Word-trigram Jaccard near-dup pairs (prefix-filtered exact
@@ -423,6 +430,176 @@ def x22(spark: SparkSession, sf: str) -> DataFrame:
     sources = [r.source for r in d.select("source").distinct().collect()]
     fractions = {s: (1.0 if i % 2 else 0.3) for i, s in enumerate(sorted(sources))}
     return text.stratified_sample(d, "source", fractions)
+
+
+@register(
+    "x24_duplicate_clusters",
+    f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def x24(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate clustering: exact Jaccard pairs -> connected components
+    (iterative min-label propagation) -> one cluster id per document.
+    The oracle computes the same components with a recursive CTE."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return dedup.duplicate_clusters(d, "text", "doc_id", n=3, threshold=0.8)
+
+
+@register(
+    "x25_pii_scrub",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com via 10.' || CAST(doc_id % 200 AS VARCHAR)
+                  || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                  || ' or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+             len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS s
+      FROM aug
+    )
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_ips AS BIGINT) AS n_ips, CAST(n_phones AS BIGINT) AS n_phones,
+           md5(s) AS scrubbed_md5
+    FROM scrubbed
+    """,
+)
+def x25(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over a deterministically PII-augmented corpus (the
+    raw synthetic docs contain none, so each doc gets a synthetic email
+    / IP / phone derived from its id). The md5 of the scrubbed text
+    pins the exact replacement semantics against the oracle."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+            F.lit(" or 555-"), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return text.pii_scrub(aug, "text", "doc_id").select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        F.md5(F.col("scrubbed").cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "x26_contamination",
+    r"""
+    WITH test AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    tn AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM test),
+    tok AS (SELECT * FROM tn WHERE len(toks) >= 3),
+    tpos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i FROM tok),
+    tsh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS g FROM tpos),
+    rn AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM train),
+    rok AS (SELECT * FROM rn WHERE len(toks) >= 3),
+    rpos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i FROM rok),
+    rsh AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS g FROM rpos),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tsh GROUP BY doc_id),
+    ov AS (SELECT doc_id, COUNT(*) AS c FROM tsh WHERE g IN (SELECT g FROM rsh) GROUP BY doc_id)
+    SELECT s.doc_id, s.n_shingles,
+           CAST(COALESCE(ov.c, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(ov.c, 0) AS DOUBLE) / CAST(s.n_shingles AS DOUBLE) AS contamination_ratio
+    FROM sizes s LEFT JOIN ov ON ov.doc_id = s.doc_id
+    """,
+)
+def x26(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/test contamination: fraction of each held-out document's
+    distinct trigrams that leak from the training split (id mod 10)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return dedup.contamination(test, train, "text", "doc_id", n=3)
+
+
+@register(
+    "x27_repetition_stats",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    ok AS (SELECT * FROM toks WHERE length(tok) > 0),
+    counts AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM ok GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, tok, cnt,
+             SUM(cnt) OVER (PARTITION BY doc_id) AS n_tokens,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok DESC) AS rn
+      FROM counts
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+           tok AS top_token,
+           CAST(cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x27(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition filters (distinct-token ratio, top-token
+    share) — the Gopher-style repetition gate."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.repetition_stats(d, "text", "doc_id")
+
+
+@register(
+    "x28_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    ok AS (SELECT * FROM toks WHERE length(tok) > 0),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ok GROUP BY 1, 2),
+    docf AS (SELECT tok, COUNT(*) AS doc_freq FROM tf GROUP BY tok),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT f.doc_id, f.tok, f.tf, d.doc_freq,
+             CAST(f.tf * (nd.n + 1) AS DOUBLE) / CAST(d.doc_freq + 1 AS DOUBLE) AS tfidf
+      FROM tf f JOIN docf d ON f.tok = d.tok CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS "rank"
+      FROM scored
+    )
+    SELECT doc_id, tok, tf, doc_freq, tfidf, "rank" FROM ranked WHERE "rank" <= 5
+    """,
+)
+def x28(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 characteristic terms per document by rational-idf TF-IDF
+    (bit-identical across engines: integer tf*(N+1)/(df+1) in doubles)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.tfidf_top_terms(d, "text", "doc_id", k=5)
 
 
 @register(

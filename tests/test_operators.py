@@ -473,3 +473,35 @@ class TestClustersContaminationText:
         top1 = {r.id: r.tok for r in out}
         # 'common' is in every doc (df=3) so the doc-unique term wins
         assert top1 == {1: "rare", 2: "other", 3: "thing"}
+
+    def test_pack_sequences_contiguous_fill(self, spark):
+        from wren_engine_spark.operators import text as text_ops
+        df = spark.createDataFrame(
+            [("a", 1, 1000), ("a", 2, 900), ("a", 3, 500), ("a", 4, 200),
+             ("b", 5, 3000)],
+            "src STRING, id INT, toks INT",
+        )
+        out = {r.id: r.batch_id for r in
+               text_ops.pack_sequences(df, "toks", "id", 2048, "src").collect()}
+        # a: starts 0/1000/1900 -> batch 0; start 2400 -> batch 1
+        assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 0}
+
+    def test_pack_sequences_budget_overrun_bounded(self, spark, docs):
+        from wren_engine_spark.operators import text as text_ops
+        toks = docs.select(
+            "source", "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n"),
+        )
+        packed = text_ops.pack_sequences(toks, "n", "doc_id", 500, "source")
+        per_batch = packed.groupBy("source", "batch_id").agg(
+            F.sum("n").alias("tot"), F.max("n").alias("mx")).collect()
+        # a batch can overrun only by the doc that straddles the boundary
+        assert all(r.tot <= 500 + r.mx for r in per_batch)
+
+    def test_incremental_dedup_planted(self, spark):
+        corpus = spark.createDataFrame([(1, "old text")], "id INT, t STRING")
+        batch = spark.createDataFrame(
+            [(10, "old text"), (11, "fresh"), (12, "fresh")], "id INT, t STRING"
+        )
+        out = dedup.incremental_dedup(batch, corpus, "t", "id").collect()
+        assert [(r.id) for r in out] == [11]

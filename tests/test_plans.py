@@ -108,3 +108,20 @@ class TestJoinShapes:
         # the binned range join must plan as a hash/sort-merge equi-join
         p = plan_of(spark, "a5_range_join")
         assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+class TestLlmopsPlanShapes:
+    def test_x28_docfreq_join_broadcast(self, spark):
+        p = plan_of(spark, "x28_tfidf_top_terms")
+        assert "BroadcastHashJoin" in p
+
+    def test_x26_contamination_semi_join_no_cartesian(self, spark):
+        p = plan_of(spark, "x26_contamination")
+        assert "LeftSemi" in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_x29_packing_prunes_columns(self, spark):
+        schemas = read_schemas(plan_of(spark, "x29_sequence_packing"))
+        # needs only doc_id, text, source of the 5 document columns
+        assert schemas and all(len(s.split("<")[0].split(",")) <= 3 for s in schemas)

@@ -475,6 +475,27 @@ def duplicate_clusters(
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame, corpus_df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Incremental ingest dedup: canonical representatives of the NEW
+    batch (exact content-hash dedup within the batch) that do not
+    already exist in the corpus — the per-ingest step of a continuously
+    growing training set. Returns (id, content_hash).
+
+    One groupBy on the batch (small) + one anti join against corpus
+    hashes; at 100 TB the corpus side is a pre-materialized hash table
+    partitioned on content_hash, so each ingest shuffles only the batch
+    and probes in place."""
+    batch = exact_dedup(new_df, text_col, id_col)
+    corpus_hashes = corpus_df.select(
+        F.md5(F.col(text_col).cast("binary")).alias("content_hash")
+    )
+    return batch.join(corpus_hashes, "content_hash", "left_anti").select(
+        id_col, "content_hash"
+    )
+
+
 def contamination(
     test: DataFrame,
     train: DataFrame,

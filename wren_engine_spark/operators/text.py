@@ -240,6 +240,47 @@ def tfidf_top_terms(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    budget: int,
+    partition_col: str,
+) -> DataFrame:
+    """Token-budget sequence packing: group documents into training
+    batches of ~``budget`` tokens by contiguous fill — within each
+    ``partition_col`` shard, order docs by (tokens desc, id) and cut a
+    new batch each time the running total crosses the budget (a doc
+    joins the batch its first token lands in, so batches can overrun by
+    at most one doc). Returns (partition, id, tokens, batch_id).
+
+    All-integer arithmetic (cumsum + integer division), so batch
+    assignment is bit-stable across engines. The window is partitioned
+    by the shard column — no global sort, and each shard packs
+    independently exactly as a distributed pipeline would pack per
+    input split at 100 TB."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(partition_col)
+        .orderBy(F.col(token_col).desc(), F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    base = df.select(
+        F.col(partition_col),
+        F.col(id_col),
+        F.col(token_col).cast("bigint").alias(token_col),
+        (cum - F.col(token_col)).cast("bigint").alias("__start"),
+    )
+    return base.select(
+        partition_col,
+        id_col,
+        token_col,
+        F.expr(f"__start div {budget}").alias("batch_id"),
+    )
+
+
 def stratified_sample(
     df: DataFrame, stratum_col: str, fractions: dict[str, float], seed: int = 42
 ) -> DataFrame:

@@ -603,6 +603,66 @@ def x28(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x29_sequence_packing",
+    r"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY n_tokens DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) // 2048 AS batch_id
+      FROM toks
+    )
+    SELECT source, batch_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+    FROM packed
+    GROUP BY source, batch_id
+    """,
+)
+def x29(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing (2048-token training batches),
+    packed per source shard with all-integer window arithmetic."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    packed = text.pack_sequences(toks, "n_tokens", "doc_id", 2048, "source")
+    return packed.groupBy("source", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("batch_tokens"),
+    )
+
+
+@register(
+    "x30_incremental_dedup",
+    """
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+    incoming AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    batch AS (
+      SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash
+      FROM incoming GROUP BY md5(text)
+    )
+    SELECT doc_id, content_hash FROM batch
+    WHERE content_hash NOT IN (SELECT md5(text) FROM corpus)
+    """,
+)
+def x30(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingest dedup: new-batch canonical docs whose content
+    hash is absent from the existing corpus (anti join)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    incoming = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_dedup(incoming, corpus, "text", "doc_id")
+
+
+@register(
     "x23_curation_pipeline",
     f"""
     WITH stats AS (

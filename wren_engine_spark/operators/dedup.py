@@ -430,8 +430,14 @@ def connected_components(
     in the large-star/small-star variant (Kiveris et al., SoCC'14) —
     same join primitives, O(log n) rounds.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    # materialize the (possibly expensive) edge plan ONCE before it fans
+    # out into both union branches and every iteration's join
+    one_way = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    sym = one_way.union(
+        one_way.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
     sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("comp"))
@@ -520,10 +526,10 @@ def contamination(
     tsh = shingle_arrays(test, text_col, id_col, n, unit).select(
         id_col, F.explode("__sh").alias("shingle")
     )
-    trsh = (
-        shingle_arrays(train, text_col, id_col, n, unit)
-        .select(F.explode("__sh").alias("shingle"))
-        .distinct()
+    # no distinct on the train side: LEFT SEMI is set-semantics already,
+    # and deduplicating first would cost a full extra shuffle
+    trsh = shingle_arrays(train, text_col, id_col, n, unit).select(
+        F.explode("__sh").alias("shingle")
     )
     per_doc = tsh.join(trsh, "shingle", "left_semi").groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_overlap")

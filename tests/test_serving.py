@@ -247,3 +247,30 @@ class TestCubeRefresh:
             "columns": [{"name": "k", "type": "int", "expression": "r_regionkey"}]}]})
         with pytest.raises(PlanError):
             eng.refresh_cube("nope")
+
+
+class TestMetadataExtras:
+    def test_constraints_pk_and_fk(self, service):
+        cons = service.constraints()
+        by_type = {}
+        for c in cons:
+            by_type.setdefault(c["constraintType"], []).append(c)
+        pk_tables = {c["constraintTable"] for c in by_type.get("PRIMARY KEY", [])}
+        assert "customer_m" in pk_tables
+        fks = by_type.get("FOREIGN KEY", [])
+        assert any(
+            c["constraintTable"] == "customer_m"
+            and c["constraintColumn"] == "custkey"
+            and c["constraintedTable"] == "orders_m"
+            for c in fks
+        )
+
+    def test_version(self, service):
+        assert service.version().startswith("spark ")
+
+    def test_knowledge_shape(self, service):
+        k = service.knowledge()
+        assert any("Spark SQL" in r for r in k["rules"])
+        models = {m["model"]: m for m in k["schema"]["models"]}
+        assert "custkey" in models["customer_m"]["columns"]
+        assert k["schema"]["relationships"]

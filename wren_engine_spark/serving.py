@@ -257,6 +257,77 @@ class SemanticService:
         spec = self.catalog.describe(name)
         return spec.to_dict() if spec else None
 
+    def constraints(self) -> list[dict]:
+        """Constraint metadata (reference get_constraints shape:
+        ibis-server/app/model/metadata/dto.py Constraint): primary keys
+        from the manifest plus FOREIGN-KEY-style rows derived from
+        relationship conditions."""
+        out = []
+        for m in self.engine.manifest.models:
+            if m.primary_key:
+                out.append(
+                    {
+                        "constraintName": f"{m.name}_pkey",
+                        "constraintType": "PRIMARY KEY",
+                        "constraintTable": m.name,
+                        "constraintColumn": m.primary_key,
+                        "constraintedTable": m.name,
+                        "constraintedColumn": m.primary_key,
+                    }
+                )
+        for r in self.engine.manifest.relationships:
+            m_ = re.match(
+                r"\s*\"?(\w+)\"?\.\"?(\w+)\"?\s*=\s*\"?(\w+)\"?\.\"?(\w+)\"?\s*",
+                r.condition or "",
+            )
+            if not m_:
+                continue
+            lt, lc, rt, rc = m_.groups()
+            out.append(
+                {
+                    "constraintName": r.name,
+                    "constraintType": "FOREIGN KEY",
+                    "constraintTable": lt,
+                    "constraintColumn": lc,
+                    "constraintedTable": rt,
+                    "constraintedColumn": rc,
+                }
+            )
+        return out
+
+    def version(self) -> str:
+        """Backend version string (reference get_version metadata op)."""
+        return f"spark {self.engine.spark.version}"
+
+    def knowledge(self) -> dict:
+        """Text-to-SQL knowledge for agents (reference GET /{ds}/knowledge,
+        ibis-server/app/mdl/knowledge.py): engine dialect rules plus the
+        deployed semantic schema, so an agent can write correct SQL
+        against the models without seeing physical tables."""
+        models = [
+            {
+                "model": m.name,
+                "primaryKey": m.primary_key,
+                "columns": [
+                    c.name
+                    for c in m.columns
+                    if not c.is_relationship and not c.is_hidden
+                ],
+            }
+            for m in self.engine.manifest.models
+        ]
+        rules = [
+            "Dialect: Spark SQL (ANSI mode). Quote identifiers with backticks.",
+            "Query MODELS (listed below), never physical tables; calculated "
+            "columns are already joined/aggregated for you.",
+            "Dates: DATE 'YYYY-MM-DD'; timestamps are session-timezone UTC.",
+            "Use LIMIT to bound result size; ORDER BY is not implied.",
+            "Division by zero yields an error under ANSI mode; use "
+            "try_divide for nullable division.",
+        ]
+        return {"rules": rules, "schema": {"models": models,
+                                           "relationships": self.relationships()}}
+
     # --------------------------------------------------- model substitute
 
     def model_substitute(self, sql: str) -> str:
@@ -324,9 +395,32 @@ def create_app(service: SemanticService):
     def model_substitute(body: dict):
         return {"sql": service.model_substitute(body["sql"])}
 
+    @app.get("/v3/connector/spark/function/{name}")
+    def function(name: str):
+        spec = service.function(name)
+        if spec is None:
+            raise HTTPException(status_code=404, detail=f"function {name} not found")
+        return spec
+
     @app.get("/v3/connector/spark/metadata/tables")
     def tables():
         return service.tables()
+
+    @app.get("/v3/connector/spark/metadata/relationships")
+    def relationships():
+        return service.relationships()
+
+    @app.get("/v3/connector/spark/metadata/constraints")
+    def constraints():
+        return service.constraints()
+
+    @app.get("/v3/connector/spark/metadata/version")
+    def version():
+        return {"version": service.version()}
+
+    @app.get("/v3/connector/spark/knowledge")
+    def knowledge():
+        return service.knowledge()
 
     @app.post("/v2/analysis/sql")
     def analysis(body: dict):

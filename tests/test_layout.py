@@ -81,3 +81,35 @@ class TestSaltedJoin:
         out = layout.salted_join(o, nobody, "o_custkey", how="left", salts=4)
         assert out.count() == o.count()
         assert out.filter(F.col("tag").isNotNull()).count() == 0
+
+
+class TestOptimizedWriter:
+    def test_partitioned_sorted_layout(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        path = str(tmp_path / "docs_opt")
+        layout.write_optimized(
+            docs, path, partition_cols="source", sort_cols="n_chars",
+            max_records_per_file=200,
+        )
+        # hive partition directories exist
+        part_dirs = glob.glob(f"{path}/source=*")
+        assert len(part_dirs) == docs.select("source").distinct().count()
+        # rows inside every file are clustered on the sort column, so
+        # row-group min/max stats are selective
+        for f in glob.glob(f"{path}/source=*/*.parquet"):
+            vals = pq.read_table(f, columns=["n_chars"])["n_chars"].to_pylist()
+            assert vals == sorted(vals)
+
+    def test_partition_pruning_on_read(self, spark, tmp_path):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        path = str(tmp_path / "docs_pruned")
+        layout.write_optimized(docs, path, partition_cols="source")
+        src = docs.select("source").first()[0]
+        back = spark.read.parquet(path).filter(F.col("source") == src)
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert f"PartitionFilters: [isnotnull(source" in plan
+        assert back.count() == docs.filter(F.col("source") == src).count()

@@ -55,6 +55,51 @@ def shuffle_exchanges(df: DataFrame) -> int:
     )
 
 
+def write_optimized(
+    df: DataFrame,
+    path: str,
+    partition_cols: str | list[str] | None = None,
+    sort_cols: str | list[str] | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Scan-optimized parquet sink: hive-partition on the pruning
+    columns, cluster rows inside each file on the filter columns, and
+    cap file size.
+
+    Why each knob matters at 100 TB:
+      - ``partition_cols`` -> directory-level partition pruning (a
+        predicate on the partition column skips whole directories before
+        any I/O). Data is repartitioned on these columns first so each
+        partition directory is written by few tasks (no
+        tasks x partitions small-file explosion).
+      - ``sort_cols`` -> ``sortWithinPartitions`` clusters values so
+        parquet row-group min/max stats become selective; point/range
+        predicates then skip row groups inside files.
+      - ``max_records_per_file`` bounds file size for parallel reads.
+
+    Returns the written path."""
+    parts = (
+        [partition_cols] if isinstance(partition_cols, str) else list(partition_cols or [])
+    )
+    sorts = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols or [])
+    out = df
+    if parts:
+        out = out.repartition(*[F.col(c) for c in parts])
+    if sorts or parts:
+        # lead with the partition columns: FileFormatWriter requires the
+        # stream ordered by them and would otherwise inject its own
+        # (unstable) sort, destroying the clustering
+        out = out.sortWithinPartitions(*parts, *sorts)
+    w = out.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if parts:
+        w = w.partitionBy(*parts)
+    w.parquet(path)
+    return path
+
+
 def salted_join(
     big: DataFrame,
     other: DataFrame,

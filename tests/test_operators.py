@@ -505,3 +505,14 @@ class TestClustersContaminationText:
         )
         out = dedup.incremental_dedup(batch, corpus, "t", "id").collect()
         assert [(r.id) for r in out] == [11]
+
+    def test_label_centroids_exact(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, -2.0])],
+            "label INT, embedding ARRAY<FLOAT>",
+        )
+        out = {(r.label, r.d): r for r in
+               similarity.label_centroids(df, "embedding", "label").collect()}
+        assert out[(0, 0)].centroid == 2.0 and out[(0, 1)].centroid == 3.0
+        assert out[(1, 0)].centroid == 10.0 and out[(1, 1)].centroid == -2.0
+        assert out[(0, 0)].n_vecs == 2 and out[(1, 0)].n_vecs == 1

@@ -478,3 +478,39 @@ def lsh_ann_topk(
                 F.round(F.col("__sim"), 6).alias("cosine_sim"),
                 F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str, label_col: str, quantum: int = 1_000_000
+) -> DataFrame:
+    """Per-label embedding centroids (class prototypes / IVF seeding /
+    dataset fingerprints), one row per (label, dimension).
+
+    Determinism at scale: float elements are quantized to integers
+    (``round(v * quantum)``, half-away-from-zero in every engine), so
+    the per-dimension sums are exact integer arithmetic — associative
+    and commutative, immune to partition order, and map-side combinable
+    (one narrow explode + one groupBy shuffle; no sorted collect_list
+    bottleneck per label). The 1/quantum (~1e-6) quantization error is
+    orders below float32 embedding noise.
+
+    Returns (label, d, centroid, n_vecs).
+    """
+    ex = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("d", "__v")
+    )
+    q = ex.groupBy(label_col, "d").agg(
+        F.sum(
+            F.round(F.col("__v").cast("double") * quantum).cast("bigint")
+        ).alias("__qsum"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    return q.select(
+        label_col,
+        "d",
+        (
+            F.col("__qsum").cast("double")
+            / (F.col("n_vecs") * quantum).cast("double")
+        ).alias("centroid"),
+        "n_vecs",
+    )

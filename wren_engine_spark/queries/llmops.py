@@ -603,6 +603,25 @@ def x28(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x31_label_centroids",
+    """
+    SELECT label, d,
+           CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) * 1000000 AS DOUBLE) AS centroid,
+           COUNT(*) AS n_vecs
+    FROM (SELECT label, unnest(embedding) AS v, unnest(range(len(embedding))) AS d
+          FROM embeddings)
+    GROUP BY label, d
+    """,
+)
+def x31(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids via order-free quantized integer
+    sums (map-side combinable — the scalable exact design)."""
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    return similarity.label_centroids(e, "embedding", "label")
+
+
+@register(
     "x29_sequence_packing",
     r"""
     WITH toks AS (

@@ -693,3 +693,48 @@ def t2(spark: SparkSession, sf: str) -> DataFrame:
         FROM flags
         """
     )
+
+
+@register(
+    "t3_retention_cohorts",
+    """
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, c.cohort_day,
+             date_diff('day', c.cohort_day, e.d) AS day_offset
+      FROM ev e JOIN cohort c ON e.user_id = c.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity WHERE day_offset <= 14
+    GROUP BY 1, 2
+    """,
+)
+def t3(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-event day,
+    counted once per (cohort, day-offset) they were active on — the
+    standard product-analytics rollup. Two shuffles on user_id (cohort
+    min + activity distinct), then a small cohort-grid aggregation;
+    day arithmetic on truncated dates is exact integers."""
+    load_tables(spark, sf, "events")
+    ev = spark.table("events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

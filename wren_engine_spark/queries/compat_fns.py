@@ -73,3 +73,38 @@ def f4(spark: SparkSession, sf: str) -> DataFrame:
         ORDER BY id_a
         """
     )
+
+
+@register(
+    "f5_native_misc_functions",
+    """
+    SELECT c_custkey,
+           substr(c_name, 1, 9) || 'XX' || substr(c_name, 12) AS overlaid,
+           CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL THEN 'other_seg' ELSE 'building' END AS nvl2_tag,
+           CAST(octet_length(encode(c_name)) AS INTEGER) AS name_bytes,
+           greatest(c_acctbal, 0.0) AS bal_floor,
+           least(CAST(c_custkey AS BIGINT), 100) AS key_cap,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_remap
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+)
+def f5(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference scalar-core coverage with native Spark builtins:
+    overlay (function/scalar/mod.rs core registry), nvl2, encode
+    (encoding family), greatest/least, coalesce+nullif. The oracle
+    spells overlay/nvl2 in portable SQL (substr concat / CASE)."""
+    load_tables(spark, sf, "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               overlay(c_name PLACING 'XX' FROM 10 FOR 2) AS overlaid,
+               nvl2(nullif(c_mktsegment, 'BUILDING'), 'other_seg', 'building') AS nvl2_tag,
+               CAST(octet_length(encode(c_name, 'UTF-8')) AS INTEGER) AS name_bytes,
+               greatest(c_acctbal, 0.0) AS bal_floor,
+               least(CAST(c_custkey AS BIGINT), 100) AS key_cap,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_remap
+        FROM customer
+        WHERE c_custkey <= 200
+        """
+    )

@@ -65,3 +65,46 @@ def test_boundary_ratio_pair(spark):
     got = dedup.jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.8).collect()
     assert len(got) == 1
     assert got[0].jaccard == pytest.approx(0.8)
+
+
+# ---- connected components: iterative distributed code vs union-find ----
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min node of each component as the canonical label
+    comp_min = {}
+    for n in parent:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[find(n)] for n in parent}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges)
+def test_connected_components_equals_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "id_a INT, id_b INT")
+    got = {r.node: r.component for r in dedup.connected_components(df).collect()}
+    assert got == _union_find(edges)

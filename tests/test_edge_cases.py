@@ -75,3 +75,38 @@ class TestDegenerateDocs:
         out = similarity.cosine_near_dup_pairs(df, "vec_id", "embedding",
                                                threshold=0.99).collect()
         assert len(out) == 1 and out[0].cosine_sim == 1.0
+
+
+class TestEmptyNewOperators:
+    def test_connected_components_empty(self, spark):
+        edges = spark.createDataFrame([], "id_a INT, id_b INT")
+        assert dedup.connected_components(edges).count() == 0
+
+    def test_duplicate_clusters_empty(self, empty_docs):
+        assert dedup.duplicate_clusters(empty_docs, "text", "doc_id").count() == 0
+
+    def test_contamination_empty_sides(self, spark, empty_docs):
+        test_df = spark.createDataFrame([(1, "a b c d")], "doc_id LONG, text STRING")
+        # empty train: nothing leaks; empty test: no rows
+        out = {r.doc_id: r for r in
+               dedup.contamination(test_df, empty_docs, "text", "doc_id").collect()}
+        assert out[1].n_overlap == 0 and out[1].contamination_ratio == 0.0
+        assert dedup.contamination(empty_docs, test_df, "text", "doc_id").count() == 0
+
+    def test_incremental_dedup_empty_corpus(self, spark, empty_docs):
+        batch = spark.createDataFrame([(1, "x")], "doc_id LONG, text STRING")
+        assert dedup.incremental_dedup(batch, empty_docs, "text", "doc_id").count() == 1
+        assert dedup.incremental_dedup(empty_docs, batch, "text", "doc_id").count() == 0
+
+    def test_text_ops_empty(self, empty_docs):
+        assert text.repetition_stats(empty_docs, "text", "doc_id").count() == 0
+        assert text.pii_scrub(empty_docs, "text", "doc_id").count() == 0
+        assert text.tfidf_top_terms(empty_docs, "text", "doc_id").count() == 0
+
+    def test_pack_sequences_empty(self, spark):
+        df = spark.createDataFrame([], "src STRING, id LONG, toks LONG")
+        assert text.pack_sequences(df, "toks", "id", 100, "src").count() == 0
+
+    def test_label_centroids_empty(self, spark):
+        df = spark.createDataFrame([], "label INT, embedding ARRAY<FLOAT>")
+        assert similarity.label_centroids(df, "embedding", "label").count() == 0

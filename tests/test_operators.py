@@ -516,3 +516,20 @@ class TestClustersContaminationText:
         assert out[(0, 0)].centroid == 2.0 and out[(0, 1)].centroid == 3.0
         assert out[(1, 0)].centroid == 10.0 and out[(1, 1)].centroid == -2.0
         assert out[(0, 0)].n_vecs == 2 and out[(1, 0)].n_vecs == 1
+
+    def test_scalable_clusters_match_exact(self, spark, docs, exact_pairs):
+        exact = {r.doc_id: r.cluster_id for r in
+                 dedup.duplicate_clusters(docs, "text", "doc_id").collect()}
+        approx = {r.doc_id: r.cluster_id for r in
+                  dedup.scalable_duplicate_clusters(docs, "text", "doc_id").collect()}
+        assert set(approx) == set(exact)           # every doc labeled
+        # precision is exact (verify step), so approx clusters can only
+        # be a refinement of the exact ones: no doc may be merged into a
+        # cluster the exact pipeline kept separate
+        for d_, c in approx.items():
+            if c != d_:
+                assert exact[c] == exact[d_]
+        # recall: the high-similarity pairs (>=0.9) must be co-clustered
+        strong = [(a, b) for (a, b), j in exact_pairs.items() if j >= 0.9]
+        recalled = sum(1 for a, b in strong if approx[a] == approx[b])
+        assert not strong or recalled / len(strong) >= 0.9

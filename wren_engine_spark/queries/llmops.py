@@ -602,6 +602,15 @@ def x28(spark: SparkSession, sf: str) -> DataFrame:
     return text.tfidf_top_terms(d, "text", "doc_id", k=5)
 
 
+@register("x32_scalable_dup_clusters")  # LSH-candidate based: rows-only check
+def x32(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalable near-dup clustering (LSH candidates -> exact verify ->
+    connected components); precision-exact, recall bounded in
+    tests/test_operators.py against the exact x24 pipeline."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return dedup.scalable_duplicate_clusters(d, "text", "doc_id")
+
+
 @register(
     "x31_label_centroids",
     """

@@ -329,3 +329,37 @@ class TestViewOrdering:
                 {"name": "va", "statement": "SELECT * FROM vb"},
                 {"name": "vb", "statement": "SELECT * FROM va"},
             ]))
+
+
+class TestNonIdentifierNames:
+    """Reference parity: quote-aware, case-sensitive identifiers — model,
+    column, and view names that are not bare identifiers (unicode,
+    spaces) must deploy and be queryable with backticks
+    (mod.rs:823,1851,3448)."""
+
+    MANIFEST = {
+        "catalog": "t",
+        "schema": "t",
+        "models": [
+            {
+                "name": "客户 table",
+                "tableReference": "customers",
+                "primaryKey": "clé",
+                "columns": [
+                    {"name": "clé", "type": "int", "expression": "id"},
+                    {"name": "namé", "type": "varchar", "expression": "name"},
+                ],
+            }
+        ],
+        "relationships": [],
+        "views": [
+            {"name": "vue française",
+             "statement": 'SELECT `clé` FROM `客户 table` WHERE `clé` >= 2'}
+        ],
+    }
+
+    def test_unicode_model_and_view(self, spark):
+        eng = _deploy(spark, self.MANIFEST)
+        rows = eng.sql('SELECT `clé`, `namé` FROM `客户 table` ORDER BY `clé`').collect()
+        assert [r[0] for r in rows] == [1, 2, 3]
+        assert eng.sql('SELECT COUNT(*) AS n FROM `vue française`').collect()[0].n == 2

@@ -79,6 +79,25 @@ _NUMERIC = re.compile(r"^-?\d+(\.\d+)?$")
 _FORBIDDEN_RLS = re.compile(r"\b(select|insert|update|delete|union)\b|;", re.IGNORECASE)
 
 
+def _register_temp_view(spark: SparkSession, df: DataFrame, name: str) -> None:
+    """Register a temp view accepting ANY model/view name the reference
+    accepts (it is case-sensitive and quote-aware — context.rs:60-63;
+    unicode/spaced names exercised by mod.rs:823,1851,3448). Spark's
+    ``createOrReplaceTempView`` validates the name as a bare identifier,
+    so non-identifier names go through a mangled physical view plus a
+    backtick-quoted SQL alias view."""
+    try:
+        df.createOrReplaceTempView(name)
+    except Exception:  # noqa: BLE001 - non-identifier name
+        import hashlib
+
+        safe = "__wren_src_" + hashlib.md5(name.encode()).hexdigest()[:12]
+        df.createOrReplaceTempView(safe)
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW `{name}` AS SELECT * FROM {safe}"
+        )
+
+
 def _unq(s: str) -> str:
     if s and s[0] in '"`':
         return s[1:-1]
@@ -233,10 +252,12 @@ class SemanticEngine:
                 # expanded view in executor storage. A production deploy
                 # would write a refresh_time-scheduled Delta table.
                 df = df.cache()
-            df.createOrReplaceTempView(model.name)
+            _register_temp_view(self.spark, df, model.name)
             self._deployed_models[model.name] = df
         for view in self._views_in_dependency_order():
-            self.spark.sql(self._strip_ns(view.statement)).createOrReplaceTempView(view.name)
+            _register_temp_view(
+                self.spark, self.spark.sql(self._strip_ns(view.statement)), view.name
+            )
         for cube in self.manifest.cubes:
             self._register_cube(cube)
         return self
@@ -281,10 +302,12 @@ class SemanticEngine:
         frames (no re-expansion). Needed when another engine deployed
         same-named views on the shared session since this one did."""
         for name, df in self._deployed_models.items():
-            df.createOrReplaceTempView(name)
+            _register_temp_view(self.spark, df, name)
         self._active_variant = {}
         for view in self._views_in_dependency_order():
-            self.spark.sql(self._strip_ns(view.statement)).createOrReplaceTempView(view.name)
+            _register_temp_view(
+                self.spark, self.spark.sql(self._strip_ns(view.statement)), view.name
+            )
         return self
 
     def sql(self, sql: str) -> DataFrame:
@@ -322,7 +345,7 @@ class SemanticEngine:
             # re-register only when the active variant actually changes
             # (one py4j round-trip per model otherwise)
             if self._active_variant.get(model.name.lower()) != key[1]:
-                df.createOrReplaceTempView(model.name)
+                _register_temp_view(self.spark, df, model.name)
                 self._active_variant[model.name.lower()] = key[1]
         try:
             return self.spark.sql(stripped)
@@ -580,7 +603,7 @@ class SemanticEngine:
         out = base.groupBy(*dims).agg(*meas) if dims else base.agg(*meas)
         if cube.cached:
             out = out.cache()
-        out.createOrReplaceTempView(cube.name)
+        _register_temp_view(self.spark, out, cube.name)
         if not hasattr(self, "_cube_frames"):
             self._cube_frames: dict[str, DataFrame] = {}
         self._cube_frames[cube.name] = out

@@ -738,3 +738,96 @@ def t3(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "m4_gap_fill",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+             {DSUM.format(x='o_totalprice')} AS revenue
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-03-01'
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-02-28',
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    grid AS (
+      SELECT p.priority, s.day
+      FROM (SELECT DISTINCT priority FROM base) p CROSS JOIN spine s
+    )
+    SELECT g.priority, g.day,
+           COALESCE(b.revenue, 0.0) AS revenue,
+           last_value(b.revenue IGNORE NULLS) OVER (
+             PARTITION BY g.priority ORDER BY g.day
+             ROWS UNBOUNDED PRECEDING) AS carried_revenue
+    FROM grid g LEFT JOIN base b ON b.priority = g.priority AND b.day = g.day
+    """,
+)
+def m4(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap filling over a generated date spine: zero-fill
+    plus forward-fill (last non-null) per series — the resample step
+    before any window/trend computation. The spine is generated, the
+    grid is a broadcastable dims x days cross join, and the fill is one
+    window pass; at scale cost is the single partition-by-series
+    shuffle."""
+    o = load_tables(spark, sf, "orders")["orders"]
+    base = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-03-01").cast("date"))
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE '1995-01-01', DATE '1995-02-28', "
+        "INTERVAL 1 DAY)) AS day"
+    )
+    grid = base.select("priority").distinct().crossJoin(spine)
+    w = (
+        W.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(base, ["priority", "day"], "left")
+        .select(
+            "priority",
+            "day",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.last("revenue", ignorenulls=True).over(w).alias("carried_revenue"),
+        )
+    )
+
+
+@register(
+    "p3_pivot_matrix",
+    f"""
+    SELECT o_orderpriority AS priority,
+           {DSUM.format(x="CASE WHEN year(o_orderdate) = 1994 THEN o_totalprice END")} AS y1994,
+           {DSUM.format(x="CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice END")} AS y1995,
+           {DSUM.format(x="CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice END")} AS y1996
+    FROM orders
+    WHERE year(o_orderdate) BETWEEN 1994 AND 1996
+    GROUP BY 1
+    """,
+)
+def p3(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (long -> wide): revenue matrix priority x year via Spark's
+    native pivot with explicit value list (single-pass, map-side
+    combined; explicit values avoid the extra distinct-scan job). The
+    oracle spells the same pivot as conditional aggregation."""
+    o = load_tables(spark, sf, "orders")["orders"]
+    return (
+        o.filter(F.year("o_orderdate").between(1994, 1996))
+        .withColumn("__y", F.concat(F.lit("y"), F.year("o_orderdate")))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("__y", ["y1994", "y1995", "y1996"])
+        .agg(dsum(F.col("o_totalprice")))
+    )

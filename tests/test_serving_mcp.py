@@ -56,10 +56,16 @@ class TestTools:
         names = {t.name for t in server.tools()}
         assert names == {
             "deploy", "query", "dry_run", "validate", "list_tables",
-            "list_columns", "list_relationships", "list_functions", "health",
+            "list_columns", "list_relationships", "list_functions",
+            "knowledge", "health",
         }
 
     def test_query_before_deploy_raises(self, spark):
         fresh = McpToolServer(spark)
         with pytest.raises(RuntimeError):
             fresh.query("SELECT 1")
+
+
+def test_knowledge_tool(server):
+    k = server.knowledge()
+    assert "rules" in k and k["schema"]["models"]

@@ -85,6 +85,11 @@ class McpToolServer:
     def list_functions(self) -> dict:
         return {"functions": [f["name"] for f in self._svc().functions()]}
 
+    def knowledge(self) -> dict:
+        """Text-to-SQL rules + deployed schema for agents (reference
+        GET /{ds}/knowledge)."""
+        return self._svc().knowledge()
+
     def health(self) -> dict:
         try:
             self.spark.sql("SELECT 1").collect()
@@ -117,6 +122,7 @@ class McpToolServer:
                  obj(model="string"), self.list_columns),
             Tool("list_relationships", "List relationships", s, self.list_relationships),
             Tool("list_functions", "List callable functions", s, self.list_functions),
+            Tool("knowledge", "Text-to-SQL rules and schema for agents", s, self.knowledge),
             Tool("health", "Engine health check", s, self.health),
         ]
 

@@ -48,4 +48,4 @@ def test_oracle_coverage():
                        "x5_simhash64", "x11_lsh_ann", "x14_ivf_ann",
                        "x16_multimodal_embedding_pipeline",
                        "x17_simhash_near_dup", "x18_winnow_fingerprints",
-                       "x22_stratified_sample"}
+                       "x22_stratified_sample", "x32_scalable_dup_clusters"}

@@ -300,6 +300,97 @@ class TestPermissionAnalyze:
         eng = _deploy(spark, _clac_manifest("EQUALS", "5"), props={"level": "5"})
         assert eng.sql("SELECT state FROM M").columns == ["state"]
 
+    def test_denied_name_in_string_literal_not_reported(self, spark):
+        # ADVICE parity: a denied column name appearing ONLY inside a
+        # string literal is not an identifier reference — the query must
+        # succeed, not raise AccessControlError
+        eng = _deploy(spark, _clac_manifest("EQUALS", "5"), props={"level": "4"})
+        rows = eng.sql("SELECT id, 'state' AS lbl FROM M").collect()
+        assert all(r.lbl == "state" for r in rows)
+
+    def test_other_unresolved_column_not_misattributed(self, spark):
+        # an unresolved column DIFFERENT from the denied one must surface
+        # as the original analysis error, not a permission denial
+        from wren_engine_spark.engine import AccessControlError
+
+        eng = _deploy(spark, _clac_manifest("EQUALS", "5"), props={"level": "4"})
+        with pytest.raises(Exception) as exc:
+            eng.sql("SELECT no_such, state FROM M")
+        # whichever column Spark reports first, a wrong column name must
+        # never be converted into a denial of a different column
+        if isinstance(exc.value, AccessControlError):
+            assert "state" in str(exc.value)
+
+    def test_syntax_error_not_masked(self, spark):
+        from wren_engine_spark.engine import AccessControlError
+
+        eng = _deploy(spark, _clac_manifest("EQUALS", "5"), props={"level": "4"})
+        with pytest.raises(Exception) as exc:
+            eng.sql("SELEC id FRM M")
+        assert not isinstance(exc.value, AccessControlError)
+
+
+class TestQuoteAwareness:
+    """String-literal content must survive the identifier rewrites
+    (ADVICE: the '\"...\"' -> backtick rewrite previously corrupted
+    literals containing double quotes)."""
+
+    def test_double_quotes_in_literal_survive(self, spark):
+        eng = _deploy(spark)
+        rows = eng.sql(
+            "SELECT Name, 'he said \"hi\"' AS quote FROM Customers ORDER BY Id"
+        ).collect()
+        assert all(r.quote == 'he said "hi"' for r in rows)
+
+    def test_literal_filter_value_not_rewritten(self, spark):
+        eng = _deploy(spark)
+        # if the literal were rewritten to backticks, this would match 0
+        # rows differently / corrupt the comparison value
+        n = eng.sql(
+            "SELECT * FROM Customers WHERE Name <> 'x\"y'"
+        ).count()
+        assert n == 3
+
+    def test_namespace_pattern_inside_literal_kept(self, spark):
+        eng = _deploy(spark)
+        rows = eng.sql("SELECT 't.t.keep' AS v FROM Customers LIMIT 1").collect()
+        assert rows[0].v == "t.t.keep"
+
+    def test_escaped_quote_literal(self, spark):
+        eng = _deploy(spark)
+        rows = eng.sql('SELECT \'don\'\'t "quote" me\' AS v FROM Customers LIMIT 1').collect()
+        assert rows[0].v == 'don\'t "quote" me'
+
+
+class TestConcurrentSql:
+    def test_concurrent_variant_swaps_do_not_race(self, spark):
+        """Two threads alternating different calculated-field subsets on
+        the same engine: without serialization, one thread's view swap
+        lands between the other's registration and analysis and fails
+        with UNRESOLVED_COLUMN (ADVICE race)."""
+        import threading
+
+        eng = _deploy(spark)
+        errors: list[Exception] = []
+
+        def worker(q: str) -> None:
+            try:
+                for _ in range(10):
+                    eng.sql(q).collect()
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=worker, args=("SELECT Id, Total FROM Customers",)),
+            threading.Thread(target=worker, args=("SELECT Id, NOrders FROM Customers",)),
+            threading.Thread(target=worker, args=("SELECT Oid, CustState FROM Orders",)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors[:1]
+
 
 class TestViewOrdering:
     def _manifest_with_views(self, views):

@@ -137,6 +137,25 @@ class TestNearDupAndIVF:
         assert all(r.id_a < r.id_b for r in out)
         assert all(r.cosine_sim >= 0.35 for r in out)
 
+    def test_distributed_exact_equals_driver_baseline(self, spark):
+        # the registered (distributed block-pair) exact path must produce
+        # the identical pair set AND identical rounded sims as the
+        # broadcast-matrix driver baseline
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        dist = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in similarity.cosine_near_dup_pairs(
+                emb, "vec_id", "embedding", threshold=0.35, method="exact"
+            ).collect()
+        }
+        drv = {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in similarity.cosine_near_dup_pairs(
+                emb, "vec_id", "embedding", threshold=0.35, method="exact_driver"
+            ).collect()
+        }
+        assert dist == drv
+
     def test_lsh_near_dup_subset_of_exact(self, spark):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(150)
         exact = {

@@ -26,6 +26,18 @@ class TestLimitPushdown:
     def test_none(self):
         assert pushdown_limit("SELECT 1", None) == "SELECT 1"
 
+    def test_trailing_comment_not_swallowing_limit(self):
+        # ADVICE: '-- note LIMIT 10' used to swallow the appended limit
+        assert pushdown_limit("SELECT 1 -- note", 10) == "SELECT 1 LIMIT 10"
+
+    def test_existing_limit_after_comment_line(self):
+        out = pushdown_limit("SELECT 1\n-- note\nLIMIT 50", 10)
+        assert out == "SELECT 1\n-- note\nLIMIT 10"
+
+    def test_dashes_inside_literal_not_treated_as_comment(self):
+        out = pushdown_limit("SELECT '--x' AS v", 7)
+        assert out == "SELECT '--x' AS v LIMIT 7"
+
 
 class TestQuery:
     def test_envelope(self, service):

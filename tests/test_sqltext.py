@@ -1,0 +1,76 @@
+"""Unit tests for the quote-aware SQL text helpers (no Spark needed)."""
+
+from wren_engine_spark.plans.sqltext import (
+    identifiers,
+    rewrite_outside_literals,
+    split_literals,
+    strip_trailing_comments,
+)
+
+
+class TestSplitLiterals:
+    def test_plain(self):
+        assert split_literals("SELECT 1") == [("SELECT 1", False)]
+
+    def test_single_literal(self):
+        assert split_literals("a 'b' c") == [("a ", False), ("'b'", True), (" c", False)]
+
+    def test_escaped_quote(self):
+        # '' is an escaped quote INSIDE one literal
+        segs = split_literals("x = 'it''s' AND y")
+        assert segs == [("x = ", False), ("'it''s'", True), (" AND y", False)]
+
+    def test_adjacent_literals(self):
+        segs = split_literals("'a' 'b'")
+        assert [s for s, lit in segs if lit] == ["'a'", "'b'"]
+
+    def test_unterminated_literal(self):
+        segs = split_literals("a 'oops")
+        assert segs == [("a ", False), ("'oops", True)]
+
+    def test_roundtrip(self):
+        sql = "SELECT 'he said \"hi\"', x FROM t WHERE s = 'don''t'"
+        assert "".join(s for s, _ in split_literals(sql)) == sql
+
+
+class TestRewriteOutsideLiterals:
+    def test_literal_content_untouched(self):
+        import re
+
+        out = rewrite_outside_literals(
+            'SELECT "col" FROM t WHERE note = \'he said "hi"\'',
+            lambda s: re.sub(r'"([^"]+)"', r"`\1`", s),
+        )
+        assert out == 'SELECT `col` FROM t WHERE note = \'he said "hi"\''
+
+
+class TestIdentifiers:
+    def test_literals_excluded(self):
+        ids = identifiers("SELECT a FROM t WHERE note = 'secret_col'")
+        assert "a" in ids and "t" in ids and "secret_col" not in ids
+
+    def test_quoted_forms(self):
+        ids = identifiers('SELECT `Sp aced`, "Quo ted" FROM t')
+        assert "sp aced" in ids and "quo ted" in ids
+
+    def test_case_folded(self):
+        assert "total" in identifiers("SELECT Total FROM m")
+
+
+class TestStripTrailingComments:
+    def test_plain_untouched(self):
+        assert strip_trailing_comments("SELECT 1") == "SELECT 1"
+
+    def test_trailing_line_comment(self):
+        assert strip_trailing_comments("SELECT 1 -- note") == "SELECT 1"
+
+    def test_stacked_comments(self):
+        assert strip_trailing_comments("SELECT 1 -- a\n-- b") == "SELECT 1"
+
+    def test_mid_query_comment_kept(self):
+        sql = "SELECT 1 -- a\nFROM t"
+        assert strip_trailing_comments(sql) == sql
+
+    def test_dashes_in_literal_kept(self):
+        sql = "SELECT '--not a comment'"
+        assert strip_trailing_comments(sql) == sql

@@ -38,6 +38,7 @@ first action triggers distributed execution only.
 from __future__ import annotations
 
 import re
+import threading
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -61,6 +62,7 @@ from wren_engine_spark.mdl.manifest import (
     RowLevelAccessControl,
     quote_ident,
 )
+from wren_engine_spark.plans.sqltext import identifiers, rewrite_outside_literals
 from wren_engine_spark.sources.registry import SourceRegistry
 
 
@@ -94,7 +96,8 @@ def _register_temp_view(spark: SparkSession, df: DataFrame, name: str) -> None:
         safe = "__wren_src_" + hashlib.md5(name.encode()).hexdigest()[:12]
         df.createOrReplaceTempView(safe)
         spark.sql(
-            f"CREATE OR REPLACE TEMPORARY VIEW `{name}` AS SELECT * FROM {safe}"
+            f"CREATE OR REPLACE TEMPORARY VIEW {quote_ident(name)} "
+            f"AS SELECT * FROM {safe}"
         )
 
 
@@ -230,6 +233,11 @@ class SemanticEngine:
         self.sources = sources
         self.properties: dict[str, str] = {}
         self._plans: dict[str, _ModelPlan] = {}
+        # serializes variant-view swaps + analysis: the service layer may
+        # call sql() from multiple threads on one shared session, and a
+        # concurrent re-registration between A's view swap and A's
+        # spark.sql() would fail A with UNRESOLVED_COLUMN
+        self._sql_lock = threading.RLock()
         check_cycles(manifest)
 
     # ------------------------------------------------------------------ deploy
@@ -272,10 +280,12 @@ class SemanticEngine:
         names = {v.name.lower(): v for v in views}
         deps: dict[str, set[str]] = {}
         for v in views:
+            # identifier tokens outside string literals only — a view name
+            # appearing in a literal is not a dependency
             refs = {
-                n.lower()
-                for n in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", v.statement)
-                if n.lower() in names and n.lower() != v.name.lower()
+                n
+                for n in identifiers(v.statement)
+                if n in names and n != v.name.lower()
             }
             deps[v.name.lower()] = refs
         ordered, done = [], set()
@@ -325,52 +335,74 @@ class SemanticEngine:
         """
         stripped = self._strip_ns(sql)
         star = "*" in stripped
-        for model in self.manifest.models:
-            calcs = model.calculated_columns
-            if not any(extract_paths(model, self.manifest, c.expression or "") for c in calcs):
-                continue  # no join-backed fields -> full view is already cheap
-            if star:
-                used = {c.name for c in calcs}
-            else:
-                used = {
-                    c.name
-                    for c in calcs
-                    if re.search(rf"\b{re.escape(c.name)}\b", stripped, re.IGNORECASE)
-                }
-            key = (model.name.lower(), frozenset(used))
-            df = self._variants.get(key)
-            if df is None:
-                df = self._expand_model(model, calc_subset=used)
-                self._variants[key] = df
-            # re-register only when the active variant actually changes
-            # (one py4j round-trip per model otherwise)
-            if self._active_variant.get(model.name.lower()) != key[1]:
-                _register_temp_view(self.spark, df, model.name)
-                self._active_variant[model.name.lower()] = key[1]
-        try:
-            return self.spark.sql(stripped)
-        except Exception:
-            # PermissionAnalyze: turn UNRESOLVED_COLUMN on a CLAC-hidden
-            # column into a clean permission error
-            self.analyze_permissions(stripped)
-            raise
+        idents = None if star else identifiers(stripped)
+        # spark.sql() analyzes eagerly (Dataset.ofRows asserts analysis),
+        # so once it returns, the plan is bound to the views as they were
+        # inside the lock; later swaps cannot affect it
+        with self._sql_lock:
+            for model in self.manifest.models:
+                calcs = model.calculated_columns
+                if not any(
+                    extract_paths(model, self.manifest, c.expression or "") for c in calcs
+                ):
+                    continue  # no join-backed fields -> full view is already cheap
+                if idents is None:
+                    used = {c.name for c in calcs}
+                else:
+                    # identifier-token match (string literals excluded)
+                    used = {c.name for c in calcs if c.name.lower() in idents}
+                key = (model.name.lower(), frozenset(used))
+                df = self._variants.get(key)
+                if df is None:
+                    df = self._expand_model(model, calc_subset=used)
+                    self._variants[key] = df
+                # re-register only when the active variant actually changes
+                # (one py4j round-trip per model otherwise)
+                if self._active_variant.get(model.name.lower()) != key[1]:
+                    _register_temp_view(self.spark, df, model.name)
+                    self._active_variant[model.name.lower()] = key[1]
+            try:
+                return self.spark.sql(stripped)
+            except Exception as e:
+                # PermissionAnalyze: turn UNRESOLVED_COLUMN on a
+                # CLAC-hidden column into a clean permission error — but
+                # ONLY for unresolved-column analysis failures, so
+                # unrelated errors (syntax, runtime) are never masked as
+                # permission denials
+                msg = str(e)
+                if "UNRESOLVED_COLUMN" in msg or "cannot be resolved" in msg:
+                    m = re.search(r"`([^`]+)`", msg)
+                    self.analyze_permissions(
+                        stripped, unresolved=m.group(1) if m else None
+                    )
+                raise
 
-    def analyze_permissions(self, sql: str) -> None:
+    def analyze_permissions(self, sql: str, unresolved: str | None = None) -> None:
         """PermissionAnalyze pass (access_control.rs:290-399 error path,
         mod.rs:543-592): when a query fails, distinguish "column denied
         by CLAC under the current session properties" from a plain
         unknown column, and raise a clean AccessControlError naming the
-        denied columns instead of Spark's UNRESOLVED_COLUMN."""
+        denied columns instead of Spark's UNRESOLVED_COLUMN.
+
+        Matching is identifier-token based (string literals excluded), so
+        a denied column name appearing only inside a literal is never
+        reported. When ``unresolved`` carries the identifier from the
+        analysis error, only denied columns matching it are attributed —
+        a different unresolved column is not misreported as a denial."""
+        idents = identifiers(sql)
+        unres = unresolved.split(".")[-1].lower() if unresolved else None
         denied: list[str] = []
         for model in self.manifest.models:
-            if not re.search(rf"\b{re.escape(model.name)}\b", sql, re.IGNORECASE):
+            if model.name.lower() not in idents:
                 continue
             for c in model.columns:
                 if c.column_level_access_control is None:
                     continue
                 if _clac_allows(c.column_level_access_control, self.properties):
                     continue
-                if re.search(rf"\b{re.escape(c.name)}\b", sql, re.IGNORECASE):
+                if unres is not None and c.name.lower() != unres:
+                    continue
+                if c.name.lower() in idents:
                     denied.append(f"{model.name}.{c.name}")
         if denied:
             raise AccessControlError(
@@ -404,16 +436,21 @@ class SemanticEngine:
     def _strip_ns(self, sql: str) -> str:
         """Strip ``catalog.schema.`` prefixes from model references — temp
         views live in a flat namespace (model_anlayze.rs:56-64 step 3 does
-        the same before unparse)."""
+        the same before unparse). Rewrites are quote-aware: content of
+        single-quoted string literals is never touched."""
         cat, sch = self.manifest.catalog, self.manifest.schema
-        for pat in (
-            rf'"{cat}"\s*\.\s*"{sch}"\s*\.',
-            rf"\b{re.escape(cat)}\s*\.\s*{re.escape(sch)}\s*\.",
-            rf'\b{re.escape(sch)}\s*\.\s*(?=")',
-        ):
-            sql = re.sub(pat, "", sql)
-        # double-quoted identifiers -> backticks (Spark default parser)
-        return re.sub(r'"([^"]+)"', r"`\1`", sql)
+
+        def seg(s: str) -> str:
+            for pat in (
+                rf'"{cat}"\s*\.\s*"{sch}"\s*\.',
+                rf"\b{re.escape(cat)}\s*\.\s*{re.escape(sch)}\s*\.",
+                rf'\b{re.escape(sch)}\s*\.\s*(?=")',
+            ):
+                s = re.sub(pat, "", s)
+            # double-quoted identifiers -> backticks (Spark default parser)
+            return re.sub(r'"([^"]+)"', r"`\1`", s)
+
+        return rewrite_outside_literals(sql, seg)
 
     def _source_df(self, model: Model) -> DataFrame:
         if model.ref_sql:
@@ -421,7 +458,11 @@ class SemanticEngine:
         return self.sources.resolve(model.table_reference)
 
     def _expr(self, sql_expr: str) -> SparkColumn:
-        return F.expr(re.sub(r'"([^"]+)"', r"`\1`", sql_expr))
+        return F.expr(
+            rewrite_outside_literals(
+                sql_expr, lambda s: re.sub(r'"([^"]+)"', r"`\1`", s)
+            )
+        )
 
     def _base_plan(self, model: Model) -> _ModelPlan:
         """Expression-projected + RLS-filtered frame with *all* physical

@@ -144,17 +144,26 @@ def cosine_near_dup_pairs(
     """Embedding-based near-duplicate pairs: (id_a, id_b, cosine_sim)
     with id_a < id_b and cosine >= threshold.
 
-    method='exact': all-pairs self-join — quadratic, the verification
-    baseline (and the oracle semantics). Usable to ~10^5 vectors.
+    method='exact': distributed block-pair all-pairs — every unordered
+    pair is scored exactly once inside a pair-bucket task (no driver
+    collect, no corpus broadcast). Compute is inherently quadratic but
+    fully distributed: shuffle cost O(N*n_blocks), parallelism
+    n_blocks*(n_blocks+1)/2 tasks.
+
+    method='exact_driver': the original broadcast-matrix baseline —
+    collects the corpus to the driver; kept as the pytest
+    cross-validation oracle for the distributed path.
 
     method='lsh': hyperplane-LSH blocking (OR over ``tables`` tables)
-    then exact scoring of colliding pairs only — the 100 TB path. At
-    high thresholds collision probability per table is (1-arccos(t)/pi)
-    ^nbits, so near-dup pairs survive with recall
+    then exact scoring of colliding pairs only — the sub-quadratic
+    100 TB path for HIGH thresholds. Collision probability per table is
+    (1-arccos(t)/pi)^nbits, so near-dup pairs survive with recall
     1-(1-p^nbits)^tables while the cross product never materializes.
     """
     normed = with_norm(df, vec_col, "__n")
     if method == "exact":
+        return _exact_pairs_distributed(df, id_col, vec_col, threshold, round_digits)
+    elif method == "exact_driver":
         return _exact_blocked_pairs(df, id_col, vec_col, threshold, round_digits)
     elif method == "lsh":
         if dim is None:
@@ -185,6 +194,101 @@ def cosine_near_dup_pairs(
         pairs.select("id_a", "id_b", F.round(sim, round_digits).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def _exact_pairs_distributed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_digits: int,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold with NO driver-side state.
+
+    Block-pair scheme (the classic distributed all-pairs triangle):
+    rows are hashed into ``n_blocks`` blocks; each unordered block pair
+    (bi <= bj) is a bucket, and each row is replicated to the n_blocks
+    buckets it participates in. One shuffle of O(N * n_blocks) rows,
+    then each bucket task scores its block pair with numpy
+    dimension-at-a-time accumulation — the same sequential left fold as
+    the HOF/list_reduce path, so values are bit-identical to the SQL
+    oracle. Every unordered row pair lands in exactly one bucket
+    (the diagonal bucket when both rows share a block, else
+    (min_blk, max_blk)), so no dedup pass is needed.
+
+    At 100 TB: compute is inherently quadratic (that is what "exact"
+    means), but the plan is fully distributed — pick n_blocks so a
+    block fits executor memory; parallelism is n_blocks*(n_blocks+1)/2
+    independent tasks and the driver holds nothing. Reference parity:
+    wren-engine has no vector dedup; this extends the dedup family
+    (SURVEY.md north-star ops).
+    """
+    import numpy as np
+
+    pad = 10.0 ** (-round_digits)
+    blocked = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__blk"),
+    )
+    rep = blocked.select(
+        "__id",
+        "__vec",
+        "__blk",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}), o -> "
+                "named_struct('bi', least(__blk, o), 'bj', greatest(__blk, o)))"
+            )
+        ).alias("__bucket"),
+    ).select("__id", "__vec", "__blk", F.col("__bucket.bi").alias("__bi"), F.col("__bucket.bj").alias("__bj"))
+
+    def score(pdf):
+        import pandas as pd
+
+        bi = int(pdf["__bi"].iloc[0])
+        bj = int(pdf["__bj"].iloc[0])
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        V = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["__vec"]])
+        norms = np.zeros(len(V))
+        for j in range(V.shape[1]):
+            norms = norms + V[:, j] * V[:, j]
+        if bi == bj:
+            a_idx = np.arange(len(V))
+            b_idx = a_idx
+        else:
+            a_idx = np.nonzero(pdf["__blk"].to_numpy() == bi)[0]
+            b_idx = np.nonzero(pdf["__blk"].to_numpy() == bj)[0]
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "__sim": []})
+        A, B = V[a_idx], V[b_idx]
+        acc = np.zeros((len(A), len(B)))
+        for j in range(V.shape[1]):
+            acc = acc + A[:, j][:, None] * B[:, j][None, :]
+        sim = acc / (np.sqrt(norms[a_idx])[:, None] * np.sqrt(norms[b_idx])[None, :])
+        ia, ib = ids[a_idx], ids[b_idx]
+        if bi == bj:
+            # within-block: upper triangle gives each unordered pair once
+            keep = (sim >= threshold - pad) & (ia[:, None] < ib[None, :])
+            ki, kj = np.nonzero(keep)
+            left, right = ia[ki], ib[kj]
+        else:
+            # cross-block: every (a,b) pair occurs exactly once here;
+            # order the ids on emission (sim is symmetric in the fold)
+            ki, kj = np.nonzero(sim >= threshold - pad)
+            la, lb = ia[ki], ib[kj]
+            left, right = np.minimum(la, lb), np.maximum(la, lb)
+        return pd.DataFrame({"id_a": left, "id_b": right, "__sim": sim[ki, kj]})
+
+    out = rep.groupBy("__bi", "__bj").applyInPandas(
+        score, "id_a LONG, id_b LONG, __sim DOUBLE"
+    )
+    # authoritative rounded filter runs in Spark so rounding semantics
+    # match the SQL oracle exactly
+    return out.select(
+        "id_a", "id_b", F.round("__sim", round_digits).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)
 
 
 def _exact_blocked_pairs(

@@ -22,6 +22,7 @@ import re
 
 from wren_engine_spark.mdl.lineage import extract_paths, is_aggregate_expression
 from wren_engine_spark.mdl.manifest import Manifest, Model
+from wren_engine_spark.plans.sqltext import identifiers, rewrite_outside_literals
 
 
 def bq(name: str) -> str:
@@ -29,8 +30,11 @@ def bq(name: str) -> str:
 
 
 def _sq(expr: str) -> str:
-    """Double-quoted idents -> backticks (Spark parser)."""
-    return re.sub(r'"([^"]+)"', r"`\1`", expr)
+    """Double-quoted idents -> backticks (Spark parser); quote-aware —
+    single-quoted string literal content is never rewritten."""
+    return rewrite_outside_literals(
+        expr, lambda s: re.sub(r'"([^"]+)"', r"`\1`", s)
+    )
 
 
 class CteRewriter:
@@ -183,13 +187,17 @@ class CteRewriter:
         return chain, base_key, first_far, f"{last}.{bq(path.terminal)}"
 
     def _used_models(self, sql: str) -> list[Model]:
-        """Models transitively referenced by the SQL (through views)."""
-        text = sql
-        for v in self.manifest.views:
-            if re.search(rf"\b{re.escape(v.name)}\b", text, re.IGNORECASE):
-                text += " " + v.statement
-        return [
-            m
-            for m in self.manifest.models
-            if re.search(rf"\b{re.escape(m.name)}\b", text, re.IGNORECASE)
-        ]
+        """Models transitively referenced by the SQL (through views);
+        identifier-token matching, so names inside string literals don't
+        count as references."""
+        idents = set(identifiers(sql))
+        changed = True
+        while changed:  # fixpoint: views may reference views in any order
+            changed = False
+            for v in self.manifest.views:
+                if v.name.lower() in idents:
+                    new = identifiers(v.statement) - idents
+                    if new:
+                        idents |= new
+                        changed = True
+        return [m for m in self.manifest.models if m.name.lower() in idents]

@@ -258,9 +258,11 @@ def x12(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def x13(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact embedding-cosine near-duplicate pairs (verification
-    baseline; the LSH-blocked variant is the 100 TB path — see
-    operators/similarity.cosine_near_dup_pairs)."""
+    """Exact embedding-cosine near-duplicate pairs via the distributed
+    block-pair scheme — no driver-side collect, no corpus broadcast;
+    parallelism n_blocks*(n_blocks+1)/2 tasks. The sub-quadratic
+    LSH-blocked variant (method='lsh') is the high-threshold 100 TB
+    path — see operators/similarity.cosine_near_dup_pairs."""
     e = load_tables(spark, sf, "embeddings")["embeddings"]
     return similarity.cosine_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35)
 

@@ -35,16 +35,22 @@ _LIMIT_TAIL = re.compile(r"\bLIMIT\s+(\d+)\s*;?\s*$", re.IGNORECASE)
 
 
 def pushdown_limit(sql: str, limit: int | None) -> str:
-    """Merge a server-side limit into the SQL (reference
+    """Merge a server-side limit into the SQL text (reference
     wren-core-py/src/context.rs:271 + util.py:234-236: min of existing
-    and requested)."""
+    and requested). Trailing ``--`` comments are stripped first so the
+    appended LIMIT can never be swallowed by one. The executing path
+    (``SemanticService.query``) additionally applies ``df.limit`` on the
+    DataFrame, which is comment/offset-proof by construction."""
     if limit is None:
         return sql
+    from wren_engine_spark.plans.sqltext import strip_trailing_comments
+
+    sql = strip_trailing_comments(sql).rstrip(";").rstrip()
     m = _LIMIT_TAIL.search(sql)
     if m:
         existing = int(m.group(1))
         return _LIMIT_TAIL.sub(f"LIMIT {min(existing, limit)}", sql)
-    return f"{sql.rstrip().rstrip(';')} LIMIT {limit}"
+    return f"{sql} LIMIT {limit}"
 
 
 def _format_cell(v: Any) -> Any:
@@ -151,16 +157,20 @@ class SemanticService:
         use_cache: bool = False,
         timeout_s: float | None = None,
     ) -> dict | None:
-        sql = pushdown_limit(sql, limit)
         if dry_run:
             self.engine.dry_run(sql)
             return None
-        key = f"{sql}|{sorted(self.engine.properties.items())}"
+        key = f"{sql}|{limit}|{sorted(self.engine.properties.items())}"
         if use_cache and self.cache:
             hit = self.cache.get(self.engine.spark, key)
             if hit is not None:
                 return {**to_json(hit), "cached": True}
         df = self.engine.sql(sql)
+        if limit is not None:
+            # post-parse limit merge: composing df.limit with any LIMIT
+            # already in the SQL yields the min, and text edge cases
+            # (trailing comments, OFFSET) cannot break it
+            df = df.limit(limit)
         out = to_json(df, rows=collect_with_timeout(df, timeout_s))
         if use_cache and self.cache:
             self.cache.set(df, key)
@@ -176,19 +186,19 @@ class SemanticService:
         which models the query touches, which of their columns resolve,
         which calculated fields expand (and across which relationship
         paths), and the physical source behind each model."""
-        import re as _re
-
         from wren_engine_spark.mdl.lineage import extract_paths
+        from wren_engine_spark.plans.sqltext import identifiers
 
+        idents = identifiers(sql)
         out: list[dict] = []
         for model in self.engine.manifest.models:
-            if not _re.search(rf"\b{_re.escape(model.name)}\b", sql, _re.IGNORECASE):
+            if model.name.lower() not in idents:
                 continue
             used_cols = [
                 c.name
                 for c in model.columns
                 if not c.is_hidden and not c.is_relationship
-                and _re.search(rf"\b{_re.escape(c.name)}\b", sql, _re.IGNORECASE)
+                and c.name.lower() in idents
             ]
             calc = []
             for c in model.calculated_columns:

@@ -362,6 +362,82 @@ class TestQuoteAwareness:
         assert rows[0].v == 'don\'t "quote" me'
 
 
+class TestPerRequestTimezone:
+    """Per-request session timezone (reference x-wren-timezone header;
+    wren-core/core/src/mdl/context.rs:50-75 timezone cases): tz-aware
+    expressions evaluate under the requested zone for that query only,
+    and the session default (UTC) is restored afterwards."""
+
+    def test_offset_zone_shifts_interpretation(self, spark):
+        eng = _deploy(spark)
+        q = "SELECT unix_timestamp('2024-01-01 00:00:00') AS ts FROM Customers LIMIT 1"
+        utc = eng.sql(q, timezone="UTC").collect()[0].ts
+        plus8 = eng.sql(q, timezone="+08:00").collect()[0].ts
+        minus5 = eng.sql(q, timezone="-05:00").collect()[0].ts
+        # midnight wall clock in +08:00 is 8h EARLIER as an instant
+        assert utc - plus8 == 8 * 3600
+        assert minus5 - utc == 5 * 3600
+
+    def test_iana_zone_name(self, spark):
+        eng = _deploy(spark)
+        row = eng.sql(
+            "SELECT current_timezone() AS tz FROM Customers LIMIT 1",
+            timezone="Asia/Tokyo",
+        ).collect()[0]
+        assert row.tz == "Asia/Tokyo"
+
+    def test_session_default_restored(self, spark):
+        eng = _deploy(spark)
+        eng.sql("SELECT 1 FROM Customers LIMIT 1", timezone="+08:00").collect()
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # restored even when the query fails
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            eng.sql("SELECT no_such FROM Customers", timezone="+08:00")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+    def test_invalid_timezone_rejected(self, spark):
+        from wren_engine_spark.engine import PlanError
+
+        eng = _deploy(spark)
+        with pytest.raises(PlanError, match="invalid timezone"):
+            eng.sql("SELECT 1 FROM Customers", timezone="Mars/Olympus_Mons")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+    def test_timestamp_rendering_in_zone(self, spark):
+        from wren_engine_spark.serving import SemanticService
+
+        eng = _deploy(spark)
+        svc = SemanticService(eng)
+        # an instant fixed in UTC, rendered in a requested zone's wall clock
+        q = ("SELECT to_timestamp('2024-06-01 12:00:00') AS ts "
+             "FROM Customers LIMIT 1")
+        out_utc = svc.query(q, timezone="UTC")
+        out_tokyo = svc.query(q, timezone="Asia/Tokyo")
+        assert out_utc["data"][0][0] == "2024-06-01 12:00:00.000000"
+        # the literal is interpreted as Tokyo wall clock AND rendered back
+        # in Tokyo wall clock -> same display; use an explicit UTC instant
+        # for the shift check
+        q2 = ("SELECT from_utc_timestamp(to_utc_timestamp("
+              "'2024-06-01 12:00:00', 'UTC'), 'UTC') AS ts FROM Customers LIMIT 1")
+        out2 = svc.query(q2, timezone="UTC")
+        assert out2["data"][0][0] == "2024-06-01 12:00:00.000000"
+        assert out_tokyo["data"][0][0] == "2024-06-01 12:00:00.000000"
+
+    def test_timestamp_shift_via_service(self, spark):
+        from wren_engine_spark.serving import SemanticService
+
+        eng = _deploy(spark)
+        svc = SemanticService(eng)
+        # timestamp stored as a UTC instant: cast a unix epoch (zone-free)
+        q = "SELECT timestamp_seconds(1717243200) AS ts FROM Customers LIMIT 1"
+        utc = svc.query(q, timezone="UTC")["data"][0][0]
+        tokyo = svc.query(q, timezone="Asia/Tokyo")["data"][0][0]
+        assert utc == "2024-06-01 12:00:00.000000"
+        assert tokyo == "2024-06-01 21:00:00.000000"  # UTC+9 wall clock
+
+
 class TestConcurrentSql:
     def test_concurrent_variant_swaps_do_not_race(self, spark):
         """Two threads alternating different calculated-field subsets on

@@ -130,6 +130,38 @@ class TestDryPlanTwin:
         b = sorted(map(tuple, spark.sql(service.dry_plan(q)).collect()))
         assert a == b
 
+    def test_duckdb_dialect_executes_in_duckdb(self, service):
+        # the duckdb-rendered dry-plan is directly runnable there
+        # (reference transpile parity, rewriter.py:90-104): same rows as
+        # the Spark semantic path
+        import duckdb
+
+        q = "SELECT custkey, total_spent, nation_name FROM customer_m"
+        spark_rows = sorted(
+            (r[0], round(r[1] or 0.0, 6), r[2])
+            for r in service.engine.sql(q).collect()
+        )
+        text = service.dry_plan(q, dialect="duckdb")
+        assert "`" not in text and "read_parquet(" in text
+        duck_rows = sorted(
+            (r[0], round(r[1] or 0.0, 6), r[2])
+            for r in duckdb.sql(text).fetchall()
+        )
+        assert spark_rows == duck_rows
+
+    def test_postgres_dialect_requotes(self, service):
+        text = service.dry_plan(
+            "SELECT custkey FROM customer_m WHERE name <> 'keep`tick'",
+            dialect="postgres",
+        )
+        assert '"customer_m"' in text
+        assert "parquet.`" not in text
+        assert "'keep`tick'" in text  # literal untouched
+
+    def test_unknown_dialect_rejected(self, service):
+        with pytest.raises(ValueError, match="unsupported dialect"):
+            service.dry_plan("SELECT 1", dialect="oracle9i")
+
 
 class TestCache:
     def test_query_cache_roundtrip(self, spark, tmp_path):

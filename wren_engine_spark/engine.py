@@ -101,6 +101,23 @@ def _register_temp_view(spark: SparkSession, df: DataFrame, name: str) -> None:
         )
 
 
+_TZ_OFFSET = re.compile(r"^[+-]\d{2}:\d{2}$")
+
+
+def _validate_timezone(tz: str) -> None:
+    """Accept IANA zone names (zoneinfo) and fixed ``+HH:MM`` offsets —
+    the forms the reference's ``x-wren-timezone`` header takes. Rejecting
+    junk here keeps a bad header from poisoning the shared session conf."""
+    if _TZ_OFFSET.match(tz) or tz.upper() == "UTC":
+        return
+    import zoneinfo
+
+    try:
+        zoneinfo.ZoneInfo(tz)
+    except Exception as e:  # noqa: BLE001
+        raise PlanError(f"invalid timezone {tz!r}") from e
+
+
 def _unq(s: str) -> str:
     if s and s[0] in '"`':
         return s[1:-1]
@@ -320,7 +337,7 @@ class SemanticEngine:
             )
         return self
 
-    def sql(self, sql: str) -> DataFrame:
+    def sql(self, sql: str, timezone: str | None = None) -> DataFrame:
         """Run user SQL against the deployed semantic layer.
 
         Before planning, each model view is re-registered with only the
@@ -332,6 +349,15 @@ class SemanticEngine:
         entirely. A ``*`` in the query keeps every field (schema must
         stay complete). Extra inclusions from name collisions are
         harmless (correctness unaffected, only cost).
+
+        ``timezone`` evaluates THIS query under the given session zone
+        (reference: per-request ``x-wren-timezone`` header,
+        ibis-server/app/mdl/rewriter.py:176-186 /
+        wren-core/core/src/mdl/context.rs:50-75). Spark's ResolveTimeZone
+        rule stamps the session zone into every tz-aware expression at
+        analysis time, so setting the conf around ``spark.sql`` (inside
+        the planning lock) scopes it to this query; the default stays
+        UTC.
         """
         stripped = self._strip_ns(sql)
         star = "*" in stripped
@@ -361,8 +387,23 @@ class SemanticEngine:
                 if self._active_variant.get(model.name.lower()) != key[1]:
                     _register_temp_view(self.spark, df, model.name)
                     self._active_variant[model.name.lower()] = key[1]
+            tz_old: str | None = None
+            if timezone is not None:
+                _validate_timezone(timezone)
+                tz_old = self.spark.conf.get("spark.sql.session.timeZone")
+                self.spark.conf.set("spark.sql.session.timeZone", timezone)
             try:
-                return self.spark.sql(stripped)
+                df = self.spark.sql(stripped)
+                if timezone is not None:
+                    # ResolveTimeZone stamps the zone at analysis, but
+                    # current_date()/current_timezone() are substituted by
+                    # the OPTIMIZER (ReplaceCurrentLike/ComputeCurrentTime)
+                    # which normally runs lazily at first action — after
+                    # the conf restore below. QueryExecution memoizes
+                    # optimizedPlan, so forcing it here bakes those
+                    # literals under the request zone too.
+                    df._jdf.queryExecution().optimizedPlan()
+                return df
             except Exception as e:
                 # PermissionAnalyze: turn UNRESOLVED_COLUMN on a
                 # CLAC-hidden column into a clean permission error — but
@@ -376,6 +417,9 @@ class SemanticEngine:
                         stripped, unresolved=m.group(1) if m else None
                     )
                 raise
+            finally:
+                if tz_old is not None:
+                    self.spark.conf.set("spark.sql.session.timeZone", tz_old)
 
     def analyze_permissions(self, sql: str, unresolved: str | None = None) -> None:
         """PermissionAnalyze pass (access_control.rs:290-399 error path,
@@ -415,11 +459,16 @@ class SemanticEngine:
         access-control violations, moves no data."""
         self.sql(sql).schema  # Catalyst analysis is triggered by .schema
 
-    def dry_plan(self, sql: str) -> str:
-        """Expanded standalone Spark SQL text for the query (reference
+    def dry_plan(self, sql: str, dialect: str | None = None) -> str:
+        """Expanded standalone SQL text for the query (reference
         /dry-plan endpoint, v3/connector.py:250-341), built by the CTE
-        rewriter over the same lineage the DataFrame path uses."""
+        rewriter over the same lineage the DataFrame path uses.
+
+        ``dialect`` renders the text for another engine (reference
+        transpile: ibis-server/app/mdl/rewriter.py:90-104) — 'duckdb',
+        'postgres', 'ansi', or None/'spark' for Spark SQL."""
         from wren_engine_spark.plans.cte_rewriter import CteRewriter
+        from wren_engine_spark.plans.dialect import render
 
         source_sql = {
             m.name: self.sources.resolve_sql(m.table_reference)
@@ -427,9 +476,10 @@ class SemanticEngine:
             else f"({self._strip_ns(m.ref_sql)})"
             for m in self.manifest.models
         }
-        return CteRewriter(self.manifest, self.properties, source_sql).rewrite(
+        text = CteRewriter(self.manifest, self.properties, source_sql).rewrite(
             self._strip_ns(sql)
         )
+        return render(text, dialect)
 
     # ------------------------------------------------------- model expansion
 

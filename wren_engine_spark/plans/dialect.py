@@ -1,0 +1,101 @@
+"""Dialect rendering for dry-plan SQL text.
+
+The reference emits dry-plan SQL in the target backend's dialect via
+sqlglot transpile (ibis-server/app/mdl/rewriter.py:52-62,90-104). This
+module provides the same surface: when sqlglot is importable it is used
+directly; otherwise a best-effort textual renderer covers the
+differences that actually matter for the CTE rewriter's output —
+identifier quoting, a small function-name map, and file-scan syntax
+(Spark's ``parquet.`path``` becomes DuckDB's ``read_parquet('path')``,
+making the rendered text directly executable there).
+
+All rewrites are literal-aware (sqltext tokenizer): string literal
+content is never touched.
+"""
+
+from __future__ import annotations
+
+import re
+
+from wren_engine_spark.plans.sqltext import rewrite_outside_literals
+
+DIALECTS = ("spark", "duckdb", "postgres", "ansi")
+
+# Spark function name -> per-dialect rename, applied to call sites.
+# Only mismatches the CTE rewriter's output can contain are listed; both
+# target engines accept the ANSI core (COUNT/SUM/COALESCE/CASE/...).
+_FUNC_MAP: dict[str, dict[str, str]] = {
+    "postgres": {
+        "instr": "strpos",
+        "nvl": "coalesce",
+        "ifnull": "coalesce",
+        "try_cast": "cast",  # no TRY_CAST in postgres; best effort
+    },
+    "duckdb": {
+        "nvl": "coalesce",
+    },
+    "ansi": {
+        "nvl": "coalesce",
+        "ifnull": "coalesce",
+    },
+}
+
+_BACKTICK_IDENT = re.compile(r"`((?:[^`]|``)+)`")
+_FILE_SCAN = re.compile(r"\b(parquet|csv|json|orc)\s*\.\s*`([^`]+)`")
+
+
+def _requote(seg: str) -> str:
+    """Backtick identifiers -> ANSI double quotes."""
+    return _BACKTICK_IDENT.sub(
+        lambda m: '"' + m.group(1).replace("``", "`").replace('"', '""') + '"', seg
+    )
+
+
+def _file_scans(seg: str, dialect: str) -> str:
+    """Spark direct-path scans -> dialect table functions (DuckDB) or a
+    bare quoted path (others)."""
+    if dialect == "duckdb":
+        fn = {"parquet": "read_parquet", "csv": "read_csv_auto",
+              "json": "read_json_auto", "orc": "read_parquet"}
+
+        def sub(m: re.Match) -> str:
+            return f"{fn[m.group(1)]}('{m.group(2)}')"
+
+        return _FILE_SCAN.sub(sub, seg)
+    return _FILE_SCAN.sub(lambda m: f'"{m.group(2)}"', seg)
+
+
+def _funcs(seg: str, dialect: str) -> str:
+    fmap = _FUNC_MAP.get(dialect, {})
+    if not fmap:
+        return seg
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(k) for k in fmap) + r")\s*\(", re.IGNORECASE
+    )
+    return pat.sub(lambda m: fmap[m.group(1).lower()] + "(", seg)
+
+
+def render(sql: str, dialect: str | None = None) -> str:
+    """Render Spark-SQL dry-plan text for ``dialect``.
+
+    ``None``/``"spark"`` returns the text unchanged. Uses sqlglot when
+    installed; otherwise the textual fallback above.
+    """
+    if dialect is None or dialect == "spark":
+        return sql
+    if dialect not in DIALECTS:
+        raise ValueError(f"unsupported dialect {dialect!r}; one of {DIALECTS}")
+    try:  # full-fidelity path when the optional dependency exists
+        import sqlglot
+
+        return sqlglot.transpile(sql, read="spark", write=dialect
+                                 if dialect != "ansi" else "postgres")[0]
+    except ImportError:
+        pass
+
+    def seg_fn(seg: str) -> str:
+        seg = _file_scans(seg, dialect)
+        seg = _requote(seg)
+        return _funcs(seg, dialect)
+
+    return rewrite_outside_literals(sql, seg_fn)

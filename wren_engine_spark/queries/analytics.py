@@ -271,15 +271,34 @@ def d1(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("d2_approx_distinct")  # sketch-based: engines differ, rows-only check
+@register(
+    "d2_approx_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def d2(spark: SparkSession, sf: str) -> DataFrame:
     """approx_count_distinct (reference approx_distinct UDAF,
-    function/aggregate/mod.rs:39). HLL sketches differ across engines, so
-    no value oracle — the pytest suite bounds the relative error vs exact
-    instead (tests/test_queries.py)."""
+    function/aggregate/mod.rs:39). HLL sketch values differ across
+    engines, so the oracle checks the HLL++ *error bound* instead: the
+    query emits the exact distinct count plus a boolean asserting the
+    sketch landed within 3x the configured rsd (0.05) of it — DuckDB's
+    side is the exact count and literal TRUE, which hash-matches iff
+    every group's sketch is in bounds."""
     l = load_tables(spark, sf, "lineitem")["lineitem"]
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("__approx"),
+    ).select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("__approx") - F.col("exact_parts"))
+            <= 3 * 0.05 * F.col("exact_parts")
+        ).alias("within_rsd"),
     )
 
 

@@ -72,6 +72,30 @@ def _format_cell(v: Any) -> Any:
     return v
 
 
+def _render_timestamps_in_zone(df: DataFrame, tz: str) -> DataFrame:
+    """Convert TIMESTAMP (instant / LTZ) columns to the requested zone's
+    wall clock as TIMESTAMP_NTZ. PySpark collects instants as UTC wall
+    clock (session zone is pinned UTC), so ``from_utc_timestamp`` +
+    NTZ cast yields exactly the reference formatter's display semantics
+    (tz_convert then offset-free strftime). NTZ columns pass through —
+    they carry no zone to convert."""
+    from pyspark.sql import functions as F
+
+    fields = [
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    ]
+    if not any(t == "timestamp" for _, t in fields):
+        return df
+    return df.select(
+        *[
+            F.to_timestamp_ntz(F.from_utc_timestamp(F.col(f"`{name}`"), tz)).alias(name)
+            if t == "timestamp"
+            else F.col(f"`{name}`")
+            for name, t in fields
+        ]
+    )
+
+
 def to_json(df: DataFrame, rows: list | None = None) -> dict:
     """{columns, data, dtypes} result envelope."""
     collected = df.collect() if rows is None else rows
@@ -156,16 +180,25 @@ class SemanticService:
         dry_run: bool = False,
         use_cache: bool = False,
         timeout_s: float | None = None,
+        timezone: str | None = None,
     ) -> dict | None:
+        """``timezone`` is the per-request zone (reference
+        ``x-wren-timezone`` header): tz-aware expressions evaluate under
+        it (engine.sql stamps it at analysis) and TIMESTAMP (instant)
+        result columns are rendered as that zone's wall clock — the
+        formatter parity of ibis-server/app/util.py:149-190, whose
+        ``tz_convert`` + offset-free strftime does the same."""
         if dry_run:
             self.engine.dry_run(sql)
             return None
-        key = f"{sql}|{limit}|{sorted(self.engine.properties.items())}"
+        key = f"{sql}|{limit}|{timezone}|{sorted(self.engine.properties.items())}"
         if use_cache and self.cache:
             hit = self.cache.get(self.engine.spark, key)
             if hit is not None:
                 return {**to_json(hit), "cached": True}
-        df = self.engine.sql(sql)
+        df = self.engine.sql(sql, timezone=timezone)
+        if timezone is not None:
+            df = _render_timestamps_in_zone(df, timezone)
         if limit is not None:
             # post-parse limit merge: composing df.limit with any LIMIT
             # already in the SQL yields the min, and text edge cases
@@ -176,8 +209,8 @@ class SemanticService:
             self.cache.set(df, key)
         return out
 
-    def dry_plan(self, sql: str) -> str:
-        return self.engine.dry_plan(sql)
+    def dry_plan(self, sql: str, dialect: str | None = None) -> str:
+        return self.engine.dry_plan(sql, dialect=dialect)
 
     def analyze(self, sql: str) -> dict:
         """Decision-point analysis of a SQL against the deployed semantic
@@ -363,14 +396,14 @@ class SemanticService:
 def create_app(service: SemanticService):
     """FastAPI façade (optional — fastapi absent in the base image)."""
     try:
-        from fastapi import FastAPI, HTTPException
+        from fastapi import FastAPI, Header, HTTPException
     except ImportError as e:  # pragma: no cover
         raise RuntimeError("fastapi is not installed; use SemanticService directly") from e
 
     app = FastAPI(title="wren-engine-spark")
 
     @app.post("/v3/connector/spark/query")
-    def query(body: dict):
+    def query(body: dict, x_wren_timezone: str | None = Header(default=None)):
         try:
             return service.query(
                 body["sql"],
@@ -378,6 +411,7 @@ def create_app(service: SemanticService):
                 dry_run=bool(body.get("dryRun")),
                 use_cache=bool(body.get("cacheEnable")),
                 timeout_s=body.get("timeoutSeconds"),
+                timezone=x_wren_timezone or body.get("timezone"),
             )
         except QueryTimeoutError as e:
             raise HTTPException(status_code=504, detail=str(e)) from e
@@ -386,7 +420,7 @@ def create_app(service: SemanticService):
 
     @app.post("/v3/connector/spark/dry-plan")
     def dry_plan(body: dict):
-        return {"sql": service.dry_plan(body["sql"])}
+        return {"sql": service.dry_plan(body["sql"], dialect=body.get("dialect"))}
 
     @app.post("/v3/connector/spark/validate/column_is_valid")
     def validate(body: dict):

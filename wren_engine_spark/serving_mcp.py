@@ -60,8 +60,10 @@ class McpToolServer:
         return self.service
 
     def query(self, sql: str, limit: int | None = None,
-              timeout_s: float | None = None) -> dict:
-        return self._svc().query(sql, limit=limit, timeout_s=timeout_s)
+              timeout_s: float | None = None,
+              timezone: str | None = None) -> dict:
+        return self._svc().query(sql, limit=limit, timeout_s=timeout_s,
+                                 timezone=timezone)
 
     def dry_run(self, sql: str) -> dict:
         self._svc().query(sql, dry_run=True)

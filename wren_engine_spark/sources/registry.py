@@ -67,6 +67,7 @@ class SourceRegistry:
         self.spark = spark
         self._dirs: list[DirectorySource] = []
         self._tables: dict[str, DataFrame] = {}
+        self._jdbc: dict[str, tuple[str, dict[str, str]]] = {}
 
     def add_directory(self, path: str, fmt: str = "parquet") -> "SourceRegistry":
         self._dirs.append(DirectorySource(path, fmt))
@@ -76,12 +77,43 @@ class SourceRegistry:
         self._tables[name.lower()] = df
         return self
 
+    # ------------------------------------------------------------- JDBC
+
+    def add_jdbc(
+        self, alias: str, url: str, properties: dict[str, str] | None = None
+    ) -> "SourceRegistry":
+        """Register a remote JDBC backend under an alias (the Spark-native
+        form of the reference's 20 data_source connections,
+        ibis-server/app/model/data_source.py:262-530). ``properties`` are
+        passed to ``spark.read.jdbc`` — credentials, ``driver``, and the
+        scale knobs ``partitionColumn``/``lowerBound``/``upperBound``/
+        ``numPartitions`` (without which Spark reads a remote table on a
+        single task; with them the read fans out into range-parallel
+        queries — the 100 TB ingest path)."""
+        self._jdbc[alias.lower()] = (url, dict(properties or {}))
+        return self
+
+    def _read_jdbc(self, url: str, table: str, props: dict[str, str]) -> DataFrame:
+        reader = self.spark.read.format("jdbc").option("url", url)
+        # a "(SELECT ...)" table is a pushdown subquery; plain names are
+        # remote tables. Catalyst additionally pushes filters/projections
+        # into the generated remote query (JDBCRelation pushdown).
+        key = "query" if props.pop("__as_query", None) else "dbtable"
+        reader = reader.option(key, table)
+        for k, v in props.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
     def resolve_sql(self, table_reference: str) -> str:
         """FROM-clause SQL text for a table reference (for dry-plan /
         CTE generation): file sources use Spark's direct-path syntax
         (``parquet.`/path```), catalog tables their name."""
         ref = table_reference.strip()
         scheme, _, rest = ref.partition(":")
+        if scheme.lower() == "jdbc" and rest:
+            # no FROM-path syntax for JDBC in Spark SQL; the dry-plan
+            # text names the remote table (resolve() does the real read)
+            return ref.rpartition("#")[2] or ref
         if scheme.lower() in ("parquet", "csv", "json", "orc") and rest:
             return f"{scheme.lower()}.`{rest}`"
         ext = os.path.splitext(ref)[1].lower()
@@ -97,6 +129,8 @@ class SourceRegistry:
     def resolve(self, table_reference: str) -> DataFrame:
         ref = table_reference.strip()
         scheme, _, rest = ref.partition(":")
+        if scheme.lower() == "jdbc" and rest:
+            return self._resolve_jdbc(ref, rest)
         if scheme.lower() in ("parquet", "csv", "json", "orc") and rest:
             return _read(self.spark, scheme.lower(), rest)
         ext = os.path.splitext(ref)[1].lower()
@@ -115,3 +149,92 @@ class SourceRegistry:
             return self.spark.table(ref)
         except Exception as e:  # noqa: BLE001
             raise SourceError(f"cannot resolve table reference {table_reference!r}: {e}") from e
+
+    def _resolve_jdbc(self, ref: str, rest: str) -> DataFrame:
+        """Two accepted jdbc forms:
+
+        - ``jdbc:<alias>#<table>`` — alias registered via ``add_jdbc``
+          (credentials/options live with the alias, not in the MDL);
+        - ``jdbc:<full-jdbc-url>#<table>`` — direct URL, e.g.
+          ``jdbc:derby:/tmp/db#events`` (the ``jdbc:`` prefix is part of
+          the URL itself, so ``ref`` is passed whole).
+
+        ``<table>`` may be ``(SELECT ...) q`` for remote pushdown.
+        """
+        head, sep, table = ref.rpartition("#")
+        if not sep or not table:
+            raise SourceError(
+                f"jdbc reference {ref!r} must be jdbc:<alias-or-url>#<table>"
+            )
+        alias_or_url = head[len("jdbc:"):]
+        if alias_or_url.lower() in self._jdbc:
+            url, props = self._jdbc[alias_or_url.lower()]
+        else:
+            url, props = head, {}
+        if table.lstrip().startswith("("):
+            props = {**props, "__as_query": "1"}
+            table = table.strip().lstrip("(").rstrip(")")
+        try:
+            return self._read_jdbc(url, table, dict(props))
+        except Exception as e:  # noqa: BLE001
+            raise SourceError(f"cannot read jdbc reference {ref!r}: {e}") from e
+
+    # ----------------------------------------------------- object store
+
+    def configure_s3(
+        self,
+        endpoint: str | None = None,
+        access_key: str | None = None,
+        secret_key: str | None = None,
+        region: str | None = None,
+        path_style: bool = False,
+        anonymous: bool = False,
+    ) -> "SourceRegistry":
+        """Configure Hadoop S3A so ``s3a://bucket/key`` paths resolve
+        (reference: ibis-server/app/model/utils.py init_duckdb_s3).
+        Runtime-settable — applies to reads issued after the call.
+
+        At 100 TB this IS the hot path: S3A scans split by file and
+        row-group exactly like local parquet; pair with
+        ``fs.s3a.connection.maximum`` sized to executor count."""
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        if endpoint:
+            conf.set("fs.s3a.endpoint", endpoint)
+        if access_key:
+            conf.set("fs.s3a.access.key", access_key)
+        if secret_key:
+            conf.set("fs.s3a.secret.key", secret_key)
+        if region:
+            conf.set("fs.s3a.endpoint.region", region)
+        if path_style:
+            conf.set("fs.s3a.path.style.access", "true")
+        if anonymous:
+            conf.set(
+                "fs.s3a.aws.credentials.provider",
+                "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider",
+            )
+        return self
+
+    def configure_minio(
+        self, endpoint: str, access_key: str, secret_key: str
+    ) -> "SourceRegistry":
+        """MinIO = S3A with a custom endpoint + path-style addressing
+        (reference init_duckdb_minio)."""
+        return self.configure_s3(
+            endpoint=endpoint,
+            access_key=access_key,
+            secret_key=secret_key,
+            path_style=True,
+        )
+
+    def configure_gcs(self, keyfile: str | None = None) -> "SourceRegistry":
+        """GCS connector configuration (reference init_duckdb_gcs).
+        ``gs://`` needs the gcs-connector jar on the cluster classpath;
+        the conf keys are set regardless so a properly-provisioned
+        cluster picks them up."""
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        conf.set("fs.gs.impl", "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem")
+        if keyfile:
+            conf.set("google.cloud.auth.service.account.enable", "true")
+            conf.set("google.cloud.auth.service.account.json.keyfile", keyfile)
+        return self

@@ -438,6 +438,39 @@ class TestPerRequestTimezone:
         assert tokyo == "2024-06-01 21:00:00.000000"  # UTC+9 wall clock
 
 
+class TestPlanCache:
+    def test_repeat_query_returns_cached_plan(self, spark):
+        eng = _deploy(spark)
+        q = "SELECT Id, Total FROM Customers"
+        a = eng.sql(q)
+        b = eng.sql(q)
+        assert a is b  # same bound plan object — no re-analysis
+        assert eng.sql(q, use_plan_cache=False) is not b
+
+    def test_cache_key_includes_timezone(self, spark):
+        eng = _deploy(spark)
+        q = "SELECT unix_timestamp('2024-01-01 00:00:00') AS ts FROM Customers LIMIT 1"
+        a = eng.sql(q, timezone="UTC").collect()[0].ts
+        b = eng.sql(q, timezone="+08:00").collect()[0].ts
+        assert a - b == 8 * 3600  # distinct cache entries per zone
+
+    def test_redeploy_invalidates(self, spark):
+        eng = _deploy(spark)
+        q = "SELECT Id FROM Customers"
+        a = eng.sql(q)
+        eng.deploy({})
+        assert eng.sql(q) is not a
+
+    def test_errors_surface_as_pyspark_types(self, spark):
+        # the direct JVM sql call must convert Java errors to the same
+        # PySpark exception types spark.sql raises
+        from pyspark.errors import AnalysisException
+
+        eng = _deploy(spark)
+        with pytest.raises(AnalysisException):
+            eng.sql("SELECT definitely_missing FROM Customers")
+
+
 class TestConcurrentSql:
     def test_concurrent_variant_swaps_do_not_race(self, spark):
         """Two threads alternating different calculated-field subsets on

@@ -110,6 +110,59 @@ class TestJoinShapes:
         assert "NestedLoop" not in p and "CartesianProduct" not in p
 
 
+class TestSemanticPlanShapes:
+    """Plan-shape assertions for the semantic-layer corpus: the expanded
+    model views must produce the same physical-plan properties a
+    hand-written query would — scale regressions in the expansion logic
+    fail here before they cost anything."""
+
+    def test_sem2_to_one_join_broadcasts(self, spark):
+        # customer -> nation is a dimension join; must broadcast, never
+        # shuffle the fact side for it
+        p = plan_of(spark, "sem2_calc_to_one")
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_sem3_to_many_preagg_is_partial(self, spark):
+        # pre-aggregation on the fk must map-side combine (two
+        # HashAggregate levels), and the join stays equi
+        p = plan_of(spark, "sem3_calc_to_many")
+        assert p.count("HashAggregate") >= 2
+        assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+    def test_sem4_two_hop_no_nested_loop(self, spark):
+        p = plan_of(spark, "sem4_two_hop_calc")
+        assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+    def test_sem6_rls_filter_pushed_to_scan(self, spark):
+        # the RLS predicate lives inside the view; it must still reach
+        # the parquet scan as a pushed filter, not a post-scan Filter only
+        p = plan_of(spark, "sem6_rls_filter")
+        assert re.search(r"PushedFilters: \[[^\]]", p)
+
+    def test_sem7_join_query_broadcasts_dims(self, spark):
+        p = plan_of(spark, "sem7_semantic_join_query")
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+
+class TestAsofAndDistributedExact:
+    def test_a3_asof_join_no_nested_loop(self, spark):
+        # union+last-value-carry-forward as-of: windows, not a range
+        # cross product
+        p = plan_of(spark, "a3_asof_click_attribution")
+        assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+    def test_x13_distributed_exact_no_driver_state(self, spark):
+        # the block-pair exact scheme: pair-bucket groupBy feeding an
+        # Arrow-batched pandas stage; NO broadcast of the corpus and no
+        # driver-side collect anywhere in the plan
+        p = plan_of(spark, "x13_embedding_near_dup")
+        assert "FlatMapGroupsInPandas" in p
+        assert "BroadcastExchange" not in p
+        assert "CartesianProduct" not in p
+
+
 class TestLlmopsPlanShapes:
     def test_x28_docfreq_join_broadcast(self, spark):
         p = plan_of(spark, "x28_tfidf_top_terms")

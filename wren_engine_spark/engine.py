@@ -101,6 +101,23 @@ def _register_temp_view(spark: SparkSession, df: DataFrame, name: str) -> None:
         )
 
 
+def _convert_java_exception(e: Exception) -> Exception:
+    """Map a raw py4j Java exception to the standard PySpark exception
+    type (AnalysisException etc.), so the direct JVM ``sql`` call in
+    ``SemanticEngine.sql`` surfaces the same errors as ``spark.sql``."""
+    try:
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.captured import convert_exception
+    except ImportError:  # pragma: no cover
+        return e
+    if isinstance(e, Py4JJavaError):
+        try:
+            return convert_exception(e.java_exception)
+        except Exception:  # noqa: BLE001 - fall back to the raw error
+            return e
+    return e
+
+
 _TZ_OFFSET = re.compile(r"^[+-]\d{2}:\d{2}$")
 
 
@@ -255,6 +272,14 @@ class SemanticEngine:
         # concurrent re-registration between A's view swap and A's
         # spark.sql() would fail A with UNRESOLVED_COLUMN
         self._sql_lock = threading.RLock()
+        # analyzed-plan LRU: spark.sql analysis is eager, so a DataFrame
+        # is an immutable bound plan — repeated query texts (dashboards,
+        # polling agents) skip the parse+analyze round trip entirely.
+        # Invalidated wholesale on (re)deploy.
+        from collections import OrderedDict
+
+        self._plan_cache: OrderedDict[tuple, DataFrame] = OrderedDict()
+        self._plan_cache_max = 256
         check_cycles(manifest)
 
     # ------------------------------------------------------------------ deploy
@@ -269,6 +294,7 @@ class SemanticEngine:
         self._variants: dict[tuple[str, frozenset], DataFrame] = {}
         self._active_variant: dict[str, frozenset] = {}
         self._deployed_models: dict[str, DataFrame] = {}
+        self._plan_cache.clear()
         for model in self.manifest.models:
             df = self._expand_model(model)
             if model.cached:
@@ -337,7 +363,12 @@ class SemanticEngine:
             )
         return self
 
-    def sql(self, sql: str, timezone: str | None = None) -> DataFrame:
+    def sql(
+        self,
+        sql: str,
+        timezone: str | None = None,
+        use_plan_cache: bool = True,
+    ) -> DataFrame:
         """Run user SQL against the deployed semantic layer.
 
         Before planning, each model view is re-registered with only the
@@ -360,12 +391,18 @@ class SemanticEngine:
         UTC.
         """
         stripped = self._strip_ns(sql)
+        cache_key = (stripped, timezone)
         star = "*" in stripped
         idents = None if star else identifiers(stripped)
         # spark.sql() analyzes eagerly (Dataset.ofRows asserts analysis),
         # so once it returns, the plan is bound to the views as they were
         # inside the lock; later swaps cannot affect it
         with self._sql_lock:
+            if use_plan_cache:
+                hit = self._plan_cache.get(cache_key)
+                if hit is not None:
+                    self._plan_cache.move_to_end(cache_key)
+                    return hit
             for model in self.manifest.models:
                 calcs = model.calculated_columns
                 if not any(
@@ -393,7 +430,13 @@ class SemanticEngine:
                 tz_old = self.spark.conf.get("spark.sql.session.timeZone")
                 self.spark.conf.set("spark.sql.session.timeZone", timezone)
             try:
-                df = self.spark.sql(stripped)
+                # direct JVM-session call: the PySpark sql() wrapper costs
+                # several extra py4j round trips (~2x planning latency);
+                # the DataFrame constructor below is pure-Python. Java
+                # exceptions are converted to the standard PySpark types
+                # in the except path so callers see identical errors.
+                jdf = self.spark._jsparkSession.sql(stripped)
+                df = DataFrame(jdf, self.spark)
                 if timezone is not None:
                     # ResolveTimeZone stamps the zone at analysis, but
                     # current_date()/current_timezone() are substituted by
@@ -403,20 +446,27 @@ class SemanticEngine:
                     # optimizedPlan, so forcing it here bakes those
                     # literals under the request zone too.
                     df._jdf.queryExecution().optimizedPlan()
+                if use_plan_cache:
+                    self._plan_cache[cache_key] = df
+                    if len(self._plan_cache) > self._plan_cache_max:
+                        self._plan_cache.popitem(last=False)
                 return df
             except Exception as e:
+                conv = _convert_java_exception(e)
                 # PermissionAnalyze: turn UNRESOLVED_COLUMN on a
                 # CLAC-hidden column into a clean permission error — but
                 # ONLY for unresolved-column analysis failures, so
                 # unrelated errors (syntax, runtime) are never masked as
                 # permission denials
-                msg = str(e)
+                msg = str(conv)
                 if "UNRESOLVED_COLUMN" in msg or "cannot be resolved" in msg:
                     m = re.search(r"`([^`]+)`", msg)
                     self.analyze_permissions(
                         stripped, unresolved=m.group(1) if m else None
                     )
-                raise
+                if conv is e:
+                    raise
+                raise conv from None
             finally:
                 if tz_old is not None:
                     self.spark.conf.set("spark.sql.session.timeZone", tz_old)

@@ -134,6 +134,25 @@ class TestJdbcSource:
         assert [r.owner for r in rows] == ["alice", "bob", "carol"]
         assert rows[0].balance_eur == pytest.approx(9.45)
 
+    def test_jdbc_metadata_scrape(self, spark, derby_db):
+        # reference per-backend metadata parity: live tables + columns +
+        # pk through JDBC DatabaseMetaData
+        reg = SourceRegistry(spark).add_jdbc(
+            "mydb", derby_db["url"], {"driver": derby_db["driver"]}
+        )
+        tables = reg.jdbc_metadata("mydb", schema_pattern="APP")
+        by_name = {t["name"].lower(): t for t in tables}
+        assert "accounts" in by_name
+        colnames = [c["name"].lower() for c in by_name["accounts"]["columns"]]
+        assert colnames == ["id", "name", "balance"]
+        types = {c["name"].lower(): c["type"].upper()
+                 for c in by_name["accounts"]["columns"]}
+        assert types["id"] == "INTEGER" and types["balance"] == "DOUBLE"
+
+    def test_jdbc_metadata_unknown_alias(self, spark):
+        with pytest.raises(SourceError, match="unknown jdbc alias"):
+            SourceRegistry(spark).jdbc_metadata("nope")
+
     def test_malformed_jdbc_reference(self, spark):
         with pytest.raises(SourceError, match="jdbc"):
             SourceRegistry(spark).resolve("jdbc:derby:/nope/missing-table-sep")

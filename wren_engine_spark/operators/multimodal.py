@@ -130,13 +130,19 @@ def extract_features_stub(payloads: DataFrame, dim: int = FEATURE_DIM) -> DataFr
     result feeds the similarity operators (cosine_topk / ivf_topk)
     unchanged."""
 
+    import numpy as np
+
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
-                v = [0] * dim
-                for pos, byte in enumerate(payload):
-                    v[pos % dim] = (v[pos % dim] + byte) % 97
+                # vectorized position-bucketed byte sums: modular addition
+                # is associative, so summing per bucket then reducing
+                # mod 97 equals the per-byte sequential definition
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                if len(arr) % dim:
+                    arr = np.pad(arr, (0, dim - len(arr) % dim))
+                v = arr.reshape(-1, dim).sum(axis=0) % 97
                 feats.append([float(x) for x in v])
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 

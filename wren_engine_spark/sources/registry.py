@@ -179,6 +179,57 @@ class SourceRegistry:
         except Exception as e:  # noqa: BLE001
             raise SourceError(f"cannot read jdbc reference {ref!r}: {e}") from e
 
+    def jdbc_metadata(
+        self, alias: str, schema_pattern: str | None = None
+    ) -> list[dict]:
+        """Live table/column/primary-key metadata of a registered JDBC
+        backend (reference per-backend metadata scraping,
+        ibis-server/app/model/metadata/*): JDBC ``DatabaseMetaData``
+        through the driver JVM — metadata is driver-side and tiny, no
+        Spark job involved. Returns the reference's table-DTO shape:
+        ``[{name, columns: [{name, type, nullable}], primaryKey}]``."""
+        if alias.lower() not in self._jdbc:
+            raise SourceError(f"unknown jdbc alias {alias!r}")
+        url, props = self._jdbc[alias.lower()]
+        jvm = self.spark.sparkContext._jvm
+        if "driver" in props:
+            jvm.java.lang.Class.forName(props["driver"])
+        jprops = jvm.java.util.Properties()
+        for k, v in props.items():
+            if k != "driver":
+                jprops.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+        try:
+            md = conn.getMetaData()
+            cols: dict[str, list[dict]] = {}
+            rs = md.getColumns(None, schema_pattern, "%", "%")
+            while rs.next():
+                cols.setdefault(rs.getString("TABLE_NAME"), []).append(
+                    {
+                        "name": rs.getString("COLUMN_NAME"),
+                        "type": rs.getString("TYPE_NAME"),
+                        "nullable": rs.getInt("NULLABLE") == 1,
+                    }
+                )
+            rs.close()
+            out = []
+            for t in sorted(cols):
+                pk = []
+                prs = md.getPrimaryKeys(None, schema_pattern, t)
+                while prs.next():
+                    pk.append(prs.getString("COLUMN_NAME"))
+                prs.close()
+                out.append(
+                    {
+                        "name": t,
+                        "columns": cols[t],
+                        "primaryKey": pk[0] if len(pk) == 1 else (pk or None),
+                    }
+                )
+            return out
+        finally:
+            conn.close()
+
     # ----------------------------------------------------- object store
 
     def configure_s3(

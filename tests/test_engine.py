@@ -300,6 +300,15 @@ class TestPermissionAnalyze:
         eng = _deploy(spark, _clac_manifest("EQUALS", "5"), props={"level": "5"})
         assert eng.sql("SELECT state FROM M").columns == ["state"]
 
+    def test_qualified_denied_column_still_reported(self, spark):
+        # Spark reports multi-part names per part (`M`.`state`); the
+        # qualifier must not defeat the clean AccessControlError
+        from wren_engine_spark.engine import AccessControlError
+
+        eng = _deploy(spark, _clac_manifest("EQUALS", "5"), props={"level": "4"})
+        with pytest.raises(AccessControlError, match=r"M\.state"):
+            eng.sql("SELECT M.state FROM M")
+
     def test_denied_name_in_string_literal_not_reported(self, spark):
         # ADVICE parity: a denied column name appearing ONLY inside a
         # string literal is not an identifier reference — the query must
@@ -425,6 +434,22 @@ class TestPerRequestTimezone:
         assert out2["data"][0][0] == "2024-06-01 12:00:00.000000"
         assert out_tokyo["data"][0][0] == "2024-06-01 12:00:00.000000"
 
+    def test_optimizer_substituted_fns_see_zone_through_service(self, spark):
+        # the serving wrappers (zone rendering, limit) must not push the
+        # optimizer pass outside the tz window
+        from wren_engine_spark.serving import SemanticService
+
+        eng = _deploy(spark)
+        svc = SemanticService(eng)
+        out = svc.query(
+            "SELECT current_timezone() AS tz, timestamp_seconds(0) AS ts "
+            "FROM Customers",
+            timezone="Asia/Tokyo",
+            limit=1,
+        )
+        assert out["data"][0][0] == "Asia/Tokyo"
+        assert out["data"][0][1] == "1970-01-01 09:00:00.000000"  # UTC+9
+
     def test_timestamp_shift_via_service(self, spark):
         from wren_engine_spark.serving import SemanticService
 
@@ -460,6 +485,14 @@ class TestPlanCache:
         a = eng.sql(q)
         eng.deploy({})
         assert eng.sql(q) is not a
+
+    def test_time_dependent_queries_not_cached(self, spark):
+        # a cached plan would freeze ComputeCurrentTime's baked literals
+        eng = _deploy(spark)
+        q = "SELECT current_date() AS d FROM Customers LIMIT 1"
+        assert eng.sql(q) is not eng.sql(q)
+        q2 = "SELECT rand() AS r FROM Customers LIMIT 1"
+        assert eng.sql(q2) is not eng.sql(q2)
 
     def test_errors_surface_as_pyspark_types(self, spark):
         # the direct JVM sql call must convert Java errors to the same

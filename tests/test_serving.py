@@ -38,6 +38,10 @@ class TestLimitPushdown:
         out = pushdown_limit("SELECT '--x' AS v", 7)
         assert out == "SELECT '--x' AS v LIMIT 7"
 
+    def test_semicolon_after_comment_line(self):
+        # the ';' after a comment line must not re-expose the comment
+        assert pushdown_limit("SELECT 1 -- note\n;", 10) == "SELECT 1 LIMIT 10"
+
 
 class TestQuery:
     def test_envelope(self, service):

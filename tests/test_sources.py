@@ -95,6 +95,19 @@ class TestJdbcSource:
         rows = df.collect()
         assert len(rows) == 2
 
+    def test_pushdown_nested_subquery_keeps_parens(self, spark, derby_db):
+        # trailing '))' must survive (no blanket rstrip of parens)
+        reg = SourceRegistry(spark).add_jdbc("mydb", derby_db["url"])
+        df = reg.resolve(
+            "jdbc:mydb#(SELECT * FROM (SELECT id FROM accounts) AS inner1)"
+        )
+        assert df.count() == 3
+
+    def test_pushdown_subquery_with_alias(self, spark, derby_db):
+        reg = SourceRegistry(spark).add_jdbc("mydb", derby_db["url"])
+        df = reg.resolve("jdbc:mydb#(SELECT id FROM accounts WHERE id >= 2) q")
+        assert df.count() == 2
+
     def test_filter_pushdown_reaches_jdbc_scan(self, spark, derby_db):
         # Catalyst pushes the filter into the remote query (JDBCRelation
         # PushedFilters) instead of scanning-then-filtering

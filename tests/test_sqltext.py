@@ -74,3 +74,35 @@ class TestStripTrailingComments:
     def test_dashes_in_literal_kept(self):
         sql = "SELECT '--not a comment'"
         assert strip_trailing_comments(sql) == sql
+
+    def test_semicolon_after_comment(self):
+        # the ';' after the comment previously re-exposed the comment
+        assert strip_trailing_comments("SELECT 1 -- note\n;") == "SELECT 1"
+
+    def test_block_comment_tail(self):
+        assert strip_trailing_comments("SELECT 1 /* note */ ") == "SELECT 1"
+
+
+class TestCommentsAndEscapes:
+    def test_apostrophe_in_comment_not_a_literal(self):
+        # "customer's" must not open a phantom literal poisoning the rest
+        sql = 'SELECT a FROM "t" -- customer\'s orders\nWHERE "t".b = 1'
+        ids = identifiers(sql)
+        assert {"a", "t", "b"} <= ids
+        assert "orders" not in ids  # comment content is not a reference
+        import re
+
+        out = rewrite_outside_literals(
+            sql, lambda s: re.sub(r'"([^"]+)"', r"`\1`", s)
+        )
+        assert out.endswith("WHERE `t`.b = 1")  # rewrite continues past comment
+
+    def test_backslash_escaped_quote(self):
+        # Spark's default parser honors \' inside literals
+        segs = split_literals(r"SELECT 'it\'s' AS v, x")
+        lits = [s for s, lit in segs if lit]
+        assert lits == [r"'it\'s'"]
+        assert "x" in identifiers(r"SELECT 'it\'s' AS v, x")
+
+    def test_identifier_in_block_comment_excluded(self):
+        assert "hidden" not in identifiers("SELECT a /* hidden */ FROM t")

@@ -118,6 +118,19 @@ def _convert_java_exception(e: Exception) -> Exception:
     return e
 
 
+# expressions whose value depends on wall-clock time or randomness: a
+# cached analyzed plan would freeze them (ComputeCurrentTime /
+# ReplaceCurrentLike bake literals into the memoized optimizedPlan), so
+# queries referencing any of these bypass the plan cache
+_UNCACHEABLE_FNS = frozenset(
+    {
+        "current_date", "current_timestamp", "current_time", "now",
+        "localtimestamp", "current_timezone", "unix_timestamp", "today",
+        "rand", "randn", "random", "uuid", "shuffle",
+        "monotonically_increasing_id", "unix_millis", "unix_seconds",
+    }
+)
+
 _TZ_OFFSET = re.compile(r"^[+-]\d{2}:\d{2}$")
 
 
@@ -368,6 +381,7 @@ class SemanticEngine:
         sql: str,
         timezone: str | None = None,
         use_plan_cache: bool = True,
+        finalize: Any | None = None,
     ) -> DataFrame:
         """Run user SQL against the deployed semantic layer.
 
@@ -393,7 +407,17 @@ class SemanticEngine:
         stripped = self._strip_ns(sql)
         cache_key = (stripped, timezone)
         star = "*" in stripped
-        idents = None if star else identifiers(stripped)
+        all_idents = identifiers(stripped)
+        idents = None if star else all_idents
+        # time-/randomness-dependent queries must re-plan every call;
+        # timezone'd plans skip the cache too (finalize wrappers vary
+        # per request and the queries are typically personalized anyway)
+        if (
+            timezone is not None
+            or finalize is not None
+            or not _UNCACHEABLE_FNS.isdisjoint(all_idents)
+        ):
+            use_plan_cache = False
         # spark.sql() analyzes eagerly (Dataset.ofRows asserts analysis),
         # so once it returns, the plan is bound to the views as they were
         # inside the lock; later swaps cannot affect it
@@ -437,6 +461,11 @@ class SemanticEngine:
                 # in the except path so callers see identical errors.
                 jdf = self.spark._jsparkSession.sql(stripped)
                 df = DataFrame(jdf, self.spark)
+                if finalize is not None:
+                    # caller-supplied wrapping (output-zone rendering,
+                    # limit) applied INSIDE the tz window so the derived
+                    # plan's optimizer pass also sees the request zone
+                    df = finalize(df)
                 if timezone is not None:
                     # ResolveTimeZone stamps the zone at analysis, but
                     # current_date()/current_timezone() are substituted by
@@ -460,10 +489,11 @@ class SemanticEngine:
                 # permission denials
                 msg = str(conv)
                 if "UNRESOLVED_COLUMN" in msg or "cannot be resolved" in msg:
-                    m = re.search(r"`([^`]+)`", msg)
-                    self.analyze_permissions(
-                        stripped, unresolved=m.group(1) if m else None
-                    )
+                    # Spark quotes multi-part names per part
+                    # (`M`.`state`), so collect every backticked token —
+                    # any of them may be the denied column
+                    toks = re.findall(r"`([^`]+)`", msg)
+                    self.analyze_permissions(stripped, unresolved=toks or None)
                 if conv is e:
                     raise
                 raise conv from None
@@ -471,7 +501,9 @@ class SemanticEngine:
                 if tz_old is not None:
                     self.spark.conf.set("spark.sql.session.timeZone", tz_old)
 
-    def analyze_permissions(self, sql: str, unresolved: str | None = None) -> None:
+    def analyze_permissions(
+        self, sql: str, unresolved: str | list[str] | None = None
+    ) -> None:
         """PermissionAnalyze pass (access_control.rs:290-399 error path,
         mod.rs:543-592): when a query fails, distinguish "column denied
         by CLAC under the current session properties" from a plain
@@ -480,11 +512,16 @@ class SemanticEngine:
 
         Matching is identifier-token based (string literals excluded), so
         a denied column name appearing only inside a literal is never
-        reported. When ``unresolved`` carries the identifier from the
-        analysis error, only denied columns matching it are attributed —
-        a different unresolved column is not misreported as a denial."""
+        reported. When ``unresolved`` carries the identifier token(s)
+        from the analysis error (Spark quotes multi-part names per part),
+        only denied columns matching one of them are attributed — a
+        different unresolved column is not misreported as a denial."""
         idents = identifiers(sql)
-        unres = unresolved.split(".")[-1].lower() if unresolved else None
+        if unresolved is None:
+            unres: set[str] | None = None
+        else:
+            toks = [unresolved] if isinstance(unresolved, str) else unresolved
+            unres = {p.lower() for t in toks for p in t.split(".")}
         denied: list[str] = []
         for model in self.manifest.models:
             if model.name.lower() not in idents:
@@ -494,7 +531,7 @@ class SemanticEngine:
                     continue
                 if _clac_allows(c.column_level_access_control, self.properties):
                     continue
-                if unres is not None and c.name.lower() != unres:
+                if unres is not None and c.name.lower() not in unres:
                     continue
                 if c.name.lower() in idents:
                     denied.append(f"{model.name}.{c.name}")

@@ -140,6 +140,7 @@ def cosine_near_dup_pairs(
     nbits: int = 8,
     tables: int = 8,
     round_digits: int = 6,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-based near-duplicate pairs: (id_a, id_b, cosine_sim)
     with id_a < id_b and cosine >= threshold.
@@ -162,7 +163,9 @@ def cosine_near_dup_pairs(
     """
     normed = with_norm(df, vec_col, "__n")
     if method == "exact":
-        return _exact_pairs_distributed(df, id_col, vec_col, threshold, round_digits)
+        return _exact_pairs_distributed(
+            df, id_col, vec_col, threshold, round_digits, n_blocks=n_blocks
+        )
     elif method == "exact_driver":
         return _exact_blocked_pairs(df, id_col, vec_col, threshold, round_digits)
     elif method == "lsh":

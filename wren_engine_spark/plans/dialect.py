@@ -56,9 +56,13 @@ def _file_scans(seg: str, dialect: str) -> str:
     bare quoted path (others)."""
     if dialect == "duckdb":
         fn = {"parquet": "read_parquet", "csv": "read_csv_auto",
-              "json": "read_json_auto", "orc": "read_parquet"}
+              "json": "read_json_auto"}
 
         def sub(m: re.Match) -> str:
+            if m.group(1) not in fn:  # DuckDB cannot read ORC
+                raise ValueError(
+                    f"cannot render {m.group(1)} file scan for duckdb"
+                )
             return f"{fn[m.group(1)]}('{m.group(2)}')"
 
         return _FILE_SCAN.sub(sub, seg)

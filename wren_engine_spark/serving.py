@@ -74,11 +74,13 @@ def _format_cell(v: Any) -> Any:
 
 def _render_timestamps_in_zone(df: DataFrame, tz: str) -> DataFrame:
     """Convert TIMESTAMP (instant / LTZ) columns to the requested zone's
-    wall clock as TIMESTAMP_NTZ. PySpark collects instants as UTC wall
-    clock (session zone is pinned UTC), so ``from_utc_timestamp`` +
-    NTZ cast yields exactly the reference formatter's display semantics
-    (tz_convert then offset-free strftime). NTZ columns pass through —
-    they carry no zone to convert."""
+    wall clock as TIMESTAMP_NTZ — the reference formatter's display
+    semantics (tz_convert then offset-free strftime). The construction
+    is session-zone INDEPENDENT (it must be: these expressions may be
+    analyzed inside the per-request timezone window): shift the instant
+    by the zone offset (``from_utc_timestamp`` is pure micros
+    arithmetic) and rebuild an NTZ from epoch micros. NTZ columns pass
+    through — they carry no zone to convert."""
     from pyspark.sql import functions as F
 
     fields = [
@@ -86,11 +88,19 @@ def _render_timestamps_in_zone(df: DataFrame, tz: str) -> DataFrame:
     ]
     if not any(t == "timestamp" for _, t in fields):
         return df
+
+    safe_tz = tz.replace("'", "''")
+
+    def wall_clock(name: str):
+        return F.expr(
+            "timestampadd(MICROSECOND, unix_micros("
+            f"from_utc_timestamp(`{name}`, '{safe_tz}')"
+            "), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+
     return df.select(
         *[
-            F.to_timestamp_ntz(F.from_utc_timestamp(F.col(f"`{name}`"), tz)).alias(name)
-            if t == "timestamp"
-            else F.col(f"`{name}`")
+            wall_clock(name).alias(name) if t == "timestamp" else F.col(f"`{name}`")
             for name, t in fields
         ]
     )
@@ -196,14 +206,22 @@ class SemanticService:
             hit = self.cache.get(self.engine.spark, key)
             if hit is not None:
                 return {**to_json(hit), "cached": True}
-        df = self.engine.sql(sql, timezone=timezone)
-        if timezone is not None:
-            df = _render_timestamps_in_zone(df, timezone)
-        if limit is not None:
-            # post-parse limit merge: composing df.limit with any LIMIT
-            # already in the SQL yields the min, and text edge cases
-            # (trailing comments, OFFSET) cannot break it
-            df = df.limit(limit)
+        def _finalize(df: DataFrame) -> DataFrame:
+            if timezone is not None:
+                df = _render_timestamps_in_zone(df, timezone)
+            if limit is not None:
+                # post-parse limit merge: composing df.limit with any
+                # LIMIT already in the SQL yields the min, and text edge
+                # cases (trailing comments, OFFSET) cannot break it
+                df = df.limit(limit)
+            return df
+
+        # finalize runs inside the engine's timezone window so the
+        # derived plan's optimizer pass sees the request zone too
+        if timezone is not None or limit is not None:
+            df = self.engine.sql(sql, timezone=timezone, finalize=_finalize)
+        else:
+            df = self.engine.sql(sql)
         out = to_json(df, rows=collect_with_timeout(df, timeout_s))
         if use_cache and self.cache:
             self.cache.set(df, key)

@@ -94,12 +94,13 @@ class SourceRegistry:
         return self
 
     def _read_jdbc(self, url: str, table: str, props: dict[str, str]) -> DataFrame:
-        reader = self.spark.read.format("jdbc").option("url", url)
-        # a "(SELECT ...)" table is a pushdown subquery; plain names are
-        # remote tables. Catalyst additionally pushes filters/projections
-        # into the generated remote query (JDBCRelation pushdown).
-        key = "query" if props.pop("__as_query", None) else "dbtable"
-        reader = reader.option(key, table)
+        # "(SELECT ...) alias" subqueries and plain table names both go
+        # through dbtable; Catalyst additionally pushes filters and
+        # projections into the generated remote query (JDBCRelation
+        # pushdown).
+        reader = (
+            self.spark.read.format("jdbc").option("url", url).option("dbtable", table)
+        )
         for k, v in props.items():
             reader = reader.option(k, v)
         return reader.load()
@@ -171,9 +172,22 @@ class SourceRegistry:
             url, props = self._jdbc[alias_or_url.lower()]
         else:
             url, props = head, {}
-        if table.lstrip().startswith("("):
-            props = {**props, "__as_query": "1"}
-            table = table.strip().lstrip("(").rstrip(")")
+        table = table.strip()
+        if table.startswith("("):
+            # pass the parenthesized subquery (with or without an alias)
+            # through Spark's dbtable option as-is, adding an alias when
+            # missing — never strip parens, nested subqueries keep their
+            # balance
+            depth = 0
+            for i, ch in enumerate(table):
+                depth += ch == "("
+                depth -= ch == ")"
+                if depth == 0:
+                    break
+            if table[i + 1:].strip() == "":
+                # alias must be a plain identifier — some backends
+                # (Derby) reject a leading underscore
+                table = f"{table} wrenq0"
         try:
             return self._read_jdbc(url, table, dict(props))
         except Exception as e:  # noqa: BLE001
@@ -208,17 +222,24 @@ class SourceRegistry:
                     {
                         "name": rs.getString("COLUMN_NAME"),
                         "type": rs.getString("TYPE_NAME"),
-                        "nullable": rs.getInt("NULLABLE") == 1,
+                        # columnNoNulls=0; nullable=1 and unknown=2 both
+                        # report nullable (the lenient reading)
+                        "nullable": rs.getInt("NULLABLE") != 0,
                     }
                 )
             rs.close()
             out = []
             for t in sorted(cols):
-                pk = []
+                pk_seq = []
                 prs = md.getPrimaryKeys(None, schema_pattern, t)
                 while prs.next():
-                    pk.append(prs.getString("COLUMN_NAME"))
+                    pk_seq.append(
+                        (prs.getInt("KEY_SEQ"), prs.getString("COLUMN_NAME"))
+                    )
                 prs.close()
+                # JDBC returns PK rows ordered by COLUMN_NAME; key order
+                # is KEY_SEQ
+                pk = [name for _, name in sorted(pk_seq)]
                 out.append(
                     {
                         "name": t,

@@ -156,6 +156,32 @@ class TestNearDupAndIVF:
         }
         assert dist == drv
 
+    def test_bloom_incremental_dedup_guarantees(self, spark):
+        # (a) NO false negatives: every batch doc whose text exists in
+        # the corpus is dropped; (b) over-drop of genuinely-new docs is
+        # bounded by the fp rate
+        from wren_engine_spark.operators.dedup import (
+            bloom_incremental_dedup,
+            incremental_dedup,
+        )
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        corpus = d.filter(F.col("doc_id") % 2 == 0)
+        batch = d.filter(F.col("doc_id") % 2 == 1)
+        exact_new = {
+            r.content_hash
+            for r in incremental_dedup(batch, corpus, "text", "doc_id").collect()
+        }
+        bloom_new = {
+            r.content_hash
+            for r in bloom_incremental_dedup(
+                batch, corpus, "text", "doc_id"
+            ).collect()
+        }
+        assert bloom_new <= exact_new  # no known duplicate slips through
+        # recall of truly-new docs: fp rate at m=2^22, k=5 is far under 1%
+        assert len(bloom_new) >= 0.99 * len(exact_new)
+
     def test_lsh_near_dup_subset_of_exact(self, spark):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(150)
         exact = {

@@ -44,7 +44,8 @@ def test_every_tpch_query_present():
 def test_oracle_coverage():
     missing = set(QUERIES) - set(ORACLES)
     # only genuinely non-SQL-expressible ops may omit an oracle
-    assert missing <= {"x4_minhash_lsh_candidates",
+    assert missing <= {"x33_bloom_incremental_dedup",
+                       "x4_minhash_lsh_candidates",
                        "x5_simhash64", "x11_lsh_ann", "x14_ivf_ann",
                        "x16_multimodal_embedding_pipeline",
                        "x17_simhash_near_dup", "x18_winnow_fingerprints",

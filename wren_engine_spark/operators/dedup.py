@@ -554,6 +554,88 @@ def incremental_dedup(
     )
 
 
+def bloom_table(
+    df: DataFrame, fp_col: str, m_bits: int = 1 << 22, k: int = 5
+) -> DataFrame:
+    """Build a Bloom filter AS A DISTRIBUTED TABLE: one row per 64-bit
+    word of the bit array, ``(word BIGINT, bits BIGINT)``.
+
+    Each fingerprint sets ``k`` positions ``xxhash64(fp, seed) mod m``;
+    positions aggregate into word-level masks with ``bit_or`` (map-side
+    combinable — the per-partition partials are already word masks).
+    Unlike a driver-side sketch (``df.stat.bloomFilter``), this filter
+    never leaves the cluster and is mergeable across ingest runs by
+    unioning tables and re-bit_or'ing. Size: m/64 rows max (a few MB for
+    billions of bits), broadcastable at probe time.
+    """
+    probes = df.select(F.col(fp_col).alias("__fp")).select(
+        "__fp", F.explode(F.expr(f"sequence(0, {k - 1})")).alias("__seed")
+    )
+    pos = F.pmod(F.xxhash64(F.col("__fp"), F.col("__seed")), F.lit(m_bits))
+    return (
+        probes.select(
+            (pos / 64).cast("long").alias("word"),
+            (pos % 64).cast("int").alias("__bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), __bit))").alias("bits")
+        )
+    )
+
+
+def bloom_incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    m_bits: int = 1 << 22,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom-guarded incremental ingest dedup: returns batch docs that
+    are DEFINITELY NEW (not content-identical to any corpus doc).
+
+    The Bloom guarantee runs in the safe direction for training data: a
+    fingerprint present in the corpus always probes positive (no false
+    negatives), so no known duplicate can slip through; a small
+    fp-rate fraction of genuinely-new docs is over-dropped
+    (``tests/test_operators.py`` bounds both directions).
+
+    At 100 TB this replaces the anti-join's full corpus-side shuffle
+    with a probe against an m/64-row broadcast table — the corpus is
+    touched once (or incrementally, since word masks merge by bit_or)
+    regardless of how many ingest batches follow. Returns
+    (id, content_hash).
+    """
+    fp = F.md5(F.col(text_col).cast("binary")).alias("__fp")
+    bloom = bloom_table(corpus_df.select(fp), "__fp", m_bits, k)
+    batch = new_df.select(F.col(id_col), fp)
+    probes = batch.select(
+        id_col, "__fp", F.explode(F.expr(f"sequence(0, {k - 1})")).alias("__seed")
+    )
+    pos = F.pmod(F.xxhash64(F.col("__fp"), F.col("__seed")), F.lit(m_bits))
+    probed = probes.select(
+        id_col,
+        "__fp",
+        (pos / 64).cast("long").alias("word"),
+        (pos % 64).cast("int").alias("__bit"),
+    ).join(F.broadcast(bloom), "word", "left")
+    hit = F.when(
+        F.col("bits").isNotNull()
+        & (
+            F.expr("bits & shiftleft(CAST(1 AS BIGINT), __bit)") != 0
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    verdict = probed.groupBy(id_col, "__fp").agg(
+        F.min(hit).alias("__all_hit")  # all k probes must hit => probable dup
+    )
+    return (
+        verdict.filter(F.col("__all_hit") == 0)
+        .select(F.col(id_col), F.col("__fp").alias("content_hash"))
+    )
+
+
 def contamination(
     test: DataFrame,
     train: DataFrame,

@@ -290,3 +290,66 @@ def stratified_sample(
     statistical properties are asserted in tests rather than exact
     row sets."""
     return df.sampleBy(stratum_col, fractions, seed)
+
+
+def mixing_weights(
+    df: DataFrame, source_col: str, text_col: str
+) -> DataFrame:
+    """Per-source sampling weights to rebalance a multi-domain corpus to
+    a uniform target mix (the static-reweighting step of domain-mixture
+    training pipelines; the target vector is uniform here, any target is
+    a one-line change). Returns (source, n_docs, n_tokens, doc_share,
+    token_share, mix_weight) where mix_weight * doc_share == 1/S.
+
+    One groupBy over the corpus (map-side combinable counts/sums) plus a
+    broadcast of the S-row totals — scale-free at 100 TB. Shares are
+    single double divisions of exact integers, so every engine computes
+    the identical bits.
+    """
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("__td"),
+        F.sum("n_tokens").alias("__tt"),
+        F.count(F.lit(1)).alias("__s"),
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast("double") / F.col("__td").cast("double")).alias("doc_share"),
+        (F.col("n_tokens").cast("double") / F.col("__tt").cast("double")).alias("token_share"),
+        (
+            F.col("__td").cast("double")
+            / (F.col("__s") * F.col("n_docs")).cast("double")
+        ).alias("mix_weight"),
+    )
+
+
+def length_buckets(
+    df: DataFrame, source_col: str, text_col: str, bucket_tokens: int = 64,
+    cap: int = 32,
+) -> DataFrame:
+    """Token-length histogram in fixed-width buckets per source — the
+    planning input for sequence packing and length-curriculum sampling.
+    Bucket = min(n_tokens div bucket_tokens, cap); pure integer
+    arithmetic so the layout is engine-exact. Returns (source, bucket,
+    n_docs, min_tokens, max_tokens, sum_tokens). One map-side-combinable
+    groupBy; no shuffle beyond it."""
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    bucket = F.least(
+        (n_tokens / bucket_tokens).cast("bigint"), F.lit(cap).cast("bigint")
+    )
+    return (
+        df.select(F.col(source_col), n_tokens.alias("__nt"), bucket.alias("bucket"))
+        .groupBy(source_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("__nt").alias("min_tokens"),
+            F.max("__nt").alias("max_tokens"),
+            F.sum("__nt").alias("sum_tokens"),
+        )
+    )

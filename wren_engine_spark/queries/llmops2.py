@@ -79,3 +79,60 @@ def x35(spark: SparkSession, sf: str) -> DataFrame:
     length-curriculum planning input."""
     d = load_tables(spark, sf, "documents")["documents"]
     return text.length_buckets(d, "source", "text", bucket_tokens=64, cap=32)
+
+
+@register(
+    "t4_stream_windowed_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def t4(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming, oracle-checked end-to-end: the events table
+    replayed through readStream -> watermarked tumbling-window counts
+    (streaming/ops.windowed_event_counts) -> availableNow trigger ->
+    memory sink. Complete output mode so terminal windows inside the
+    watermark horizon are emitted too; the result is bit-identical to
+    the batch GROUP BY oracle. At scale the same plan runs continuously:
+    the watermark bounds state to open windows and each microbatch is
+    incremental."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from wren_engine_spark.streaming.ops import windowed_event_counts
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+        src = src.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).cast("timestamp"),
+        )
+    out = windowed_event_counts(src, "ts", "1 hour", "2 hours", by=["event_type"])
+    qname = "t4_stream_sink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

@@ -57,13 +57,18 @@ class TestTools:
         assert names == {
             "deploy", "query", "dry_run", "validate", "list_tables",
             "list_columns", "list_relationships", "list_functions",
-            "knowledge", "health",
+            "knowledge", "dry_plan", "remote_metadata", "health",
         }
 
     def test_query_before_deploy_raises(self, spark):
         fresh = McpToolServer(spark)
         with pytest.raises(RuntimeError):
             fresh.query("SELECT 1")
+
+
+def test_dry_plan_tool(server):
+    out = server.dry_plan("SELECT custkey FROM customer_m", dialect="postgres")
+    assert '"customer_m"' in out["sql"]
 
 
 def test_knowledge_tool(server):

@@ -92,6 +92,16 @@ class McpToolServer:
         GET /{ds}/knowledge)."""
         return self._svc().knowledge()
 
+    def dry_plan(self, sql: str, dialect: str | None = None) -> dict:
+        """Expanded SQL text, optionally rendered for another engine
+        (duckdb/postgres/ansi)."""
+        return {"sql": self._svc().dry_plan(sql, dialect=dialect)}
+
+    def remote_metadata(self, alias: str, schema_pattern: str | None = None) -> dict:
+        """Live table/column/pk metadata of a registered JDBC backend
+        (reference per-backend metadata scraping)."""
+        return {"tables": self.sources.jdbc_metadata(alias, schema_pattern)}
+
     def health(self) -> dict:
         try:
             self.spark.sql("SELECT 1").collect()
@@ -125,6 +135,10 @@ class McpToolServer:
             Tool("list_relationships", "List relationships", s, self.list_relationships),
             Tool("list_functions", "List callable functions", s, self.list_functions),
             Tool("knowledge", "Text-to-SQL rules and schema for agents", s, self.knowledge),
+            Tool("dry_plan", "Expanded SQL text, optionally in another dialect",
+                 obj(sql="string", dialect="string"), self.dry_plan),
+            Tool("remote_metadata", "Live JDBC backend table/column metadata",
+                 obj(alias="string", schema_pattern="string"), self.remote_metadata),
             Tool("health", "Engine health check", s, self.health),
         ]
 

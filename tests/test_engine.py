@@ -463,6 +463,35 @@ class TestPerRequestTimezone:
         assert tokyo == "2024-06-01 21:00:00.000000"  # UTC+9 wall clock
 
 
+class TestCalcPruning:
+    def test_count_star_still_prunes_calc_joins(self, spark):
+        # COUNT(*) reads no columns — the heavy to-many pre-aggregation
+        # joins must NOT be kept for it
+        eng = _deploy(spark)
+        df = eng.sql("SELECT COUNT(*) AS n FROM Customers")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "Join" not in plan
+        assert df.collect()[0].n == 3
+
+    def test_real_star_keeps_all_fields(self, spark):
+        eng = _deploy(spark)
+        cols = eng.sql("SELECT * FROM Customers").columns
+        assert "Total" in cols and "NOrders" in cols
+
+    def test_qualified_star_keeps_all_fields(self, spark):
+        eng = _deploy(spark)
+        cols = eng.sql("SELECT c.* FROM Customers c").columns
+        assert "Total" in cols
+
+    def test_multiplication_is_conservative(self, spark):
+        # a '*' that is multiplication keeps fields (no parse available)
+        eng = _deploy(spark)
+        rows = eng.sql(
+            "SELECT Id, Total * 2 AS t2 FROM Customers ORDER BY Id"
+        ).collect()
+        assert rows[0].t2 == 300.0
+
+
 class TestPlanCache:
     def test_repeat_query_returns_cached_plan(self, spark):
         eng = _deploy(spark)

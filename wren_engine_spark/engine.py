@@ -101,6 +101,24 @@ def _register_temp_view(spark: SparkSession, df: DataFrame, name: str) -> None:
         )
 
 
+_COUNT_STAR = re.compile(r"\bcount\s*\(\s*\*\s*\)", re.IGNORECASE)
+
+
+def _has_star_projection(sql: str) -> bool:
+    """True when the query may project a model's full schema (``*`` or
+    ``tbl.*``) — calculated-field pruning must then keep every field.
+    ``COUNT(*)`` is NOT a star projection (it reads no columns), so it
+    is excluded before the check; remaining ``*`` tokens (including
+    multiplication, which is indistinguishable without a parse) keep
+    the conservative answer. Literal/comment content is ignored."""
+    from wren_engine_spark.plans.sqltext import iter_nonliteral
+
+    for seg in iter_nonliteral(sql):
+        if "*" in _COUNT_STAR.sub("", seg):
+            return True
+    return False
+
+
 def _convert_java_exception(e: Exception) -> Exception:
     """Map a raw py4j Java exception to the standard PySpark exception
     type (AnalysisException etc.), so the direct JVM ``sql`` call in
@@ -406,7 +424,7 @@ class SemanticEngine:
         """
         stripped = self._strip_ns(sql)
         cache_key = (stripped, timezone)
-        star = "*" in stripped
+        star = _has_star_projection(stripped)
         all_idents = identifiers(stripped)
         idents = None if star else all_idents
         # time-/randomness-dependent queries must re-plan every call;

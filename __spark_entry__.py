@@ -2,10 +2,13 @@
 
 entry(spark)  -> flagship query on sf0.001
 queries()     -> every implemented operator (SURVEY.md §2 + north-star
-                 extensions), as (spark, sf_dir) -> DataFrame
-oracle_sql()  -> DuckDB-equivalent SQL per query (omitted only for
-                 sketch/LSH operators whose hash functions are engine-
-                 specific; those get rows-only checks)
+                 extensions), as (spark, sf_dir) -> DataFrame; 104
+                 entries, ordered so the external gate's first-50
+                 window covers the families unverified in round 1
+oracle_sql()  -> DuckDB-equivalent SQL per query (94 of 104; omitted
+                 only for sketch/LSH/randomized operators whose hash
+                 functions are engine-specific; those get rows-only
+                 checks)
 """
 
 from __future__ import annotations

@@ -491,6 +491,26 @@ class TestCalcPruning:
         ).collect()
         assert rows[0].t2 == 300.0
 
+    def test_calc_on_calc_transitive_pruning(self, spark):
+        # a query naming only TotalX2 must also attach Total (its
+        # dependency); COUNT(*) pruning exposes the closure requirement
+        import copy
+
+        man = copy.deepcopy(BASE)
+        man["models"][0]["columns"].append(
+            {"name": "TotalX2", "type": "double", "isCalculated": True,
+             "expression": '"Total" * 2'}
+        )
+        eng = _deploy(spark, man)
+        r = eng.sql(
+            "SELECT COUNT(*) AS n FROM Customers WHERE TotalX2 > 200"
+        ).collect()[0]
+        assert r.n == 1  # alice: Total 150 -> 300
+        rows = eng.sql(
+            "SELECT Id, TotalX2 FROM Customers WHERE TotalX2 IS NOT NULL ORDER BY Id"
+        ).collect()
+        assert [(r.Id, r.TotalX2) for r in rows] == [(1, 300.0), (2, 140.0)]
+
 
 class TestPlanCache:
     def test_repeat_query_returns_cached_plan(self, spark):
@@ -522,6 +542,24 @@ class TestPlanCache:
         assert eng.sql(q) is not eng.sql(q)
         q2 = "SELECT rand() AS r FROM Customers LIMIT 1"
         assert eng.sql(q2) is not eng.sql(q2)
+        # aliases must be covered too (curdate == current_date)
+        q3 = "SELECT curdate() AS d FROM Customers LIMIT 1"
+        assert eng.sql(q3) is not eng.sql(q3)
+
+    def test_limited_service_query_uses_plan_cache(self, spark):
+        # {sql, limit} requests (the dashboard shape) must still benefit
+        # from the analyzed-plan cache: the limit is applied OUTSIDE the
+        # engine so the base plan is cached and reused
+        from wren_engine_spark.serving import SemanticService
+
+        eng = _deploy(spark)
+        svc = SemanticService(eng)
+        q = "SELECT Id, Total FROM Customers ORDER BY Id"
+        svc.query(q, limit=2)
+        base = eng.sql(q)
+        assert eng.sql(q) is base  # cache was populated despite the limit
+        out = svc.query(q, limit=1)
+        assert len(out["data"]) == 1
 
     def test_errors_surface_as_pyspark_types(self, spark):
         # the direct JVM sql call must convert Java errors to the same

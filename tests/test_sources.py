@@ -108,6 +108,16 @@ class TestJdbcSource:
         df = reg.resolve("jdbc:mydb#(SELECT id FROM accounts WHERE id >= 2) q")
         assert df.count() == 2
 
+    def test_pushdown_subquery_paren_in_literal(self, spark, derby_db):
+        # a ')' inside a string literal must not end the balance scan
+        # early (which would skip the auto-alias and fail on Derby)
+        reg = SourceRegistry(spark).add_jdbc("mydb", derby_db["url"])
+        df = reg.resolve(
+            "jdbc:mydb#(SELECT id, ')' AS c FROM accounts WHERE id = 1)"
+        )
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0]["C"] == ")"
+
     def test_filter_pushdown_reaches_jdbc_scan(self, spark, derby_db):
         # Catalyst pushes the filter into the remote query (JDBCRelation
         # PushedFilters) instead of scanning-then-filtering

@@ -106,3 +106,36 @@ class TestCommentsAndEscapes:
 
     def test_identifier_in_block_comment_excluded(self):
         assert "hidden" not in identifiers("SELECT a /* hidden */ FROM t")
+
+
+class TestQuotedIdentifiersOpaque:
+    def test_apostrophe_in_double_quoted_identifier(self):
+        # the apostrophe inside "a'b" must not open a phantom literal
+        import re
+
+        sql = "SELECT \"a'b\" AS x, 'lit' FROM m"
+        segs = split_literals(sql)
+        assert [s for s, lit in segs if lit] == ["'lit'"]
+        out = rewrite_outside_literals(
+            sql, lambda s: re.sub(r'"([^"]+)"', r"`\1`", s)
+        )
+        assert out == "SELECT `a'b` AS x, 'lit' FROM m"
+
+    def test_apostrophe_in_backtick_identifier(self):
+        sql = "SELECT `it's` FROM m WHERE v = 'x'"
+        segs = split_literals(sql)
+        assert [s for s, lit in segs if lit] == ["'x'"]
+        assert "it's" in identifiers(sql)
+
+    def test_dashes_in_quoted_identifier_not_a_comment(self):
+        sql = 'SELECT "we--ird", b FROM m'
+        assert {"we--ird", "b", "m"} <= identifiers(sql)
+
+    def test_doubled_quote_escape_in_identifier(self):
+        sql = 'SELECT "sa""y", x FROM m'
+        ids = identifiers(sql)
+        assert 'sa"y' in ids and "x" in ids
+
+    def test_roundtrip_with_quoted_identifiers(self):
+        sql = "SELECT \"a'b\", `c'd`, 'e\"f' FROM t -- note's\nWHERE 1=1"
+        assert "".join(s for s, _ in split_literals(sql)) == sql

@@ -104,17 +104,18 @@ def _register_temp_view(spark: SparkSession, df: DataFrame, name: str) -> None:
 _COUNT_STAR = re.compile(r"\bcount\s*\(\s*\*\s*\)", re.IGNORECASE)
 
 
-def _has_star_projection(sql: str) -> bool:
+def _has_star_projection(spans: list[tuple[str, str]]) -> bool:
     """True when the query may project a model's full schema (``*`` or
     ``tbl.*``) — calculated-field pruning must then keep every field.
     ``COUNT(*)`` is NOT a star projection (it reads no columns), so it
     is excluded before the check; remaining ``*`` tokens (including
     multiplication, which is indistinguishable without a parse) keep
-    the conservative answer. Literal/comment content is ignored."""
-    from wren_engine_spark.plans.sqltext import iter_nonliteral
+    the conservative answer. Takes pre-lexed spans (one lex serves this
+    and the identifier scan); literal/comment content is ignored."""
+    from wren_engine_spark.plans.sqltext import CODE
 
-    for seg in iter_nonliteral(sql):
-        if "*" in _COUNT_STAR.sub("", seg):
+    for seg, kind in spans:
+        if kind == CODE and "*" in _COUNT_STAR.sub("", seg):
             return True
     return False
 
@@ -144,7 +145,9 @@ _UNCACHEABLE_FNS = frozenset(
     {
         "current_date", "current_timestamp", "current_time", "now",
         "localtimestamp", "current_timezone", "unix_timestamp", "today",
+        "curdate",  # alias of current_date
         "rand", "randn", "random", "uuid", "shuffle",
+        "randstr", "uniform",  # Spark 4.x random generators
         "monotonically_increasing_id", "unix_millis", "unix_seconds",
     }
 )
@@ -422,29 +425,34 @@ class SemanticEngine:
         the planning lock) scopes it to this query; the default stays
         UTC.
         """
+        # timezone'd / finalize-wrapped plans skip the cache (wrappers
+        # vary per request and the queries are typically personalized)
+        if timezone is not None or finalize is not None:
+            use_plan_cache = False
+        cache_key = (sql, timezone)
+        # probe the cache BEFORE any text analysis: a hit needs zero lex
+        # passes (an entry's presence proves it was cacheable), keeping
+        # the cached path at ~0.05 ms even for long dashboard SQL
+        if use_plan_cache:
+            with self._sql_lock:
+                hit = self._plan_cache.get(cache_key)
+                if hit is not None:
+                    self._plan_cache.move_to_end(cache_key)
+                    return hit
         stripped = self._strip_ns(sql)
-        cache_key = (stripped, timezone)
-        star = _has_star_projection(stripped)
-        all_idents = identifiers(stripped)
+        from wren_engine_spark.plans.sqltext import identifiers_from_spans, lex
+
+        spans = lex(stripped)
+        star = _has_star_projection(spans)
+        all_idents = identifiers_from_spans(spans)
         idents = None if star else all_idents
-        # time-/randomness-dependent queries must re-plan every call;
-        # timezone'd plans skip the cache too (finalize wrappers vary
-        # per request and the queries are typically personalized anyway)
-        if (
-            timezone is not None
-            or finalize is not None
-            or not _UNCACHEABLE_FNS.isdisjoint(all_idents)
-        ):
+        # time-/randomness-dependent queries must re-plan every call
+        if not _UNCACHEABLE_FNS.isdisjoint(all_idents):
             use_plan_cache = False
         # spark.sql() analyzes eagerly (Dataset.ofRows asserts analysis),
         # so once it returns, the plan is bound to the views as they were
         # inside the lock; later swaps cannot affect it
         with self._sql_lock:
-            if use_plan_cache:
-                hit = self._plan_cache.get(cache_key)
-                if hit is not None:
-                    self._plan_cache.move_to_end(cache_key)
-                    return hit
             for model in self.manifest.models:
                 calcs = model.calculated_columns
                 if not any(
@@ -456,6 +464,18 @@ class SemanticEngine:
                 else:
                     # identifier-token match (string literals excluded)
                     used = {c.name for c in calcs if c.name.lower() in idents}
+                    # close over calc-to-calc references: a kept calc
+                    # whose expression names another calc needs that calc
+                    # attached too, or withColumn on the pruned view fails
+                    by_lower = {c.name.lower(): c for c in calcs}
+                    frontier = list(used)
+                    while frontier:
+                        c = by_lower[frontier.pop().lower()]
+                        for dep in identifiers(c.expression or ""):
+                            dc = by_lower.get(dep)
+                            if dc is not None and dc.name not in used:
+                                used.add(dc.name)
+                                frontier.append(dc.name)
                 key = (model.name.lower(), frozenset(used))
                 df = self._variants.get(key)
                 if df is None:
@@ -642,9 +662,30 @@ class SemanticEngine:
         plan = self._base_plan(model)
         df = plan.base
         attached: set[str] = set()
-        for col in model.calculated_columns:
-            if calc_subset is not None and col.name not in calc_subset:
-                continue
+        # attach in dependency order (a plain calc may reference another
+        # calc of the same model — manifest order must not matter);
+        # leftovers with unsatisfiable deps attach last so the analysis
+        # error names the actual missing column
+        calc_names = {c.name.lower() for c in model.calculated_columns}
+        avail = {c.lower() for c in df.columns}
+        pending = [
+            c for c in model.calculated_columns
+            if calc_subset is None or c.name in calc_subset
+        ]
+        progress = True
+        while pending and progress:
+            progress, rest = False, []
+            for col in pending:
+                deps = identifiers(col.expression or "") & calc_names
+                if deps - {col.name.lower()} <= avail:
+                    df = self._attach_calculated(df, model, col)
+                    attached.add(col.name)
+                    avail.add(col.name.lower())
+                    progress = True
+                else:
+                    rest.append(col)
+            pending = rest
+        for col in pending:
             df = self._attach_calculated(df, model, col)
             attached.add(col.name)
         visible = [
@@ -696,10 +737,29 @@ class SemanticEngine:
             # inline the target's own non-relationship calculated columns so
             # calc-on-calc works one level at a time (PartialModelPlanNode,
             # plan.rs:1149-1201) — iterative, not recursive: deeper paths
-            # were already rejected by check_cycles.
-            for tcol in target.calculated_columns:
-                if not extract_paths(target, self.manifest, tcol.expression or ""):
-                    tdf = tdf.withColumn(tcol.name, self._expr(tcol.expression))
+            # were already rejected by check_cycles. Only calcs whose
+            # calc-references are already resolvable are inlined (a plain
+            # calc built ON a join-backed calc cannot ride along a
+            # relationship hop); fixpoint iteration makes manifest order
+            # irrelevant for plain-calc -> plain-calc chains.
+            tcalc_names = {c.name.lower() for c in target.calculated_columns}
+            avail = {c.lower() for c in tdf.columns}
+            pending = [
+                c for c in target.calculated_columns
+                if not extract_paths(target, self.manifest, c.expression or "")
+            ]
+            progress = True
+            while pending and progress:
+                progress, rest = False, []
+                for tcol in pending:
+                    deps = identifiers(tcol.expression or "") & tcalc_names
+                    if deps <= avail:
+                        tdf = tdf.withColumn(tcol.name, self._expr(tcol.expression))
+                        avail.add(tcol.name.lower())
+                        progress = True
+                    else:
+                        rest.append(tcol)
+                pending = rest
             pfx = f"{prefix}_h{hop_idx}"
             this_rename = {c: f"{pfx}__{c}" for c in tdf.columns}
             tdf = tdf.select(*[F.col(quote_ident(c)).alias(n) for c, n in this_rename.items()])

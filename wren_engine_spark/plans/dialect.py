@@ -89,13 +89,20 @@ def render(sql: str, dialect: str | None = None) -> str:
         return sql
     if dialect not in DIALECTS:
         raise ValueError(f"unsupported dialect {dialect!r}; one of {DIALECTS}")
-    try:  # full-fidelity path when the optional dependency exists
-        import sqlglot
+    # duckdb ALWAYS uses the textual renderer: its output is verified by
+    # actually executing in DuckDB (tests), and sqlglot would transpile
+    # Spark's parquet.`/path` scans into schema-qualified identifiers
+    # instead of read_parquet(...), breaking that guarantee
+    if dialect != "duckdb":
+        try:  # full-fidelity path when the optional dependency exists
+            import sqlglot
 
-        return sqlglot.transpile(sql, read="spark", write=dialect
-                                 if dialect != "ansi" else "postgres")[0]
-    except ImportError:
-        pass
+            return sqlglot.transpile(sql, read="spark", write=dialect
+                                     if dialect != "ansi" else "postgres")[0]
+        except ImportError:
+            pass
+        except Exception:  # noqa: BLE001 - sqlglot parse failure on
+            pass  # Spark-specific syntax: the textual fallback still works
 
     def seg_fn(seg: str) -> str:
         seg = _file_scans(seg, dialect)

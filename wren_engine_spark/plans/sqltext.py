@@ -12,7 +12,10 @@ fed to): ``''`` doubles AND ``\\'`` backslash escapes inside literals
 (``spark.sql.parser.escapedStringLiterals`` defaults to false, so
 backslash escapes are live), ``--`` line comments, ``/* */`` block
 comments (non-nesting). An apostrophe inside a comment does NOT open a
-literal.
+literal. Backtick- and double-quoted identifiers are scanned atomically
+(they stay in the CODE stream so identifier rewrites still see them),
+so an apostrophe or ``--`` inside a quoted identifier cannot open a
+phantom literal/comment.
 
 Reference parity: wren-core parses SQL with a real parser (sqlparser-rs)
 so literals are naturally opaque there; this module is the lightweight
@@ -73,6 +76,18 @@ def lex(sql: str) -> list[tuple[str, str]]:
             flush_code(i)
             out.append((sql[i:end], COMMENT))
             i = last = end
+        elif ch in ('"', "`"):
+            # quoted identifier: skip atomically (doubled-char escape),
+            # but keep it in the CODE stream — rewrites must see it
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = min(j + 1, n)
         else:
             i += 1
     flush_code(n)
@@ -101,8 +116,14 @@ def identifiers(sql: str) -> set[str]:
     calculated-field pruning, view dependency ordering, and
     PermissionAnalyze — a name occurring inside a string literal or a
     comment is not an identifier reference."""
+    return identifiers_from_spans(lex(sql))
+
+
+def identifiers_from_spans(spans: list[tuple[str, str]]) -> set[str]:
+    """Same as :func:`identifiers` over pre-lexed spans (lex once, derive
+    several facts — the planning hot path)."""
     found: set[str] = set()
-    for text, kind in lex(sql):
+    for text, kind in spans:
         if kind != CODE:
             continue
         for m in _BARE_IDENT.finditer(text):

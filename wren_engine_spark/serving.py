@@ -83,6 +83,8 @@ def _render_timestamps_in_zone(df: DataFrame, tz: str) -> DataFrame:
     through — they carry no zone to convert."""
     from pyspark.sql import functions as F
 
+    from wren_engine_spark.mdl.manifest import quote_ident
+
     fields = [
         (f.name, f.dataType.simpleString()) for f in df.schema.fields
     ]
@@ -94,13 +96,13 @@ def _render_timestamps_in_zone(df: DataFrame, tz: str) -> DataFrame:
     def wall_clock(name: str):
         return F.expr(
             "timestampadd(MICROSECOND, unix_micros("
-            f"from_utc_timestamp(`{name}`, '{safe_tz}')"
+            f"from_utc_timestamp({quote_ident(name)}, '{safe_tz}')"
             "), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
         )
 
     return df.select(
         *[
-            wall_clock(name).alias(name) if t == "timestamp" else F.col(f"`{name}`")
+            wall_clock(name).alias(name) if t == "timestamp" else F.col(quote_ident(name))
             for name, t in fields
         ]
     )
@@ -216,12 +218,18 @@ class SemanticService:
                 df = df.limit(limit)
             return df
 
-        # finalize runs inside the engine's timezone window so the
-        # derived plan's optimizer pass sees the request zone too
-        if timezone is not None or limit is not None:
+        if timezone is not None:
+            # finalize runs inside the engine's timezone window so the
+            # derived plan's optimizer pass sees the request zone too
             df = self.engine.sql(sql, timezone=timezone, finalize=_finalize)
         else:
+            # limit applied OUTSIDE engine.sql so the base plan stays
+            # eligible for the analyzed-plan cache (dashboards/polling
+            # agents send {sql, limit} repeatedly); df.limit on an
+            # already-analyzed frame is a cheap derived plan
             df = self.engine.sql(sql)
+            if limit is not None:
+                df = df.limit(limit)
         out = to_json(df, rows=collect_with_timeout(df, timeout_s))
         if use_cache and self.cache:
             self.cache.set(df, key)

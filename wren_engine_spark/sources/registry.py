@@ -177,14 +177,23 @@ class SourceRegistry:
             # pass the parenthesized subquery (with or without an alias)
             # through Spark's dbtable option as-is, adding an alias when
             # missing — never strip parens, nested subqueries keep their
-            # balance
-            depth = 0
-            for i, ch in enumerate(table):
-                depth += ch == "("
-                depth -= ch == ")"
-                if depth == 0:
+            # balance. The balance scan is literal-aware: a paren inside
+            # a string literal / quoted identifier does not count.
+            from wren_engine_spark.plans.sqltext import CODE, lex
+
+            depth, pos, close_at = 0, 0, None
+            for text, kind in lex(table):
+                if kind == CODE and close_at is None:
+                    for off, ch in enumerate(text):
+                        depth += ch == "("
+                        depth -= ch == ")"
+                        if depth == 0:
+                            close_at = pos + off
+                            break
+                if close_at is not None:
                     break
-            if table[i + 1:].strip() == "":
+                pos += len(text)
+            if close_at is not None and table[close_at + 1:].strip() == "":
                 # alias must be a plain identifier — some backends
                 # (Derby) reject a leading underscore
                 table = f"{table} wrenq0"
@@ -215,10 +224,14 @@ class SourceRegistry:
         conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
         try:
             md = conn.getMetaData()
-            cols: dict[str, list[dict]] = {}
+            # key by (schema, table): same-named tables in two schemas
+            # must not merge, and getPrimaryKeys takes an EXACT schema
+            # name (not a pattern — only getColumns accepts patterns)
+            cols: dict[tuple[str, str], list[dict]] = {}
             rs = md.getColumns(None, schema_pattern, "%", "%")
             while rs.next():
-                cols.setdefault(rs.getString("TABLE_NAME"), []).append(
+                key = (rs.getString("TABLE_SCHEM") or "", rs.getString("TABLE_NAME"))
+                cols.setdefault(key, []).append(
                     {
                         "name": rs.getString("COLUMN_NAME"),
                         "type": rs.getString("TYPE_NAME"),
@@ -228,10 +241,13 @@ class SourceRegistry:
                     }
                 )
             rs.close()
+            name_count: dict[str, int] = {}
+            for _, t in cols:
+                name_count[t] = name_count.get(t, 0) + 1
             out = []
-            for t in sorted(cols):
+            for sch, t in sorted(cols):
                 pk_seq = []
-                prs = md.getPrimaryKeys(None, schema_pattern, t)
+                prs = md.getPrimaryKeys(None, sch or None, t)
                 while prs.next():
                     pk_seq.append(
                         (prs.getInt("KEY_SEQ"), prs.getString("COLUMN_NAME"))
@@ -242,8 +258,11 @@ class SourceRegistry:
                 pk = [name for _, name in sorted(pk_seq)]
                 out.append(
                     {
-                        "name": t,
-                        "columns": cols[t],
+                        # qualify only when the bare name is ambiguous
+                        # (keeps the reference's flat-DTO shape for the
+                        # common single-schema case)
+                        "name": t if name_count[t] == 1 else f"{sch}.{t}",
+                        "columns": cols[sch, t],
                         "primaryKey": pk[0] if len(pk) == 1 else (pk or None),
                     }
                 )

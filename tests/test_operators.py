@@ -578,3 +578,105 @@ class TestClustersContaminationText:
         strong = [(a, b) for (a, b), j in exact_pairs.items() if j >= 0.9]
         recalled = sum(1 for a, b in strong if approx[a] == approx[b])
         assert not strong or recalled / len(strong) >= 0.9
+
+
+class TestChunkBoilerplate:
+    def test_repeated_chunk_detected(self, spark):
+        from wren_engine_spark.operators.text import chunk_boilerplate_stats
+
+        boiler = " ".join(f"b{i}" for i in range(16))
+        uniq1 = " ".join(f"u{i}" for i in range(16))
+        uniq2 = " ".join(f"v{i}" for i in range(16))
+        df = spark.createDataFrame(
+            [(1, f"{boiler} {uniq1}"), (2, f"{boiler} {uniq2}"), (3, uniq2)],
+            "id INT, t STRING",
+        )
+        rows = {r.id: r for r in chunk_boilerplate_stats(df, "t", "id").collect()}
+        # docs 1 and 2 share their first 16-token chunk
+        assert rows[1].n_chunks == 2 and rows[1].n_boilerplate == 1
+        # doc 2: boiler chunk + uniq2 (shared with doc 3) -> both flagged
+        assert rows[2].n_chunks == 2 and rows[2].n_boilerplate == 2
+        # doc 3's single chunk equals doc 2's second chunk -> boilerplate
+        assert rows[3].n_chunks == 1 and rows[3].n_boilerplate == 1
+        assert rows[1].boiler_ratio == pytest.approx(0.5)
+
+    def test_no_boilerplate(self, spark):
+        from wren_engine_spark.operators.text import chunk_boilerplate_stats
+
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "d e f")], "id INT, t STRING"
+        )
+        rows = chunk_boilerplate_stats(df, "t", "id").collect()
+        assert all(r.n_boilerplate == 0 for r in rows)
+
+    def test_no_window_functions_in_plan(self, spark, docs):
+        # boilerplate pass must stay groupBy-shaped (map-side combinable),
+        # never a Window over the exploded chunks
+        from wren_engine_spark.operators.text import chunk_boilerplate_stats
+
+        p = (
+            chunk_boilerplate_stats(docs, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in p
+
+
+class TestSourceOverlap:
+    def test_known_overlap(self, spark):
+        from wren_engine_spark.operators.dedup import source_shingle_overlap
+
+        df = spark.createDataFrame(
+            [
+                (1, "sa", "a b c d"),       # shingles: {a b c, b c d}
+                (2, "sb", "a b c"),          # {a b c}
+                (3, "sc", "x y z"),          # {x y z}
+            ],
+            "id INT, source STRING, t STRING",
+        )
+        rows = {(r.src_a, r.src_b): r for r in
+                source_shingle_overlap(df, "t", "source").collect()}
+        ab = rows[("sa", "sb")]
+        assert (ab.n_a, ab.n_b, ab.n_common) == (2, 1, 1)
+        assert ab.jaccard == pytest.approx(0.5)
+        assert ("sa", "sc") not in rows  # zero overlap emits no row
+
+    def test_symmetric_pairs_not_duplicated(self, spark, docs):
+        from wren_engine_spark.operators.dedup import source_shingle_overlap
+
+        out = source_shingle_overlap(docs, "text", "source").collect()
+        keys = [(r.src_a, r.src_b) for r in out]
+        assert len(keys) == len(set(keys))
+        assert all(a < b for a, b in keys)
+
+
+class TestTokenNovelty:
+    def test_first_doc_attribution(self, spark):
+        from wren_engine_spark.operators.text import token_novelty
+
+        df = spark.createDataFrame(
+            [
+                (1, "sa", "cat dog"),
+                (2, "sb", "cat bird"),   # bird is new, cat repeats
+                (3, "sb", "dog bird"),   # nothing new
+            ],
+            "id INT, source STRING, t STRING",
+        )
+        rows = {r.source: r for r in
+                token_novelty(df, "t", "id", "source").collect()}
+        assert rows["sa"].n_introduced == 2      # cat, dog
+        assert rows["sa"].n_tokens_distinct == 2
+        assert rows["sb"].n_introduced == 1      # bird
+        assert rows["sb"].n_tokens_distinct == 3
+        assert rows["sb"].novelty_ratio == pytest.approx(1 / 3)
+
+    def test_totals_are_consistent(self, spark, docs):
+        from wren_engine_spark.operators.text import token_novelty
+
+        out = token_novelty(docs, "text", "doc_id", "source")
+        total_introduced = out.agg(F.sum("n_introduced")).collect()[0][0]
+        vocab = (
+            docs.select(F.explode(F.split(F.trim("text"), r"\s+")))
+            .distinct().count()
+        )
+        # every corpus token is introduced by exactly one source
+        assert total_introduced == vocab

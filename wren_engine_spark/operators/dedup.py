@@ -705,3 +705,55 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         )
     return counted.select(F.col(id_col), sim.alias("simhash"))
+
+
+def source_shingle_overlap(
+    df: DataFrame, text_col: str, group_col: str, n: int = 3
+) -> DataFrame:
+    """Pairwise shingle-set Jaccard BETWEEN groups (sources/domains) —
+    the corpus-level overlap matrix used to spot redundant crawls and
+    plan mixing weights.
+
+    Shingles are distinct word n-grams per group (same normalization as
+    ``jaccard_pairs``); output one row per unordered group pair:
+    (src_a, src_b, n_a, n_b, n_common, jaccard) with src_a < src_b.
+
+    Scale: the self-join is keyed on the shingle; a shingle present in
+    k groups emits k(k-1)/2 pair rows, bounded by (#groups)^2 — sources
+    are few (tens/hundreds), so the join output is #shingles * O(S^2)
+    worst case and the aggregation is map-side combinable. For very
+    large S, switch the pair expansion to a per-shingle sorted
+    group-list aggregate.
+    """
+    sh = (
+        shingle_arrays(df, text_col, group_col, n, "word")
+        .select(group_col, F.explode("__sh").alias("__g"))
+        .distinct()
+        .cache()
+    )
+    sizes = sh.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col(group_col).alias("src_a"), "__g")
+    b = sh.select(F.col(group_col).alias("src_b"), "__g")
+    inter = (
+        a.join(b, "__g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(group_col).alias("src_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col(group_col).alias("src_b"), F.col("__n").alias("n_b"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

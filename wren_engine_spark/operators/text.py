@@ -353,3 +353,109 @@ def length_buckets(
             F.sum("__nt").alias("sum_tokens"),
         )
     )
+
+
+def chunk_boilerplate_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Fixed-window boilerplate detection (the chunk-level analogue of
+    CCNet's cross-document line dedup; reference scope: corpus curation
+    beyond wren-engine — SURVEY §2 LLM-ops extensions).
+
+    Each document's token stream is cut into ``chunk_tokens``-token
+    windows; a chunk occurring in >= ``min_docs`` DISTINCT documents is
+    boilerplate (headers, footers, license blocks). Returns per doc:
+    (id, n_chunks, n_boilerplate, boiler_ratio).
+
+    Scale: chunking is map-side (array HOFs, no Python); the frequency
+    pass is one map-side-combinable groupBy on the chunk string; the
+    boilerplate set (chunks seen in >= min_docs docs) is typically a
+    tiny fraction of all chunks, so the indicator join's build side
+    shrinks to true-duplicate density. No window functions, no sort.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    chunks = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(__t) / {chunk_tokens}.0) "
+                    f"as int) - 1), i -> concat_ws(' ', slice(__t, "
+                    f"i * {chunk_tokens} + 1, {chunk_tokens})))"
+                )
+            ).alias("__chunk"),
+        )
+    )
+    boiler = (
+        chunks.groupBy("__chunk")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .filter(F.col("__docs") >= min_docs)
+        .select("__chunk", F.lit(1).alias("__b"))
+    )
+    return (
+        chunks.join(boiler, "__chunk", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("bigint").alias("n_boilerplate"),
+        )
+        .withColumn(
+            "boiler_ratio",
+            F.col("n_boilerplate").cast("double") / F.col("n_chunks").cast("double"),
+        )
+    )
+
+
+def token_novelty(
+    df: DataFrame, text_col: str, id_col: str, group_col: str
+) -> DataFrame:
+    """Vocabulary-growth attribution: how many distinct tokens each
+    group (source/domain) INTRODUCES to the corpus, scanning documents
+    in ``id_col`` order. A token is introduced by the group of the
+    lowest-id document containing it.
+
+    Returns per group: (group, n_tokens_distinct, n_introduced,
+    novelty_ratio). High novelty_ratio = the source contributes fresh
+    vocabulary; near zero = it repeats what earlier sources covered.
+
+    Scale: one explode + distinct, one min-groupBy on token (map-side
+    combinable), one join back on (token, id) — all hash-partitioned by
+    token, no windows; deterministic (min over ids, integer counts).
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("__g"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"),
+        )
+        .distinct()
+    )
+    first = toks.groupBy("__tok").agg(F.min("__id").alias("__first"))
+    per_group = toks.groupBy("__g").agg(
+        F.count_distinct("__tok").alias("n_tokens_distinct")
+    )
+    introduced = (
+        toks.join(
+            first,
+            (toks["__tok"] == first["__tok"]) & (toks["__id"] == first["__first"]),
+        )
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("n_introduced"))
+    )
+    return (
+        per_group.join(introduced, "__g", "left")
+        .select(
+            F.col("__g").alias(group_col),
+            "n_tokens_distinct",
+            F.coalesce("n_introduced", F.lit(0)).cast("bigint").alias("n_introduced"),
+            (
+                F.coalesce("n_introduced", F.lit(0)).cast("double")
+                / F.col("n_tokens_distinct").cast("double")
+            ).alias("novelty_ratio"),
+        )
+    )

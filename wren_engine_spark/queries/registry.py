@@ -130,6 +130,7 @@ from wren_engine_spark.queries import semantic  # noqa: E402,F401
 from wren_engine_spark.queries import advanced  # noqa: E402,F401
 from wren_engine_spark.queries import compat_fns  # noqa: E402,F401
 from wren_engine_spark.queries import llmops2  # noqa: E402,F401
+from wren_engine_spark.queries import llmops3  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registered queries
 # per round. Round 1 verified the 50 below (CORRECTNESS_r01.json, all green);

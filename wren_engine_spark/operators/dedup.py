@@ -718,12 +718,12 @@ def source_shingle_overlap(
     ``jaccard_pairs``); output one row per unordered group pair:
     (src_a, src_b, n_a, n_b, n_common, jaccard) with src_a < src_b.
 
-    Scale: the self-join is keyed on the shingle; a shingle present in
-    k groups emits k(k-1)/2 pair rows, bounded by (#groups)^2 — sources
-    are few (tens/hundreds), so the join output is #shingles * O(S^2)
-    worst case and the aggregation is map-side combinable. For very
-    large S, switch the pair expansion to a per-shingle sorted
-    group-list aggregate.
+    Scale: one shuffle keyed on the shingle builds the sorted list of
+    groups containing it; the k(k-1)/2 pair expansion happens inside
+    the row (array HOF), so nothing is joined against itself and the
+    pair counts aggregate map-side. A shingle in k groups emits
+    k(k-1)/2 rows, bounded by (#groups)^2 — sources are few
+    (tens/hundreds), so the expansion is tiny next to the corpus scan.
     """
     sh = (
         shingle_arrays(df, text_col, group_col, n, "word")
@@ -732,11 +732,21 @@ def source_shingle_overlap(
         .cache()
     )
     sizes = sh.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    a = sh.select(F.col(group_col).alias("src_a"), "__g")
-    b = sh.select(F.col(group_col).alias("src_b"), "__g")
+    # per-shingle sorted group list -> in-row unordered pair expansion
+    groups = sh.groupBy("__g").agg(
+        F.sort_array(F.collect_set(group_col)).alias("__gs")
+    )
+    pairs = groups.filter(F.size("__gs") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__gs, (x, i) -> "
+                "transform(slice(__gs, i + 2, size(__gs)), "
+                "y -> struct(x AS src_a, y AS src_b))))"
+            )
+        ).alias("__p")
+    )
     inter = (
-        a.join(b, "__g")
-        .filter(F.col("src_a") < F.col("src_b"))
+        pairs.select("__p.src_a", "__p.src_b")
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

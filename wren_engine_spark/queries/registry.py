@@ -133,38 +133,45 @@ from wren_engine_spark.queries import llmops2  # noqa: E402,F401
 from wren_engine_spark.queries import llmops3  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registered queries
-# per round. Round 1 verified the 50 below (CORRECTNESS_r01.json, all green);
-# rotate them to the back so round 2's window covers the other 50 families
-# (sem*, a*, m*, p2, f3-f5, x2-x32). The union across rounds covers every
-# query. Registration order carries no semantic meaning beyond this.
-_VERIFIED_R1 = [
-    "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_revenue_forecast", "q7_volume_shipping",
-    "q10_returned_items", "q12_shipping_delay", "q14_promo_revenue",
-    "q15_top_supplier", "q18_large_volume_customer", "q19_discounted_revenue",
-    "q2_min_cost_supplier", "q8_market_share", "q9_product_type_profit",
-    "q11_important_stock", "q13_customer_distribution",
-    "q16_parts_supplier_relationship", "q17_small_quantity_revenue",
-    "q20_potential_part_promotion", "q21_suppliers_kept_waiting",
-    "q22_global_sales_opportunity", "w1_top_parts_per_brand",
-    "w2_running_customer_total", "w3_order_gaps", "w4_event_sessionization",
-    "s1_repeat_customers_intersect", "s2_churned_customers_except",
-    "s3_union_all_activity", "g1_rollup_revenue", "g2_cube_order_matrix",
-    "g3_grouping_sets", "d1_distinct_aggregates", "d2_approx_distinct",
-    "f1_string_datetime_functions", "f2_case_bucketing",
-    "t1_monthly_revenue_trend", "p1_status_priority_pivot",
-    "e1_json_extraction", "j1_customers_without_pending_orders",
-    "j2_correlated_above_avg", "w5_rank_family", "w6_window_frames",
-    "s4_setops_all", "d3_stat_aggregates", "t2_event_funnel",
-    "t3_retention_cohorts", "m4_gap_fill", "p3_pivot_matrix",
-    "x1_exact_dedup",
-]
+# per round. Rotate every query that already has a passing driver row (in any
+# prior round's CORRECTNESS_r*.json at the repo root) to the back, so each
+# round's 50-query window covers what previous rounds did not; the union
+# across rounds covers every query. A `no_oracle` row counts as unverified so
+# the query is rechecked once an oracle is registered. Registration order
+# carries no semantic meaning beyond this.
+
+
+def _previously_verified() -> set[str]:
+    import glob
+    import json
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    done: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            ok = (
+                r.get("err") in (None, "rows_only")
+                and r.get("rows_match") is True
+                and r.get("schema_match") is not False
+                and r.get("hash_match") is not False
+            )
+            if ok:
+                done.add(name)
+    return done
 
 
 def _rotate_verified_to_back() -> None:
-    back = set(_VERIFIED_R1)
+    back = _previously_verified()
     order = [n for n in QUERIES if n not in back]
-    order += [n for n in _VERIFIED_R1 if n in QUERIES]
+    order += [n for n in QUERIES if n in back]
     for d in (QUERIES, ORACLES):
         reordered = {n: d[n] for n in order if n in d}
         d.clear()

@@ -2,10 +2,11 @@
 
 entry(spark)  -> flagship query on sf0.001
 queries()     -> every implemented operator (SURVEY.md §2 + north-star
-                 extensions), as (spark, sf_dir) -> DataFrame; 104
+                 extensions), as (spark, sf_dir) -> DataFrame; 112
                  entries, ordered so the external gate's first-50
-                 window covers the families unverified in round 1
-oracle_sql()  -> DuckDB-equivalent SQL per query (94 of 104; omitted
+                 window always covers queries without a passing driver
+                 row from any earlier round (CORRECTNESS_r*.json)
+oracle_sql()  -> DuckDB-equivalent SQL per query (102 of 112; omitted
                  only for sketch/LSH/randomized operators whose hash
                  functions are engine-specific; those get rows-only
                  checks)

@@ -680,3 +680,116 @@ class TestTokenNovelty:
         )
         # every corpus token is introduced by exactly one source
         assert total_introduced == vocab
+
+
+class TestChunkDedupRewrite:
+    def test_keep_first_and_rewrite(self, spark):
+        from wren_engine_spark.operators.dedup import chunk_dedup_rewrite
+
+        boiler = " ".join(f"b{i}" for i in range(16))
+        uniq1 = " ".join(f"u{i}" for i in range(16))
+        uniq2 = " ".join(f"v{i}" for i in range(16))
+        df = spark.createDataFrame(
+            [(1, f"{boiler} {uniq1}"), (2, f"{boiler} {uniq2}")],
+            "id INT, t STRING",
+        )
+        rows = {r.id: r for r in chunk_dedup_rewrite(df, "t", "id").collect()}
+        # doc 1 owns the first occurrence of the boiler chunk: keeps both
+        assert rows[1].n_chunks == 2 and rows[1].n_kept == 2
+        assert rows[1].dedup_text == f"{boiler} {uniq1}"
+        # doc 2 loses its copy of the boiler chunk, keeps uniq2 only
+        assert rows[2].n_chunks == 2 and rows[2].n_kept == 1
+        assert rows[2].dedup_text == uniq2
+
+    def test_all_chunks_deduped_yields_empty_text(self, spark):
+        from wren_engine_spark.operators.dedup import chunk_dedup_rewrite
+
+        t = " ".join(f"w{i}" for i in range(16))
+        df = spark.createDataFrame([(1, t), (2, t)], "id INT, t STRING")
+        rows = {r.id: r for r in chunk_dedup_rewrite(df, "t", "id").collect()}
+        assert rows[1].n_kept == 1 and rows[1].dedup_text == t
+        assert rows[2].n_kept == 0 and rows[2].dedup_text == ""
+
+    def test_no_window_functions_in_plan(self, spark, docs):
+        # keep-first winner is a min(struct) groupBy, never a corpus Window
+        from wren_engine_spark.operators.dedup import chunk_dedup_rewrite
+
+        p = (
+            chunk_dedup_rewrite(docs, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in p
+
+
+class TestTokenRarity:
+    def test_small_corpus_exact(self, spark):
+        from wren_engine_spark.operators.text import token_rarity
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c")], "id INT, t STRING"
+        )
+        rows = {r.id: r for r in token_rarity(df, "t", "id").collect()}
+        # N=5, cnt(a)=3, cnt(b)=cnt(c)=1
+        rq_a, rq_1 = 5_000_000 // 3, 5_000_000
+        assert rows[1].n_tokens == 3
+        assert rows[1].mean_rarity == pytest.approx((2 * rq_a + rq_1) / 3e6)
+        # bits: len(bin(5))=3; a -> 3-len(bin(3))=1, b/c -> 3-len(bin(1))=2
+        assert rows[1].mean_surprisal_bits == pytest.approx((1 + 1 + 2) / 3)
+        assert rows[2].n_tokens == 2
+        assert rows[2].mean_rarity == pytest.approx((rq_a + rq_1) / 2e6)
+        assert rows[2].mean_surprisal_bits == pytest.approx((1 + 2) / 2)
+
+    def test_rare_vocab_scores_higher(self, spark, docs):
+        from wren_engine_spark.operators.text import token_rarity
+
+        out = token_rarity(docs, "text", "doc_id")
+        assert out.filter("mean_rarity <= 0").count() == 0
+        # rarity is bounded below by 1 (token can't be rarer than N/N... or
+        # more frequent than cnt=N): floor(N*1e6/cnt)/1e6 >= 1 for cnt <= N
+        assert out.filter("mean_rarity < 1").count() == 0
+
+
+class TestChunkWithOverlap:
+    def test_stride_and_coverage(self, spark):
+        from wren_engine_spark.operators.text import chunk_with_overlap
+
+        toks = [f"t{i}" for i in range(10)]
+        df = spark.createDataFrame([(1, " ".join(toks))], "id INT, t STRING")
+        rows = sorted(
+            chunk_with_overlap(df, "t", "id", 4, 2).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        # stride 2: starts at 0,2,4,6 -> 4 chunks
+        assert [r.chunk_id for r in rows] == [0, 1, 2, 3]
+        assert rows[0].chunk_text == "t0 t1 t2 t3"
+        assert rows[1].chunk_text == "t2 t3 t4 t5"
+        assert rows[3].chunk_text == "t6 t7 t8 t9"
+        assert all(r.n_tokens == 4 for r in rows)
+        # every token appears in at least one chunk
+        seen = set(t for r in rows for t in r.chunk_text.split())
+        assert seen == set(toks)
+
+    def test_short_doc_single_chunk(self, spark):
+        from wren_engine_spark.operators.text import chunk_with_overlap
+
+        df = spark.createDataFrame([(1, "x y")], "id INT, t STRING")
+        rows = chunk_with_overlap(df, "t", "id", 8, 4).collect()
+        assert len(rows) == 1 and rows[0].chunk_text == "x y"
+        assert rows[0].n_tokens == 2
+
+    def test_bad_overlap_rejected(self, spark):
+        from wren_engine_spark.operators.text import chunk_with_overlap
+
+        df = spark.createDataFrame([(1, "x")], "id INT, t STRING")
+        with pytest.raises(ValueError):
+            chunk_with_overlap(df, "t", "id", 8, 8)
+
+    def test_no_shuffle_in_plan(self, spark, docs):
+        # chunking is pure map-side: the plan must contain no Exchange
+        from wren_engine_spark.operators.text import chunk_with_overlap
+
+        p = (
+            chunk_with_overlap(docs, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in p

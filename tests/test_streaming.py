@@ -133,3 +133,29 @@ class TestThresholdAlerts:
         # users that never crossed the threshold emit nothing
         silent = set(exp) - set(alerts)
         assert all(exp[u][0] < 500.0 for u in silent)
+
+
+class TestStreamDedupThenAggregate:
+    def test_dedup_agg_chain_matches_batch(self, spark, events_batch):
+        # two chained stateful operators: dropDuplicates -> grouped agg
+        batch_df, path = events_batch
+        stream = spark.readStream.schema(batch_df.schema).parquet(path)
+        stream = stream.withColumn("h", F.date_trunc("hour", F.col("ts")))
+        deduped = ops.streaming_dedup(
+            stream, ["user_id", "event_type", "h"], watermark="365 days"
+        )
+        out = _run_stream(
+            spark,
+            deduped.groupBy("h").agg(F.count(F.lit(1)).alias("n")),
+            "dedup_agg",
+            mode="complete",
+        )
+        exp = {
+            (r.h, r.n)
+            for r in batch_df.withColumn("h", F.date_trunc("hour", F.col("ts")))
+            .dropDuplicates(["user_id", "event_type", "h"])
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert {(r.h, r.n) for r in out.collect()} == exp

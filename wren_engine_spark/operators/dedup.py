@@ -767,3 +767,63 @@ def source_shingle_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def chunk_dedup_rewrite(
+    df: DataFrame, text_col: str, id_col: str, chunk_tokens: int = 16
+) -> DataFrame:
+    """Corpus-wide keep-first chunk dedup with document REWRITE — the
+    scrubbing counterpart of ``chunk_boilerplate_stats`` (C4/CCNet-style
+    line dedup, chunk analogue; the corpus here is single-line so fixed
+    token windows stand in for lines; on newline-structured corpora pass
+    the line split instead).
+
+    Every document's token stream is cut into ``chunk_tokens``-token
+    windows; for each distinct chunk string only the FIRST occurrence
+    corpus-wide survives (first = lowest ``(id, chunk position)``), all
+    later occurrences are dropped, and each document is reassembled from
+    its surviving chunks in original order. Returns per doc:
+    (id, n_chunks, n_kept, dedup_text).
+
+    Scale: chunking is map-side; the keep-first winner per chunk is one
+    ``min(struct(id, pos))`` groupBy on the chunk string (map-side
+    combinable — no window/sort over the corpus); the winner set joins
+    back on the chunk hash. Reassembly sorts only within a document
+    (``array_sort`` of that doc's surviving chunks, bounded by doc
+    length, not corpus size).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    chunks = df.select(F.col(id_col), toks.alias("__t")).select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(__t) / {chunk_tokens}.0) "
+                f"as int) - 1), i -> concat_ws(' ', slice(__t, "
+                f"i * {chunk_tokens} + 1, {chunk_tokens})))"
+            )
+        ).alias("__pos", "__chunk"),
+    )
+    winners = chunks.groupBy("__chunk").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias(
+            "__first"
+        )
+    )
+    marked = chunks.join(winners, "__chunk").withColumn(
+        "__keep",
+        (F.col("__first.i") == F.col(id_col)) & (F.col("__first.p") == F.col("__pos")),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "CASE WHEN __keep THEN struct(__pos AS p, __chunk AS c) END)), "
+                    "s -> s.c)"
+                ),
+            ).alias("dedup_text"),
+        )
+    )

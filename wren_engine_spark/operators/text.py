@@ -459,3 +459,103 @@ def token_novelty(
             ).alias("novelty_ratio"),
         )
     )
+
+
+def token_rarity(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Unigram-model document scoring (the CCNet/perplexity-filter shape
+    with engine-exact arithmetic): fit corpus unigram frequencies, then
+    score each document by how rare its tokens are.
+
+    Two scores per doc, both bit-reproducible across engines (no
+    transcendental functions whose last-ulp differs between libm and the
+    JVM):
+      - ``mean_rarity``: mean over token occurrences of
+        floor(N * 1e6 / count(tok)) / 1e6 — the inverse relative
+        unigram frequency N/cnt, floor-quantized at 1e-6. N*1e6 is an
+        exact double (< 2^53 up to multi-billion-token corpora), IEEE
+        division and floor are deterministic.
+      - ``mean_surprisal_bits``: mean of floor(log2 N) - floor(log2 cnt)
+        per occurrence — integer bit-length surprisal (length of the
+        binary representation), an exact +/-1 approximation of
+        -log2 p(tok).
+
+    High scores = rare vocabulary (specialist or noisy text), low =
+    common filler; both ends are the standard cut candidates.
+
+    Scale: token explode is map-side; the frequency table is one
+    map-side-combinable groupBy on the token (vocab-sized result); the
+    occurrence->frequency join is hash-partitioned by token on both
+    sides; the per-doc reduction is a map-side-combinable integer sum.
+    The corpus total N is a one-row aggregate broadcast into the join.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"),
+    )
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = freq.agg(F.sum("__cnt").cast("double").alias("__N"))
+    scored = (
+        toks.join(freq, "__tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.floor(F.col("__N") * 1e6 / F.col("__cnt")).alias("__rq"),
+            (
+                F.length(F.bin(F.col("__N").cast("bigint")))
+                - F.length(F.bin(F.col("__cnt")))
+            ).alias("__bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("__rq").cast("double") / (F.count(F.lit(1)) * F.lit(1e6))).alias(
+            "mean_rarity"
+        ),
+        (F.sum("__bits").cast("double") / F.count(F.lit(1))).alias(
+            "mean_surprisal_bits"
+        ),
+    )
+
+
+def chunk_with_overlap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking with overlap — the retrieval /
+    context-window preprocessing shape (RAG indexing, long-document
+    training splits). Chunk i covers tokens [i*stride, i*stride+size)
+    with stride = size - overlap; the final chunk may be short; every
+    token belongs to at least one chunk.
+
+    Returns (id, chunk_id, n_tokens, chunk_text) — one row per chunk.
+
+    Scale: pure map-side array HOFs (split/sequence/slice/concat_ws) and
+    one posexplode; no shuffle at all — the output inherits the scan's
+    partitioning, ready for a downstream embed/encode stage.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(greatest(size(__t) - {overlap}, 1)"
+                    f" / {stride}.0) as int) - 1, 1), "
+                    f"i -> slice(__t, i * {stride} + 1, {chunk_tokens}))"
+                )
+            ).alias("chunk_id", "__c"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size("__c").cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", F.col("__c")).alias("chunk_text"),
+        )
+    )

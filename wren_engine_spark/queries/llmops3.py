@@ -177,3 +177,155 @@ def t5(spark: SparkSession, sf: str) -> DataFrame:
         "segment",
         F.col("n_events").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "x39_chunk_dedup_rewrite",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(0,
+        CAST(ceil(len(t) / 16.0) AS BIGINT) - 1)) AS i FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(t[(i*16+1):(i*16+16)], ' ') AS chunk
+      FROM pos
+    ),
+    ranked AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                               ORDER BY pos), '') AS dedup_text
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def x39(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus keep-first chunk dedup with document rewrite (C4/CCNet
+    line-dedup shape on a single-line corpus).
+    operators/dedup.chunk_dedup_rewrite."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return dedup.chunk_dedup_rewrite(d, "text", "doc_id", 16)
+
+
+@register(
+    "x40_token_rarity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_d,
+                   CAST(SUM(cnt) AS BIGINT) AS n_i FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(floor(tot.n_d * 1e6 / f.cnt) AS BIGINT) AS rq,
+             length(bin(tot.n_i)) - length(bin(f.cnt)) AS bits
+      FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(rq) AS DOUBLE) / (COUNT(*) * 1e6) AS mean_rarity,
+           CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_surprisal_bits
+    FROM scored GROUP BY doc_id
+    """,
+)
+def x40(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-model document scoring (perplexity-filter shape) with
+    engine-exact quantized arithmetic. operators/text.token_rarity."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.token_rarity(d, "text", "doc_id")
+
+
+@register(
+    "x41_chunk_overlap",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(0,
+        CAST(ceil(greatest(len(t) - 8, 1) / 24.0) AS BIGINT) - 1)) AS i
+      FROM toks
+    )
+    SELECT doc_id, i AS chunk_id,
+           len(t[(i*24+1):(i*24+32)]) AS n_tokens,
+           array_to_string(t[(i*24+1):(i*24+32)], ' ') AS chunk_text
+    FROM pos
+    """,
+)
+def x41(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window chunking with overlap (RAG indexing / training
+    splits): 32-token chunks, 8-token overlap.
+    operators/text.chunk_with_overlap."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.chunk_with_overlap(d, "text", "doc_id", 32, 8)
+
+
+@register(
+    "t6_stream_dedup",
+    """
+    SELECT h AS window_start, COUNT(*) AS n_unique
+    FROM (SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS h
+          FROM events) d
+    GROUP BY h
+    """,
+)
+def t6(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming exactly-once dedup, oracle-checked: replay
+    the events stream (availableNow), drop duplicate (user, event_type)
+    records within each hour via state-store-backed dropDuplicates, then
+    count survivors per hour — "one action per user/type/hour", the
+    standard dedup-then-aggregate chain (two stateful operators).
+
+    Scale: dedup state is hash-partitioned by the dedup key; with the
+    hour key monotone in event time, production deployments bound state
+    with dropDuplicatesWithinWatermark (here the full-replay batch
+    semantics must equal the global-DISTINCT oracle, so the unbounded
+    form is used and the watermark only gates lateness)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from wren_engine_spark.streaming.ops import streaming_dedup
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+        src = src.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).cast("timestamp"),
+        )
+    src = src.withColumn("window_start", F.date_trunc("hour", F.col("ts")))
+    deduped = streaming_dedup(
+        src, ["user_id", "event_type", "window_start"], "ts", "24 hours"
+    )
+    out = deduped.groupBy("window_start").agg(F.count(F.lit(1)).alias("n_unique"))
+    qname = "t6_stream_sink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("n_unique").cast("bigint").alias("n_unique"),
+    )

@@ -329,3 +329,66 @@ def t6(spark: SparkSession, sf: str) -> DataFrame:
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         F.col("n_unique").cast("bigint").alias("n_unique"),
     )
+
+
+@register(
+    "t7_stream_threshold_alerts",
+    """
+    SELECT user_id,
+           CAST(floor(total / 100) AS BIGINT) AS alert_level,
+           ROUND(total, 4) AS total_value,
+           n AS n_events
+    FROM (SELECT user_id,
+                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+                 COUNT(*) AS n
+          FROM events GROUP BY user_id)
+    WHERE floor(total / 100) >= 1
+    """,
+)
+def t7(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator, oracle-checked: per-user
+    running-total threshold alerts via ``applyInPandasWithState``
+    (state transitions, not windows — the semantics grouped aggregation
+    can't express). Replayed with availableNow over the single events
+    file -> exactly one microbatch -> one alert row per user whose
+    total crossed the threshold, which a batch aggregate expresses
+    exactly; totals are ROUND(4)-bridged (pandas float accumulation vs
+    decimal-exact oracle sum). Multi-batch deployments emit one row per
+    crossing per batch (pytest covers the incremental path)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from wren_engine_spark.streaming.ops import threshold_alerts
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+        src = src.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).cast("timestamp"),
+        )
+    out = threshold_alerts(src, "ts", "user_id", "value", 100.0, "365 days")
+    qname = "t7_stream_sink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("alert_level").cast("bigint").alias("alert_level"),
+        F.round(F.col("total_value"), 4).alias("total_value"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

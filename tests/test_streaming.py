@@ -20,15 +20,9 @@ def events_batch(spark, tmp_path_factory):
 
 
 def _run_stream(spark, stream_df, name, mode="append"):
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table(name)
+    # bounded runner: raises (instead of wedging) if the replay never
+    # terminates — the regression mode round 2 shipped in t7
+    return ops.run_available_now(spark, stream_df, name, mode, timeout_sec=120)
 
 
 class TestStreaming:
@@ -133,6 +127,32 @@ class TestThresholdAlerts:
         # users that never crossed the threshold emit nothing
         silent = set(exp) - set(alerts)
         assert all(exp[u][0] < 500.0 for u in silent)
+
+    def test_available_now_replay_terminates(self, spark, events_batch):
+        """Regression for the round-2 t7 wedge: the NoTimeout
+        threshold_alerts replay must TERMINATE on its own, well inside
+        the guard timeout — not merely get killed by it."""
+        import time
+
+        batch_df, path = events_batch
+        stream = spark.readStream.schema(batch_df.schema).parquet(path)
+        t0 = time.monotonic()
+        out = _run_stream(
+            spark,
+            ops.threshold_alerts(stream, threshold=500.0, watermark="365 days"),
+            "alerts_term",
+            mode="append",
+        )
+        elapsed = time.monotonic() - t0
+        assert elapsed < 120, f"replay took {elapsed:.0f}s — not terminating"
+        assert out.count() >= 0
+
+    def test_t7_registered_query_terminates(self, spark):
+        from wren_engine_spark.queries.registry import QUERIES
+
+        rows = QUERIES["t7_stream_threshold_alerts"](spark, SF_DIR).collect()
+        assert len(rows) >= 1
+        assert all(r.alert_level >= 1 for r in rows)
 
 
 class TestStreamDedupThenAggregate:

@@ -292,6 +292,61 @@ def stratified_sample(
     return df.sampleBy(stratum_col, fractions, seed)
 
 
+# Knuth multiplicative constant; the pre-modulus keeps the product well
+# inside int64 so ANSI-mode Spark and DuckDB both evaluate it exactly
+_DET_SAMPLE_MULT = 2654435761
+_DET_SAMPLE_PREMOD = 1000003
+_DET_SAMPLE_SCALE = 1_000_000
+
+
+def deterministic_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    frac_even_pm: int = 300_000,
+    frac_odd_pm: int = 1_000_000,
+) -> DataFrame:
+    """Content-keyed stratified Bernoulli sample with ENGINE-PORTABLE
+    determinism: the keep decision is pure int64 arithmetic on the row
+    id (multiplicative hash mod 1e6 compared to the stratum's
+    per-million fraction), so any SQL engine reproduces the exact row
+    set — unlike ``sampleBy``, whose RNG is partition-layout dependent.
+
+    Strata are ranked by name; even ranks keep ``frac_even_pm``/1e6 of
+    rows, odd ranks keep ``frac_odd_pm``/1e6 (the "keep all of rare
+    sources, downsample the rest" mixture-control shape with a
+    deterministic assignment).
+
+    Scale: the stratum->fraction table is built with a window over the
+    DISTINCT strata (source-cardinality rows, single partition — fine:
+    domains number in the hundreds, not billions) and broadcast into
+    the probe side; the keep filter is a map-side integer predicate, no
+    shuffle of the fact table.
+    """
+    from pyspark.sql import Window as W
+
+    strata = (
+        df.select(stratum_col)
+        .distinct()
+        .withColumn("__rk", F.dense_rank().over(W.orderBy(stratum_col)) - 1)
+        .select(
+            stratum_col,
+            F.when(F.col("__rk") % 2 == 1, F.lit(frac_odd_pm))
+            .otherwise(F.lit(frac_even_pm))
+            .alias("__frac_pm"),
+        )
+    )
+    key = F.pmod(
+        F.pmod(F.col(id_col), F.lit(_DET_SAMPLE_PREMOD)) * F.lit(_DET_SAMPLE_MULT),
+        F.lit(_DET_SAMPLE_SCALE),
+    )
+    return (
+        df.join(F.broadcast(strata), stratum_col)
+        .filter(key < F.col("__frac_pm"))
+        .drop("__frac_pm")
+    )
+
+
 def mixing_weights(
     df: DataFrame, source_col: str, text_col: str
 ) -> DataFrame:

@@ -183,7 +183,7 @@ def p2(spark: SparkSession, sf: str) -> DataFrame:
       FROM orders GROUP BY o_custkey
     )
     SELECT o_custkey,
-           list_sort(map_keys(m)) AS mkeys,
+           array_to_string(list_sort(map_keys(m)), ',') AS mkeys,
            m['orders'][1] AS n_orders,
            m['urgent'][1] AS n_urgent,
            CAST(s.first_dt AS DATE) AS first_date,
@@ -197,7 +197,9 @@ def a4(spark: SparkSession, sf: str) -> DataFrame:
     function/scalar/mod.rs:187-192, named_struct/get_field
     mod.rs:20-46): map construction, map_keys, element_at, struct
     construction and field access. Nested values are projected to
-    scalars/arrays in the output so the oracle compare stays exact."""
+    SCALARS in the output (map keys string-joined, not an array column)
+    — the driver's pandas canonicalizer can't hash list cells, so array
+    outputs ERR regardless of value equality (round-2 a4 lesson)."""
     load_tables(spark, sf, "orders")
     return spark.sql(
         """
@@ -209,7 +211,7 @@ def a4(spark: SparkSession, sf: str) -> DataFrame:
           FROM orders GROUP BY o_custkey
         )
         SELECT o_custkey,
-               sort_array(map_keys(m)) AS mkeys,
+               array_join(sort_array(map_keys(m)), ',') AS mkeys,
                element_at(m, 'orders') AS n_orders,
                element_at(m, 'urgent') AS n_urgent,
                CAST(s.first_dt AS DATE) AS first_date,

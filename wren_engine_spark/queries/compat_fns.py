@@ -21,7 +21,7 @@ from wren_engine_spark.queries.registry import load_tables, register
     SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
            strftime(time_bucket(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M') AS bucket_label,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     WHERE json_extract(props, '$.k') IS NOT NULL
     GROUP BY 1, 2

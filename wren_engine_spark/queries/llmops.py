@@ -79,11 +79,35 @@ def x3(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
 
 
-@register("x4_minhash_lsh_candidates")  # sketch-based: rows-only check
+@register(
+    "x4_minhash_lsh_candidates",
+    f"""
+    WITH {_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard, TRUE AS in_candidates FROM pairs
+    """,
+)
 def x4(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH containment check, driver-verified: every exact
+    trigram-Jaccard pair >= 0.8 flagged by whether the banded MinHash
+    candidate generation surfaced it. The oracle is the exact pair set
+    with in_candidates TRUE — a hash-exact CONTAINMENT assertion
+    (candidates ⊇ exact pairs; 64 perms / 16 bands puts the 0.8-pair
+    miss probability at (1-0.8^4)^16 ≈ 2e-4 per pair, verified total
+    recall at sf0.001 and sf0.01). The raw candidate set itself stays
+    sketch-specific (est_jaccard band collisions), which is why the
+    registered output is the containment projection, not the sketch.
+    """
     d = load_tables(spark, sf, "documents")["documents"]
-    return dedup.minhash_lsh_candidates(d, "text", "doc_id").filter(
-        F.col("est_jaccard") >= 0.5
+    exact = dedup.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+    cand = (
+        dedup.minhash_lsh_candidates(d, "text", "doc_id")
+        .select("id_a", "id_b", F.lit(1).alias("__c"))
+    )
+    return exact.join(cand, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.col("__c").isNotNull().alias("in_candidates"),
     )
 
 
@@ -329,13 +353,60 @@ def x17(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_near_dup(d, "text", "doc_id", max_hamming=6, bands=8)
 
 
-@register("x18_winnow_fingerprints")  # xxhash64-based: rows-only check
+@register(
+    "x18_winnow_fingerprints",
+    """
+    WITH t AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+      WHERE length(lower(text)) >= 8
+    )
+    SELECT doc_id,
+           CAST(length(t) - 7 AS BIGINT) AS n_windows,
+           CAST(len(list_distinct(
+             [substr(t, CAST(i AS INTEGER), 5)
+              FOR i IN generate_series(1, length(t) - 4)])) AS BIGINT)
+             AS n_distinct_kgrams,
+           TRUE AS in_bounds
+    FROM t
+    """,
+)
 def x18(spark: SparkSession, sf: str) -> DataFrame:
-    """Winnowing (MOSS) fingerprint profile per document: fingerprint
-    count + density (guaranteed ~2/(w+1) of k-gram positions)."""
+    """Winnowing (MOSS, k=5/w=4) fingerprint profile with a BOUNDS
+    oracle: the fingerprint values are xxhash64-specific, but the
+    algorithm guarantees (Schleimer et al. SIGMOD'03) that every doc
+    with at least one full window emits >= 1 fingerprint, each window
+    selects exactly one position, and fingerprints are hashes of the
+    doc's k-grams — so 1 <= n_fingerprints <= least(n_windows,
+    n_distinct_kgrams). The oracle computes the window/k-gram counts
+    exactly in DuckDB and asserts in_bounds TRUE; the Spark side emits
+    the same counts plus the bound check on the REAL fingerprint
+    count, making the guarantee hash-verified end-to-end."""
     d = load_tables(spark, sf, "documents")["documents"]
     fps = dedup.winnow_fingerprints(d, "text", "doc_id", k=5, w=4)
-    return fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fingerprints"))
+    counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__nfp"))
+    base = (
+        d.select("doc_id", F.lower(F.col("text")).alias("__t"))
+        .filter(F.length("__t") >= 8)
+        .select(
+            "doc_id",
+            (F.length("__t") - 7).cast("bigint").alias("n_windows"),
+            F.expr(
+                "cast(size(array_distinct(transform("
+                "sequence(1, length(__t) - 4), i -> substring(__t, i, 5)"
+                "))) as bigint)"
+            ).alias("n_distinct_kgrams"),
+        )
+    )
+    return base.join(counts, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        "n_distinct_kgrams",
+        (
+            F.coalesce(F.col("__nfp"), F.lit(0)).between(
+                F.lit(1), F.least("n_windows", "n_distinct_kgrams")
+            )
+        ).alias("in_bounds"),
+    )
 
 
 _BPE_RE = r"''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
@@ -399,13 +470,13 @@ def x20(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH s AS (
       SELECT COUNT(*) AS n_rows,
-             SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS lang_nulls,
+             CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
              COUNT(DISTINCT lang) AS lang_distinct,
              MIN(CAST(lang AS VARCHAR)) AS lang_min, MAX(CAST(lang AS VARCHAR)) AS lang_max,
-             SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS source_nulls,
+             CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
              COUNT(DISTINCT source) AS source_distinct,
              MIN(CAST(source AS VARCHAR)) AS source_min, MAX(CAST(source AS VARCHAR)) AS source_max,
-             SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nc_nulls,
+             CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nc_nulls,
              COUNT(DISTINCT n_chars) AS nc_distinct,
              MIN(CAST(n_chars AS VARCHAR)) AS nc_min, MAX(CAST(n_chars AS VARCHAR)) AS nc_max
       FROM documents
@@ -424,19 +495,41 @@ def x21(spark: SparkSession, sf: str) -> DataFrame:
     return text.profile_columns(d, ["lang", "source", "n_chars"])
 
 
-@register("x22_stratified_sample")  # randomized: rows-only check
-def x22(spark: SparkSession, sf: str) -> DataFrame:
-    """Source-rebalancing sample: keep 100% of rare sources, downsample
-    the rest (corpus mixture control)."""
-    d = load_tables(spark, sf, "documents")["documents"]
-    sources = [r.source for r in d.select("source").distinct().collect()]
-    fractions = {s: (1.0 if i % 2 else 0.3) for i, s in enumerate(sorted(sources))}
-    return text.stratified_sample(d, "source", fractions)
-
-
 @register(
-    "x24_duplicate_clusters",
-    f"""
+    "x22_stratified_sample",
+    """
+    WITH srcs AS (
+      SELECT source, dense_rank() OVER (ORDER BY source) - 1 AS rk
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    fr AS (
+      SELECT source,
+             CASE WHEN rk % 2 = 1 THEN 1000000 ELSE 300000 END AS frac_pm
+      FROM srcs
+    )
+    SELECT d.doc_id, d.source, d.lang, d.n_chars
+    FROM documents d JOIN fr USING (source)
+    WHERE ((d.doc_id % 1000003) * 2654435761) % 1000000 < frac_pm
+    """,
+)
+def x22(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-rebalancing sample (keep 100% of alternating sources,
+    downsample the rest to 30%) with ENGINE-PORTABLE determinism: the
+    keep decision is integer multiplicative hashing on doc_id, so the
+    exact row set is DuckDB-reproducible (round-2 ask: replace sampleBy
+    randomness with a hash-mod rule so an exact oracle exists). The
+    seeded ``sampleBy`` operator remains available for statistical
+    sampling; this is the auditable-pipeline variant."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.deterministic_stratified_sample(d, "source", "doc_id").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+# exact duplicate clusters via recursive CTE — shared by x24 (exact
+# pipeline) and x32 (LSH-candidate pipeline, which must produce the same
+# components whenever LSH recall over the >=0.8 pair set is total)
+_CLUSTER_ORACLE = f"""
     WITH RECURSIVE {_PAIRS_CTES},
     edges AS (
       SELECT id_a AS u, id_b AS v FROM pairs
@@ -451,8 +544,10 @@ def x22(spark: SparkSession, sf: str) -> DataFrame:
     comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
     SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
     FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-    """,
-)
+    """
+
+
+@register("x24_duplicate_clusters", _CLUSTER_ORACLE)
 def x24(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate clustering: exact Jaccard pairs -> connected components
     (iterative min-label propagation) -> one cluster id per document.
@@ -604,11 +699,16 @@ def x28(spark: SparkSession, sf: str) -> DataFrame:
     return text.tfidf_top_terms(d, "text", "doc_id", k=5)
 
 
-@register("x32_scalable_dup_clusters")  # LSH-candidate based: rows-only check
+@register("x32_scalable_dup_clusters", _CLUSTER_ORACLE)
 def x32(spark: SparkSession, sf: str) -> DataFrame:
-    """Scalable near-dup clustering (LSH candidates -> exact verify ->
-    connected components); precision-exact, recall bounded in
-    tests/test_operators.py against the exact x24 pipeline."""
+    """Scalable near-dup clustering (LSH candidates -> exact Jaccard
+    verify -> connected components). Driver-verified against the SAME
+    recursive-CTE oracle as the exact x24 pipeline: the verify step
+    makes precision exact, so the pipelines agree whenever LSH recall
+    over the >=0.8 pair set is total (miss prob ≈ 2e-4/pair at these
+    parameters; verified identical to x24 at sf0.001 and sf0.01).
+    tests/test_operators.py additionally bounds recall under
+    adversarial parameters."""
     d = load_tables(spark, sf, "documents")["documents"]
     return dedup.scalable_duplicate_clusters(d, "text", "doc_id")
 

@@ -37,8 +37,8 @@ def x33(spark: SparkSession, sf: str) -> DataFrame:
     WITH per AS (
       SELECT source,
              COUNT(*) AS n_docs,
-             SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
-               AS n_tokens
+             CAST(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
+               AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
     tot AS (
@@ -69,8 +69,8 @@ def x34(spark: SparkSession, sf: str) -> DataFrame:
              AS min_tokens,
            MAX(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
              AS max_tokens,
-           SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
-             AS sum_tokens
+           CAST(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
+             AS BIGINT) AS sum_tokens
     FROM documents GROUP BY source, bucket
     """,
 )
@@ -119,19 +119,9 @@ def t4(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("timestamp"),
         )
     out = windowed_event_counts(src, "ts", "1 hour", "2 hours", by=["event_type"])
-    qname = "t4_stream_sink"
-    for q in spark.streams.active:
-        if q.name == qname:
-            q.stop()
-    query = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(qname).select(
+    from wren_engine_spark.streaming.ops import run_available_now
+
+    return run_available_now(spark, out, "t4_stream_sink", "complete").select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),

@@ -40,7 +40,8 @@ from wren_engine_spark.queries.registry import load_tables, register
     per AS (
       SELECT c.doc_id,
              COUNT(*) AS n_chunks,
-             SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END) AS n_boilerplate
+             CAST(SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate
       FROM chunks c LEFT JOIN boiler b ON c.chunk = b.chunk
       GROUP BY c.doc_id
     )
@@ -160,19 +161,9 @@ def t5(spark: SparkSession, sf: str) -> DataFrame:
         )
     joined = src.join(static, src["user_id"] == static["c_custkey"], "inner")
     out = windowed_event_counts(joined, "ts", "1 hour", "2 hours", by=["segment"])
-    qname = "t5_stream_sink"
-    for q in spark.streams.active:
-        if q.name == qname:
-            q.stop()
-    query = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(qname).select(
+    from wren_engine_spark.streaming.ops import run_available_now
+
+    return run_available_now(spark, out, "t5_stream_sink", "complete").select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "segment",
         F.col("n_events").cast("bigint").alias("n_events"),
@@ -313,19 +304,9 @@ def t6(spark: SparkSession, sf: str) -> DataFrame:
         src, ["user_id", "event_type", "window_start"], "ts", "24 hours"
     )
     out = deduped.groupBy("window_start").agg(F.count(F.lit(1)).alias("n_unique"))
-    qname = "t6_stream_sink"
-    for q in spark.streams.active:
-        if q.name == qname:
-            q.stop()
-    query = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(qname).select(
+    from wren_engine_spark.streaming.ops import run_available_now
+
+    return run_available_now(spark, out, "t6_stream_sink", "complete").select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         F.col("n_unique").cast("bigint").alias("n_unique"),
     )
@@ -373,20 +354,12 @@ def t7(spark: SparkSession, sf: str) -> DataFrame:
                 "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ).cast("timestamp"),
         )
+    # state_timeout_ms stays None (NoTimeout): a processing-time timeout
+    # would keep the availableNow replay alive forever (round-2 wedge)
     out = threshold_alerts(src, "ts", "user_id", "value", 100.0, "365 days")
-    qname = "t7_stream_sink"
-    for q in spark.streams.active:
-        if q.name == qname:
-            q.stop()
-    query = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(qname).select(
+    from wren_engine_spark.streaming.ops import run_available_now
+
+    return run_available_now(spark, out, "t7_stream_sink", "append").select(
         F.col("user_id").cast("bigint").alias("user_id"),
         F.col("alert_level").cast("bigint").alias("alert_level"),
         F.round(F.col("total_value"), 4).alias("total_value"),

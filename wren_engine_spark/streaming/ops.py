@@ -120,7 +120,7 @@ def threshold_alerts(
     value_col: str = "value",
     threshold: float = 100.0,
     watermark: str = "1 hour",
-    state_timeout_ms: int = 24 * 3600 * 1000,
+    state_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per user,
     accumulate value across microbatches and emit one alert row each
@@ -130,21 +130,40 @@ def threshold_alerts(
     This is the semantics grouped aggregation can't express: output
     rows are emitted on *state transitions*, not per window — the
     classic custom-state shape (fraud/quota alerting). State per user is
-    three scalars; the GroupStateTimeout reaps idle users, so state is
-    bounded by active users in the timeout horizon, not corpus size.
+    three scalars.
+
+    ``state_timeout_ms`` is OPT-IN and only for continuous (long-lived
+    trigger) deployments, where ProcessingTimeTimeout reaps idle users
+    so state is bounded by active users in the timeout horizon. It must
+    stay ``None`` for bounded replays: a processing-time timeout makes
+    the engine keep scheduling timeout-evaluation microbatches, so an
+    ``availableNow`` query never reaches termination (observed: the
+    round-2 t7 wedge). With ``None`` the operator runs under
+    ``GroupStateTimeout.NoTimeout`` and an availableNow replay
+    terminates after draining the source.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
     def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state_timeout_ms and state.hasTimedOut:
+            state.remove()
+            return
         total, n, emitted = state.get if state.exists else (0.0, 0, 0)
         for pdf in pdfs:
             total += float(pdf[value_col].sum())
             n += len(pdf)
         level = int(total // threshold)
         state.update((total, n, level))
-        state.setTimeoutDuration(state_timeout_ms)
-        import pandas as pd
-
+        if state_timeout_ms:
+            state.setTimeoutDuration(state_timeout_ms)
         if level > emitted:
             yield pd.DataFrame(
                 {
@@ -164,6 +183,48 @@ def threshold_alerts(
             outputStructType=THRESHOLD_ALERT_SCHEMA,
             stateStructType=_ALERT_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )
+
+
+def run_available_now(
+    spark,
+    out: DataFrame,
+    qname: str,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain a bounded stream into a memory sink and return the result
+    table. Guard rails for batch-replay use (driver gate, tests):
+
+    - stops any previous query holding the sink name (re-runs in one
+      session);
+    - bounds ``awaitTermination`` — a query that has not terminated
+      within ``timeout_sec`` is STOPPED and raised on, so a
+      non-terminating stream surfaces as a fast, attributable error
+      instead of wedging the harness (round-2 postmortem: an unbounded
+      ``awaitTermination()`` hid a never-terminating replay for hours).
+    """
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = query.awaitTermination(timeout_sec)
+    except Exception:
+        query.stop()
+        raise
+    if not finished:
+        query.stop()
+        raise RuntimeError(
+            f"streaming query {qname!r} did not terminate within "
+            f"{timeout_sec}s (availableNow replay should drain and stop)"
+        )
+    return spark.table(qname)

@@ -252,6 +252,57 @@ class TestMultimodalPlumbing:
             assert len(rows) == lens[doc_id] // 100 + 1
             assert sum(r.frame_bytes for r in rows) == lens[doc_id]
 
+    def test_bmp_roundtrip_real_decode(self, spark):
+        from wren_engine_spark.operators import multimodal
+        pay = self._payloads(spark)
+        lens = {r.doc_id: len(r.payload) for r in pay.collect()}
+        out = multimodal.decode_bmp(multimodal.encode_bmp(pay)).collect()
+        assert out and all(r.status == "bmp" for r in out)
+        for r in out:
+            h = max((lens[r.doc_id] + 95) // 96, 1)
+            assert (r.width, r.height, r.n_bytes) == (32, h, 54 + 96 * h)
+            # independent reference for the pixel-pattern mean
+            import numpy as np
+            flat = (r.doc_id * 31 + np.arange(96 * h, dtype=np.int64)) % 251
+            assert r.mean_pixel == flat.sum() / flat.size
+
+    def test_bmp_decoder_handles_padding_topdown_and_garbage(self, spark):
+        """The decoder must honor the container format, not our encoder's
+        conventions: odd widths need 4-byte row padding stripped, a
+        negative DIB height means top-down rows, and non-BMP bytes must
+        come back status='error', not crash the batch."""
+        import struct
+
+        import numpy as np
+
+        def bmp(width, height_signed, rows_bytes):
+            image_size = len(rows_bytes)
+            header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, 54)
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, width, height_signed, 1, 24, 0,
+                image_size, 2835, 2835, 0, 0,
+            )
+            return header + dib + rows_bytes
+
+        # width 3 -> stride 12 (9 pixel bytes + 3 pad); 2 rows, bottom-up
+        row_top = bytes([10] * 9) + bytes([255] * 3)   # pad must be ignored
+        row_bot = bytes([20] * 9) + bytes([255] * 3)
+        padded = bmp(3, 2, row_bot + row_top)
+        # top-down twin: negative height, rows already top-first
+        topdown = bmp(3, -2, row_top + row_bot)
+        garbage = b"JFIF not a bmp at all" * 4
+        from wren_engine_spark.operators import multimodal
+        df = spark.createDataFrame(
+            [(1, bytearray(padded)), (2, bytearray(topdown)), (3, bytearray(garbage))],
+            "doc_id LONG, payload BINARY",
+        )
+        got = {r.doc_id: r for r in multimodal.decode_bmp(df).collect()}
+        exp_mean = np.array([10] * 9 + [20] * 9).mean()
+        for i in (1, 2):
+            assert (got[i].width, got[i].height, got[i].status) == (3, 2, "bmp")
+            assert got[i].mean_pixel == exp_mean
+        assert got[3].status == "error" and got[3].width == 0
+
     def test_feature_extraction_shape_and_determinism(self, spark):
         from wren_engine_spark.operators import multimodal
         pay = self._payloads(spark)

@@ -1,11 +1,14 @@
 """Multimodal (binary) column plumbing.
 
 Images/audio/video are carried as opaque ``binary`` columns with typed
-metadata, processed via Arrow-batched ``mapInPandas`` — the Spark-side
-schema, partitioning and batch shape are real; the actual media decode is
-STUBBED (decode libraries are not in this container) with a clearly
-deterministic fake so the pipeline is testable end-to-end and the decode
-metadata has a SQL oracle.
+metadata, processed via Arrow-batched ``mapInPandas``. Image decode is
+REAL for the BMP container (``encode_bmp``/``decode_bmp``: dependency-
+free header parse + numpy pixel stats, honoring bottom-up row order and
+4-byte stride); compressed formats (JPEG/PNG/video) keep clearly-marked
+deterministic stubs because their codec libraries are not in this
+container — the Spark-side schema, partitioning and Arrow batch shape
+are identical either way, so swapping a stub for PIL/ffmpeg changes no
+plumbing.
 
 At scale: binary payloads stay columnar (parquet binary), batches stream
 through Arrow without row-at-a-time Python overhead, and the UDF is a
@@ -20,11 +23,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DECODE_SCHEMA = (
-    "doc_id BIGINT, n_bytes BIGINT, fake_width BIGINT, fake_height BIGINT, status STRING"
-)
-
-
 def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Simulate a multimodal table: utf-8 payload bytes + media metadata."""
     return df.select(
@@ -32,28 +30,6 @@ def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFram
         F.encode(F.col(text_col), "utf-8").alias("payload"),
         F.lit("image/fake").alias("media_type"),
     )
-
-
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB decode: a real implementation would call PIL/ffmpeg here.
-    Emits deterministic fake dimensions derived from the byte length so
-    the whole pipeline remains oracle-checkable."""
-    for pdf in batches:
-        n_bytes = pdf["payload"].map(len)
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes,
-                "fake_width": n_bytes % 640,
-                "fake_height": (n_bytes * 7) % 480,
-                "status": "stub_decoded",
-            }
-        )
-
-
-def decode_stub(payloads: DataFrame) -> DataFrame:
-    """Run the (stubbed) decoder over binary payloads via mapInPandas."""
-    return payloads.select("doc_id", "payload").mapInPandas(_decode_batches, DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = "doc_id BIGINT, payload BINARY, width INT, height INT, status STRING"
@@ -149,9 +125,119 @@ def extract_features_stub(payloads: DataFrame, dim: int = FEATURE_DIM) -> DataFr
     return payloads.select("doc_id", "payload").mapInPandas(_batches, FEATURE_SCHEMA)
 
 
-def real_decode_example() -> None:
-    """Where a real decoder would plug in. Kept as an explicit stub."""
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "environment; wire PIL/torchaudio/ffmpeg into _decode_batches"
+BMP_WIDTH = 32
+_BMP_STRIDE = ((BMP_WIDTH * 3 + 3) // 4) * 4  # 96 for width 32
+_PIX_MULT = 31
+_PIX_MOD = 251  # prime < 256: cycles through byte values without bias
+
+
+def _build_bmp(doc_id: int, n_payload_bytes: int) -> bytes:
+    """Construct a REAL 24-bpp BMP (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row stride) sized to the source payload: height =
+    ceil(n_payload_bytes / stride). Pixel byte j (top-down row-major)
+    is (doc_id * 31 + j) mod 251 — a deterministic pattern any SQL
+    engine can re-derive, which keeps the decoded stats oracle-checkable
+    while the bytes on the wire are a genuine image file."""
+    import struct
+
+    import numpy as np
+
+    height = max((n_payload_bytes + _BMP_STRIDE - 1) // _BMP_STRIDE, 1)
+    image_size = _BMP_STRIDE * height
+    file_size = 54 + image_size
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, BMP_WIDTH, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    flat = (doc_id * _PIX_MULT + np.arange(image_size, dtype=np.int64)) % _PIX_MOD
+    rows = flat.astype(np.uint8).reshape(height, _BMP_STRIDE)
+    return header + dib + rows[::-1].tobytes()  # bottom-up row order
+
+
+def encode_bmp(payloads: DataFrame) -> DataFrame:
+    """Render each binary payload as a real BMP file (mapInPandas,
+    Arrow-batched). 1 row in, 1 row out, no shuffle."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _build_bmp(int(i), len(p))
+                        for i, p in zip(pdf["doc_id"], pdf["payload"])
+                    ],
+                }
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        _batches, "doc_id BIGINT, payload BINARY"
+    )
+
+
+BMP_DECODE_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, width BIGINT, height BIGINT, "
+    "mean_pixel DOUBLE, status STRING"
+)
+
+
+def decode_bmp(payloads: DataFrame) -> DataFrame:
+    """REAL image decode (no media libraries needed): parse the BMP
+    file header (magic, pixel-array offset), the BITMAPINFOHEADER
+    (width, signed height for bottom-up vs top-down, bit depth,
+    compression), rebuild the pixel matrix with numpy honoring the
+    4-byte row stride, and emit per-image pixel statistics. Replaces
+    the round-1/2 fake-dimension stub: the dimensions and stats below
+    come out of the actual bytes, and malformed payloads surface as
+    status='error' rows instead of poisoning the batch.
+
+    Scale: identical plumbing to any PIL/ffmpeg decode — Arrow-batched
+    mapInPandas, a narrow map over binary columns, no shuffle."""
+    import struct
+
+    import numpy as np
+
+    def _decode_one(b: bytes):
+        if len(b) < 54 or b[:2] != b"BM":
+            return None
+        _, file_size, _, _, offset = struct.unpack("<2sIHHI", b[:14])
+        dib_size, width, height = struct.unpack("<Iii", b[14:26])
+        planes, bpp, compression = struct.unpack("<HHI", b[26:34])
+        if dib_size < 40 or bpp != 24 or compression != 0 or width <= 0:
+            return None
+        top_down = height < 0
+        height = abs(height)
+        stride = ((width * 3 + 3) // 4) * 4
+        pix = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=offset)
+        rows = pix.reshape(height, stride)[:, : width * 3]
+        if not top_down:
+            rows = rows[::-1]
+        # rows is now top-down H x (W*3) BGR; stats are channel-agnostic
+        total = int(rows.astype(np.int64).sum())
+        n = rows.size
+        return (len(b), width, height, total / n)
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "width": [], "height": [],
+                   "mean_pixel": [], "status": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = _decode_one(bytes(payload))
+                out["doc_id"].append(doc_id)
+                if d is None:
+                    out["n_bytes"].append(len(payload))
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["mean_pixel"].append(0.0)
+                    out["status"].append("error")
+                else:
+                    out["n_bytes"].append(d[0])
+                    out["width"].append(d[1])
+                    out["height"].append(d[2])
+                    out["mean_pixel"].append(d[3])
+                    out["status"].append("bmp")
+            yield pd.DataFrame(out)
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        _batches, BMP_DECODE_SCHEMA
     )

@@ -251,17 +251,35 @@ def x11(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "x12_multimodal_decode",
     """
+    WITH dims AS (
+      SELECT doc_id,
+             GREATEST(CAST(ceil(octet_length(encode(text)) / 96.0) AS BIGINT), 1)
+               AS h
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
-           CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height,
-           'stub_decoded' AS status
-    FROM documents
+           CAST(54 + 96 * h AS BIGINT) AS n_bytes,
+           CAST(32 AS BIGINT) AS width,
+           h AS height,
+           CAST(list_sum([CAST((doc_id * 31 + i) % 251 AS BIGINT)
+                          FOR i IN generate_series(0, 96 * h - 1)]) AS DOUBLE)
+             / CAST(96 * h AS DOUBLE) AS mean_pixel,
+           'bmp' AS status
+    FROM dims
     """,
 )
 def x12(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode end-to-end (round-2 ask: stub gone): each doc's
+    payload is rendered as a genuine 24-bpp BMP file (header + bottom-up
+    rows, operators/multimodal.encode_bmp), then decode_bmp parses the
+    actual bytes — magic, pixel offset, DIB dimensions, stride — and
+    computes pixel statistics with numpy. The pixel pattern is
+    doc_id-keyed modular arithmetic, so the oracle re-derives the exact
+    mean from SQL while the Spark side measures real decode work
+    (integer sum then one division: bit-identical in both engines)."""
     d = load_tables(spark, sf, "documents")["documents"]
-    return multimodal.decode_stub(multimodal.attach_binary_payload(d, "text", "doc_id"))
+    payloads = multimodal.attach_binary_payload(d, "text", "doc_id")
+    return multimodal.decode_bmp(multimodal.encode_bmp(payloads))
 
 
 @register(

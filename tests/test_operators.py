@@ -340,6 +340,37 @@ class TestSimhashAndWinnowing:
         with pytest.raises(ValueError):
             dedup.simhash_near_dup(docs, "text", "doc_id", max_hamming=4, bands=4)
 
+    def test_portable_simhash_banding_equals_brute_force(self, spark):
+        # the 31-bit portable variant keeps the pigeonhole guarantee
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+        banded = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.portable_simhash_near_dup(
+                docs, "text", "doc_id", max_hamming=3, bands=4
+            ).collect()
+        }
+        sig = dedup.simhash_portable(docs, "text", "doc_id")
+        a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+        b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+        brute = {
+            (r.id_a, r.id_b, r.h)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.expr("sa ^ sb")).cast("int").alias("h"))
+            .filter("h <= 3")
+            .collect()
+        }
+        assert banded == brute
+
+    def test_portable_simhash_is_31_bit_and_deterministic(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+        s1 = {r.doc_id: r.simhash
+              for r in dedup.simhash_portable(docs, "text", "doc_id").collect()}
+        s2 = {r.doc_id: r.simhash
+              for r in dedup.simhash_portable(docs, "text", "doc_id").collect()}
+        assert s1 == s2
+        assert all(0 <= v < (1 << 31) for v in s1.values())
+
     def test_winnow_identical_docs_share_all_fingerprints(self, spark):
         rows = [(1, "the quick brown fox jumps over the lazy dog"),
                 (2, "the quick brown fox jumps over the lazy dog"),

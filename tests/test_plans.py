@@ -178,3 +178,65 @@ class TestLlmopsPlanShapes:
         schemas = read_schemas(plan_of(spark, "x29_sequence_packing"))
         # needs only doc_id, text, source of the 5 document columns
         assert schemas and all(len(s.split("<")[0].split(",")) <= 3 for s in schemas)
+
+    def test_x37_pair_expansion_not_self_join(self, spark):
+        # the source-overlap matrix expands source-pairs IN-ROW from each
+        # shingle's source set (Generate) — the r2 rework that removed
+        # the shingle-table self-join. Only source-cardinality aggregates
+        # may join (broadcast); a shuffled or sort-merge join would mean
+        # the corpus-sized shingle set is joining itself again.
+        p = plan_of(spark, "x37_source_overlap")
+        assert "Generate" in p
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+        assert "CartesianProduct" not in p
+
+    def test_x39_chunk_dedup_no_corpus_window(self, spark):
+        # keep-first chunk winners come from a min-struct groupBy (map-
+        # side combinable), NOT a row_number window over the corpus-wide
+        # chunk partition — a Window here would serialize per-chunk sort
+        # state at 100 TB
+        p = plan_of(spark, "x39_chunk_dedup_rewrite")
+        assert "Window" not in p
+        assert "CartesianProduct" not in p
+
+
+class TestStreamingPlanShapes:
+    def test_t5_stream_static_join_broadcasts_static_side(self, spark, tmp_path):
+        """The stream-static join must broadcast the (dimension-sized)
+        static side into each microbatch — shuffling the stream against
+        a static table would re-shuffle every microbatch at scale."""
+        import contextlib
+        import io
+
+        from pyspark.sql import functions as F
+
+        from wren_engine_spark.queries.registry import load_tables
+        from wren_engine_spark.streaming.ops import windowed_event_counts
+
+        sf = SF_DIR
+        static = load_tables(spark, sf, "customer")["customer"].select(
+            F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+        )
+        events = load_tables(spark, sf, "events")["events"]
+        path = str(tmp_path / "events_t5_plan")
+        events.write.mode("overwrite").parquet(path)
+        src = spark.readStream.schema(events.schema).parquet(path)
+        joined = src.join(static, src["user_id"] == static["c_custkey"], "inner")
+        out = windowed_event_counts(joined, "ts", "1 hour", "2 hours", by=["segment"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t5_plan_probe")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120), "stream did not terminate"
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                q.explain()
+            p = buf.getvalue()
+        finally:
+            q.stop()
+        assert "BroadcastHashJoin" in p
+        assert "StateStore" in p  # windowed agg is state-backed, incremental

@@ -166,6 +166,43 @@ class TestDryPlanTwin:
         with pytest.raises(ValueError, match="unsupported dialect"):
             service.dry_plan("SELECT 1", dialect="oracle9i")
 
+    @pytest.mark.parametrize(
+        "dialect,expect,forbid",
+        [
+            # trino: ANSI quotes, instr -> strpos (same arg order), nvl folds
+            ("trino", ['"customer_m"', "strpos(", "coalesce("], ["`", "nvl("]),
+            # snowflake: quoting only — NVL/TRY_CAST are native, and
+            # charindex would SWAP instr's argument order, so instr stays
+            ("snowflake", ['"customer_m"', "instr(", "nvl("], ["`"]),
+            # bigquery: backtick identifiers preserved, nvl -> ifnull,
+            # try_cast -> safe_cast, instr -> strpos
+            ("bigquery", ["`customer_m`", "strpos(", "ifnull("], ['"customer_m"']),
+        ],
+    )
+    def test_extended_dialect_rendering(self, service, dialect, expect, forbid):
+        """Dialect-matrix breadth (reference: rewriter.py:90-104 renders
+        ~15 sqlglot dialects). The textual renderer covers the quoting +
+        function-spelling deltas for trino/snowflake/bigquery; when
+        sqlglot is installed it takes over with full-fidelity transpile
+        (separate test below)."""
+        q = ("SELECT custkey, instr(name, 'a') AS pos, nvl(name, 'x') AS nm "
+             "FROM customer_m WHERE name <> 'keep`tick'")
+        text = service.dry_plan(q, dialect=dialect)
+        for s in expect:
+            assert s in text, (dialect, s, text)
+        for s in forbid:
+            # literals are exempt from the quoting checks
+            assert s not in text.replace("'keep`tick'", ""), (dialect, s, text)
+        assert "'keep`tick'" in text  # literal content never rewritten
+
+    def test_sqlglot_transpile_when_available(self, service):
+        pytest.importorskip("sqlglot")
+        for dialect in ("trino", "snowflake", "bigquery"):
+            text = service.dry_plan(
+                "SELECT custkey FROM customer_m", dialect=dialect
+            )
+            assert "customer_m" in text
+
 
 class TestCache:
     def test_query_cache_roundtrip(self, spark, tmp_path):

@@ -238,3 +238,112 @@ class TestCsvBackedModel:
         eng = SemanticEngine(spark, manifest, SourceRegistry(spark)).deploy()
         rows = eng.sql("SELECT COUNT(*) AS n FROM nations_csv").collect()
         assert rows[0].n == files["rows"]
+
+
+class TestMetadataNormalization:
+    """Per-backend type normalization + BigQuery nested schemas
+    (reference: ibis-server/app/model/metadata/<backend>.py type-mapping
+    tables and the STRUCT field-path tree, bigquery.py:158-186)."""
+
+    def test_common_and_backend_specific_types(self):
+        from wren_engine_spark.sources import metadata as M
+
+        cases = [
+            ("postgres", "character varying", M.VARCHAR),
+            ("postgres", "numeric(10,2)", M.DECIMAL),
+            ("postgres", "_int4", M.ARRAY),          # pg array spelling
+            ("postgres", "int4[]", M.ARRAY),
+            ("postgres", "bytea", M.BYTEA),
+            ("mysql", "int unsigned", M.INTEGER),
+            ("mysql", "longtext", M.TEXT),
+            ("mysql", "datetime", M.TIMESTAMP),
+            ("bigquery", "INT64", M.BIGINT),
+            ("bigquery", "BIGNUMERIC", M.DECIMAL),
+            ("bigquery", "ARRAY<STRING>", M.ARRAY),
+            ("bigquery", "STRUCT<a INT64>", M.STRUCT),
+            ("snowflake", "NUMBER(38,0)", M.DECIMAL),
+            ("snowflake", "TIMESTAMP_NTZ", M.TIMESTAMP),
+            ("snowflake", "TIMESTAMP_TZ", M.TIMESTAMPTZ),
+            ("snowflake", "VARIANT", M.JSON),
+            ("mssql", "uniqueidentifier", M.UUID),
+            ("mssql", "datetimeoffset", M.TIMESTAMPTZ),
+            ("clickhouse", "UInt64", M.DECIMAL),     # needs 128-bit range
+            ("clickhouse", "FixedString(16)", M.CHAR),
+            ("oracle", "VARCHAR2(100)", M.VARCHAR),
+            ("oracle", "NUMBER", M.DECIMAL),
+            ("trino", "row(a int)", M.STRUCT),
+            ("spark", "timestamp_ntz", M.TIMESTAMP),
+            ("anybackend", "frobnicator_t", M.UNKNOWN),
+        ]
+        for backend, raw, want in cases:
+            assert M.normalize_type(backend, raw) == want, (backend, raw)
+
+    def test_normalize_tables_preserves_source_type(self):
+        from wren_engine_spark.sources import metadata as M
+
+        tables = [{
+            "name": "t",
+            "columns": [{"name": "a", "type": "NUMBER(10,0)", "nullable": True}],
+            "primaryKey": "a",
+        }]
+        out = M.normalize_tables(tables, "snowflake")
+        assert out[0]["columns"][0]["type"] == M.DECIMAL
+        assert out[0]["columns"][0]["sourceType"] == "NUMBER(10,0)"
+        assert out[0]["primaryKey"] == "a"
+        # input untouched
+        assert tables[0]["columns"][0]["type"] == "NUMBER(10,0)"
+
+    def test_bigquery_nested_tree(self):
+        from wren_engine_spark.sources import metadata as M
+
+        rows = [
+            {"field_path": "id", "data_type": "INT64"},
+            {"field_path": "addr", "data_type": "STRUCT<city STRING, geo STRUCT<lat FLOAT64, lon FLOAT64>>"},
+            {"field_path": "addr.city", "data_type": "STRING"},
+            {"field_path": "addr.geo", "data_type": "STRUCT<lat FLOAT64, lon FLOAT64>"},
+            {"field_path": "addr.geo.lat", "data_type": "FLOAT64"},
+            {"field_path": "addr.geo.lon", "data_type": "FLOAT64"},
+            {"field_path": "tags", "data_type": "ARRAY<STRING>"},
+        ]
+        roots = M.build_nested_columns(rows)
+        assert [c["name"] for c in roots] == ["id", "addr", "tags"]
+        addr = roots[1]
+        assert addr["type"] == M.STRUCT
+        assert [c["name"] for c in addr["nestedColumns"]] == ["city", "geo"]
+        geo = addr["nestedColumns"][1]
+        assert [c["name"] for c in geo["nestedColumns"]] == ["lat", "lon"]
+        assert geo["nestedColumns"][0]["fieldPath"] == "addr.geo.lat"
+        # ARRAY<STRING> is a leaf: no nested children allocated
+        assert roots[2]["type"] == M.ARRAY and roots[2]["nestedColumns"] is None
+
+    def test_nested_orphan_raises(self):
+        from wren_engine_spark.sources import metadata as M
+
+        with pytest.raises(ValueError, match="precedes its parent"):
+            M.build_nested_columns([{"field_path": "a.b", "data_type": "STRING"}])
+
+    def test_jdbc_metadata_normalizes_end_to_end(self, spark, tmp_path):
+        # live Derby metadata -> portable types (Derby speaks standard
+        # JDBC type names, so the common core covers it)
+        from wren_engine_spark.sources import metadata as M
+
+        reg = SourceRegistry(spark)
+        db = str(tmp_path / "normdb")
+        reg.add_jdbc(
+            "normsrc", f"jdbc:derby:{db};create=true",
+            {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"},
+        )
+        conn = spark._sc._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{db};create=true"
+        )
+        st = conn.createStatement()
+        st.execute(
+            "CREATE TABLE APP.TYPED (ID BIGINT NOT NULL PRIMARY KEY, "
+            "NAME VARCHAR(20), BAL DECIMAL(10,2), TS TIMESTAMP)"
+        )
+        st.close()
+        tables = M.normalize_tables(reg.jdbc_metadata("normsrc"), "postgres")
+        typed = next(t for t in tables if t["name"].endswith("TYPED"))
+        types = {c["name"]: c["type"] for c in typed["columns"]}
+        assert types == {"ID": M.BIGINT, "NAME": M.VARCHAR,
+                        "BAL": M.DECIMAL, "TS": M.TIMESTAMP}

@@ -707,6 +707,104 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return counted.select(F.col(id_col), sim.alias("simhash"))
 
 
+# Engine-portable polynomial token hash: base-31 code-point fold mod the
+# Mersenne prime 2^31-1. Every term stays far inside int64 (acc < 2^31,
+# *31 + codepoint < 2^36), so ANSI-mode Spark and DuckDB both evaluate
+# the identical integer sequence — unlike xxhash64, whose implementation
+# is engine-specific.
+_PORTABLE_MOD = (1 << 31) - 1
+_PORTABLE_BASE = 31
+PORTABLE_SIMHASH_BITS = 31
+
+_PORTABLE_TOKEN_HASH = (
+    "aggregate(transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))), "
+    f"cast(0 as bigint), (acc, c) -> pmod(acc * {_PORTABLE_BASE} + c, {_PORTABLE_MOD}))"
+)
+
+
+def simhash_portable(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """31-bit SimHash over whitespace tokens using the PORTABLE
+    polynomial token hash — same sign-of-bit-sums construction as
+    :func:`simhash64`, but every step (code-point fold, bit tests,
+    sign aggregation) is exact integer arithmetic any SQL engine
+    reproduces bit-for-bit, so the full signature is oracle-checkable
+    (x42) rather than rows-only. Same single explode + one map-side-
+    combinable aggregation shape as simhash64; 31 columns instead of
+    64. Returns (id, simhash)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    hashed = toks.select(F.col(id_col), F.expr(_PORTABLE_TOKEN_HASH).alias("__h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(PORTABLE_SIMHASH_BITS)
+    ]
+    counted = hashed.groupBy(id_col).agg(*bit_aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(PORTABLE_SIMHASH_BITS):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return counted.select(F.col(id_col), sim.alias("simhash"))
+
+
+def portable_simhash_near_dup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over the PORTABLE
+    31-bit simhash — the same pigeonhole-banded join as
+    :func:`simhash_near_dup` (bands > max_hamming => lossless, never a
+    cross product), treating the signature as 32 bits (bit 31 is always
+    0). Because the signature itself is engine-portable, the whole pair
+    set has an exact brute-force SQL oracle (x43). Returns
+    (id_a, id_b, hamming)."""
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for exact recall")
+    width = 32 // bands
+    sig = simhash_portable(df, text_col, id_col)
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(id_col, "simhash", F.explode(band_arr).alias("b")).select(
+        id_col, "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), "band", "val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.expr("__sa ^ __sb")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def source_shingle_overlap(
     df: DataFrame, text_col: str, group_col: str, n: int = 3
 ) -> DataFrame:

@@ -19,11 +19,17 @@ import re
 
 from wren_engine_spark.plans.sqltext import rewrite_outside_literals
 
-DIALECTS = ("spark", "duckdb", "postgres", "ansi")
+DIALECTS = (
+    "spark", "duckdb", "postgres", "ansi", "trino", "snowflake", "bigquery"
+)
 
 # Spark function name -> per-dialect rename, applied to call sites.
 # Only mismatches the CTE rewriter's output can contain are listed; both
 # target engines accept the ANSI core (COUNT/SUM/COALESCE/CASE/...).
+# Renames are restricted to functions whose ARGUMENT ORDER matches the
+# source function (e.g. instr(str,sub) -> strpos(str,sub) is safe in
+# postgres/trino/bigquery; Snowflake's charindex(sub,str) swaps the
+# arguments, so instr is deliberately NOT mapped there).
 _FUNC_MAP: dict[str, dict[str, str]] = {
     "postgres": {
         "instr": "strpos",
@@ -37,6 +43,18 @@ _FUNC_MAP: dict[str, dict[str, str]] = {
     "ansi": {
         "nvl": "coalesce",
         "ifnull": "coalesce",
+    },
+    "trino": {
+        "nvl": "coalesce",
+        "ifnull": "coalesce",
+        "instr": "strpos",  # trino strpos(string, substring)
+    },
+    # Snowflake accepts NVL/IFNULL/TRY_CAST natively; only quoting changes
+    "snowflake": {},
+    "bigquery": {
+        "nvl": "ifnull",          # BQ has IFNULL, not NVL
+        "try_cast": "safe_cast",  # BQ spelling of error-free cast
+        "instr": "strpos",        # BQ strpos(value, subvalue)
     },
 }
 
@@ -66,6 +84,8 @@ def _file_scans(seg: str, dialect: str) -> str:
             return f"{fn[m.group(1)]}('{m.group(2)}')"
 
         return _FILE_SCAN.sub(sub, seg)
+    if dialect == "bigquery":  # BQ identifiers stay backtick-quoted
+        return _FILE_SCAN.sub(lambda m: f"`{m.group(2)}`", seg)
     return _FILE_SCAN.sub(lambda m: f'"{m.group(2)}"', seg)
 
 
@@ -106,7 +126,8 @@ def render(sql: str, dialect: str | None = None) -> str:
 
     def seg_fn(seg: str) -> str:
         seg = _file_scans(seg, dialect)
-        seg = _requote(seg)
+        if dialect != "bigquery":  # BQ already uses backtick identifiers
+            seg = _requote(seg)
         return _funcs(seg, dialect)
 
     return rewrite_outside_literals(sql, seg_fn)

@@ -312,6 +312,77 @@ def t6(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# shared oracle CTEs: engine-portable 31-bit simhash (base-31 code-point
+# polynomial mod 2^31-1; bit-sign aggregation) — the bit-exact SQL twin
+# of operators/dedup.simhash_portable
+_PORTABLE_SIMHASH_CTES = r"""
+    toks AS (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents
+      ) WHERE length(tok) > 0
+    ),
+    h AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT)
+                FOR i IN generate_series(1, length(tok))]),
+               (acc, c) -> (acc * 31 + c) % 2147483647) AS th
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (th >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS j) js
+      GROUP BY doc_id, j
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "x42_portable_simhash",
+    f"WITH {_PORTABLE_SIMHASH_CTES} SELECT doc_id, simhash FROM sig",
+)
+def x42(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine-portable SimHash signatures, driver-verified bit-for-bit:
+    the polynomial token hash and sign aggregation are exact integer
+    arithmetic, so the DuckDB oracle recomputes the IDENTICAL 31-bit
+    signature per document — closing the round-2 gap where every
+    simhash query was rows-only because xxhash64 has no SQL twin. The
+    xxhash64 variant (x5) stays as the production-throughput sibling;
+    this one is the correctness anchor."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return dedup.simhash_portable(d, "text", "doc_id")
+
+
+@register(
+    "x43_portable_simhash_pairs",
+    f"""
+    WITH {_PORTABLE_SIMHASH_CTES}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def x43(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs over the portable simhash via the pigeonhole
+    banded join (bands=4 > max_hamming=3 => provably equal to brute
+    force) — the oracle IS the brute-force all-pairs Hamming filter, so
+    the driver hash-checks the lossless-banding theorem end-to-end.
+    The banded plan shuffles on (band, slice) keys only: corpus-linear,
+    never a cross product (the oracle's O(n²) self-join is the check,
+    not the design)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return dedup.portable_simhash_near_dup(d, "text", "doc_id", max_hamming=3, bands=4)
+
+
 @register(
     "t7_stream_threshold_alerts",
     """

@@ -554,13 +554,39 @@ def incremental_dedup(
     )
 
 
+# Portable Bloom probe positions: fold the fingerprint STRING through
+# the base-31 polynomial (as in simhash_portable), then k universal
+# hashes (a_s*h + b_s) mod m with fixed odd multipliers. Every product
+# stays under 2^63 (a_s < 2^32, h < 2^31), so Spark (ANSI) and DuckDB
+# compute identical positions — giving the bloom-screened pipeline an
+# exact SQL oracle (x33), unlike the xxhash64 mode.
+_BLOOM_A0, _BLOOM_DA = 2654435761, 40503
+_BLOOM_B0 = 97
+
+
+def _portable_pos(fp_col: str, seed_col: str, m_bits: int):
+    h = F.expr(
+        f"aggregate(transform(sequence(1, length({fp_col})), "
+        f"i -> ascii(substring({fp_col}, i, 1))), "
+        f"cast(0 as bigint), (acc, c) -> pmod(acc * 31 + c, 2147483647))"
+    )
+    a = F.lit(_BLOOM_A0) + F.lit(_BLOOM_DA) * F.col(seed_col)
+    return F.pmod(a * h + F.lit(_BLOOM_B0) + F.col(seed_col), F.lit(m_bits))
+
+
 def bloom_table(
-    df: DataFrame, fp_col: str, m_bits: int = 1 << 22, k: int = 5
+    df: DataFrame,
+    fp_col: str,
+    m_bits: int = 1 << 22,
+    k: int = 5,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Build a Bloom filter AS A DISTRIBUTED TABLE: one row per 64-bit
     word of the bit array, ``(word BIGINT, bits BIGINT)``.
 
-    Each fingerprint sets ``k`` positions ``xxhash64(fp, seed) mod m``;
+    Each fingerprint sets ``k`` positions — ``xxhash64(fp, seed) mod m``
+    in the default mode, or the engine-portable polynomial universal
+    hash (``hash_mode='portable'``, SQL-oracle-checkable) — and
     positions aggregate into word-level masks with ``bit_or`` (map-side
     combinable — the per-partition partials are already word masks).
     Unlike a driver-side sketch (``df.stat.bloomFilter``), this filter
@@ -571,7 +597,10 @@ def bloom_table(
     probes = df.select(F.col(fp_col).alias("__fp")).select(
         "__fp", F.explode(F.expr(f"sequence(0, {k - 1})")).alias("__seed")
     )
-    pos = F.pmod(F.xxhash64(F.col("__fp"), F.col("__seed")), F.lit(m_bits))
+    if hash_mode == "portable":
+        pos = _portable_pos("__fp", "__seed", m_bits)
+    else:
+        pos = F.pmod(F.xxhash64(F.col("__fp"), F.col("__seed")), F.lit(m_bits))
     return (
         probes.select(
             (pos / 64).cast("long").alias("word"),
@@ -591,6 +620,7 @@ def bloom_incremental_dedup(
     id_col: str,
     m_bits: int = 1 << 22,
     k: int = 5,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Bloom-guarded incremental ingest dedup: returns batch docs that
     are DEFINITELY NEW (not content-identical to any corpus doc).
@@ -608,12 +638,15 @@ def bloom_incremental_dedup(
     (id, content_hash).
     """
     fp = F.md5(F.col(text_col).cast("binary")).alias("__fp")
-    bloom = bloom_table(corpus_df.select(fp), "__fp", m_bits, k)
+    bloom = bloom_table(corpus_df.select(fp), "__fp", m_bits, k, hash_mode)
     batch = new_df.select(F.col(id_col), fp)
     probes = batch.select(
         id_col, "__fp", F.explode(F.expr(f"sequence(0, {k - 1})")).alias("__seed")
     )
-    pos = F.pmod(F.xxhash64(F.col("__fp"), F.col("__seed")), F.lit(m_bits))
+    if hash_mode == "portable":
+        pos = _portable_pos("__fp", "__seed", m_bits)
+    else:
+        pos = F.pmod(F.xxhash64(F.col("__fp"), F.col("__seed")), F.lit(m_bits))
     probed = probes.select(
         id_col,
         "__fp",

@@ -16,19 +16,65 @@ from wren_engine_spark.operators import dedup, text
 from wren_engine_spark.queries.registry import load_tables, register
 
 
-@register("x33_bloom_incremental_dedup")  # fp-rate dependent: rows-only check
+@register(
+    "x33_bloom_incremental_dedup",
+    r"""
+    WITH chash AS (
+      SELECT md5(fp) AS md5h,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(substr(md5(fp), CAST(i AS INTEGER), 1)) AS BIGINT)
+                FOR i IN generate_series(1, length(md5(fp)))]),
+               (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      FROM (SELECT DISTINCT text AS fp FROM documents WHERE doc_id % 2 = 0)
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 4)) AS s),
+    cpos AS (
+      SELECT DISTINCT
+             ((2654435761 + 40503 * s) * h + 97 + s) % 4194304 AS pos
+      FROM chash CROSS JOIN seeds
+    ),
+    bhash AS (
+      SELECT doc_id, md5(text) AS md5h,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(substr(md5(text), CAST(i AS INTEGER), 1)) AS BIGINT)
+                FOR i IN generate_series(1, length(md5(text)))]),
+               (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    bpos AS (
+      SELECT doc_id, md5h,
+             ((2654435761 + 40503 * s) * h + 97 + s) % 4194304 AS pos
+      FROM bhash CROSS JOIN seeds
+    ),
+    verdicts AS (
+      SELECT b.doc_id, b.md5h,
+             MIN(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS all_hit
+      FROM bpos b LEFT JOIN cpos c ON b.pos = c.pos
+      GROUP BY b.doc_id, b.md5h
+    )
+    SELECT doc_id, md5h AS content_hash FROM verdicts WHERE all_hit = 0
+    ORDER BY doc_id
+    """,
+)
 def x33(spark: SparkSession, sf: str) -> DataFrame:
     """Definitely-new docs of an ingest batch (odd doc_ids) vs an
     existing corpus (even doc_ids), screened by a distributed Bloom
     filter table — no false negatives (every exact duplicate is
-    caught); tests bound the over-drop rate. See
-    operators/dedup.bloom_incremental_dedup."""
+    caught); tests bound the over-drop rate.
+
+    Round-3: uses the PORTABLE probe hash (polynomial fold of the md5
+    hex fingerprint + k universal hashes — exact int64 arithmetic), so
+    the oracle simulates the ENTIRE bloom — corpus bit positions, k
+    probes, all-hit verdict — and the driver hash-checks the screened
+    output exactly, false-positive drops included. The xxhash64 mode
+    remains for production throughput
+    (operators/dedup.bloom_incremental_dedup)."""
     d = load_tables(spark, sf, "documents")["documents"]
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     batch = d.filter(F.col("doc_id") % 2 == 1)
-    return dedup.bloom_incremental_dedup(batch, corpus, "text", "doc_id").orderBy(
-        "doc_id"
-    )
+    return dedup.bloom_incremental_dedup(
+        batch, corpus, "text", "doc_id", hash_mode="portable"
+    ).orderBy("doc_id")
 
 
 @register(

@@ -312,6 +312,78 @@ def t6(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _event_stream(spark: SparkSession, sf: str):
+    """events.parquet as a streaming source with the NANOS->NTZ rebuild
+    (same normalization load_tables applies on the batch side)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+        src = src.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).cast("timestamp"),
+        )
+    return src
+
+
+@register(
+    "t8_stream_sessionize",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM lagged
+    ),
+    nums AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM nums GROUP BY user_id, sess
+    """,
+)
+def t8(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming gap-based sessionization, oracle-checked:
+    the events replay grouped into per-user ``session_window`` sessions
+    (30-minute gap) with watermark-bounded state. The oracle is the
+    classic islands construction — a new session starts when the gap to
+    the previous event is >= 30 min (session_window windows are
+    half-open [ts, ts+gap), so an event landing exactly at the previous
+    window's end does NOT merge), session end = last event + gap. At
+    scale, state holds only open sessions inside the watermark horizon
+    and sessions merge incrementally per microbatch; the batch twin is
+    w4_event_sessionization."""
+    from wren_engine_spark.streaming.ops import run_available_now, sessionize
+
+    out = sessionize(_event_stream(spark, sf), "ts", "user_id",
+                     gap="30 minutes", watermark="365 days")
+    return run_available_now(spark, out, "t8_stream_sink", "complete").select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 # shared oracle CTEs: engine-portable 31-bit simhash (base-31 code-point
 # polynomial mod 2^31-1; bit-sign aggregation) — the bit-exact SQL twin
 # of operators/dedup.simhash_portable

@@ -108,3 +108,60 @@ def test_connected_components_equals_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a INT, id_b INT")
     got = {r.node: r.component for r in dedup.connected_components(df).collect()}
     assert got == _union_find(edges)
+
+
+# ---- portable simhash: Spark == pure-Python reference on arbitrary text ----
+
+_PMOD = (1 << 31) - 1
+
+
+def _py_portable_simhash(text: str) -> int:
+    import re as _re
+
+    # Java/RE2 '\s' is ASCII-only [ \t\n\x0B\f\r]; Python str.split()
+    # would also split on unicode whitespace (U+0085, U+00A0, ...) and
+    # diverge from what Spark AND DuckDB both compute
+    toks = [t for t in _re.split(r"[ \t\n\x0b\f\r]+", text.lower()) if t]
+    sums = [0] * 31
+    for tok in toks:
+        h = 0
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % _PMOD
+        for j in range(31):
+            sums[j] += 1 if (h >> j) & 1 else -1
+    return sum(1 << j for j in range(31) if sums[j] > 0)
+
+
+_text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+    min_size=1,
+    max_size=60,
+).filter(lambda t: t.split())
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_text, min_size=1, max_size=6))
+def test_portable_simhash_equals_python_reference(spark, texts):
+    """The engine-portable simhash (x42's operator) must equal the
+    straightforward per-character Python definition on ARBITRARY
+    unicode input — this pins the ascii()/substring/aggregate SQL
+    expression against off-by-one and codepoint surprises that the
+    fixed parquet corpus can't surface."""
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash_portable(df, "text", "doc_id").collect()
+    }
+    import re as _re
+
+    exp = {
+        i: _py_portable_simhash(t)
+        for i, t in rows
+        if [x for x in _re.split(r"[ \t\n\x0b\f\r]+", t) if x]
+    }
+    assert got == exp

@@ -384,6 +384,36 @@ def t8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "t9_stream_running_totals",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def t9(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental grouped aggregation (update-mode running totals per
+    user) drained over the full replay — the stateful streaming twin of
+    a batch GROUP BY, decimal-exact so the final state hash-matches the
+    batch oracle bit-for-bit. At scale each microbatch combines into
+    per-user state (map-side partial agg feeding the state store); the
+    watermark is only a lateness gate for this keyed-aggregate shape."""
+    from wren_engine_spark.streaming.ops import (
+        run_available_now,
+        running_user_totals,
+    )
+
+    out = running_user_totals(_event_stream(spark, sf), "ts", "user_id",
+                              "value", watermark="365 days")
+    return run_available_now(spark, out, "t9_stream_sink", "complete").select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "total_value",
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 # shared oracle CTEs: engine-portable 31-bit simhash (base-31 code-point
 # polynomial mod 2^31-1; bit-sign aggregation) — the bit-exact SQL twin
 # of operators/dedup.simhash_portable

@@ -190,6 +190,36 @@ class TestLlmopsPlanShapes:
         assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
         assert "CartesianProduct" not in p
 
+    def test_x42_portable_simhash_single_algorithmic_shuffle(self, spark):
+        # explode + one map-side-combinable groupBy(doc): the only hash
+        # shuffle is the per-doc aggregation (plus the test-layout
+        # RoundRobin fan-out, which is not hashpartitioning)
+        df = QUERIES["x42_portable_simhash"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BatchEvalPython" not in plan  # char fold stays JVM-side
+
+    def test_x43_banded_pairs_no_cartesian(self, spark):
+        p = plan_of(spark, "x43_portable_simhash_pairs")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_x33_bloom_probe_broadcasts_filter_table(self, spark):
+        # the bloom word-mask table must BROADCAST into the probe side —
+        # a shuffled join here would re-shuffle every ingest batch
+        # against the corpus-sized filter at scale
+        p = plan_of(spark, "x33_bloom_incremental_dedup")
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_x12_bmp_decode_is_arrow_mapinpandas(self, spark):
+        # encode->decode is two narrow Arrow-batched python stages over
+        # the scan: no shuffle anywhere in the pipeline
+        df = QUERIES["x12_multimodal_decode"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert "Exchange hashpartitioning" not in plan
+
     def test_x39_chunk_dedup_no_corpus_window(self, spark):
         # keep-first chunk winners come from a min-struct groupBy (map-
         # side combinable), NOT a row_number window over the corpus-wide

@@ -104,6 +104,19 @@ class TestJoinShapes:
         p = plan_of(spark, "q13_customer_distribution")
         assert "LeftOuter" in p
 
+    def test_a6_bucketed_join_is_shuffle_free(self, spark):
+        # both sides bucketed+sorted on the join key with equal bucket
+        # counts: the join itself needs NO Exchange — the only hash
+        # shuffle in the plan is the final tiny per-priority aggregation
+        df = QUERIES["a6_bucketed_colocated_join"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        # both scans must be bucket-pruned reads; at test SF the tiny
+        # side may broadcast (also shuffle-free) — at scale, equal
+        # bucketing feeds SMJ directly, which is what the Exchange
+        # count pins either way
+        assert plan.count("SelectedBucketsCount: 8 out of 8") == 2
+
     def test_a5_range_join_is_equi_not_nested_loop(self, spark):
         # the binned range join must plan as a hash/sort-merge equi-join
         p = plan_of(spark, "a5_range_join")

@@ -37,6 +37,16 @@ def write_bucketed(
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # the catalog is per-session but the managed location is not: a
+    # previous process can leave the warehouse directory behind, which
+    # saveAsTable refuses (LOCATION_ALREADY_EXISTS). Clean it through
+    # the Hadoop FS API so any warehouse scheme (file://, s3a://) works.
+    jvm = spark.sparkContext._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(wh, table.split(".")[-1].lower())
+    fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     w = df.write.mode(mode).bucketBy(buckets, *keys)
     if sort:
         w = w.sortBy(*keys)

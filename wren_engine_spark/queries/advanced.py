@@ -294,3 +294,50 @@ def m3(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sum_value").cast("double").alias("sum_value"),
         "n_rows",
     )
+
+
+@register(
+    "a6_bucketed_colocated_join",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def a6(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucket-co-located fact join, driver-verified: both sides are
+    persisted bucketed (+ bucket-sorted) on their join keys with the
+    same bucket count, so the orders-lineitem join runs SHUFFLE-FREE
+    (bucketed scan -> sort-merge join, zero Exchange before the join;
+    plan-asserted in tests/test_plans.py). This is the repeated-join
+    layout for 100 TB fact tables — pay one bucketed write, then every
+    subsequent co-keyed join/aggregation skips the corpus shuffle
+    (operators/layout.write_bucketed; reference treats physical layout
+    as the warehouse's concern — this is the Spark-native equivalent).
+    The only hash shuffle in the whole query is the final tiny
+    per-priority aggregation."""
+    from wren_engine_spark.operators import layout
+
+    t = load_tables(spark, sf, "orders", "lineitem")
+    layout.write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        "a6_orders_b", "o_orderkey", buckets=8,
+    )
+    layout.write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_extendedprice"),
+        "a6_lineitem_b", "l_orderkey", buckets=8,
+    )
+    o = spark.table("a6_orders_b")
+    li = spark.table("a6_lineitem_b")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -572,6 +572,68 @@ def token_rarity(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repeated_passages(
+    df: DataFrame, text_col: str, id_col: str, window_tokens: int = 16
+) -> DataFrame:
+    """Cross-document EXACT passage dedup at every token position — the
+    suffix-array substring-dedup shape (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22) expressed as a
+    distributed k-gram construction: slide a ``window_tokens`` window
+    over every position of every doc, find windows occurring in >= 2
+    DISTINCT documents, and report per doc how much of it is covered by
+    cross-document repetition.
+
+    Returns (id, n_positions, n_shared_positions, dup_fraction) for
+    docs with at least one full window; dup_fraction ~ the fraction a
+    substring-dedup pass would cut.
+
+    Unlike chunk dedup (x36/x39, ALIGNED windows), this catches shared
+    passages at arbitrary offsets — the thing suffix arrays buy — at
+    the cost of one window per token position. Scale: the window
+    strings explode map-side (array HOFs); the frequency pass is one
+    map-side-combinable groupBy on the window; the shared set is
+    duplicate-density-sized, so the membership join's build side is
+    small. A rolling-hash variant (hash the window instead of the
+    string) halves shuffle width when payload bytes dominate; string
+    windows keep the oracle exact.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    wins = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") >= window_tokens)
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(__t) - {window_tokens} + 1), "
+                    f"i -> concat_ws(' ', slice(__t, i, {window_tokens})))"
+                )
+            ).alias("__pos", "__w"),
+        )
+    )
+    shared = (
+        wins.groupBy("__w")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .filter(F.col("__docs") >= 2)
+        .select("__w", F.lit(1).alias("__s"))
+    )
+    return (
+        wins.join(shared, "__w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum(F.coalesce(F.col("__s"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_shared_positions"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("n_shared_positions").cast("double")
+            / F.col("n_positions").cast("double"),
+        )
+    )
+
+
 def chunk_with_overlap(
     df: DataFrame,
     text_col: str,

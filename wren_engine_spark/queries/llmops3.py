@@ -385,6 +385,40 @@ def t8(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x44_repeated_passages",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    ok AS (SELECT * FROM toks WHERE len(t) >= 16),
+    wins AS (
+      SELECT doc_id, i,
+             array_to_string(t[i:i+15], ' ') AS w
+      FROM ok, LATERAL unnest(generate_series(1, len(t) - 15)) AS u(i)
+    ),
+    shared AS (
+      SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT wins.doc_id,
+           COUNT(*) AS n_positions,
+           CAST(SUM(CASE WHEN s.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_positions,
+           CAST(SUM(CASE WHEN s.w IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+    FROM wins LEFT JOIN shared s ON wins.w = s.w
+    GROUP BY wins.doc_id
+    """,
+)
+def x44(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cross-document passage dedup at every token offset (the
+    suffix-array substring-dedup shape, Lee et al. ACL'22) — unlike the
+    aligned chunk queries (x36/x39), shared passages are caught at
+    ARBITRARY positions. operators/text.repeated_passages."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.repeated_passages(d, "text", "doc_id", 16)
+
+
+@register(
     "t9_stream_running_totals",
     """
     SELECT user_id,

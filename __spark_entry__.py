@@ -2,11 +2,11 @@
 
 entry(spark)  -> flagship query on sf0.001
 queries()     -> every implemented operator (SURVEY.md §2 + north-star
-                 extensions), as (spark, sf_dir) -> DataFrame; 119
+                 extensions), as (spark, sf_dir) -> DataFrame; 120
                  entries, ordered so the external gate's first-50
                  window always covers queries without a passing driver
                  row from any earlier round (CORRECTNESS_r*.json)
-oracle_sql()  -> DuckDB-equivalent SQL per query (114 of 119; the 5
+oracle_sql()  -> DuckDB-equivalent SQL per query (115 of 120; the 5
                  omissions — x5/x11/x14/x16/x17 — are operators whose
                  hash/plane/centroid internals are engine-specific;
                  each has a pytest equivalence or recall guarantee, and

@@ -875,3 +875,37 @@ class TestChunkWithOverlap:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in p
+
+
+class TestQuantizedSimilarity:
+    def test_quantize_int8_bounds_and_shape(self, spark):
+        from tests.conftest import SF_DIR
+        from wren_engine_spark.operators import similarity
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100)
+        q = similarity.quantize_int8(e, "vec_id", "embedding").collect()
+        assert q
+        for r in q:
+            assert all(-127 <= v <= 127 for v in r.qvec)
+            assert max(abs(v) for v in r.qvec) == 127  # max-abs maps to full range
+            assert r.scale > 0
+
+    def test_quantized_topk_recall_vs_full_precision(self, spark):
+        from pyspark.sql import functions as F
+
+        from tests.conftest import SF_DIR
+        from wren_engine_spark.operators import similarity
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        exact = similarity.cosine_topk(e, "vec_id", "embedding", queries, k=5)
+        quant = similarity.quantized_cosine_topk(e, "vec_id", "embedding", queries, k=5)
+        ex = {}
+        for r in exact.collect():
+            ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+        qa = {}
+        for r in quant.collect():
+            qa.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = [len(ex[q] & qa[q]) / len(ex[q]) for q in ex]
+        # int8 over 64 dims: tiny rank perturbation only
+        assert sum(recalls) / len(recalls) >= 0.8

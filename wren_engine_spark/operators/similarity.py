@@ -621,3 +621,86 @@ def label_centroids(
         ).alias("centroid"),
         "n_vecs",
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str, vec_col: str, out_col: str = "qvec"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5). The standard 4x storage compression
+    for corpus-scale ANN (int8 dot products, SIMD-friendly downstream).
+
+    Rounding is spelled floor(x+0.5) — not round() — because IEEE floor
+    is bit-identical across engines while round() half-even/half-up
+    conventions differ; with float inputs widened to double first, any
+    SQL engine reproduces the exact quantized vectors (oracle x45).
+    Map-side only: no shuffle. Returns (id, qvec ARRAY<BIGINT>, scale).
+    """
+    as_d = "transform({v}, x -> cast(x as double))"
+    scale = F.expr(
+        f"greatest(array_max(transform({as_d.format(v=vec_col)}, x -> abs(x))), 1e-12) / 127.0d"
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        scale.alias("__s"),
+    ).select(
+        id_col,
+        F.expr(
+            f"transform({as_d.format(v=vec_col)}, x -> cast(floor(x / __s + 0.5d) as bigint))"
+        ).alias(out_col),
+        F.col("__s").alias("scale"),
+    )
+
+
+def quantized_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-QUANTIZED vectors — the
+    compressed-corpus twin of :func:`cosine_topk`. The per-vector
+    scales cancel in the cosine, so similarity is computed purely from
+    integer dot products and integer norms (exact in int64: |q|<=127,
+    so a 64-dim dot <= ~1e6), making the whole pipeline bit-portable
+    across engines. Recall vs full-precision cosine is asserted in
+    tests; at 100 TB the corpus side is 4x smaller on disk and in
+    shuffle than float32.
+
+    Returns (query_id, neighbor_id, q_cosine, rnk), ties broken by
+    neighbor id.
+    """
+    from pyspark.sql import Window as W
+
+    corpus = quantize_int8(df, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("__v")
+    )
+    queries = quantize_int8(query_df, "query_id", "qvec").select(
+        "query_id", F.col("qvec").alias("__q")
+    )
+    idot = "aggregate(zip_with(__q, __v, (a, b) -> a * b), cast(0 as bigint), (acc, x) -> acc + x)"
+    inorm = "sqrt(cast(aggregate(transform({v}, x -> x * x), cast(0 as bigint), (acc, x) -> acc + x) as double))"
+    sim = corpus.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.expr(idot).cast("double")
+            / (F.expr(inorm.format(v="__q")) * F.expr(inorm.format(v="__v")))
+        ).alias("__sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    return (
+        sim.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), round_digits).alias("q_cosine"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

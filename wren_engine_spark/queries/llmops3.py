@@ -419,6 +419,65 @@ def x44(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x45_quantized_cosine_topk",
+    """
+    WITH q8 AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)
+              FOR x IN embedding] AS qv
+      FROM (
+        SELECT vec_id, embedding,
+               greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]),
+                        1e-12) / 127.0 AS s
+        FROM embeddings
+      )
+    ),
+    qn AS (
+      SELECT vec_id, qv,
+             sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [x * x FOR x IN qv]), (acc, x) -> acc + x) AS DOUBLE)) AS nrm
+      FROM q8
+    ),
+    qs AS (SELECT vec_id AS query_id, qv AS qq, nrm AS qnrm FROM qn
+           WHERE vec_id < 10),
+    pairs AS (
+      SELECT query_id, vec_id AS neighbor_id,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [p[1] * p[2] FOR p IN list_zip(qq, qv)]),
+                    (acc, x) -> acc + x) AS DOUBLE) / (qnrm * nrm) AS sim
+      FROM qs, qn WHERE vec_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS q_cosine,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def x45(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8-quantized embedding search, driver-verified bit-for-bit:
+    per-vector symmetric quantization (floor(x/s+0.5) — portable IEEE
+    rounding) then brute-force cosine over INTEGER dot products (scales
+    cancel), the 4x-compressed corpus path for 100 TB ANN. The oracle
+    recomputes the identical quantized vectors and integer arithmetic
+    in SQL. operators/similarity.quantize_int8/quantized_cosine_topk;
+    recall vs full-precision x9 asserted in tests."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from wren_engine_spark.operators import similarity
+
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.quantized_cosine_topk(e, "vec_id", "embedding", queries, k=5)
+
+
+@register(
     "t9_stream_running_totals",
     """
     SELECT user_id,

@@ -252,3 +252,35 @@ _SQL_FUNCTIONS.update(
     """,
     }
 )
+
+
+# T-SQL/Databricks-SQL alias family: names the reference's function list
+# declares for its Spark(Databricks) target that OSS Spark spells
+# differently (function_list/spark.csv — charindex/getdate/iff/
+# stringdecode/try_remainder). Argument ORDER matters: charindex takes
+# (substring, string[, start]) like T-SQL, which maps to locate, not
+# instr.
+_SQL_FUNCTIONS.update(
+    {
+        "charindex": """
+        CREATE OR REPLACE TEMPORARY FUNCTION charindex(sub STRING, s STRING)
+        RETURNS INT RETURN locate(sub, s)
+    """,
+        "getdate": """
+        CREATE OR REPLACE TEMPORARY FUNCTION getdate()
+        RETURNS TIMESTAMP RETURN current_timestamp()
+    """,
+        "iff": """
+        CREATE OR REPLACE TEMPORARY FUNCTION iff(c BOOLEAN, a STRING, b STRING)
+        RETURNS STRING RETURN CASE WHEN c THEN a ELSE b END
+    """,
+        "stringdecode": """
+        CREATE OR REPLACE TEMPORARY FUNCTION stringdecode(b BINARY, cs STRING)
+        RETURNS STRING RETURN decode(b, cs)
+    """,
+        "try_remainder": """
+        CREATE OR REPLACE TEMPORARY FUNCTION try_remainder(a BIGINT, b BIGINT)
+        RETURNS BIGINT RETURN CASE WHEN b = 0 THEN NULL ELSE a % b END
+    """,
+    }
+)

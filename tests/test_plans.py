@@ -203,6 +203,23 @@ class TestLlmopsPlanShapes:
         assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
         assert "CartesianProduct" not in p
 
+    def test_x3_doc_frequency_not_a_shingle_window(self, spark):
+        # shingle document frequency must come from a map-side-combinable
+        # groupBy(shingle).count() + join, NEVER count() OVER
+        # (PARTITION BY shingle): a window puts a hot shingle's entire
+        # occurrence list into one task (no partial aggregation) — the
+        # straggler the round-3 verdict flagged. The only window allowed
+        # is the per-doc prefix rank (partitioned by doc_id, bounded by
+        # doc length).
+        p = plan_of(spark, "x3_ngram_jaccard_pairs")
+        win_lines = [l for l in p.splitlines() if "windowspecdefinition" in l]
+        assert win_lines, "prefix rank window expected"
+        for l in win_lines:
+            assert "windowspecdefinition(shingle" not in l
+            assert "windowspecdefinition(doc_id" in l
+        # the doc-frequency aggregate must be present as a real partial agg
+        assert "count(1)" in p
+
     def test_x42_portable_simhash_single_algorithmic_shuffle(self, spark):
         # explode + one map-side-combinable groupBy(doc): the only hash
         # shuffle is the per-doc aggregation (plus the test-layout

@@ -143,9 +143,13 @@ def jaccard_pairs(
     silently drop true boundary pairs. Padding only weakens pruning —
     the exact verify step restores precision.
 
-    At 100 TB: two window shuffles over the exploded shingles (by
-    shingle for doc-frequency, by doc for prefix rank), one prefix
-    self-join, and a candidate-verify join against the doc arrays;
+    At 100 TB: doc frequency is a map-side-combinable
+    ``groupBy(shingle).count()`` joined back onto the exploded shingles
+    (AQE broadcasts the distinct-shingle side when small and splits
+    skewed join partitions otherwise — no single-task hot-key window),
+    one doc-partitioned window for the prefix rank (bounded by doc
+    length), one prefix self-join, and a candidate-verify join against
+    the doc arrays;
     candidate volume follows true near-duplicate density rather than
     corpus size squared. Skewed prefix shingles are bounded by
     construction (a shingle lands in a prefix only while globally rare).
@@ -160,16 +164,21 @@ def jaccard_pairs(
     # two window passes run once, not 4x
     docs = shingle_arrays(df, text_col, id_col, n, unit).cache()
     sh = docs.select(id_col, "__n", F.explode("__sh").alias("shingle"))
+    # Doc frequency via groupBy + join, NEVER count() OVER (PARTITION BY
+    # shingle): a window puts a hot shingle's entire occurrence list into
+    # one task with no map-side combine — a straggler at web-corpus
+    # scale. The groupBy's partial aggregation shrinks the second shuffle
+    # to distinct shingles, and AQE turns the join broadcast / splits
+    # skewed partitions at runtime.
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     if max_doc_freq is not None:
-        sh = sh.withColumn(
-            "__df0", F.count(F.lit(1)).over(W.partitionBy("shingle"))
-        ).filter(F.col("__df0") <= max_doc_freq).drop("__df0")
+        keep = freq.filter(F.col("__df") <= max_doc_freq)
+        sh = sh.join(keep.select("shingle"), "shingle", "left_semi")
         docs = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("__sh"))
         docs = docs.withColumn("__n", F.size("__sh"))
         sh = docs.select(id_col, "__n", F.explode("__sh").alias("shingle"))
-    ranked = sh.withColumn(
-        "__df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
-    ).withColumn(
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = sh.join(freq, "shingle").withColumn(
         "__rn",
         F.row_number().over(
             W.partitionBy(id_col).orderBy(F.col("__df"), F.col("shingle"))

@@ -909,3 +909,26 @@ class TestQuantizedSimilarity:
         recalls = [len(ex[q] & qa[q]) / len(ex[q]) for q in ex]
         # int8 over 64 dims: tiny rank perturbation only
         assert sum(recalls) / len(recalls) >= 0.8
+
+
+class TestRepeatedPassages:
+    def test_hash_and_string_modes_agree(self, docs):
+        from wren_engine_spark.operators import text as t
+
+        h = {
+            r.doc_id: (r.n_positions, r.n_shared_positions)
+            for r in t.repeated_passages(docs, "text", "doc_id", 16, mode="hash").collect()
+        }
+        s = {
+            r.doc_id: (r.n_positions, r.n_shared_positions)
+            for r in t.repeated_passages(docs, "text", "doc_id", 16, mode="string").collect()
+        }
+        # 62-bit hash collisions are ~n^2/2^62 — zero on this corpus, so
+        # the two modes must agree doc-for-doc
+        assert h == s
+
+    def test_bad_mode_rejected(self, docs):
+        from wren_engine_spark.operators import text as t
+
+        with pytest.raises(ValueError):
+            t.repeated_passages(docs, "text", "doc_id", 16, mode="rolling")

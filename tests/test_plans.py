@@ -220,6 +220,20 @@ class TestLlmopsPlanShapes:
         # the doc-frequency aggregate must be present as a real partial agg
         assert "count(1)" in p
 
+    def test_x44_window_shuffle_is_hashed_not_string(self, spark):
+        # default mode reduces each window to a 62-bit hash MAP-SIDE, so
+        # every Exchange keyed on the window carries an 8-byte long
+        # (#NNNL), never the ~16-token window string — the round-3
+        # shuffle-amplification flag
+        import re as _re
+
+        df = QUERIES["x44_repeated_passages"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        win_keys = _re.findall(r"hashpartitioning\((__w#\d+L?)", plan)
+        assert win_keys, "window-key exchange expected"
+        assert all(k.endswith("L") for k in win_keys), win_keys
+        assert "BatchEvalPython" not in plan
+
     def test_x42_portable_simhash_single_algorithmic_shuffle(self, spark):
         # explode + one map-side-combinable groupBy(doc): the only hash
         # shuffle is the per-doc aggregation (plus the test-layout

@@ -23,6 +23,8 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wren_engine_spark.operators.textnorm import WS_RE
+
 # 31-bit universal-hash domain: a*h + b stays < 2^62, safe under ANSI
 # long arithmetic (no overflow) while 2^31 slots is plenty for minhash.
 _MERSENNE31 = (1 << 31) - 1
@@ -75,7 +77,7 @@ def shingle_arrays(
     collide. Pure array HOFs (split/sequence/slice/concat_ws), no Python.
     """
     if unit == "word":
-        src = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        src = F.split(F.trim(F.lower(F.col(text_col))), WS_RE)
         min_len = F.size("__src") >= n
         arr = F.expr(
             f"array_distinct(transform(sequence(1, size(__src) - {n - 1}), "
@@ -731,7 +733,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Returns (id, simhash)."""
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.lower(F.col(text_col)), WS_RE)).alias("tok"),
     ).filter(F.length("tok") > 0)
     hashed = toks.select(id_col, F.xxhash64("tok").alias("__h"))
     bit_aggs = [
@@ -775,7 +777,7 @@ def simhash_portable(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     64. Returns (id, simhash)."""
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.lower(F.col(text_col)), WS_RE)).alias("tok"),
     ).filter(F.length("tok") > 0)
     hashed = toks.select(F.col(id_col), F.expr(_PORTABLE_TOKEN_HASH).alias("__h"))
     bit_aggs = [
@@ -932,7 +934,7 @@ def chunk_dedup_rewrite(
     (``array_sort`` of that doc's surviving chunks, bounded by doc
     length, not corpus size).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
     chunks = df.select(F.col(id_col), toks.alias("__t")).select(
         id_col,
         F.posexplode(

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wren_engine_spark.operators.textnorm import WS_RE
+
 # tiny per-language marker lexicons for the n-gram/stopword heuristic;
 # priority order matters and is mirrored in the oracle SQL.
 LANG_MARKERS: dict[str, str] = {
@@ -27,9 +29,9 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     punct_ratio, stopword_ratio)."""
     t = F.col(text_col)
     n_chars = F.length(t).cast("bigint")
-    n_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("bigint")
-    non_space = F.length(F.regexp_replace(t, r"\s", ""))
-    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    n_tokens = F.size(F.split(F.trim(t), WS_RE)).cast("bigint")
+    non_space = F.length(F.regexp_replace(t, r"[ \t\n\x0B\f\r]", ""))
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9 \t\n\x0B\f\r]", ""))
     stop = F.regexp_count(F.lower(t), F.lit(EN_STOPWORDS)).cast("bigint")
     return df.select(
         F.col(id_col),
@@ -76,7 +78,10 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 # GPT-2-style pretokenizer shape: contractions, letter runs, digit runs,
 # punctuation runs (each with optional leading space), whitespace runs.
-BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+"
+)
 
 
 def bpe_token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -86,8 +91,8 @@ def bpe_token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Pure regexp_count — JVM-side, no Python."""
     t = F.col(text_col)
     total = F.regexp_count(t, F.lit(BPE_PRETOKEN_RE)).cast("bigint")
-    ws = F.regexp_count(t, F.lit(r"\s+")).cast("bigint")
-    n_ws_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("bigint")
+    ws = F.regexp_count(t, F.lit(WS_RE)).cast("bigint")
+    n_ws_tokens = F.size(F.split(F.trim(t), WS_RE)).cast("bigint")
     bpe = (total - ws).alias("n_bpe_tokens")
     return df.select(
         F.col(id_col),
@@ -147,7 +152,7 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     that with ORDER BY cnt DESC, tok DESC."""
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS_RE)).alias("tok"),
     ).filter(F.length("tok") > 0)
     counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
     agg = counts.groupBy(id_col).agg(
@@ -219,7 +224,7 @@ def tfidf_top_terms(
     n_docs = df.count()
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS_RE)).alias("tok"),
     ).filter(F.length("tok") > 0)
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     docf = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -361,7 +366,7 @@ def mixing_weights(
     single double divisions of exact integers, so every engine computes
     the identical bits.
     """
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), WS_RE)).cast("bigint")
     per = df.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tokens).alias("n_tokens"),
@@ -394,7 +399,7 @@ def length_buckets(
     arithmetic so the layout is engine-exact. Returns (source, bucket,
     n_docs, min_tokens, max_tokens, sum_tokens). One map-side-combinable
     groupBy; no shuffle beyond it."""
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), WS_RE)).cast("bigint")
     bucket = F.least(
         (n_tokens / bucket_tokens).cast("bigint"), F.lit(cap).cast("bigint")
     )
@@ -432,7 +437,7 @@ def chunk_boilerplate_stats(
     tiny fraction of all chunks, so the indicator join's build side
     shrinks to true-duplicate density. No window functions, no sort.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
     chunks = (
         df.select(F.col(id_col), toks.alias("__t"))
         .select(
@@ -486,7 +491,7 @@ def token_novelty(
         df.select(
             F.col(id_col).alias("__id"),
             F.col(group_col).alias("__g"),
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"),
+            F.explode(F.split(F.trim(F.col(text_col)), WS_RE)).alias("__tok"),
         )
         .distinct()
     )
@@ -545,7 +550,7 @@ def token_rarity(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"),
+        F.explode(F.split(F.trim(F.col(text_col)), WS_RE)).alias("__tok"),
     )
     freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
     total = freq.agg(F.sum("__cnt").cast("double").alias("__N"))
@@ -572,8 +577,22 @@ def token_rarity(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Double polynomial window hash over per-token portable hashes: two
+# independent moduli keep the combined space ~62 bits (collision odds
+# ~n^2/2^62 — negligible at corpus scale), and every intermediate stays
+# under 2^63 so ANSI-mode Spark and DuckDB compute identical values:
+#   token hash  < 2^31;  acc < mod < 2^31;  acc*base < 2^31 * 10^6 < 2^51
+#   h1 * _WH_MOD2 < 2^31 * 2^31 = 2^62;  + h2 < 2^63.
+_WH_MOD1, _WH_BASE1 = 2147483647, 1000003
+_WH_MOD2, _WH_BASE2 = 2147483629, 999983
+
+
 def repeated_passages(
-    df: DataFrame, text_col: str, id_col: str, window_tokens: int = 16
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 16,
+    mode: str = "hash",
 ) -> DataFrame:
     """Cross-document EXACT passage dedup at every token position — the
     suffix-array substring-dedup shape (Lee et al., "Deduplicating
@@ -589,28 +608,67 @@ def repeated_passages(
 
     Unlike chunk dedup (x36/x39, ALIGNED windows), this catches shared
     passages at arbitrary offsets — the thing suffix arrays buy — at
-    the cost of one window per token position. Scale: the window
-    strings explode map-side (array HOFs); the frequency pass is one
-    map-side-combinable groupBy on the window; the shared set is
-    duplicate-density-sized, so the membership join's build side is
-    small. A rolling-hash variant (hash the window instead of the
-    string) halves shuffle width when payload bytes dominate; string
-    windows keep the oracle exact.
+    the cost of one window per token position.
+
+    ``mode='hash'`` (default, the 100 TB path): each window is reduced
+    MAP-SIDE to one 62-bit double-polynomial hash over per-token
+    portable hashes, so the frequency groupBy shuffles 8 bytes per
+    position instead of the ~``window_tokens``-word window STRING
+    (≈16× the corpus bytes — the round-3 shuffle-amplification flag).
+    The hash is exact integer arithmetic reproducible in any SQL
+    engine, so the oracle stays bit-exact; cross-window collisions are
+    ~n²/2^62 — vanishing even at 10^12 positions. ``mode='string'``
+    shuffles the literal window text (the human-auditable oracle path).
+
+    Scale: windows explode map-side (array HOFs); the frequency pass is
+    one map-side-combinable groupBy on the window key; the shared set
+    is duplicate-density-sized, so the membership join's build side is
+    small.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    wins = (
-        df.select(F.col(id_col), toks.alias("__t"))
-        .filter(F.size("__t") >= window_tokens)
-        .select(
-            id_col,
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(__t) - {window_tokens} + 1), "
-                    f"i -> concat_ws(' ', slice(__t, i, {window_tokens})))"
-                )
-            ).alias("__pos", "__w"),
+    if mode not in ("hash", "string"):
+        raise ValueError("mode must be 'hash' or 'string'")
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
+    if mode == "hash":
+        # per-token portable hash once, then per-position double fold
+        th = (
+            "transform(__t, tok -> aggregate(transform(sequence(1, length(tok)), "
+            "i -> cast(ascii(substring(tok, i, 1)) as bigint)), cast(0 as bigint), "
+            "(acc, c) -> pmod(acc * 31 + c, 2147483647)))"
         )
-    )
+        w = window_tokens
+        fold = (
+            "aggregate(slice(__th, i, {w}), cast(0 as bigint), "
+            "(acc, h) -> pmod(acc * {b} + h, {m}))"
+        )
+        f1 = fold.format(w=w, b=_WH_BASE1, m=_WH_MOD1)
+        f2 = fold.format(w=w, b=_WH_BASE2, m=_WH_MOD2)
+        win_expr = (
+            f"transform(sequence(1, size(__t) - {w} + 1), "
+            f"i -> {f1} * cast({_WH_MOD2} as bigint) + {f2})"
+        )
+        wins = (
+            df.select(F.col(id_col), toks.alias("__t"))
+            .filter(F.size("__t") >= window_tokens)
+            .withColumn("__th", F.expr(th))
+            .select(
+                id_col,
+                F.posexplode(F.expr(win_expr)).alias("__pos", "__w"),
+            )
+        )
+    else:
+        wins = (
+            df.select(F.col(id_col), toks.alias("__t"))
+            .filter(F.size("__t") >= window_tokens)
+            .select(
+                id_col,
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(1, size(__t) - {window_tokens} + 1), "
+                        f"i -> concat_ws(' ', slice(__t, i, {window_tokens})))"
+                    )
+                ).alias("__pos", "__w"),
+            )
+        )
     shared = (
         wins.groupBy("__w")
         .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
@@ -656,7 +714,7 @@ def chunk_with_overlap(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
     return (
         df.select(F.col(id_col), toks.alias("__t"))
         .select(

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wren_engine_spark.operators.textnorm import WS_RE
+
 from wren_engine_spark.operators import dedup, multimodal, similarity, text
 from wren_engine_spark.queries.registry import load_tables, register
 
@@ -51,7 +53,7 @@ def x2(spark: SparkSession, sf: str) -> DataFrame:
 # oracle and the x24 connected-components oracle.
 _PAIRS_CTES = r"""
     norm AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
       FROM documents
     ),
     ok AS (SELECT * FROM norm WHERE len(toks) >= 3),
@@ -122,13 +124,13 @@ def x5(spark: SparkSession, sf: str) -> DataFrame:
     f"""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-             / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS avg_token_len,
-           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+           CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+             / CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE) AS avg_token_len,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
              / CAST(length(text) AS DOUBLE) AS punct_ratio,
            CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE)
-             / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio
+             / CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE) AS stopword_ratio
     FROM documents
     """,
 )
@@ -142,11 +144,11 @@ def x6(spark: SparkSession, sf: str) -> DataFrame:
     f"""
     WITH s AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                / CAST(length(text) AS DOUBLE) AS punct_ratio,
              CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE)
-               / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio
+               / CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE) AS stopword_ratio
       FROM documents
     )
     SELECT doc_id,
@@ -427,7 +429,10 @@ def x18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_BPE_RE = r"''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_RE = (
+    r"''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+"
+)
 
 
 @register(
@@ -435,11 +440,11 @@ _BPE_RE = r"''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
     f"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{_BPE_RE}')) -
-                len(regexp_extract_all(text, '\\s+')) AS BIGINT) AS n_bpe_tokens,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+                len(regexp_extract_all(text, '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '{_BPE_RE}')) -
-                len(regexp_extract_all(text, '\\s+')) AS DOUBLE)
-             / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS bpe_per_ws_token
+                len(regexp_extract_all(text, '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE)
+             / CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE) AS bpe_per_ws_token
     FROM documents
     """,
 )
@@ -454,7 +459,7 @@ def x19(spark: SparkSession, sf: str) -> DataFrame:
     r"""
     SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
     FROM (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS tok
       FROM documents
     )
     WHERE length(tok) > 0
@@ -470,7 +475,7 @@ def x20(spark: SparkSession, sf: str) -> DataFrame:
     d = load_tables(spark, sf, "documents")["documents"]
     toks = d.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), WS_RE)).alias("tok"),
     ).filter(F.length("tok") > 0)
     return (
         toks.groupBy("tok")
@@ -632,11 +637,11 @@ def x25(spark: SparkSession, sf: str) -> DataFrame:
     r"""
     WITH test AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
     train AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
-    tn AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM test),
+    tn AS (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks FROM test),
     tok AS (SELECT * FROM tn WHERE len(toks) >= 3),
     tpos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i FROM tok),
     tsh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS g FROM tpos),
-    rn AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM train),
+    rn AS (SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks FROM train),
     rok AS (SELECT * FROM rn WHERE len(toks) >= 3),
     rpos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i FROM rok),
     rsh AS (SELECT DISTINCT array_to_string(toks[i:i+2], ' ') AS g FROM rpos),
@@ -661,7 +666,7 @@ def x26(spark: SparkSession, sf: str) -> DataFrame:
     "x27_repetition_stats",
     r"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS tok
       FROM documents
     ),
     ok AS (SELECT * FROM toks WHERE length(tok) > 0),
@@ -691,7 +696,7 @@ def x27(spark: SparkSession, sf: str) -> DataFrame:
     "x28_tfidf_top_terms",
     r"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS tok
       FROM documents
     ),
     ok AS (SELECT * FROM toks WHERE length(tok) > 0),
@@ -755,7 +760,7 @@ def x31(spark: SparkSession, sf: str) -> DataFrame:
     r"""
     WITH toks AS (
       SELECT source, doc_id,
-             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     packed AS (
@@ -779,7 +784,7 @@ def x29(spark: SparkSession, sf: str) -> DataFrame:
     toks = d.select(
         "source",
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.size(F.split(F.trim(F.col("text")), WS_RE)).cast("bigint").alias("n_tokens"),
     )
     packed = text.pack_sequences(toks, "n_tokens", "doc_id", 2048, "source")
     return packed.groupBy("source", "batch_id").agg(
@@ -815,11 +820,11 @@ def x30(spark: SparkSession, sf: str) -> DataFrame:
     f"""
     WITH stats AS (
       SELECT doc_id, text, source,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                / CAST(length(text) AS DOUBLE) AS punct_ratio,
              CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE)
-               / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS stopword_ratio
+               / CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE) AS stopword_ratio
       FROM documents
     ),
     scored AS (

@@ -83,7 +83,7 @@ def x33(spark: SparkSession, sf: str) -> DataFrame:
     WITH per AS (
       SELECT source,
              COUNT(*) AS n_docs,
-             CAST(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
+             CAST(SUM(CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT))
                AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
@@ -108,14 +108,14 @@ def x34(spark: SparkSession, sf: str) -> DataFrame:
     "x35_length_buckets",
     """
     SELECT source,
-           LEAST(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           LEAST(CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT)
                  // 64, 32) AS bucket,
            COUNT(*) AS n_docs,
-           MIN(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
+           MIN(CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT))
              AS min_tokens,
-           MAX(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
+           MAX(CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT))
              AS max_tokens,
-           CAST(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
+           CAST(SUM(CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT))
              AS BIGINT) AS sum_tokens
     FROM documents GROUP BY source, bucket
     """,

@@ -21,7 +21,7 @@ from wren_engine_spark.queries.registry import load_tables, register
     "x36_chunk_boilerplate",
     """
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS t FROM documents
     ),
     pos AS (
       SELECT doc_id, t,
@@ -62,7 +62,7 @@ def x36(spark: SparkSession, sf: str) -> DataFrame:
     "x37_source_overlap",
     r"""
     WITH norm AS (
-      SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks
+      SELECT source, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
       FROM documents
     ),
     ok AS (SELECT * FROM norm WHERE len(toks) >= 3),
@@ -94,7 +94,7 @@ def x37(spark: SparkSession, sf: str) -> DataFrame:
     r"""
     WITH toks AS (
       SELECT DISTINCT doc_id AS id, source AS g,
-             unnest(string_split_regex(trim(text), '\s+')) AS tok
+             unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
       FROM documents
     ),
     first AS (SELECT tok, MIN(id) AS first_id FROM toks GROUP BY tok),
@@ -174,7 +174,7 @@ def t5(spark: SparkSession, sf: str) -> DataFrame:
     "x39_chunk_dedup_rewrite",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents
     ),
     pos AS (
       SELECT doc_id, t, unnest(generate_series(0,
@@ -210,7 +210,7 @@ def x39(spark: SparkSession, sf: str) -> DataFrame:
     "x40_token_rarity",
     r"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
       FROM documents
     ),
     freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
@@ -239,7 +239,7 @@ def x40(spark: SparkSession, sf: str) -> DataFrame:
     "x41_chunk_overlap",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents
     ),
     pos AS (
       SELECT doc_id, t, unnest(generate_series(0,
@@ -384,18 +384,8 @@ def t8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "x44_repeated_passages",
-    r"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
-    ),
-    ok AS (SELECT * FROM toks WHERE len(t) >= 16),
-    wins AS (
-      SELECT doc_id, i,
-             array_to_string(t[i:i+15], ' ') AS w
-      FROM ok, LATERAL unnest(generate_series(1, len(t) - 15)) AS u(i)
-    ),
+# Shared tail of the x44/x46 oracles: window key -> per-doc coverage.
+_X44_TAIL = r"""
     shared AS (
       SELECT w FROM wins GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
     )
@@ -407,15 +397,68 @@ def t8(spark: SparkSession, sf: str) -> DataFrame:
              / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
     FROM wins LEFT JOIN shared s ON wins.w = s.w
     GROUP BY wins.doc_id
-    """,
+"""
+
+
+@register(
+    "x44_repeated_passages",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents
+    ),
+    ok AS (
+      SELECT doc_id, t,
+             [list_reduce(list_prepend(CAST(0 AS BIGINT),
+                [CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT)
+                 FOR i IN generate_series(1, length(tok))]),
+                (acc, c) -> (acc * 31 + c) % 2147483647)
+              FOR tok IN t] AS th
+      FROM toks WHERE len(t) >= 16
+    ),
+    wins AS (
+      SELECT doc_id, i,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+15]),
+                 (acc, h) -> (acc * 1000003 + h) % 2147483647) * 2147483629
+           + list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+15]),
+                 (acc, h) -> (acc * 999983 + h) % 2147483629) AS w
+      FROM ok, LATERAL unnest(generate_series(1, len(t) - 15)) AS u(i)
+    ),
+    """
+    + _X44_TAIL,
 )
 def x44(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cross-document passage dedup at every token offset (the
     suffix-array substring-dedup shape, Lee et al. ACL'22) — unlike the
     aligned chunk queries (x36/x39), shared passages are caught at
-    ARBITRARY positions. operators/text.repeated_passages."""
+    ARBITRARY positions. Default 'hash' mode shuffles one 62-bit
+    double-polynomial window hash per position (8 bytes, vs ~16x corpus
+    bytes for window strings); the oracle recomputes the IDENTICAL
+    integer hash in SQL. operators/text.repeated_passages."""
     d = load_tables(spark, sf, "documents")["documents"]
-    return text.repeated_passages(d, "text", "doc_id", 16)
+    return text.repeated_passages(d, "text", "doc_id", 16, mode="hash")
+
+
+@register(
+    "x46_repeated_passages_text",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t FROM documents
+    ),
+    ok AS (SELECT * FROM toks WHERE len(t) >= 16),
+    wins AS (
+      SELECT doc_id, i,
+             array_to_string(t[i:i+15], ' ') AS w
+      FROM ok, LATERAL unnest(generate_series(1, len(t) - 15)) AS u(i)
+    ),
+    """
+    + _X44_TAIL,
+)
+def x46(spark: SparkSession, sf: str) -> DataFrame:
+    """String-window mode of x44 — shuffles the literal window text so a
+    human can audit which passages repeat; kept as the auditable twin of
+    the hash default (tests assert both modes agree row-for-row)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.repeated_passages(d, "text", "doc_id", 16, mode="string")
 
 
 @register(
@@ -513,7 +556,7 @@ def t9(spark: SparkSession, sf: str) -> DataFrame:
 _PORTABLE_SIMHASH_CTES = r"""
     toks AS (
       SELECT doc_id, tok FROM (
-        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS tok
         FROM documents
       ) WHERE length(tok) > 0
     ),

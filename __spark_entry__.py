@@ -2,16 +2,17 @@
 
 entry(spark)  -> flagship query on sf0.001
 queries()     -> every implemented operator (SURVEY.md §2 + north-star
-                 extensions), as (spark, sf_dir) -> DataFrame; 120
-                 entries, ordered so the external gate's first-50
-                 window always covers queries without a passing driver
-                 row from any earlier round (CORRECTNESS_r*.json)
-oracle_sql()  -> DuckDB-equivalent SQL per query (115 of 120; the 5
-                 omissions — x5/x11/x14/x16/x17 — are operators whose
-                 hash/plane/centroid internals are engine-specific;
-                 each has a pytest equivalence or recall guarantee, and
-                 the simhash/bloom algorithms additionally have
-                 PORTABLE twins with bit-exact oracles: x42/x43/x33)
+                 extensions), as (spark, sf_dir) -> DataFrame, ordered
+                 so the external gate's first-50 window always covers
+                 queries without a passing driver row from any earlier
+                 round (CORRECTNESS_r*.json)
+oracle_sql()  -> DuckDB-equivalent SQL per query. Only 3 omissions —
+                 x11/x14/x16 — operators whose plane/centroid/stub
+                 internals are irreducibly engine-specific; each has a
+                 pytest equivalence or recall guarantee. The simhash
+                 queries (x5/x17) register the engine-PORTABLE
+                 polynomial hash and are bit-exact oracle-checked; the
+                 xxhash64 variants remain library functions.
 """
 
 from __future__ import annotations

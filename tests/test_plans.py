@@ -234,17 +234,17 @@ class TestLlmopsPlanShapes:
         assert all(k.endswith("L") for k in win_keys), win_keys
         assert "BatchEvalPython" not in plan
 
-    def test_x42_portable_simhash_single_algorithmic_shuffle(self, spark):
+    def test_x5_portable_simhash_single_algorithmic_shuffle(self, spark):
         # explode + one map-side-combinable groupBy(doc): the only hash
         # shuffle is the per-doc aggregation (plus the test-layout
         # RoundRobin fan-out, which is not hashpartitioning)
-        df = QUERIES["x42_portable_simhash"](spark, SF_DIR)
+        df = QUERIES["x5_simhash"](spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
         assert "BatchEvalPython" not in plan  # char fold stays JVM-side
 
-    def test_x43_banded_pairs_no_cartesian(self, spark):
-        p = plan_of(spark, "x43_portable_simhash_pairs")
+    def test_x17_banded_pairs_no_cartesian(self, spark):
+        p = plan_of(spark, "x17_simhash_near_dup")
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
 

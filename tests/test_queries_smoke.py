@@ -43,10 +43,8 @@ def test_every_tpch_query_present():
 
 def test_oracle_coverage():
     missing = set(QUERIES) - set(ORACLES)
-    # only genuinely non-SQL-expressible ops may omit an oracle
-    assert missing <= {"x33_bloom_incremental_dedup",
-                       "x4_minhash_lsh_candidates",
-                       "x5_simhash64", "x11_lsh_ann", "x14_ivf_ann",
-                       "x16_multimodal_embedding_pipeline",
-                       "x17_simhash_near_dup", "x18_winnow_fingerprints",
-                       "x22_stratified_sample", "x32_scalable_dup_clusters"}
+    # only genuinely engine-specific sketch internals may omit an
+    # oracle: hyperplane-LSH bucketing, IVF k-means assignment, and the
+    # stubbed multimodal embedding pipeline (each pytest-bounded)
+    assert missing <= {"x11_lsh_ann", "x14_ivf_ann",
+                       "x16_multimodal_embedding_pipeline"}

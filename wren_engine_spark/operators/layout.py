@@ -41,12 +41,21 @@ def write_bucketed(
     # previous process can leave the warehouse directory behind, which
     # saveAsTable refuses (LOCATION_ALREADY_EXISTS). Clean it through
     # the Hadoop FS API so any warehouse scheme (file://, s3a://) works.
+    # The managed path must be resolved via the owning DATABASE's
+    # location (db-qualified tables live under <warehouse>/<db>.db/),
+    # not naively as <warehouse>/<table> — that guess is only right in
+    # the default database and could delete another database's data.
+    parts = [p.lower() for p in table.split(".")]
+    db = parts[-2] if len(parts) >= 2 else spark.catalog.currentDatabase().lower()
     jvm = spark.sparkContext._jvm
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    loc = jvm.org.apache.hadoop.fs.Path(wh, table.split(".")[-1].lower())
-    fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if fs.exists(loc):
-        fs.delete(loc, True)
+    if spark.catalog.databaseExists(db):
+        db_loc = spark.catalog.getDatabase(db).locationUri
+        loc = jvm.org.apache.hadoop.fs.Path(
+            jvm.org.apache.hadoop.fs.Path(db_loc), parts[-1]
+        )
+        fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
     w = df.write.mode(mode).bucketBy(buckets, *keys)
     if sort:
         w = w.sortBy(*keys)

@@ -198,24 +198,33 @@ def decode_bmp(payloads: DataFrame) -> DataFrame:
     import numpy as np
 
     def _decode_one(b: bytes):
-        if len(b) < 54 or b[:2] != b"BM":
+        try:
+            if len(b) < 54 or b[:2] != b"BM":
+                return None
+            _, file_size, _, _, offset = struct.unpack("<2sIHHI", b[:14])
+            dib_size, width, height = struct.unpack("<Iii", b[14:26])
+            planes, bpp, compression = struct.unpack("<HHI", b[26:34])
+            if dib_size < 40 or bpp != 24 or compression != 0 or width <= 0:
+                return None
+            top_down = height < 0
+            height = abs(height)
+            stride = ((width * 3 + 3) // 4) * 4
+            # a zero-height image or a pixel array extending past the
+            # payload is malformed, not decodable — a 'BM' magic with a
+            # truncated pixel array must yield an error ROW, never an
+            # exception that fails the whole Spark task
+            if height == 0 or offset < 54 or offset + stride * height > len(b):
+                return None
+            pix = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=offset)
+            rows = pix.reshape(height, stride)[:, : width * 3]
+            if not top_down:
+                rows = rows[::-1]
+            # rows is now top-down H x (W*3) BGR; stats are channel-agnostic
+            total = int(rows.astype(np.int64).sum())
+            n = rows.size
+            return (len(b), width, height, total / n)
+        except Exception:
             return None
-        _, file_size, _, _, offset = struct.unpack("<2sIHHI", b[:14])
-        dib_size, width, height = struct.unpack("<Iii", b[14:26])
-        planes, bpp, compression = struct.unpack("<HHI", b[26:34])
-        if dib_size < 40 or bpp != 24 or compression != 0 or width <= 0:
-            return None
-        top_down = height < 0
-        height = abs(height)
-        stride = ((width * 3 + 3) // 4) * 4
-        pix = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=offset)
-        rows = pix.reshape(height, stride)[:, : width * 3]
-        if not top_down:
-            rows = rows[::-1]
-        # rows is now top-down H x (W*3) BGR; stats are channel-agnostic
-        total = int(rows.astype(np.int64).sum())
-        n = rows.size
-        return (len(b), width, height, total / n)
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import re
 
-from wren_engine_spark.plans.sqltext import rewrite_outside_literals
+from wren_engine_spark.plans.sqltext import lex, rewrite_outside_literals
 
 DIALECTS = (
     "spark", "duckdb", "postgres", "ansi", "trino", "snowflake", "bigquery"
@@ -28,8 +28,9 @@ DIALECTS = (
 # target engines accept the ANSI core (COUNT/SUM/COALESCE/CASE/...).
 # Renames are restricted to functions whose ARGUMENT ORDER matches the
 # source function (e.g. instr(str,sub) -> strpos(str,sub) is safe in
-# postgres/trino/bigquery; Snowflake's charindex(sub,str) swaps the
-# arguments, so instr is deliberately NOT mapped there).
+# postgres/trino/bigquery). Snowflake has NO instr at all and its
+# charindex(sub,str) swaps the arguments, so it gets the argument-aware
+# rewrite in _swap_two_arg_call instead of a plain rename.
 _FUNC_MAP: dict[str, dict[str, str]] = {
     "postgres": {
         "instr": "strpos",
@@ -99,6 +100,54 @@ def _funcs(seg: str, dialect: str) -> str:
     return pat.sub(lambda m: fmap[m.group(1).lower()] + "(", seg)
 
 
+_INSTR_CALL = re.compile(r"\binstr\s*\(", re.IGNORECASE)
+
+
+def _swap_two_arg_call(sql: str, src: str, dst: str) -> str:
+    """Rewrite ``src(a, b)`` -> ``dst(b, a)`` across the whole statement,
+    literal/comment-aware and nested-paren safe. Calls whose top-level
+    arity is not exactly 2 are left untouched (best-effort renderer;
+    the sqlglot path handles the general case when installed)."""
+    pat = re.compile(r"\b" + re.escape(src) + r"\s*\(", re.IGNORECASE)
+    search_from = 0
+    while True:
+        # (re)build the CODE-offset mask — offsets shift after each edit
+        mask = bytearray(len(sql))
+        pos = 0
+        for text, kind in lex(sql):
+            if kind == "code":
+                for k in range(pos, pos + len(text)):
+                    mask[k] = 1
+            pos += len(text)
+        m = pat.search(sql, search_from)
+        if not m:
+            return sql
+        if not all(mask[k] for k in range(m.start(), min(m.end(), len(sql)))):
+            search_from = m.end()
+            continue
+        depth, commas, close = 0, [], -1
+        for k in range(m.end() - 1, len(sql)):
+            if not mask[k]:
+                continue  # literals/comments are opaque
+            c = sql[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    close = k
+                    break
+            elif c == "," and depth == 1:
+                commas.append(k)
+        if close == -1 or len(commas) != 1:
+            search_from = m.end()
+            continue
+        a = sql[m.end():commas[0]].strip()
+        b = sql[commas[0] + 1:close].strip()
+        sql = sql[: m.start()] + f"{dst}({b}, {a})" + sql[close + 1:]
+        search_from = m.start()  # re-scan: args may hold nested calls
+
+
 def render(sql: str, dialect: str | None = None) -> str:
     """Render Spark-SQL dry-plan text for ``dialect``.
 
@@ -130,4 +179,8 @@ def render(sql: str, dialect: str | None = None) -> str:
             seg = _requote(seg)
         return _funcs(seg, dialect)
 
+    if dialect == "snowflake":
+        # whole-statement (not per-segment) pass: argument swap needs to
+        # see across literal boundaries inside the argument list
+        sql = _swap_two_arg_call(sql, "instr", "charindex")
     return rewrite_outside_literals(sql, seg_fn)

@@ -274,9 +274,54 @@ class TestMetadataNormalization:
             ("trino", "row(a int)", M.STRUCT),
             ("spark", "timestamp_ntz", M.TIMESTAMP),
             ("anybackend", "frobnicator_t", M.UNKNOWN),
+            # round-4 backends (reference: metadata/{athena,redshift,
+            # doris,databricks,canner,object_storage}.py)
+            ("athena", "timestamp", M.TIMESTAMPTZ),   # zone-aware there
+            ("athena", "float", M.REAL),
+            ("athena", "mediumint", M.INTEGER),
+            ("athena", "varbinary", M.BYTEA),
+            ("redshift", "character varying(256)", M.VARCHAR),
+            ("redshift", "timestamp with time zone", M.TIMESTAMPTZ),
+            ("redshift", "super", M.JSON),
+            ("redshift", "varbyte", M.BYTEA),
+            ("redshift", "oid", M.INTEGER),
+            ("doris", "largeint", M.BIGINT),
+            ("doris", "float", M.DOUBLE),             # doris FLOAT->8-byte
+            ("doris", "decimalv3(27,9)", M.DECIMAL),
+            ("doris", "datetimev2", M.TIMESTAMP),
+            ("doris", "hll", M.VARCHAR),
+            ("doris", "bitmap", M.VARCHAR),
+            ("doris", "variant", M.JSON),
+            ("databricks", "string", M.STRING),
+            ("databricks", "timestamp_ntz", M.TIMESTAMP),
+            ("databricks", "variant", M.JSON),
+            ("databricks", "float", M.REAL),
+            ("databricks", "binary", M.BYTEA),
+            ("canner", "float", M.DOUBLE),
+            ("canner", "timestamp", M.TIMESTAMPTZ),
+            ("canner", "enum", M.VARCHAR),
+            ("object_storage", "varchar", M.STRING),
+            ("object_storage", "hugeint", M.DECIMAL),
+            ("object_storage", "bit", M.SMALLINT),
+            ("object_storage", "uinteger", M.BIGINT),
+            ("duckdb", "float", M.REAL),
         ]
         for backend, raw, want in cases:
             assert M.normalize_type(backend, raw) == want, (backend, raw)
+
+    def test_backend_coverage_matches_reference_inventory(self):
+        # the reference ships one metadata module per backend
+        # (ibis-server/app/model/metadata/*.py, minus dto/factory/
+        # metadata/__init__); every one of them must have a mapping dict
+        from wren_engine_spark.sources import metadata as M
+
+        reference_backends = {
+            "athena", "bigquery", "canner", "clickhouse", "databricks",
+            "doris", "mssql", "mysql", "object_storage", "oracle",
+            "postgres", "redshift", "snowflake", "trino",
+        }
+        have = set(M.TYPE_MAPPINGS) | {"duckdb", "spark"}
+        assert reference_backends <= have
 
     def test_normalize_tables_preserves_source_type(self):
         from wren_engine_spark.sources import metadata as M

@@ -126,11 +126,71 @@ TYPE_MAPPINGS: dict[str, dict[str, str]] = {
         "varchar2": VARCHAR, "nvarchar2": VARCHAR, "clob": TEXT,
         "nclob": TEXT, "blob": BYTEA, "raw": BYTEA, "long": TEXT,
     },
-    "duckdb": {"hugeint": DECIMAL, "blob": BYTEA, "utinyint": SMALLINT,
-               "usmallint": INTEGER, "uinteger": BIGINT, "ubigint": DECIMAL},
+    "duckdb": {"hugeint": DECIMAL, "blob": BYTEA, "float": REAL,
+               "utinyint": SMALLINT, "usmallint": INTEGER,
+               "uinteger": BIGINT, "ubigint": DECIMAL,
+               "uhugeint": DECIMAL, "varchar": STRING},
     "spark": {"binary": BYTEA, "float": REAL, "byte": TINYINT,
               "short": SMALLINT, "long": BIGINT,
               "timestamp_ntz": TIMESTAMP, "timestamp_ltz": TIMESTAMPTZ},
+    # Athena (Presto-lineage; mysql-flavored DDL spellings surface via
+    # Glue). Parity: ibis-server/app/model/metadata/athena.py
+    # ATHENA_TYPE_MAPPING — note Athena TIMESTAMP is zone-aware there.
+    "athena": {
+        "tinytext": TEXT, "mediumtext": TEXT, "longtext": TEXT,
+        "enum": VARCHAR, "set": VARCHAR,
+        "bit": TINYINT, "mediumint": INTEGER,
+        "float": REAL, "double": DOUBLE,
+        "timestamp": TIMESTAMPTZ,
+        "binary": BYTEA, "varbinary": BYTEA,
+    },
+    # Redshift (postgres lineage). Parity: metadata/redshift.py
+    # REDSHIFT_TYPE_MAPPING; inet/oid fold like the postgres dict, plus
+    # the Redshift-specific SUPER/VARBYTE/HLLSKETCH spellings from the
+    # public type docs.
+    "redshift": {
+        "name": CHAR, "inet": VARCHAR, "oid": INTEGER,
+        "super": JSON, "varbyte": BYTEA, "hllsketch": VARCHAR,
+    },
+    # Apache Doris (mysql-flavored). Parity: metadata/doris.py
+    # DORIS_TYPE_MAPPING — float is 8-byte there; complex/aggregate
+    # types fold to JSON/VARCHAR.
+    "doris": {
+        "string": VARCHAR, "tinytext": TEXT, "mediumtext": TEXT,
+        "longtext": TEXT,
+        "largeint": BIGINT, "float": DOUBLE, "decimalv3": DECIMAL,
+        "datev2": DATE, "datetimev2": TIMESTAMP,
+        "timestamp": TIMESTAMPTZ,
+        "variant": JSON, "array": JSON, "map": JSON, "struct": JSON,
+        "hll": VARCHAR, "bitmap": VARCHAR,
+        "quantile_state": VARCHAR, "agg_state": VARCHAR,
+    },
+    # Databricks SQL. Parity: metadata/databricks.py
+    # DATABRICKS_TYPE_MAPPING (variant/object fold to JSON — the
+    # portable enum has no VARIANT).
+    "databricks": {
+        "binary": BYTEA, "float": REAL, "string": STRING,
+        "timestamp_ntz": TIMESTAMP, "variant": JSON, "object": JSON,
+        "byte": TINYINT, "short": SMALLINT, "long": BIGINT,
+    },
+    # Canner (trino-lineage catalog). Parity: metadata/canner.py
+    # CANNER_TYPE_MAPPING — float is 8-byte, timestamp zone-aware.
+    "canner": {
+        "tinytext": TEXT, "mediumtext": TEXT, "longtext": TEXT,
+        "enum": VARCHAR, "set": VARCHAR,
+        "bit": TINYINT, "mediumint": INTEGER,
+        "float": DOUBLE, "timestamp": TIMESTAMPTZ,
+        "varbinary": BYTEA,
+    },
+    # Object-storage scans read through DuckDB in the reference
+    # (metadata/object_storage.py DUCKDB_TYPE_MAPPING): same spellings
+    # as the duckdb dict plus its bit -> int2 quirk.
+    "object_storage": {
+        "hugeint": DECIMAL, "blob": BYTEA, "float": REAL,
+        "utinyint": SMALLINT, "usmallint": INTEGER,
+        "uinteger": BIGINT, "ubigint": DECIMAL,
+        "uhugeint": DECIMAL, "varchar": STRING, "bit": SMALLINT,
+    },
 }
 
 _PARAM_RE = re.compile(r"\s*\(.*\)\s*$")  # numeric(10,2), varchar(255), ...

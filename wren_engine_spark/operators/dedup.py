@@ -120,6 +120,8 @@ def jaccard_pairs(
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
     unit: str = "word",
+    freq_mode: str = "exact",
+    hot_df_cap: int = 64,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity for all pairs above ``threshold``.
 
@@ -147,14 +149,37 @@ def jaccard_pairs(
 
     At 100 TB: doc frequency is a map-side-combinable
     ``groupBy(shingle).count()`` joined back onto the exploded shingles
-    (AQE broadcasts the distinct-shingle side when small and splits
-    skewed join partitions otherwise — no single-task hot-key window),
-    one doc-partitioned window for the prefix rank (bounded by doc
-    length), one prefix self-join, and a candidate-verify join against
-    the doc arrays;
-    candidate volume follows true near-duplicate density rather than
-    corpus size squared. Skewed prefix shingles are bounded by
-    construction (a shingle lands in a prefix only while globally rare).
+    (never a count-over-window — a window pins a hot shingle's whole
+    occurrence list to one task), one doc-partitioned window for the
+    prefix rank (bounded by doc length), one prefix self-join, and a
+    candidate-verify join against the doc arrays; candidate volume
+    follows true near-duplicate density rather than corpus size
+    squared. Skewed prefix shingles are bounded by construction (a
+    shingle lands in a prefix only while globally rare).
+
+    ``freq_mode`` picks how the frequency ORDER reaches each shingle:
+
+    - ``'exact'`` (default): shuffle-join the full frequency table back
+      on the shingle key. Optimal prefix ordering (fewest candidates),
+      but the join-back concentrates a hot shingle's occurrence rows in
+      one task, and AQE's skew split cannot rescue it — the rule only
+      matches plain two-shuffle SMJ children, not the
+      ``Sort(HashAggregate(Shuffle))`` the frequency side planates to.
+      Right when shingle frequencies are near-uniform or the corpus
+      fits comfortable task sizes.
+    - ``'broadcast_head'``: broadcast only the HOT head of the
+      frequency table (df > ``hot_df_cap`` — by Zipf a tiny set,
+      corpus_occurrences/cap entries max) and give every tail shingle
+      frequency bucket 0, ordered lexicographically. The prefix-filter
+      theorem needs only a GLOBALLY CONSISTENT total order, not the
+      true frequency order, so the output is IDENTICAL (the exact
+      verify step is unchanged); prefixes still exclude exactly the
+      hot shingles that cause quadratic blowup. The shingle join
+      becomes a broadcast hash join: NO shuffle on the shingle key
+      anywhere, so no hot-key task exists at any corpus size — the
+      100 TB mode. Tradeoff: tail prefixes are lexicographic rather
+      than rarest-first, admitting up to ~``hot_df_cap`` extra
+      candidates per prefix shingle.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
@@ -172,6 +197,8 @@ def jaccard_pairs(
     # scale. The groupBy's partial aggregation shrinks the second shuffle
     # to distinct shingles, and AQE turns the join broadcast / splits
     # skewed partitions at runtime.
+    if freq_mode not in ("exact", "broadcast_head"):
+        raise ValueError("freq_mode must be 'exact' or 'broadcast_head'")
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     if max_doc_freq is not None:
         keep = freq.filter(F.col("__df") <= max_doc_freq)
@@ -180,7 +207,16 @@ def jaccard_pairs(
         docs = docs.withColumn("__n", F.size("__sh"))
         sh = docs.select(id_col, "__n", F.explode("__sh").alias("shingle"))
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    ranked = sh.join(freq, "shingle").withColumn(
+    if freq_mode == "broadcast_head":
+        head = freq.filter(F.col("__df") > hot_df_cap).withColumnRenamed(
+            "__df", "__hdf"
+        )
+        with_df = sh.join(F.broadcast(head), "shingle", "left").withColumn(
+            "__df", F.coalesce(F.col("__hdf"), F.lit(0)).cast("bigint")
+        ).drop("__hdf")
+    else:
+        with_df = sh.join(freq, "shingle")
+    ranked = with_df.withColumn(
         "__rn",
         F.row_number().over(
             W.partitionBy(id_col).orderBy(F.col("__df"), F.col("shingle"))

@@ -82,6 +82,26 @@ def x3(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "x47_jaccard_pairs_skewproof",
+    f"WITH {_PAIRS_CTES} SELECT id_a, id_b, jaccard FROM pairs",
+)
+def x47(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB mode of x3: frequency ordering via a BROADCAST hot
+    head (df > cap) with lexicographic tail — the prefix-filter theorem
+    only needs a globally consistent shingle order, so the output is
+    IDENTICAL to x3 (same DuckDB oracle verifies both), but the shingle
+    join is a broadcast hash join: no shuffle on the shingle key
+    anywhere, so a hot shingle can never pin one task at any corpus
+    size. tests/test_scale.py measures the per-task balance on a
+    Zipfian corpus."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return dedup.jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.8,
+        freq_mode="broadcast_head", hot_df_cap=64,
+    )
+
+
+@register(
     "x4_minhash_lsh_candidates",
     f"""
     WITH {_PAIRS_CTES}

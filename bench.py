@@ -9,6 +9,10 @@ Timing = full query build + execution to a driver-side count/collect
 (small results are collected, row-heavy outputs counted), matching how
 the engine would be used. A warmup pass initializes the JVM/parquet
 footers so the numbers measure steady-state execution, not JVM startup.
+The headline suite runs $SPARK_GRAFT_BENCH_RUNS times (default 3,
+caches cleared between runs); per-query numbers are MEDIANS and the
+JSON carries every run's total so box noise is visible in the artifact
+itself.
 """
 
 from __future__ import annotations
@@ -58,19 +62,39 @@ def main() -> None:
     # warmup: JVM codegen + parquet footer reads, tiny query
     QUERIES["q6_revenue_forecast"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    plan_ms: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)  # build: query construction / semantic rewrite
-        t1 = time.perf_counter()
-        n = df.count()
-        plan_ms[name] = round((t1 - t0) * 1000, 1)
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows, plan {plan_ms[name]:.0f}ms)",
-              file=sys.stderr)
+    # Median of N runs (round-3 verdict: single-run numbers on a shared
+    # box drift ±10-30%; the artifact of record must carry its own
+    # variance). Caches are cleared between runs so every run measures
+    # the cold path the driver compares round-over-round.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    per_query: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    per_plan: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    run_totals: list[float] = []
+    for run in range(n_runs):
+        spark.catalog.clearCache()
+        run_total = 0.0
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)  # build: construction / semantic rewrite
+            t1 = time.perf_counter()
+            n = df.count()
+            dt = time.perf_counter() - t0
+            per_plan[name].append((t1 - t0) * 1000)
+            per_query[name].append(dt)
+            run_total += dt
+            if run == 0:
+                print(f"# {name}: {dt:.3f}s ({n} rows, plan {(t1-t0)*1000:.0f}ms)",
+                      file=sys.stderr)
+        run_totals.append(round(run_total, 3))
+        print(f"# run {run + 1}/{n_runs}: {run_total:.3f}s", file=sys.stderr)
 
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2]
+
+    timings = {n: round(med(v), 3) for n, v in per_query.items()}
+    plan_ms = {n: round(med(v), 1) for n, v in per_plan.items()}
     total = round(sum(timings.values()), 3)
     mean_plan = round(sum(plan_ms.values()) / len(plan_ms), 1)
 
@@ -124,6 +148,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "n_runs": n_runs,
+                "run_totals": run_totals,
                 "mean_plan_ms": mean_plan,
                 "semantic_plan_ms_p50": semantic_plan_ms,
                 "semantic_plan_cached_ms_p50": semantic_plan_cached_ms,

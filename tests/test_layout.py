@@ -113,3 +113,71 @@ class TestOptimizedWriter:
         plan = back._jdf.queryExecution().executedPlan().toString()
         assert f"PartitionFilters: [isnotnull(source" in plan
         assert back.count() == docs.filter(F.col("source") == src).count()
+
+
+class TestZorderWrite:
+    def test_files_cover_compact_rectangles(self, spark, tmp_path):
+        """Z-order clustering: each output file's (min,max) span on BOTH
+        dimensions shrinks vs the unsorted layout, so parquet min/max
+        stats skip files for predicates on either column."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        raw = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey",
+            F.col("o_custkey").alias("ck0"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("ed0"),
+        )
+        lo_ck, hi_ck, lo_ed, hi_ed = raw.agg(
+            F.min("ck0"), F.max("ck0"), F.min("ed0"), F.max("ed0")
+        ).first()
+        # quantize both dims onto the full 12-bit space so every
+        # interleaved bit carries information (see zorder_quantize)
+        orders = raw.select(
+            "o_orderkey",
+            layout.zorder_quantize("ck0", lo_ck, hi_ck, 12).alias("ck"),
+            layout.zorder_quantize("ed0", lo_ed, hi_ed, 12).alias("ed"),
+        )
+
+        def spans(path):
+            out = []
+            for f in glob.glob(f"{path}/*.parquet"):
+                t = pq.read_table(f, columns=["ck", "ed"])
+                ck, ed = t["ck"].to_pylist(), t["ed"].to_pylist()
+                if ck:
+                    out.append(
+                        (max(ck) - min(ck), max(ed) - min(ed))
+                    )
+            return out
+
+        zpath = str(tmp_path / "z")
+        rpath = str(tmp_path / "r")
+        layout.zorder_write(orders, zpath, ["ck", "ed"], bits=12, n_files=8)
+        orders.repartition(8).write.mode("overwrite").parquet(rpath)
+
+        zs, rs = spans(zpath), spans(rpath)
+        z_ck = sum(s[0] for s in zs) / len(zs)
+        z_ed = sum(s[1] for s in zs) / len(zs)
+        r_ck = sum(s[0] for s in rs) / len(rs)
+        r_ed = sum(s[1] for s in rs) / len(rs)
+        # random layout: every file spans ~the full range of both dims.
+        # z-order: average per-file span must shrink on BOTH dims.
+        assert z_ck < r_ck * 0.8, (z_ck, r_ck)
+        assert z_ed < r_ed * 0.8, (z_ed, r_ed)
+
+    def test_roundtrip_preserves_rows(self, spark, tmp_path):
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            "o_orderkey",
+            (F.col("o_custkey") % 4096).alias("ck"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).alias("ed"),
+        )
+        path = str(tmp_path / "z2")
+        layout.zorder_write(orders, path, ["ck", "ed"], bits=12, n_files=4)
+        back = spark.read.parquet(path)
+        assert back.count() == orders.count()
+        assert set(back.columns) == {"o_orderkey", "ck", "ed"}

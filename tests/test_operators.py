@@ -965,3 +965,115 @@ class TestRepeatedPassages:
 
         with pytest.raises(ValueError):
             t.repeated_passages(docs, "text", "doc_id", 16, mode="rolling")
+
+
+class TestSemanticDedup:
+    def test_keep_rule_matches_bruteforce(self, spark):
+        """Every dropped vector has a >=tau lower-id neighbor in its
+        cluster; every kept vector has none (the SemDeDup keep rule)."""
+        import math
+
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        res = similarity.semantic_dedup(e, "vec_id", "embedding", 0.35, 4)
+        rows = {r.vec_id: (r.cluster_id, r.kept) for r in res.collect()}
+        vecs = {r.vec_id: r.embedding for r in e.collect()}
+        assert set(rows) == set(vecs)
+
+        def cos(a, b):
+            d = sum(float(x) * float(y) for x, y in zip(a, b))
+            na = math.sqrt(sum(float(x) * float(x) for x in a))
+            nb = math.sqrt(sum(float(y) * float(y) for y in b))
+            return round(d / (na * nb), 6)
+
+        by_cluster = {}
+        for vid, (cid, _) in rows.items():
+            by_cluster.setdefault(cid, []).append(vid)
+        for vid, (cid, kept) in rows.items():
+            has_lower_neighbor = any(
+                u < vid and cos(vecs[u], vecs[vid]) >= 0.35
+                for u in by_cluster[cid]
+            )
+            assert kept == (not has_lower_neighbor), vid
+
+    def test_cluster_id_is_sign_prefix(self, spark):
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        res = similarity.semantic_dedup(e, "vec_id", "embedding", 0.5, 4)
+        vecs = {r.vec_id: r.embedding for r in e.collect()}
+        for r in res.collect():
+            want = sum(
+                (1 << i) for i in range(4) if float(vecs[r.vec_id][i]) >= 0
+            )
+            assert r.cluster_id == want
+
+    def test_drops_something_and_keeps_something(self, spark):
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        res = similarity.semantic_dedup(e, "vec_id", "embedding", 0.35, 4)
+        kept = res.filter(F.col("kept")).count()
+        total = res.count()
+        assert 0 < kept < total
+
+
+class TestDsirImportance:
+    def test_target_docs_score_higher(self, docs):
+        """The semantic contract: documents FROM the target domain
+        average a higher importance weight than the rest (that is the
+        point of the likelihood ratio)."""
+        from wren_engine_spark.operators import selection
+
+        w = selection.dsir_importance_weights(
+            docs, F.col("lang") == "en", "text", "doc_id"
+        )
+        joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+        means = {
+            r.grp: r.m
+            for r in joined.groupBy(
+                (F.col("lang") == "en").alias("grp")
+            ).agg(F.avg("weight").alias("m")).collect()
+        }
+        assert means[True] > means[False]
+
+    def test_weights_are_finite_and_counted(self, docs):
+        from wren_engine_spark.operators import selection
+
+        w = selection.dsir_importance_weights(
+            docs, F.col("lang") == "en", "text", "doc_id"
+        ).collect()
+        n_docs = docs.filter(
+            F.size(F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+")) >= 2
+        ).count()
+        assert len(w) == n_docs
+        for r in w:
+            assert r.n_bigrams > 0
+            assert abs(r.weight) < 1e6
+
+
+class TestZorderKey:
+    def test_matches_python_reference(self, spark):
+        from wren_engine_spark.operators import layout
+
+        df = spark.range(300).select(
+            F.col("id"),
+            (F.col("id") * 7 % 101).alias("a"),
+            (F.col("id") * 13 % 97).alias("b"),
+        )
+        got = {r.id: r.zkey for r in layout.zorder_key(df, ["a", "b"], 8).collect()}
+
+        def morton(a, b, bits=8):
+            z = 0
+            for i in range(bits):
+                z |= ((a >> i) & 1) << (2 * i)
+                z |= ((b >> i) & 1) << (2 * i + 1)
+            return z
+
+        for i in range(300):
+            assert got[i] == morton(i * 7 % 101, i * 13 % 97)
+
+    def test_rejects_bad_args(self, spark):
+        from wren_engine_spark.operators import layout
+
+        df = spark.range(4).select(F.col("id").alias("a"))
+        with pytest.raises(ValueError):
+            layout.zorder_key(df, ["a"])
+        df2 = spark.range(4).select("id", F.col("id").alias("a"), F.col("id").alias("b"))
+        with pytest.raises(ValueError):
+            layout.zorder_key(df2, ["a", "b"], bits=32)

@@ -179,3 +179,93 @@ class TestStreamDedupThenAggregate:
             .collect()
         }
         assert {(r.h, r.n) for r in out.collect()} == exp
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_matches_batch(self, spark, events_batch):
+        batch_df, path = events_batch
+
+        def src():
+            return spark.readStream.schema(batch_df.schema).parquet(path)
+
+        clicks = src().filter(F.col("event_type") == "click")
+        purchases = src().filter(F.col("event_type") == "purchase")
+        out = ops.stream_stream_interval_join(
+            clicks, purchases, "user_id", "ts", "ts", "60 minutes", "2 hours"
+        ).select("event_id_l", "event_id_r")
+        got = {
+            (r.event_id_l, r.event_id_r)
+            for r in _run_stream(spark, out, "ssj_t").collect()
+        }
+
+        c = batch_df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("cid"), F.col("user_id").alias("u"),
+            F.col("ts").alias("cts"),
+        )
+        p = batch_df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("pid"), F.col("user_id").alias("u2"),
+            F.col("ts").alias("pts"),
+        )
+        want = {
+            (r.cid, r.pid)
+            for r in c.join(
+                p,
+                (F.col("u") == F.col("u2"))
+                & (F.col("pts") >= F.col("cts"))
+                & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 60 minutes")),
+            ).collect()
+        }
+        assert got == want
+        assert len(got) > 0
+
+    def test_multi_microbatch_buffers_state(self, spark, events_batch, tmp_path):
+        """Split the source into several files and force one file per
+        microbatch: cross-batch matches require the join state store,
+        proving the streaming join is stateful, not batch-in-disguise."""
+        batch_df, _ = events_batch
+        path = str(tmp_path / "multi")
+        # interleave so click/purchase pairs land in different files
+        batch_df.withColumn("__f", F.col("event_id") % 4).write.partitionBy(
+            "__f"
+        ).mode("overwrite").parquet(path)
+        schema = batch_df.schema
+
+        def src():
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("recursiveFileLookup", "true")
+                .parquet(path)
+            )
+
+        clicks = src().filter(F.col("event_type") == "click")
+        purchases = src().filter(F.col("event_type") == "purchase")
+        # files are split by id (each spans the full time range), so any
+        # real watermark would rightly drop cross-batch "late" rows; an
+        # unbounded horizon isolates what this test is about — matches
+        # across microbatches coming from the buffered join state
+        out = ops.stream_stream_interval_join(
+            clicks, purchases, "user_id", "ts", "ts", "60 minutes", "3650 days"
+        ).select("event_id_l", "event_id_r")
+        got = {
+            (r.event_id_l, r.event_id_r)
+            for r in _run_stream(spark, out, "ssj_multi").collect()
+        }
+        c = batch_df.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("cid"), F.col("user_id").alias("u"),
+            F.col("ts").alias("cts"),
+        )
+        p = batch_df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("pid"), F.col("user_id").alias("u2"),
+            F.col("ts").alias("pts"),
+        )
+        want = {
+            (r.cid, r.pid)
+            for r in c.join(
+                p,
+                (F.col("u") == F.col("u2"))
+                & (F.col("pts") >= F.col("cts"))
+                & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 60 minutes")),
+            ).collect()
+        }
+        assert got == want

@@ -143,3 +143,86 @@ def salted_join(
     )
     out = big_s.join(other_s, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "zkey",
+) -> DataFrame:
+    """Morton (Z-order) interleaved sort key over 2+ integer-valued
+    columns — the multi-dimensional clustering key behind Delta/Iceberg
+    OPTIMIZE ZORDER. Sorting/range-partitioning by ``zkey`` clusters
+    rows so that parquet row-group min/max stats are selective on EVERY
+    participating dimension at once (a plain sort is selective only on
+    its leading column).
+
+    Inputs are taken mod 2^bits (callers quantize real-valued or
+    high-cardinality columns first — e.g. epoch-day, bucketed price).
+    The interleave is exact integer bit-arithmetic (shift/and/or), so
+    any SQL engine reproduces the identical key: bit i of column j
+    lands at output bit ``i * n_cols + j``.
+
+    At 100 TB pair with ``write_optimized(sort_cols=[out_col])`` or
+    ``df.repartitionByRange(N, zkey).sortWithinPartitions(zkey)`` so
+    both the directory level and row-group level skip on all dims.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder_key needs >= 2 columns")
+    if bits * n > 62:
+        raise ValueError("bits * n_cols must fit in int64")
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        v = F.pmod(F.col(c).cast("long"), F.lit(1 << bits))
+        for i in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(v, i).bitwiseAND(F.lit(1).cast("long")),
+                    i * n + j,
+                )
+            )
+    return df.withColumn(out_col, key)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` parquet clustered by the Morton key of ``cols``:
+    range-partition on zkey (equal-frequency file splits via Spark's
+    sampled RangePartitioner), sort within each file, drop the key.
+    Every output file then covers a compact hyper-rectangle of the key
+    space, so min/max stats skip files for predicates on ANY of the
+    z-ordered columns."""
+    z = zorder_key(df, cols, bits)
+    (
+        z.repartitionByRange(n_files, F.col("zkey"))
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return path
+
+
+def zorder_quantize(col, lo: int, hi: int, bits: int = 16) -> F.Column:
+    """Quantize an integer-valued column with known [lo, hi] range onto
+    the full 2^bits key space — exact integer arithmetic
+    (floor((v - lo) * (2^bits - 1) / (hi - lo)), clamped), so oracles
+    reproduce it. Feeding ``zorder_key`` unscaled values wastes the
+    high bits of any dimension whose range is far below 2^bits, which
+    makes file splits ignore that dimension (observed: a 0..1500 key
+    under bits=12 never split on its dead top bit)."""
+    c = F.col(col) if isinstance(col, str) else col
+    span = max(hi - lo, 1)
+    q = ((c.cast("long") - F.lit(lo)) * F.lit((1 << bits) - 1)) / F.lit(span)
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit((1 << bits) - 1).cast("long"), F.floor(q).cast("long")),
+    )

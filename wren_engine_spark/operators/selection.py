@@ -1,0 +1,147 @@
+"""Training-data *selection* operators: importance-resampling weights
+(DSIR, Xie et al., NeurIPS 2023 — "Data Selection for Language Models
+via Importance Resampling") over hashed n-gram features.
+
+Reference-parity note: the reference engine (wren-engine) has no data
+selection surface; this extends the LLM-pipeline operator family the
+brief asks for (SURVEY §2 extension block), alongside dedup/quality
+scoring in operators/{dedup,text}.py.
+
+Design for 100 TB:
+  - features are HASHED bigrams (fixed B buckets), so the global
+    "distribution" state is two B-row tables — broadcastable no matter
+    the corpus size;
+  - the per-bucket counts are plain map-side-combinable ``groupBy``
+    sums (two corpus passes, each one shuffle of at most B keys after
+    partial aggregation);
+  - per-document weights are one explode + broadcast-join + groupBy
+    over doc_id — no self-joins, no windows over hot keys.
+
+Engine-portable determinism: token hashing uses the base-31 code-point
+fold mod 2^31-1 (same construction as dedup.simhash_portable — exact
+int64 arithmetic in any engine), and the per-bucket log-likelihood
+ratios are QUANTIZED to integer micro-nats before the per-document sum,
+so the final weights are exact integer sums (associative — independent
+of partial-aggregation order; the strategy x31_label_centroids
+established) and the DuckDB oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wren_engine_spark.operators.textnorm import WS_RE
+
+# base-31 polynomial hash of a string column named by `col`, mod the
+# Mersenne prime 2^31-1 (see dedup._PORTABLE_TOKEN_HASH)
+_PORTABLE_MOD = (1 << 31) - 1
+
+
+def _portable_hash_expr(col: str) -> str:
+    return (
+        f"aggregate(transform(sequence(1, length({col})), "
+        f"i -> ascii(substring({col}, i, 1))), "
+        f"cast(0 as bigint), (acc, c) -> pmod(acc * 31 + c, {_PORTABLE_MOD}))"
+    )
+
+
+def _bigram_buckets(df: DataFrame, text_col: str, id_col, n_buckets: int) -> DataFrame:
+    """Explode each document into hashed-bigram feature buckets.
+
+    Returns one row per bigram OCCURRENCE: (id_col..., bucket). The
+    bigram string is ``tok_i + ' ' + tok_{i+1}`` over lowercase
+    whitespace tokens; bucket = portable_hash(bigram) mod n_buckets.
+    """
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
+    toks = df.select(
+        *[F.col(c) for c in ids],
+        F.split(F.trim(F.lower(F.col(text_col))), WS_RE).alias("__t"),
+    ).filter(F.size("__t") >= 2)
+    bigrams = toks.select(
+        *[F.col(c) for c in ids],
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), "
+                "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    return bigrams.select(
+        *[F.col(c) for c in ids],
+        F.expr(f"pmod({_portable_hash_expr('bg')}, {n_buckets})").alias("bucket"),
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-document DSIR importance weights log p_target(x)/p_raw(x)
+    under hashed-bigram bag-of-ngrams models with add-one smoothing.
+
+    ``target_filter`` is a Column predicate selecting the target-domain
+    documents (e.g. ``F.col('source') == 'wiki'``). Every document gets
+    a weight; downstream resampling keeps the top-k (or Gumbel-top-k)
+    by weight.
+
+    weight(doc) = sum over bigram occurrences b of
+        qlr[bucket(b)] / micro,
+    where qlr = round(micro * (ln p_t[k] - ln p_r[k])) is the quantized
+    per-bucket log-ratio and
+        p_t[k] = (n_t[k] + 1) / (N_t + B),   p_r likewise over ALL docs.
+
+    Returns (id_col, n_bigrams, weight) with weight DOUBLE (an exact
+    integer count of micro-nats divided by ``micro`` — engine-portable).
+    """
+    occ = _bigram_buckets(docs, text_col, id_col, n_buckets)
+    occ_t = _bigram_buckets(
+        docs.filter(target_filter), text_col, id_col, n_buckets
+    )
+
+    # B-row global state; cached so the totals action and the ratio join
+    # share one corpus scan each (not one per use)
+    raw_counts = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_r")).cache()
+    tgt_counts = occ_t.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_t")).cache()
+    tot_r = raw_counts.agg(F.sum("n_r")).first()[0] or 0
+    tot_t = tgt_counts.agg(F.sum("n_t")).first()[0] or 0
+
+    # dense B-row ratio table (missing buckets get the smoothed floor)
+    spark = docs.sparkSession
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    lr = (
+        buckets.join(F.broadcast(raw_counts), "bucket", "left")
+        .join(F.broadcast(tgt_counts), "bucket", "left")
+        .select(
+            "bucket",
+            F.round(
+                F.lit(float(micro))
+                * (
+                    F.log(
+                        (F.coalesce(F.col("n_t"), F.lit(0)) + F.lit(1)).cast("double")
+                        / F.lit(float(tot_t + n_buckets))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("n_r"), F.lit(0)) + F.lit(1)).cast("double")
+                        / F.lit(float(tot_r + n_buckets))
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("qlr"),
+        )
+    )
+
+    per_doc = (
+        occ.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("qlr").cast("double") / F.lit(float(micro))).alias("weight"),
+        )
+    )
+    return per_doc

@@ -704,3 +704,79 @@ def quantized_cosine_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    prefix_bits: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space into clusters,
+    then inside each cluster drop every vector that has a
+    cosine-similar (>= threshold) neighbor with a smaller id — keeping
+    exactly one representative per similarity neighborhood.
+
+    Clustering here is DETERMINISTIC sign-bit partitioning: cluster id
+    = the sign bits of the first ``prefix_bits`` dimensions (a fixed
+    axis-aligned hyperplane LSH table). Unlike k-means (the paper's
+    choice, our ivf_topk's coarse quantizer), it is data-independent
+    and exact-arithmetic, so the entire operator — clustering, pairing,
+    keep rule — is reproducible bit-for-bit by a SQL oracle. Swap in
+    ``kmeans_centroids``-based assignment for production corpora where
+    learned clusters balance better.
+
+    Scale: one shuffle on cluster_id for the self-join; within-cluster
+    work is quadratic in CLUSTER size, bounded by choosing prefix_bits
+    ~ log2(N / target_cluster_size) (the same knob as SemDeDup's k).
+    No driver state, no corpus broadcast.
+
+    Returns (id_col, cluster_id, kept) for every input row.
+    """
+    bits = None
+    for i in range(prefix_bits):
+        b = F.when(
+            F.element_at(F.col(vec_col), i + 1) >= 0, F.shiftleft(F.lit(1), i)
+        ).otherwise(F.lit(0))
+        bits = b if bits is None else bits + b
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bits.cast("int").alias("cluster_id"),
+        _norm2_dec(F.col(vec_col)).alias("__n"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster_id"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster_id"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = F.round(
+        _dot_dec(F.col("__va"), F.col("__vb"))
+        / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb"))),
+        round_digits,
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("__sim"))
+        .filter(F.col("__sim") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return base.join(
+        dropped.withColumn("__drop", F.lit(True)), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+    )

@@ -1,0 +1,358 @@
+"""Round-4 surface: stream-stream joins, VARIANT JSON, error-safe
+``try_`` scalar family, DSIR importance weights, Z-order layout keys,
+SemDeDup semantic dedup.
+
+Every query here is driver-oracle-checked (exact rows+schema+hash vs
+DuckDB) — the determinism strategies are the repo conventions: exact
+integer arithmetic for hashes/keys (portable base-31 fold, Morton bit
+interleave), quantized-integer sums for anything accumulated in
+parallel (DSIR micro-nats), and the shared left-fold double dot
+product for cosines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wren_engine_spark.operators import layout, selection, similarity
+from wren_engine_spark.queries.registry import load_tables, register
+
+_WS = r"[ \t\n\x0B\f\r]+"
+
+# ---------------------------------------------------------------------------
+# t10: watermarked stream-stream interval join (attribution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t10_stream_stream_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id AS user_id, a.ts AS click_ts, b.ts AS purchase_ts,
+           b.value AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+    """,
+)
+def t10(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAM-STREAM inner join with event-time interval bounds and
+    watermarks on both sides (streaming/ops.stream_stream_interval_join):
+    every 'click' matched to same-user 'purchase' events within 60
+    minutes. The two-sided time bound is what lets Spark evict join
+    state as watermarks advance — state is bounded by (watermark +
+    interval) traffic, not stream length — and inner-join emission is
+    immediate, so the availableNow replay equals the batch join the
+    oracle runs. Parity: reference is batch-only; this is the streaming
+    twin of the a3 as-of/attribution family."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from wren_engine_spark.streaming.ops import (
+        run_available_now,
+        stream_stream_interval_join,
+    )
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    def src():
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+            s = s.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ).cast("timestamp"),
+            )
+        return s
+
+    clicks = src().filter(F.col("event_type") == "click")
+    purchases = src().filter(F.col("event_type") == "purchase")
+    joined = stream_stream_interval_join(
+        clicks, purchases, "user_id", "ts", "ts", "60 minutes", "2 hours"
+    )
+    out = joined.select(
+        F.col("event_id_l").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        F.col("user_id_l").alias("user_id"),
+        F.col("ts_l").alias("click_ts"),
+        F.col("ts_r").alias("purchase_ts"),
+        F.col("value_r").alias("purchase_value"),
+    )
+    res = run_available_now(spark, out, "t10_stream_sink", "append")
+    return res.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# f6: VARIANT semi-structured JSON (Spark 4 native type)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f6_variant_json",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_val,
+           event_type AS rt_event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def f6(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured JSON through Spark's native VARIANT type
+    (parse_json / variant_get / try_parse_json — the engine-native
+    binary JSON path, Spark 4's answer to the reference's JSON
+    functions, ibis-server/app routers' json_extract surface). The
+    round-trip column re-encodes a struct with to_json and pulls a
+    nested path back out of the VARIANT, proving typed extraction; the
+    oracle states the same results with DuckDB's JSON natives. VARIANT
+    beats string re-parsing at scale: parse once, shred to columnar
+    binary, every variant_get is a pointer chase instead of a text
+    scan."""
+    load_tables(spark, sf, "events")
+    return spark.sql(
+        """
+        SELECT event_id,
+               variant_get(parse_json(props), '$.k', 'bigint') AS k,
+               variant_get(try_parse_json(props), '$.missing', 'string') AS missing_val,
+               variant_get(
+                 parse_json(to_json(named_struct('meta',
+                   named_struct('event_type', event_type, 'k',
+                     variant_get(parse_json(props), '$.k', 'bigint'))))),
+                 '$.meta.event_type', 'string') AS rt_event_type,
+               variant_get(parse_json(props), '$.k', 'bigint') % 7 AS k_mod
+        FROM events
+        WHERE event_id < 500
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# f7: error-safe try_* scalar family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f7_try_functions",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN NULL
+                ELSE c_acctbal / CAST(c_custkey % 3 AS DOUBLE) END AS safe_div,
+           TRY_CAST(substr(c_name, -4) AS BIGINT) AS name_tail_num,
+           TRY_CAST(c_mktsegment AS BIGINT) AS seg_num,
+           string_split(c_name, '#')[5] AS part5,
+           CASE WHEN c_custkey > 1 THEN NULL
+                ELSE 9223372036854775807 * c_custkey END AS overflow_mul
+    FROM customer
+    WHERE c_custkey <= 300
+    """,
+)
+def f7(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI-mode error-safe scalar family: try_divide / try_cast /
+    try_element_at / try_multiply return NULL instead of raising — the
+    engine-native equivalent of the reference's fault-tolerant casts
+    (wren-core type coercion returns errors as SQL nulls on lossy
+    casts). The oracle spells each as the explicit guard it encodes
+    (division-by-zero, unparsable cast, out-of-range index, int64
+    overflow)."""
+    load_tables(spark, sf, "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               try_divide(c_acctbal, CAST(c_custkey % 3 AS DOUBLE)) AS safe_div,
+               try_cast(substr(c_name, -4) AS BIGINT) AS name_tail_num,
+               try_cast(c_mktsegment AS BIGINT) AS seg_num,
+               try_element_at(split(c_name, '#'), 5) AS part5,
+               try_multiply(9223372036854775807L, c_custkey) AS overflow_mul
+        FROM customer
+        WHERE c_custkey <= 300
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# x48: DSIR importance-resampling weights
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024
+_DSIR_MICRO = 1_000_000
+
+_DSIR_HASH = """list_reduce(list_prepend(CAST(0 AS BIGINT),
+    [CAST(ascii(substr(bg, CAST(i AS INTEGER), 1)) AS BIGINT)
+     FOR i IN generate_series(1, length(bg))]),
+    (acc, c) -> (acc * 31 + c) % 2147483647)"""
+
+
+@register(
+    "x48_dsir_importance",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '{_WS}') AS t
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, ({_DSIR_HASH}) % {_DSIR_B} AS bucket
+      FROM toks, LATERAL unnest(
+        [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)]
+      ) AS u(bg)
+      WHERE len(t) >= 2
+    ),
+    tgt AS (
+      SELECT o.doc_id, o.bucket FROM occ o
+      JOIN documents d ON o.doc_id = d.doc_id WHERE d.lang = 'en'
+    ),
+    nr AS (SELECT bucket, COUNT(*) AS n_r FROM occ GROUP BY bucket),
+    nt AS (SELECT bucket, COUNT(*) AS n_t FROM tgt GROUP BY bucket),
+    tot AS (SELECT (SELECT COUNT(*) FROM occ) AS tr,
+                   (SELECT COUNT(*) FROM tgt) AS tt),
+    lr AS (
+      SELECT g.b AS bucket,
+             CAST(ROUND({_DSIR_MICRO} * (
+               ln((COALESCE(nt.n_t, 0) + 1) / (tot.tt + {_DSIR_B}.0))
+             - ln((COALESCE(nr.n_r, 0) + 1) / (tot.tr + {_DSIR_B}.0))
+             )) AS BIGINT) AS qlr
+      FROM (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS b) g
+      CROSS JOIN tot
+      LEFT JOIN nr ON nr.bucket = g.b
+      LEFT JOIN nt ON nt.bucket = g.b
+    )
+    SELECT o.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(lr.qlr) AS DOUBLE) / {_DSIR_MICRO} AS weight
+    FROM occ o JOIN lr ON o.bucket = lr.bucket
+    GROUP BY o.doc_id
+    """,
+)
+def x48(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram
+    log-likelihood ratio of a target domain (lang='en') vs the raw
+    corpus, per document — the standard importance-resampling score
+    for pretraining-data selection. Global model state is two
+    1024-bucket count tables (broadcastable at any corpus size);
+    per-doc weights are exact integer micro-nat sums, so 1000
+    executors combining partials in any order produce the identical
+    result the oracle computes. operators/selection.py."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return selection.dsir_importance_weights(
+        d, F.col("lang") == "en", "text", "doc_id", _DSIR_B, _DSIR_MICRO
+    )
+
+
+# ---------------------------------------------------------------------------
+# x49: Z-order (Morton) clustering key
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+
+
+def _z_oracle_expr() -> str:
+    """DuckDB expression computing the identical Morton interleave:
+    bit i of column j -> output bit i*2 + j, inputs mod 2^16."""
+    terms = []
+    for j, c in enumerate(("ck", "ed")):
+        for i in range(_Z_BITS):
+            terms.append(f"((({c} >> {i}) & 1) << {i * 2 + j})")
+    return " | ".join(terms)
+
+
+@register(
+    "x49_zorder_key",
+    f"""
+    WITH q AS (
+      SELECT o_orderkey,
+             o_custkey % {1 << _Z_BITS} AS ck,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               % {1 << _Z_BITS} AS ed
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT o_orderkey, CAST({_z_oracle_expr()} AS BIGINT) AS zkey FROM q
+    """,
+)
+def x49(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton Z-order clustering key over (customer, order-day) — the
+    multi-dimensional layout key behind Delta/Iceberg OPTIMIZE ZORDER,
+    computed with exact bit-interleave arithmetic (layout.zorder_key)
+    so the oracle reproduces every key bit-for-bit. Pair with
+    layout.zorder_write (range-partition + sort on zkey) so parquet
+    min/max stats skip files/row-groups for predicates on EITHER
+    dimension; pytest (test_layout) measures the per-file range
+    shrinkage vs an unsorted layout."""
+    o = load_tables(spark, sf, "orders")["orders"]
+    q = o.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("ed"),
+    )
+    return layout.zorder_key(q, ["ck", "ed"], _Z_BITS).select(
+        "o_orderkey", F.col("zkey").cast("bigint").alias("zkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x50: SemDeDup semantic deduplication
+# ---------------------------------------------------------------------------
+
+_SD_BITS = 4
+_SD_TAU = 0.35
+
+_SD_CLUSTER = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_SD_BITS)
+)
+
+_SD_NORM2 = (
+    "list_reduce(list_prepend(0.0, [CAST(x AS DOUBLE)*CAST(x AS DOUBLE) "
+    "FOR x IN embedding]), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "x50_semantic_dedup",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             CAST({_SD_CLUSTER} AS INTEGER) AS cluster_id,
+             {_SD_NORM2} AS norm2
+      FROM embeddings
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM base a JOIN base b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE ROUND(
+        list_reduce(list_prepend(0.0, [CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)
+            FOR s IN list_zip(a.embedding, b.embedding)]), (acc, v) -> acc + v)
+        / (sqrt(a.norm2) * sqrt(b.norm2)), 6) >= {_SD_TAU}
+    )
+    SELECT base.vec_id, base.cluster_id,
+           (d.vec_id IS NULL) AS kept
+    FROM base LEFT JOIN dropped d ON base.vec_id = d.vec_id
+    """,
+)
+def x50(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, keep
+    one representative per within-cluster cosine neighborhood
+    (similarity.semantic_dedup). Deterministic sign-bit clustering
+    stands in for k-means so the whole operator is oracle-checkable;
+    the keep rule (drop any vector with a >= tau neighbor of smaller
+    id) matches the paper's one-per-neighborhood semantics. One
+    cluster-key shuffle; within-cluster cost bounded by the
+    prefix_bits knob."""
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    return similarity.semantic_dedup(
+        e, "vec_id", "embedding", _SD_TAU, _SD_BITS
+    )

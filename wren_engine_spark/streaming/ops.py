@@ -188,6 +188,49 @@ def threshold_alerts(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "60 minutes",
+    watermark: str = "2 hours",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join with an event-time interval
+    bound: match right-side rows to left-side rows with the same key
+    where ``right.ts`` falls in ``[left.ts, left.ts + max_delay]`` —
+    the attribution-join shape (click -> purchase within the window).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, which is exactly what Spark needs to
+    bound the state store: each side's buffered rows are evicted once
+    the other side's watermark passes the interval, so state is
+    O(traffic inside watermark + max_delay), not O(stream). Inner
+    joins emit matches immediately — an availableNow replay of a
+    bounded source therefore produces the exact batch-join result
+    (the t10 oracle-check).
+
+    Returns all left columns suffixed ``suffixes[0]``, all right
+    columns suffixed ``suffixes[1]``.
+    """
+    sl, sr = suffixes
+    lft = _ltz(left, left_ts).withWatermark(left_ts, watermark)
+    rgt = _ltz(right, right_ts).withWatermark(right_ts, watermark)
+    lft = lft.select([F.col(c).alias(f"{c}{sl}") for c in lft.columns])
+    rgt = rgt.select([F.col(c).alias(f"{c}{sr}") for c in rgt.columns])
+    cond = (
+        (F.col(f"{key_col}{sl}") == F.col(f"{key_col}{sr}"))
+        & (F.col(f"{right_ts}{sr}") >= F.col(f"{left_ts}{sl}"))
+        & (
+            F.col(f"{right_ts}{sr}")
+            <= F.col(f"{left_ts}{sl}") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return lft.join(rgt, cond, "inner")
+
+
 def run_available_now(
     spark,
     out: DataFrame,

@@ -1077,3 +1077,48 @@ class TestZorderKey:
         df2 = spark.range(4).select("id", F.col("id").alias("a"), F.col("id").alias("b"))
         with pytest.raises(ValueError):
             layout.zorder_key(df2, ["a", "b"], bits=32)
+
+
+class TestWavCodec:
+    def test_wav_roundtrip_real_decode(self, spark):
+        import numpy as np
+
+        from wren_engine_spark.operators import multimodal
+
+        src = spark.range(20).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 13 + 5).alias("n_samples")
+        )
+        out = multimodal.decode_wav(multimodal.encode_wav(src)).collect()
+        assert len(out) == 20 and all(r.status == "wav" for r in out)
+        for r in out:
+            n = r.doc_id * 13 + 5
+            assert (r.sample_rate, r.n_samples, r.n_bytes) == (8000, n, 44 + 2 * n)
+            assert r.duration_s == n / 8000
+            s = ((r.doc_id * 37 + np.arange(n, dtype=np.int64) * 7919) % 65536) - 32768
+            assert r.mean_amp == s.sum() / n
+            assert r.rms_amp == float(np.sqrt((s * s).sum() / n))
+
+    def test_wav_decoder_error_rows_not_exceptions(self, spark):
+        """Bad magic, truncated chunks, non-PCM and stereo payloads must
+        come back as status='error' rows, never poison the batch."""
+        import struct
+
+        from wren_engine_spark.operators import multimodal
+
+        good = multimodal._build_wav(7, 50)
+        # non-PCM (format tag 3 = float) and stereo variants
+        non_pcm = bytearray(good); struct.pack_into("<H", non_pcm, 20, 3)
+        stereo = bytearray(good); struct.pack_into("<H", stereo, 22, 2)
+        rows = [
+            (1, b"garbage-not-riff"),
+            (2, good[:30]),                  # truncated inside fmt chunk
+            (3, good[:60]),                  # truncated data chunk
+            (4, bytes(non_pcm)),
+            (5, bytes(stereo)),
+            (6, good),                       # control: still decodes
+            (7, b"RIFF\x00\x00\x00\x00WAVE"),  # container, no chunks
+        ]
+        df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+        got = {r.doc_id: r.status for r in multimodal.decode_wav(df).collect()}
+        assert got == {1: "error", 2: "error", 3: "error", 4: "error",
+                       5: "error", 6: "wav", 7: "error"}

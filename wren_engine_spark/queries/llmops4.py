@@ -356,3 +356,53 @@ def x50(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.semantic_dedup(
         e, "vec_id", "embedding", _SD_TAU, _SD_BITS
     )
+
+
+# ---------------------------------------------------------------------------
+# x51: real audio (WAV/PCM) decode
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x51_audio_decode",
+    """
+    WITH n AS (
+      SELECT doc_id, GREATEST(n_chars, 1) AS ns FROM documents
+    ),
+    sums AS (
+      SELECT doc_id, ns,
+             list_sum([CAST((doc_id * 37 + j * 7919) % 65536 - 32768 AS BIGINT)
+                       FOR j IN generate_series(0, ns - 1)]) AS tot,
+             list_sum([CAST(((doc_id * 37 + j * 7919) % 65536 - 32768)
+                          * ((doc_id * 37 + j * 7919) % 65536 - 32768) AS BIGINT)
+                       FOR j IN generate_series(0, ns - 1)]) AS sq
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(44 + 2 * ns AS BIGINT) AS n_bytes,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(ns AS BIGINT) AS n_samples,
+           CAST(ns AS DOUBLE) / 8000.0 AS duration_s,
+           CAST(tot AS DOUBLE) / CAST(ns AS DOUBLE) AS mean_amp,
+           sqrt(CAST(sq AS DOUBLE) / CAST(ns AS DOUBLE)) AS rms_amp,
+           'wav' AS status
+    FROM sums
+    """,
+)
+def x51(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode end-to-end, the WAV twin of x12's BMP path:
+    each document is rendered as a genuine mono 16-bit PCM WAV file
+    (RIFF + fmt + data chunks, operators/multimodal.encode_wav), then
+    decode_wav parses the actual bytes — container magic, chunk walk,
+    PCM format validation, int16 sample vector — and emits amplitude
+    statistics. The sample pattern is doc_id-keyed modular arithmetic,
+    so the oracle re-derives the exact mean/RMS the decoder must
+    measure. Narrow Arrow-batched maps, no shuffle."""
+    from wren_engine_spark.operators import multimodal
+
+    d = load_tables(spark, sf, "documents")["documents"]
+    src = d.select(
+        "doc_id", F.greatest(F.col("n_chars"), F.lit(1)).alias("n_samples")
+    )
+    wavs = multimodal.encode_wav(src, "doc_id", "n_samples")
+    return multimodal.decode_wav(wavs)

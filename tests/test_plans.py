@@ -9,6 +9,7 @@ fail fast even when results stay correct.
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 from wren_engine_spark.queries.registry import QUERIES
@@ -314,3 +315,51 @@ class TestStreamingPlanShapes:
             q.stop()
         assert "BroadcastHashJoin" in p
         assert "StateStore" in p  # windowed agg is state-backed, incremental
+
+
+class TestRuntimeBloomFilter:
+    """Row-level runtime filtering: when a selective dimension filter
+    feeds a shuffle join, Spark can build a bloom filter over the
+    dimension's join keys and push `might_contain` INTO the fact scan —
+    at 100 TB this drops non-matching fact rows before the shuffle, the
+    same semi-join reduction the reference relies on its backends for."""
+
+    def test_bloom_filter_pushed_into_fact_scan(self, spark):
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "spark.sql.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            # thresholds sized for testdata: the mechanism, not the
+            # heuristics, is under test (defaults only engage at 10GB+)
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+                "0",
+            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            j = (
+                li.join(o, li.l_orderkey == o.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.sum("l_quantity").alias("qty"))
+            )
+            phys = j._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in phys, "bloom filter not injected"
+            assert "bloom_filter_agg" in phys
+            # the filter guards the FACT side scan (l_orderkey), pre-shuffle
+            assert "might_contain" in phys and "l_orderkey" in phys.split(
+                "might_contain", 1
+            )[1][:200]
+            assert j.count() > 0
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)

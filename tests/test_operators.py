@@ -1122,3 +1122,52 @@ class TestWavCodec:
         got = {r.doc_id: r.status for r in multimodal.decode_wav(df).collect()}
         assert got == {1: "error", 2: "error", 3: "error", 4: "error",
                        5: "error", 6: "wav", 7: "error"}
+
+
+class TestLmCrossEntropy:
+    def test_repetitive_doc_scores_lower(self, spark):
+        """An LM trained on the corpus must assign lower cross-entropy
+        to text made of the corpus's dominant pattern than to text of
+        singleton bigrams."""
+        from wren_engine_spark.operators import selection
+
+        rows = [(0, "alpha beta " * 40), (1, "alpha beta " * 40)] + [
+            (i, " ".join(f"w{i}x{j}" for j in range(40))) for i in range(2, 6)
+        ]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        ce = {
+            r.doc_id: r.cross_entropy
+            for r in selection.bigram_lm_cross_entropy(df).collect()
+        }
+        assert ce[0] == ce[1]
+        assert all(ce[0] < ce[i] for i in range(2, 6))
+        assert all(v > 0 for v in ce.values())
+
+    def test_counts_match_token_structure(self, docs):
+        from wren_engine_spark.operators import selection
+
+        out = selection.bigram_lm_cross_entropy(docs, "text", "doc_id")
+        joined = out.join(docs, "doc_id").select("n_bigrams", "text").collect()
+        import re
+
+        for r in joined:
+            toks = [t for t in re.split(r"[ \t\n\x0B\f\r]+", r.text.strip().lower()) if t]
+            assert r.n_bigrams == len(toks) - 1
+
+
+class TestGopherRules:
+    def test_splits_corpus_and_flags_consistent(self, docs):
+        from wren_engine_spark.operators import text as t
+
+        out = t.gopher_quality_flags(docs).collect()
+        keeps = [r.keep for r in out]
+        assert any(keeps) and not all(keeps)
+        for r in out:
+            assert r.ok_word_count == (30 <= r.n_words <= 100000)
+            assert r.ok_mean_word_len == (3.0 <= r.mean_word_len <= 4.5)
+            assert r.ok_alpha_ratio == (r.alpha_word_ratio >= 0.8)
+            assert r.ok_stopwords == (r.n_stopword_kinds >= 2)
+            assert r.keep == (
+                r.ok_word_count and r.ok_mean_word_len
+                and r.ok_alpha_ratio and r.ok_stopwords
+            )

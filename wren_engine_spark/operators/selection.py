@@ -145,3 +145,81 @@ def dsir_importance_weights(
         )
     )
     return per_doc
+
+
+def bigram_lm_cross_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-document cross-entropy under an add-one-smoothed bigram LM
+    trained on the corpus itself — the CCNet-style (Wenzek et al. 2020)
+    LM-quality signal: low cross-entropy = head-like fluent text, high =
+    tail/noise. (CCNet uses a pretrained KenLM; training on the corpus
+    keeps this self-contained and oracle-checkable — swap the count
+    tables for imported KenLM counts in production.)
+
+    ce(doc) = -(1/n) * sum over bigram occurrences (w1,w2) of
+        ln( (c(w1,w2) + 1) / (c1(w1) + V) )
+    where c1(w) counts occurrences of w as a bigram head and V is the
+    distinct bigram-head vocabulary.
+
+    Determinism: each bigram's log-prob is quantized to integer
+    micro-nats before the per-doc sum (exact, associative — partial
+    aggregation order can't change the result), then divided by
+    (micro * n) exactly once.
+
+    Scale: two map-side-combinable groupBys build the count tables
+    (bigram table ~ O(vocab^2) keys worst case — for open-vocab web
+    corpora use the hashed-feature variant, dsir_importance_weights);
+    scoring is explode + two equi-joins + one groupBy(doc). No windows,
+    no driver state beyond the V scalar.
+
+    Returns (id_col, n_bigrams, cross_entropy).
+    """
+    ids = [id_col]
+    toks = docs.select(
+        *[F.col(c) for c in ids],
+        F.split(F.trim(F.lower(F.col(text_col))), WS_RE).alias("__t"),
+    ).filter(F.size("__t") >= 2)
+    occ = toks.select(
+        *[F.col(c) for c in ids],
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), "
+                "i -> struct(element_at(__t, i) AS w1, element_at(__t, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select(*ids, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    c12 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("__nk")
+    )
+    vocab = c1.count()  # scalar: distinct bigram heads
+
+    logp = c12.join(c1.select("w1", "c1"), "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.lit(-float(micro))
+            * F.log(
+                (F.col("c12") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.lit(vocab)).cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("qnll"),
+    )
+    return (
+        occ.join(logp, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum("qnll").cast("double")
+                / (F.count(F.lit(1)) * F.lit(micro)).cast("double")
+            ).alias("cross_entropy"),
+        )
+    )

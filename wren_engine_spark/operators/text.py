@@ -734,3 +734,66 @@ def chunk_with_overlap(
             F.concat_ws(" ", F.col("__c")).alias("chunk_text"),
         )
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 4.5,
+    min_alpha_word_ratio: float = 0.8,
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): per-document structural metrics, one
+    boolean per rule, and the conjunction as ``keep``. The rule set is
+    the repetition-free subset adapted to single-block documents (the
+    line-level bullet/ellipsis rules need line structure; repetition
+    signals live in repetition_stats/x27).
+
+    Pure codegen expressions — one narrow pass, no shuffle, no UDFs;
+    thresholds are parameters so corpora can re-tune without code
+    changes. Returns (id, n_words, mean_word_len, alpha_word_ratio,
+    n_stopword_kinds, ok_word_count, ok_mean_word_len, ok_alpha_ratio,
+    ok_stopwords, keep).
+    """
+    from wren_engine_spark.operators.textnorm import WS_RE
+
+    words = F.split(F.trim(F.col(text_col)), WS_RE)
+    n_words = F.size(words).cast("bigint")
+    # mean word length over non-whitespace chars (exact: total chars
+    # minus whitespace, over the word count)
+    nonws = F.length(F.regexp_replace(F.col(text_col), r"[ \t\n\x0B\f\r]", ""))
+    mean_wl = nonws.cast("double") / n_words.cast("double")
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-zÀ-ɏ一-鿿]"))
+    ).cast("bigint")
+    alpha_ratio = alpha_words.cast("double") / n_words.cast("double")
+    stop_kinds = F.size(
+        F.array_distinct(
+            F.expr(
+                "regexp_extract_all(lower(" + text_col + "), "
+                "'\\\\b(the|a|an|and|of|to|in|is|it|that)\\\\b', 1)"
+            )
+        )
+    ).cast("bigint")
+
+    ok_wc = (n_words >= min_words) & (n_words <= max_words)
+    ok_mwl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_alpha = alpha_ratio >= min_alpha_word_ratio
+    ok_stop = stop_kinds >= min_distinct_stopwords
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_kinds.alias("n_stopword_kinds"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("keep"),
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wren_engine_spark.operators import layout, selection, similarity
+from wren_engine_spark.operators import layout, selection, similarity, text
 from wren_engine_spark.queries.registry import load_tables, register
 
 _WS = r"[ \t\n\x0B\f\r]+"
@@ -406,3 +406,92 @@ def x51(spark: SparkSession, sf: str) -> DataFrame:
     )
     wavs = multimodal.encode_wav(src, "doc_id", "n_samples")
     return multimodal.decode_wav(wavs)
+
+
+# ---------------------------------------------------------------------------
+# x52: bigram-LM cross-entropy (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x52_lm_cross_entropy",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '{_WS}') AS t
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY w1, w2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    v AS (SELECT COUNT(*) AS vocab FROM c1),
+    logp AS (
+      SELECT c12.w1, c12.w2,
+             CAST(ROUND(-1000000 * ln(
+               (c12.c12 + 1) / CAST(c1.c1 + v.vocab AS DOUBLE)
+             )) AS BIGINT) AS qnll
+      FROM c12 JOIN c1 ON c12.w1 = c1.w1 CROSS JOIN v
+    )
+    SELECT o.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(l.qnll) AS DOUBLE) / (COUNT(*) * 1000000.0) AS cross_entropy
+    FROM occ o JOIN logp l ON o.w1 = l.w1 AND o.w2 = l.w2
+    GROUP BY o.doc_id
+    """,
+)
+def x52(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM-quality signal (Wenzek et al. 2020): per-document
+    cross-entropy under an add-one-smoothed bigram LM trained on the
+    corpus (operators/selection.bigram_lm_cross_entropy). Low = fluent
+    head-like text, high = tail/noise — the standard perplexity
+    bucketing signal for pretraining curation. Quantized micro-nat
+    sums make the parallel aggregation order-independent and the
+    oracle bit-exact."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return selection.bigram_lm_cross_entropy(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x53: Gopher rule-based quality filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x53_gopher_rules",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '{_WS}')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+               / CAST(len(string_split_regex(trim(text), '{_WS}')) AS DOUBLE) AS mean_word_len,
+             CAST(len(list_filter(string_split_regex(trim(text), '{_WS}'),
+                                  w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+             CAST(len(list_distinct(regexp_extract_all(lower(text),
+                  '\\b(the|a|an|and|of|to|in|is|it|that)\\b', 1))) AS BIGINT) AS n_stopword_kinds
+      FROM documents
+    )
+    SELECT doc_id, n_words, mean_word_len,
+           CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_word_ratio,
+           n_stopword_kinds,
+           (n_words >= 30 AND n_words <= 100000) AS ok_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 4.5) AS ok_mean_word_len,
+           (CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8) AS ok_alpha_ratio,
+           (n_stopword_kinds >= 2) AS ok_stopwords,
+           ((n_words >= 30 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 4.5)
+            AND (CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.8)
+            AND (n_stopword_kinds >= 2)) AS keep
+    FROM s
+    """,
+)
+def x53(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 §A1.1, the
+    repetition-free subset for single-block docs): word count band,
+    mean-word-length band, alphabetic-word ratio, distinct-stopword
+    floor, and the conjunction as keep. Pure whole-stage-codegen
+    expressions — one narrow pass, no shuffle (operators/
+    text.gopher_quality_flags)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.gopher_quality_flags(d, "text", "doc_id")

@@ -98,17 +98,25 @@ def dsir_importance_weights(
     Returns (id_col, n_bigrams, weight) with weight DOUBLE (an exact
     integer count of micro-nats divided by ``micro`` — engine-portable).
     """
-    occ = _bigram_buckets(docs, text_col, id_col, n_buckets)
-    occ_t = _bigram_buckets(
-        docs.filter(target_filter), text_col, id_col, n_buckets
+    # ONE corpus pass builds both models: each occurrence carries an
+    # is-target flag, and a single map-side-combinable groupBy(bucket)
+    # yields raw and target counts together (a second filtered explode
+    # of the corpus would double the dominant scan+tokenize cost)
+    occ = _bigram_buckets(
+        docs.withColumn("__tgt", target_filter), text_col, [id_col, "__tgt"], n_buckets
     )
-
-    # B-row global state; cached so the totals action and the ratio join
-    # share one corpus scan each (not one per use)
-    raw_counts = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_r")).cache()
-    tgt_counts = occ_t.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_t")).cache()
-    tot_r = raw_counts.agg(F.sum("n_r")).first()[0] or 0
-    tot_t = tgt_counts.agg(F.sum("n_t")).first()[0] or 0
+    counts = (
+        occ.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_r"),
+            F.sum(F.col("__tgt").cast("bigint")).alias("n_t"),
+        )
+        .cache()  # B rows; reused by the totals action and the ratio join
+    )
+    raw_counts = counts.select("bucket", "n_r")
+    tgt_counts = counts.select("bucket", "n_t")
+    tot_r, tot_t = counts.agg(F.sum("n_r"), F.sum("n_t")).first()
+    tot_r, tot_t = tot_r or 0, tot_t or 0
 
     # dense B-row ratio table (missing buckets get the smoothed floor)
     spark = docs.sparkSession

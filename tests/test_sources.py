@@ -7,6 +7,7 @@ wren-core/core/src/mdl/mod.rs:104-167, sqllogictest test_context.rs:119-131).
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 from wren_engine_spark.sources.registry import SourceError, SourceRegistry
@@ -392,3 +393,81 @@ class TestMetadataNormalization:
         types = {c["name"]: c["type"] for c in typed["columns"]}
         assert types == {"ID": M.BIGINT, "NAME": M.VARCHAR,
                         "BAL": M.DECIMAL, "TS": M.TIMESTAMP}
+
+
+class TestPythonDataSource:
+    """Spark 4 Python DataSource API: the session-registered custom
+    connector extension point (synthetic corpus generator)."""
+
+    @pytest.fixture(scope="class")
+    def docs_df(self, spark):
+        from wren_engine_spark.sources.pydatasource import register_synthetic_docs
+
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        register_synthetic_docs(spark)
+        return (
+            spark.read.format("synthetic_docs")
+            .option("n_docs", 400)
+            .option("n_partitions", 4)
+            .load()
+        )
+
+    def test_count_partitions_and_schema(self, docs_df):
+        assert docs_df.count() == 400
+        assert docs_df.rdd.getNumPartitions() == 4
+        assert set(docs_df.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+
+    def test_deterministic_regeneration(self, spark, docs_df):
+        again = (
+            spark.read.format("synthetic_docs")
+            .option("n_docs", 400)
+            .option("n_partitions", 4)
+            .load()
+        )
+        assert sorted(map(tuple, docs_df.collect())) == sorted(
+            map(tuple, again.collect())
+        )
+
+    def test_filter_results_correct(self, docs_df):
+        got = sorted(
+            r.doc_id for r in docs_df.filter("doc_id >= 50 AND doc_id < 70").collect()
+        )
+        assert got == list(range(50, 70))
+
+    def test_pushdown_narrows_generated_range(self):
+        """Reader-level: doc_id range predicates are consumed at planning
+        time (partitions only cover the surviving range); other filters
+        are returned to Spark."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThanOrEqual,
+            LessThan,
+        )
+
+        from wren_engine_spark.sources.pydatasource import _DocsReader
+
+        r = _DocsReader({"n_docs": "1000", "n_partitions": "8"})
+        rest = list(
+            r.pushFilters(
+                [
+                    GreaterThanOrEqual(("doc_id",), 100),
+                    LessThan(("doc_id",), 120),
+                    EqualTo(("lang",), "en"),
+                ]
+            )
+        )
+        assert len(rest) == 1 and isinstance(rest[0], EqualTo)
+        parts = r.partitions()
+        ids = sorted(i for p in parts for i in range(p.start, p.end))
+        assert ids == list(range(100, 120))
+
+    def test_zipf_head_dominates(self, docs_df):
+        counts = (
+            docs_df.select(F.explode(F.split("text", " ")).alias("t"))
+            .groupBy("t")
+            .count()
+            .collect()
+        )
+        by_tok = {r.t: r["count"] for r in counts}
+        total = sum(by_tok.values())
+        assert by_tok.get("w0", 0) / total > 0.03  # hot head exists

@@ -341,3 +341,53 @@ def a6(spark: SparkSession, sf: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "d4_approx_percentile",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.50) AS exact_median,
+           quantile_cont(l_extendedprice, 0.90) AS exact_p90,
+           TRUE AS median_in_bounds,
+           TRUE AS p90_in_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def d4(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile (GK sketch — the mergeable quantile sketch the
+    reference exposes as approx_percentile, function/aggregate). Sketch
+    internals differ per engine, so the oracle checks the RANK-ERROR
+    BOUND (the d2 pattern): the query emits the exact interpolated
+    percentiles plus booleans asserting each sketch value landed inside
+    the exact [q-0.01, q+0.01] quantile envelope — ~100x the guaranteed
+    n/accuracy rank error, so a sketch regression fails loudly while
+    engine-specific sketch layouts stay out of the hash. At 100 TB the
+    sketch is the only viable path: fixed-size state, map-side
+    mergeable, one combine tree instead of a global sort."""
+    l = load_tables(spark, sf, "lineitem")["lineitem"]
+    g = l.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.50)).alias("exact_median"),
+        F.percentile("l_extendedprice", F.lit(0.90)).alias("exact_p90"),
+        F.percentile("l_extendedprice", F.lit(0.49)).alias("__m_lo"),
+        F.percentile("l_extendedprice", F.lit(0.51)).alias("__m_hi"),
+        F.percentile("l_extendedprice", F.lit(0.89)).alias("__p_lo"),
+        F.percentile("l_extendedprice", F.lit(0.91)).alias("__p_hi"),
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.50, 10000)"
+        ).alias("__am"),
+        F.expr(
+            "approx_percentile(l_extendedprice, 0.90, 10000)"
+        ).alias("__ap"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_median",
+        "exact_p90",
+        ((F.col("__am") >= F.col("__m_lo")) & (F.col("__am") <= F.col("__m_hi"))).alias(
+            "median_in_bounds"
+        ),
+        ((F.col("__ap") >= F.col("__p_lo")) & (F.col("__ap") <= F.col("__p_hi"))).alias(
+            "p90_in_bounds"
+        ),
+    )

@@ -363,3 +363,96 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestRound4PlanShapes:
+    """100x-readiness asserts for the round-4 surface."""
+
+    def test_x48_model_tables_broadcast(self, spark):
+        # the B-row ratio table joins the exploded corpus via BROADCAST —
+        # a shuffled join here would reshuffle every bigram occurrence
+        p = plan_of(spark, "x48_dsir_importance")
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        # per-doc weight sum is map-side combinable
+        assert "partial_" in p
+
+    def test_x50_cluster_join_no_cartesian(self, spark):
+        # within-cluster pairing shuffles on cluster_id only; a cartesian
+        # or broadcast-nested-loop would mean the cluster key got lost
+        p = plan_of(spark, "x50_semantic_dedup")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_x52_counts_partially_aggregated(self, spark):
+        # both LM count tables must build with map-side partial
+        # aggregation (the hot-token c1 table would otherwise straggle)
+        p = plan_of(spark, "x52_lm_cross_entropy")
+        assert "partial_count" in p or "partial_" in p
+        assert "CartesianProduct" not in p
+        # no window over raw token keys (the x3 lesson)
+        assert "Window" not in p
+
+    def test_x49_zorder_key_is_narrow(self, spark):
+        # Morton key computation is a pure projection over the scan:
+        # zero shuffle exchanges in the whole plan
+        from wren_engine_spark.operators import layout
+
+        df = QUERIES["x49_zorder_key"](spark, SF_DIR)
+        assert layout.shuffle_exchanges(df) == 0
+
+    def test_x51_audio_pipeline_is_narrow(self, spark):
+        # no ALGORITHMIC shuffle: the only allowed Exchange is the
+        # test-layout RoundRobin fan-out (single-row-group testdata)
+        df = QUERIES["x51_audio_decode"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0
+        assert plan.count("Exchange rangepartitioning") == 0
+
+    def test_x53_gopher_rules_narrow_and_codegen(self, spark):
+        df = QUERIES["x53_gopher_rules"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0
+        assert plan.count("Exchange rangepartitioning") == 0
+        p = plan_of(spark, "x53_gopher_rules")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_t10_join_is_streaming_symmetric_hash(self, spark, tmp_path):
+        import contextlib
+        import io
+
+        from wren_engine_spark.queries.registry import load_tables
+        from wren_engine_spark.streaming.ops import (
+            stream_stream_interval_join,
+        )
+
+        events = load_tables(spark, SF_DIR, "events")["events"]
+        path = str(tmp_path / "events_t10_plan")
+        events.write.mode("overwrite").parquet(path)
+
+        def src():
+            return spark.readStream.schema(events.schema).parquet(path)
+
+        out = stream_stream_interval_join(
+            src().filter(F.col("event_type") == "click"),
+            src().filter(F.col("event_type") == "purchase"),
+            "user_id", "ts", "ts", "60 minutes", "2 hours",
+        ).select("event_id_l", "event_id_r")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t10_plan_probe")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120), "stream did not terminate"
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                q.explain()
+            p = buf.getvalue()
+        finally:
+            q.stop()
+        # the state-backed streaming join operator, with watermark
+        # predicates present for state eviction
+        assert "StreamingSymmetricHashJoin" in p

@@ -269,3 +269,25 @@ class TestStreamStreamJoin:
             ).collect()
         }
         assert got == want
+
+
+class TestDropDuplicatesWithinWatermark:
+    def test_within_watermark_dedup_matches_batch_distinct(self, spark, events_batch):
+        """dropDuplicatesWithinWatermark: unlike dropDuplicates, state
+        for a key is evicted once the watermark passes it — the right
+        primitive when duplicates arrive close together but the key
+        space is unbounded (exactly the 100 TB ingest-dedup shape).
+        On a bounded replay the result equals batch DISTINCT."""
+        batch_df, path = events_batch
+        stream = (
+            spark.readStream.schema(batch_df.schema)
+            .parquet(path)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        )
+        got = _run_stream(spark, stream.select("user_id", "event_type"), "ddww_t")
+        want = batch_df.select("user_id", "event_type").distinct()
+        assert {(r.user_id, r.event_type) for r in got.collect()} == {
+            (r.user_id, r.event_type) for r in want.collect()
+        }

@@ -1171,3 +1171,40 @@ class TestGopherRules:
                 r.ok_word_count and r.ok_mean_word_len
                 and r.ok_alpha_ratio and r.ok_stopwords
             )
+
+
+class TestCurationProvenance:
+    def test_flags_and_reason_consistent(self, docs):
+        from wren_engine_spark.operators import text as t
+
+        out = t.curation_provenance(docs).collect()
+        assert len(out) == docs.count()
+        keeps = [r.kept for r in out]
+        assert any(keeps) and not all(keeps)
+        order = ["duplicate", "lang_mismatch", "quality", "gopher"]
+        for r in out:
+            flags = {
+                "duplicate": r.flag_duplicate,
+                "lang_mismatch": r.flag_lang_mismatch,
+                "quality": r.flag_quality,
+                "gopher": r.flag_gopher,
+            }
+            assert r.kept == (not any(flags.values()))
+            if r.kept:
+                assert r.reject_reason is None
+            else:
+                first = next(n for n in order if flags[n])
+                assert r.reject_reason == first
+
+    def test_duplicate_flag_spares_representative(self, spark, docs):
+        from wren_engine_spark.operators import text as t
+
+        dup = docs.limit(1).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        out = t.curation_provenance(docs.unionByName(dup))
+        flagged = {r.doc_id: r.flag_duplicate for r in out.collect()}
+        orig = docs.first().doc_id
+        assert flagged[orig + 1_000_000] is True
+        assert flagged[orig] is False

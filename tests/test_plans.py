@@ -456,3 +456,13 @@ class TestRound4PlanShapes:
         # the state-backed streaming join operator, with watermark
         # predicates present for state eviction
         assert "StreamingSymmetricHashJoin" in p
+
+    def test_x54_single_dedup_shuffle_no_python(self, spark):
+        # all quality/lang/Gopher signals are row-local codegen; only the
+        # fingerprint groupBy + representative join may shuffle
+        df = QUERIES["x54_curation_provenance"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") <= 2  # agg + join co-partition
+        p = plan_of(spark, "x54_curation_provenance")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "Window" not in p and "CartesianProduct" not in p

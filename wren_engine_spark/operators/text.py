@@ -797,3 +797,120 @@ def gopher_quality_flags(
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+def curation_provenance(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    quality_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-document curation AUDIT TRAIL (the Dolma-toolkit "attributes"
+    shape): every filter decision recorded as a flag column, plus the
+    first-firing reject reason and the final keep verdict — so a
+    curation run is reproducible and debuggable row-by-row instead of
+    an opaque kept-subset (x23 aggregates; this explains).
+
+    Flags: exact-duplicate (md5 fingerprint, non-representative),
+    language mismatch (marker-lexicon lang_pred != the claimed lang
+    column), low quality (quality_score < threshold), Gopher rule
+    failure. Precedence for reject_reason: duplicate > lang_mismatch >
+    quality > gopher.
+
+    Plan shape at 100 TB: the quality/lang/Gopher signals are ROW-LOCAL
+    codegen expressions evaluated in one narrow pass (deliberately
+    re-stated here instead of joining the per-operator outputs — four
+    doc_id-keyed self-joins of corpus-sized frames would shuffle the
+    corpus four times); the only shuffle is the fingerprint groupBy +
+    representative join of exact dedup.
+    """
+    from wren_engine_spark.operators.textnorm import WS_RE
+
+    t = F.col(text_col)
+    low = F.lower(t)
+    n_tokens = F.size(F.split(F.trim(t), WS_RE)).cast("bigint")
+    punct_ratio = (
+        F.length(F.regexp_replace(t, r"[A-Za-z0-9 \t\n\x0B\f\r]", "")).cast("double")
+        / F.length(t).cast("double")
+    )
+    stopword_ratio = (
+        F.regexp_count(low, F.lit(EN_STOPWORDS)).cast("double")
+        / n_tokens.cast("double")
+    )
+    length_ok = F.when((n_tokens >= 10) & (n_tokens <= 1000), 1.0).otherwise(0.0)
+    q = (
+        F.lit(0.4) * F.least(stopword_ratio * 4.0, F.lit(1.0))
+        + F.lit(0.4) * length_ok
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0)))
+    )
+    es = F.regexp_count(low, F.lit(LANG_MARKERS["es"]))
+    de = F.regexp_count(low, F.lit(LANG_MARKERS["de"]))
+    fr = F.regexp_count(low, F.lit(LANG_MARKERS["fr"]))
+    zh = F.regexp_count(t, F.lit(LANG_MARKERS["zh"]))
+    lang_pred = (
+        F.when(zh > 0, "zh")
+        .when((es > de) & (es > fr) & (es > 0), "es")
+        .when((de > fr) & (de > 0), "de")
+        .when(fr > 0, "fr")
+        .otherwise("en")
+    )
+    nonws = F.length(F.regexp_replace(t, r"[ \t\n\x0B\f\r]", ""))
+    mean_wl = nonws.cast("double") / n_tokens.cast("double")
+    words = F.split(F.trim(t), WS_RE)
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / n_tokens.cast("double")
+    )
+    stop_kinds = F.size(
+        F.array_distinct(
+            F.expr(
+                "regexp_extract_all(lower(" + text_col + "), "
+                "'\\\\b(the|a|an|and|of|to|in|is|it|that)\\\\b', 1)"
+            )
+        )
+    )
+    gopher_ok = (
+        (n_tokens >= 30) & (n_tokens <= 100_000)
+        & (mean_wl >= 3.0) & (mean_wl <= 4.5)
+        & (alpha_ratio >= 0.8) & (stop_kinds >= 2)
+    )
+
+    local = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.md5(t).alias("__fp"),
+        F.round(q, 6).alias("quality_score"),
+        lang_pred.alias("lang_pred"),
+        (F.round(q, 6) < quality_threshold).alias("flag_quality"),
+        (lang_pred != F.col(lang_col)).alias("flag_lang_mismatch"),
+        (~gopher_ok).alias("flag_gopher"),
+    )
+    rep = local.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    out = local.join(rep, "__fp").withColumn(
+        "flag_duplicate", F.col(id_col) != F.col("__rep")
+    )
+    reason = (
+        F.when(F.col("flag_duplicate"), "duplicate")
+        .when(F.col("flag_lang_mismatch"), "lang_mismatch")
+        .when(F.col("flag_quality"), "quality")
+        .when(F.col("flag_gopher"), "gopher")
+    )
+    return out.select(
+        F.col(id_col),
+        "quality_score",
+        "lang_pred",
+        "flag_duplicate",
+        "flag_lang_mismatch",
+        "flag_quality",
+        "flag_gopher",
+        (
+            ~(
+                F.col("flag_duplicate")
+                | F.col("flag_lang_mismatch")
+                | F.col("flag_quality")
+                | F.col("flag_gopher")
+            )
+        ).alias("kept"),
+        reason.alias("reject_reason"),
+    )

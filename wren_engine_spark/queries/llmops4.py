@@ -495,3 +495,83 @@ def x53(spark: SparkSession, sf: str) -> DataFrame:
     text.gopher_quality_flags)."""
     d = load_tables(spark, sf, "documents")["documents"]
     return text.gopher_quality_flags(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x54: curation provenance (per-doc audit trail)
+# ---------------------------------------------------------------------------
+
+_X54_STOP = r"\b(the|a|an|and|of|to|in|is|it|that)\b"
+_X54_ES = r"\b(el|la|los|las|que|de|y|en|un|una|es)\b"
+_X54_DE = r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b"
+_X54_FR = r"\b(le|les|des|est|et|dans|pour|que|une|du)\b"
+_X54_ZH = r"[一-鿿]"
+
+
+@register(
+    "x54_curation_provenance",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang, md5(text) AS fp,
+             CAST(len(string_split_regex(trim(text), '{_WS}')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+             CAST(len(regexp_extract_all(lower(text), '{_X54_STOP}')) AS DOUBLE)
+               / CAST(len(string_split_regex(trim(text), '{_WS}')) AS DOUBLE) AS stopword_ratio,
+             len(regexp_extract_all(lower(text), '{_X54_ES}')) AS es,
+             len(regexp_extract_all(lower(text), '{_X54_DE}')) AS de,
+             len(regexp_extract_all(lower(text), '{_X54_FR}')) AS fr,
+             len(regexp_extract_all(text, '{_X54_ZH}')) AS zh,
+             CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+               / CAST(len(string_split_regex(trim(text), '{_WS}')) AS DOUBLE) AS mean_wl,
+             CAST(len(list_filter(string_split_regex(trim(text), '{_WS}'),
+                                  w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+               / CAST(len(string_split_regex(trim(text), '{_WS}')) AS DOUBLE) AS alpha_ratio,
+             len(list_distinct(regexp_extract_all(lower(text), '{_X54_STOP}', 1))) AS stop_kinds
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, fp,
+             ROUND(0.4 * LEAST(stopword_ratio * 4.0, 1.0)
+                 + 0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END)
+                 + 0.2 * (1.0 - LEAST(punct_ratio * 5.0, 1.0)), 6) AS quality_score,
+             CASE WHEN zh > 0 THEN 'zh'
+                  WHEN es > de AND es > fr AND es > 0 THEN 'es'
+                  WHEN de > fr AND de > 0 THEN 'de'
+                  WHEN fr > 0 THEN 'fr'
+                  ELSE 'en' END AS lang_pred,
+             (n_tokens >= 30 AND n_tokens <= 100000
+              AND mean_wl >= 3.0 AND mean_wl <= 4.5
+              AND alpha_ratio >= 0.8 AND stop_kinds >= 2) AS gopher_ok
+      FROM s
+    ),
+    rep AS (SELECT fp, MIN(doc_id) AS rep_id FROM scored GROUP BY fp),
+    flags AS (
+      SELECT sc.doc_id, sc.quality_score, sc.lang_pred,
+             (sc.doc_id <> r.rep_id) AS flag_duplicate,
+             (sc.lang_pred <> sc.lang) AS flag_lang_mismatch,
+             (sc.quality_score < 0.5) AS flag_quality,
+             (NOT sc.gopher_ok) AS flag_gopher
+      FROM scored sc JOIN rep r ON sc.fp = r.fp
+    )
+    SELECT doc_id, quality_score, lang_pred,
+           flag_duplicate, flag_lang_mismatch, flag_quality, flag_gopher,
+           NOT (flag_duplicate OR flag_lang_mismatch OR flag_quality OR flag_gopher) AS kept,
+           CASE WHEN flag_duplicate THEN 'duplicate'
+                WHEN flag_lang_mismatch THEN 'lang_mismatch'
+                WHEN flag_quality THEN 'quality'
+                WHEN flag_gopher THEN 'gopher'
+                ELSE NULL END AS reject_reason
+    FROM flags
+    """,
+)
+def x54(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document curation audit trail (Dolma-toolkit attribute
+    shape): one flag per filter (exact-dup, lang mismatch, quality,
+    Gopher rules), the first-firing reject reason, and the keep
+    verdict — row-level explainability for a curation run. All signals
+    but dedup are row-local codegen expressions in one narrow pass;
+    the fingerprint representative join is the single shuffle
+    (operators/text.curation_provenance)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.curation_provenance(d, "text", "doc_id", "lang")

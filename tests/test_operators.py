@@ -1208,3 +1208,65 @@ class TestCurationProvenance:
         orig = docs.first().doc_id
         assert flagged[orig + 1_000_000] is True
         assert flagged[orig] is False
+
+
+class TestAnnIndexPersistence:
+    def test_probe_matches_one_shot_lsh_and_recall(self, spark):
+        from wren_engine_spark.operators import similarity
+
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        try:
+            similarity.write_ann_index(
+                e, "vec_id", "embedding", "ann_idx_t", dim=64, nbits=4, tables=8
+            )
+            queries = e.filter(F.col("vec_id") < 10)
+            got = similarity.ann_index_topk(
+                spark, "ann_idx_t", queries, "vec_id", "embedding",
+                dim=64, k=5, nbits=4, tables=8,
+            )
+            by_q = {}
+            for r in got.collect():
+                by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+            # recall vs exact brute force
+            exact = similarity.cosine_topk(
+                e, "vec_id", "embedding",
+                queries.select(F.col("vec_id").alias("query_id"),
+                               F.col("embedding").alias("qvec")),
+                k=5,
+            )
+            ex = {}
+            for r in exact.collect():
+                ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+            recalls = [len(ex[q] & by_q.get(q, set())) / len(ex[q]) for q in ex]
+            assert sum(recalls) / len(recalls) >= 0.5
+            # probe join must not shuffle the index side: no hash
+            # exchange on the index columns (query side is broadcast)
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ann_idx_t")
+
+    def test_index_is_bucket_pruned_on_point_probe(self, spark):
+        from wren_engine_spark.operators import similarity
+
+        e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        try:
+            similarity.write_ann_index(
+                e, "vec_id", "embedding", "ann_idx_t2", dim=64, nbits=10, tables=2
+            )
+            # autoBucketedScan disables bucketed scans for plain filter
+            # queries (no join/agg to exploit them), which also forfeits
+            # bucket pruning — turn it off to probe the pruning path
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+            )
+            idx = spark.table("ann_idx_t2")
+            one_bucket = idx.select("bucket").first()[0]
+            probe = idx.filter(F.col("bucket") == one_bucket)
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount: 1 out of 16" in plan
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+            )
+            spark.sql("DROP TABLE IF EXISTS ann_idx_t2")

@@ -780,3 +780,107 @@ def semantic_dedup(
         F.col("cluster_id"),
         F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
     )
+
+
+def write_ann_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    table: str,
+    dim: int,
+    nbits: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+    buckets: int = 16,
+) -> str:
+    """Persist a hyperplane-LSH ANN index as a BUCKETED table: one row
+    per (hash-table, bucket, id, vector), bucketed+sorted on the bucket
+    signature. Build once, probe many — the serving-side complement of
+    the one-shot lsh_ann_topk.
+
+    Why bucketed: every probe joins candidates on (table_id, bucket);
+    with the index pre-bucketed on bucket, that join needs NO shuffle
+    of the (huge) index side — only the (small) query side moves, and
+    Spark prunes non-matching index buckets from the scan. At 100 TB
+    the index is written once per corpus version and each probe reads
+    ~tables x (occupancy of the probed buckets), not the corpus.
+    """
+    out = None
+    for t in range(tables):
+        sig = hyperplane_signatures(df, id_col, vec_col, dim, nbits, seed + 1000 * t)
+        part = sig.select(
+            F.lit(t).alias("table_id"), "bucket", F.col(id_col), F.col(vec_col)
+        )
+        out = part if out is None else out.unionByName(part)
+    from wren_engine_spark.operators import layout
+
+    # one shuffle on bucket before the bucketed write keeps file count at
+    # `buckets` instead of tasks x buckets (write_bucketed handles stale
+    # managed-location cleanup and the bucketBy+sortBy persistence)
+    return layout.write_bucketed(
+        out.repartition(buckets, F.col("bucket")), table, "bucket", buckets
+    )
+
+
+def ann_index_topk(
+    spark,
+    table: str,
+    query_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 3,
+    nbits: int = 12,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Probe a persisted ANN index (same nbits/tables/seed as the
+    build): hash each query into its per-table bucket, join the
+    bucketed index on (table_id, bucket) — query side broadcast, index
+    side scanned bucket-locally with no shuffle — then exact-cosine
+    score the union of candidates and keep the top-k per query.
+
+    Returns (query_id, neighbor_id, cosine_sim, rnk)."""
+    from pyspark.sql import Window as W
+
+    idx = spark.table(table)
+    qsigs = None
+    for t in range(tables):
+        s = hyperplane_signatures(query_df, id_col, vec_col, dim, nbits, seed + 1000 * t)
+        s = s.select(
+            F.lit(t).alias("table_id"),
+            F.col("bucket"),
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__q"),
+        )
+        qsigs = s if qsigs is None else qsigs.unionByName(s)
+    cand = (
+        idx.join(F.broadcast(qsigs), ["table_id", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "__q",
+            F.col(vec_col).alias("__v"),
+        )
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot_dec(F.col("__q"), F.col("__v"))
+            / (F.sqrt(_norm2_dec(F.col("__q"))) * F.sqrt(_norm2_dec(F.col("__v"))))
+        ).alias("__sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), 6).alias("cosine_sim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -434,6 +434,7 @@ def ivf_topk(
     nprobe: int = 2,
     iters: int = 4,
     round_digits: int = 6,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
 
@@ -450,7 +451,11 @@ def ivf_topk(
     """
     from pyspark.sql import Window as W
 
-    centroids = kmeans_centroids(df, vec_col, dim, nlist, iters)
+    if centroids is None:
+        centroids = kmeans_centroids(df, vec_col, dim, nlist, iters)
+    # explicit `centroids` skips training: the seeded-centroid portable
+    # mode (x55) probes with externally-fixed centroids so the whole
+    # assignment->probe->score path is SQL-oracle-checkable
     corpus = _assign_lists(with_norm(df, vec_col, "__vn"), vec_col, centroids).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"), "__vn", "__list"
     )

@@ -265,8 +265,70 @@ def x10(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("x11_lsh_ann")  # plane-set specific: rows-only check
+def _x11_oracle() -> str:
+    """Exact DuckDB oracle for the hyperplane-LSH ANN: the planes are
+    Python-RNG constants shared with similarity.hyperplane_signatures
+    (same seeds), embedded here as double literals; signature dots use
+    the same left fold as the Spark HOF, so buckets — and therefore the
+    candidate sets and the final top-k — reproduce bit-for-bit."""
+    import random as _random
+
+    rows = []
+    for t in range(4):  # lsh_ann_topk defaults: tables=4, seed=42
+        rng = _random.Random(42 + 1000 * t)
+        planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(10)]
+        for j, plane in enumerate(planes):
+            ws = "[" + ", ".join(repr(w) for w in plane) + "]"
+            rows.append(f"({t}, {j}, {ws}::DOUBLE[])")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH planes AS (
+      SELECT * FROM (VALUES
+      {values}
+      ) AS p(t, j, ws)
+    ),
+    sigs AS (
+      SELECT e.vec_id, p.t,
+             CAST(SUM(CASE WHEN list_reduce(list_prepend(0.0,
+                    [CAST(s[1] AS DOUBLE) * s[2] FOR s IN list_zip(e.embedding, p.ws)]),
+                    (acc, v) -> acc + v) > 0
+                  THEN 1 << p.j ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket
+      WHERE a.vec_id <> b.vec_id
+    ),
+    base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2 FROM embeddings
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_reduce(list_prepend(0.0, [CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)
+                 FOR s IN list_zip(qa.embedding, qb.embedding)]), (acc, v) -> acc + v)
+               / (sqrt(qa.norm2) * sqrt(qb.norm2)) AS sim
+      FROM cand c
+      JOIN base qa ON qa.vec_id = c.query_id
+      JOIN base qb ON qb.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """
+
+
+@register("x11_lsh_ann", _x11_oracle())
 def x11(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH ANN, ORACLE-GREEN (round-4: was rows-only): the
+    plane matrix is a seeded constant shared with the oracle, and every
+    arithmetic step (signature dots, bucket packing, candidate join,
+    exact cosine, tie-broken top-k) is reproducible bit-for-bit."""
     e = load_tables(spark, sf, "embeddings")["embeddings"]
     return similarity.lsh_ann_topk(e, "vec_id", "embedding", dim=64, k=3, nbits=10)
 
@@ -368,12 +430,59 @@ def x15(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("x16_multimodal_embedding_pipeline")  # stub encoder: rows-only
+@register(
+    "x16_multimodal_embedding_pipeline",
+    """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id,
+             [ (instr('0123456789ABCDEF', h[2*j-1]) - 1) * 16
+               + (instr('0123456789ABCDEF', h[2*j]) - 1)
+               FOR j IN generate_series(1, length(h) // 2) ] AS b
+      FROM hx
+    ),
+    feats AS (
+      SELECT doc_id,
+             [ CAST(list_sum([CASE WHEN (i - 1) % 8 = k THEN b[i] ELSE 0 END
+                              FOR i IN generate_series(1, len(b))]) % 97 AS DOUBLE)
+               FOR k IN generate_series(0, 7) ] AS f
+      FROM bytes
+    ),
+    base AS (
+      SELECT doc_id, f,
+             list_reduce(list_prepend(0.0, [x * x FOR x IN f]), (acc, v) -> acc + v)
+               AS norm2
+      FROM feats
+    ),
+    q AS (SELECT doc_id AS query_id, f AS qf, norm2 AS qn FROM base WHERE doc_id < 5),
+    pairs AS (
+      SELECT query_id, doc_id AS neighbor_id,
+             list_reduce(list_prepend(0.0, [s[1] * s[2] FOR s IN list_zip(qf, f)]),
+                         (acc, v) -> acc + v) / (sqrt(qn) * sqrt(norm2)) AS sim
+      FROM q, base WHERE doc_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
 def x16(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end multimodal pipeline: binary payload -> stub encoder
     (mapInPandas, Arrow batches) -> embedding column -> brute-force
     cosine top-k over the extracted features. Swapping the stub for a
-    real vision encoder changes nothing downstream."""
+    real vision encoder changes nothing downstream.
+
+    ORACLE-GREEN despite the stub (round-4):
+    the fake encoder's position-bucketed byte sums mod 97 are exact
+    integer arithmetic over the UTF-8 payload, so DuckDB re-derives
+    the identical 8-dim features from hex(encode(text)) and the whole
+    decode->embed->cosine-topk chain hash-matches bit-for-bit."""
     d = load_tables(spark, sf, "documents")["documents"]
     payloads = multimodal.attach_binary_payload(d, "text", "doc_id")
     feats = multimodal.extract_features_stub(payloads).withColumn(

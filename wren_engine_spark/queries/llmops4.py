@@ -575,3 +575,94 @@ def x54(spark: SparkSession, sf: str) -> DataFrame:
     (operators/text.curation_provenance)."""
     d = load_tables(spark, sf, "documents")["documents"]
     return text.curation_provenance(d, "text", "doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# x55: IVF probe with seeded centroids — the bit-exact portable twin of
+# x14's trained-kmeans IVF (the x42/x43 pattern: the probing machinery
+# is oracle-proven; only Lloyd training itself stays rows-only)
+# ---------------------------------------------------------------------------
+
+_X55_NLIST = 16
+_X55_NPROBE = 2
+_X55_K = 5
+
+_X55_D2 = (
+    "list_reduce(list_prepend(0.0, [(CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+    " * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+    " FOR s IN list_zip({a}, {b})]), (acc, v) -> acc + v)"
+)
+
+_X55_DOT = (
+    "list_reduce(list_prepend(0.0, [CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)"
+    " FOR s IN list_zip({a}, {b})]), (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "x55_ivf_probe_portable",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS i, embedding AS c FROM embeddings WHERE vec_id < {_X55_NLIST}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, i AS list_id FROM (
+        SELECT e.vec_id, e.embedding, c.i,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_X55_D2.format(a='c.c', b='e.embedding')}, c.i
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qe, i AS list_id FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qe, c.i,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_X55_D2.format(a='c.c', b='e.embedding')}, c.i
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < 10
+      ) WHERE rn <= {_X55_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_X55_DOT.format(a='p.qe', b='a.embedding')}
+               / (sqrt({_X55_DOT.format(a='p.qe', b='p.qe')})
+                  * sqrt({_X55_DOT.format(a='a.embedding', b='a.embedding')})) AS sim
+      FROM probes p JOIN assigned a ON p.list_id = a.list_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {_X55_K}
+    """,
+)
+def x55(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-Flat probing with SEEDED centroids (the first nlist vectors
+    by id) — the bit-exact portable twin of x14's trained-kmeans IVF:
+    identical assignment (argmin L2, lowest-index ties), probe
+    selection (nprobe nearest lists), inverted-list join and
+    exact-cosine top-k code path (similarity.ivf_topk with an explicit
+    centroid set), but with centroids any engine can re-derive. Lloyd
+    training itself (x14) remains the one irreducibly-iterative
+    rows-only entry, equivalence-tested in pytest."""
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id") < _X55_NLIST)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_topk(
+        e, "vec_id", "embedding", queries, dim=64,
+        k=_X55_K, nlist=_X55_NLIST, nprobe=_X55_NPROBE, centroids=cents,
+    )

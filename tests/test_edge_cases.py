@@ -110,3 +110,61 @@ class TestEmptyNewOperators:
     def test_label_centroids_empty(self, spark):
         df = spark.createDataFrame([], "label INT, embedding ARRAY<FLOAT>")
         assert similarity.label_centroids(df, "embedding", "label").count() == 0
+
+
+class TestRound4EdgeCases:
+    def test_semantic_dedup_empty_and_single(self, spark, empty_vecs):
+        assert similarity.semantic_dedup(empty_vecs, "vec_id", "embedding").count() == 0
+        one = spark.createDataFrame(
+            [(1, [0.5, -0.5, 0.25, 0.1])], "vec_id LONG, embedding ARRAY<FLOAT>"
+        )
+        rows = similarity.semantic_dedup(one, "vec_id", "embedding", 0.5, 2).collect()
+        assert len(rows) == 1 and rows[0].kept is True
+
+    def test_dsir_empty_and_short_docs(self, spark, empty_docs):
+        from wren_engine_spark.operators import selection
+
+        e = empty_docs.withColumn("lang", F.lit("en"))
+        assert selection.dsir_importance_weights(
+            e, F.col("lang") == "en"
+        ).count() == 0
+        # docs with < 2 tokens contribute no bigrams -> excluded, not fatal
+        df = spark.createDataFrame(
+            [(1, "single", "en"), (2, "two tokens here", "en")],
+            "doc_id LONG, text STRING, lang STRING",
+        )
+        out = selection.dsir_importance_weights(df, F.col("lang") == "en").collect()
+        assert [r.doc_id for r in out] == [2]
+
+    def test_lm_cross_entropy_short_docs_excluded(self, spark):
+        from wren_engine_spark.operators import selection
+
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, "a b a b")], "doc_id LONG, text STRING"
+        )
+        out = selection.bigram_lm_cross_entropy(df).collect()
+        assert [r.doc_id for r in out] == [2]
+
+    def test_gopher_flags_vertical_tab_whitespace(self, spark):
+        # \x0B must count as a token separator (the portable WS class)
+        df = spark.createDataFrame(
+            [(1, "alpha\x0bbeta\x0bgamma")], "doc_id LONG, text STRING"
+        )
+        r = text.gopher_quality_flags(df).collect()[0]
+        assert r.n_words == 3
+
+    def test_curation_provenance_empty(self, spark, empty_docs):
+        e = empty_docs.withColumn("lang", F.lit("en"))
+        assert text.curation_provenance(e).count() == 0
+
+    def test_zorder_quantize_clamps(self, spark):
+        from wren_engine_spark.operators import layout
+
+        df = spark.createDataFrame([(0,), (50,), (100,), (150,)], "v LONG")
+        got = [
+            r.q for r in df.select(
+                layout.zorder_quantize("v", 0, 100, 4).alias("q")
+            ).collect()
+        ]
+        assert got[0] == 0 and got[2] == 15
+        assert got[3] == 15  # above-range clamps, never overflows the key

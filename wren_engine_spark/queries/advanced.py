@@ -391,3 +391,58 @@ def d4(spark: SparkSession, sf: str) -> DataFrame:
             "p90_in_bounds"
         ),
     )
+
+
+@register(
+    "d5_hll_sketch_union",
+    """
+    WITH per_flag AS (
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    total AS (SELECT COUNT(DISTINCT l_partkey) AS exact_total FROM lineitem)
+    SELECT p.l_returnflag, p.exact_parts, t.exact_total,
+           TRUE AS flag_in_bounds, TRUE AS union_in_bounds
+    FROM per_flag p CROSS JOIN total t
+    """,
+)
+def d5(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    Spark's hll_sketch_agg / hll_union_agg — the persistable,
+    re-aggregable form of the reference's approx_distinct): build one
+    sketch per group, then UNION the group sketches into a global
+    estimate WITHOUT rescanning rows — the 100 TB rollup pattern
+    (daily sketches -> monthly distinct in one combine). Sketch bytes
+    are engine-specific, so the oracle checks error bounds (the d2/d4
+    pattern): exact counts plus booleans asserting both the per-group
+    estimates and the sketch-union estimate landed within 3x the
+    configured precision (lgK=14 -> rse ~0.8%)."""
+    l = load_tables(spark, sf, "lineitem")["lineitem"]
+    per_flag = l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.hll_sketch_agg("l_partkey", F.lit(14)).alias("__sk"),
+    )
+    # union the per-group sketches (no re-scan) into the global estimate
+    total = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__union_est")
+    )
+    exact_total = l.agg(F.count_distinct("l_partkey").alias("v")).first()[0]
+    eps = 0.024  # 3 x rse(lgK=14)
+    return (
+        per_flag.crossJoin(F.broadcast(total))
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            F.lit(int(exact_total)).alias("exact_total"),
+            (
+                (F.hll_sketch_estimate("__sk")
+                 >= F.col("exact_parts") * (1 - eps))
+                & (F.hll_sketch_estimate("__sk")
+                   <= F.col("exact_parts") * (1 + eps))
+            ).alias("flag_in_bounds"),
+            (
+                (F.col("__union_est") >= F.lit(float(exact_total) * (1 - eps)))
+                & (F.col("__union_est") <= F.lit(float(exact_total) * (1 + eps)))
+            ).alias("union_in_bounds"),
+        )
+    )

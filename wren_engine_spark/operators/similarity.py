@@ -552,18 +552,43 @@ def lsh_ann_topk(
     from pyspark.sql import Window as W
 
     normed = with_norm(df, vec_col, "__n")
-    cand = None
+    # ONE corpus pass computes every table's signature (a per-table
+    # loop of hyperplane_signatures scans the corpus `tables` times);
+    # the (table, bucket) pair key then drives a single self-join. The
+    # per-table arithmetic is identical to hyperplane_signatures — the
+    # x11 oracle reproduces the same buckets.
+    sig_cols = []
+    v = F.col(vec_col)
     for t in range(tables):
-        sig = hyperplane_signatures(normed, id_col, vec_col, dim, nbits, seed + 1000 * t)
-        a = sig.select(F.col(id_col).alias("query_id"), "bucket")
-        b = sig.select(F.col(id_col).alias("neighbor_id"), "bucket")
-        pairs = (
-            a.join(b, "bucket")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-        )
-        cand = pairs if cand is None else cand.unionAll(pairs)
-    cand = cand.distinct()
+        rng = random.Random(seed + 1000 * t)
+        planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
+        sig = F.lit(0).cast("long")
+        for j, plane in enumerate(planes):
+            arr = F.array(*[F.lit(x) for x in plane])
+            dot = F.aggregate(
+                F.zip_with(v, arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig.bitwiseOR(
+                F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        sig_cols.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
+    sigs = normed.select(
+        F.col(id_col), F.explode(F.array(*sig_cols)).alias("__tb")
+    ).select(
+        F.col(id_col), F.col("__tb.t").alias("__t"), F.col("__tb.b").alias("bucket")
+    )
+    a = sigs.select(F.col(id_col).alias("query_id"), "__t", "bucket")
+    b = sigs.select(F.col(id_col).alias("neighbor_id"), "__t", "bucket")
+    cand = (
+        a.join(b, ["__t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     qside = normed.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q"), F.col("__n").alias("__qn")
     )

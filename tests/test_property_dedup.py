@@ -7,6 +7,7 @@ math (the epsilon-padded FP comparisons in operators/dedup.py).
 import itertools
 
 import pytest
+from tests.conftest import SF_DIR
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -165,3 +166,49 @@ def test_portable_simhash_equals_python_reference(spark, texts):
         if [x for x in _re.split(r"[ \t\n\x0b\f\r]+", t) if x]
     }
     assert got == exp
+
+
+class TestPartitionInvariance:
+    """Determinism under physical layout: quantized-integer-sum
+    operators must produce identical results no matter how rows are
+    partitioned — the property that makes them safe for 1000-way
+    partial aggregation (floating-point sums would not be)."""
+
+    def test_dsir_weights_partition_invariant(self, spark):
+        from pyspark.sql import functions as F
+
+        from wren_engine_spark.operators import selection
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+        def run(nparts):
+            out = selection.dsir_importance_weights(
+                docs.repartition(nparts), F.col("lang") == "en"
+            )
+            return sorted((r.doc_id, r.n_bigrams, r.weight) for r in out.collect())
+
+        assert run(3) == run(17)
+
+    def test_lm_cross_entropy_partition_invariant(self, spark):
+        from wren_engine_spark.operators import selection
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+        def run(nparts):
+            out = selection.bigram_lm_cross_entropy(docs.repartition(nparts))
+            return sorted(
+                (r.doc_id, r.n_bigrams, r.cross_entropy) for r in out.collect()
+            )
+
+        assert run(2) == run(13)
+
+    def test_portable_simhash_partition_invariant(self, spark):
+        from wren_engine_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+        def run(nparts):
+            out = dedup.simhash_portable(docs.repartition(nparts), "text", "doc_id")
+            return sorted((r.doc_id, r.simhash) for r in out.collect())
+
+        assert run(5) == run(19)

@@ -1270,3 +1270,45 @@ class TestAnnIndexPersistence:
                 "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
             )
             spark.sql("DROP TABLE IF EXISTS ann_idx_t2")
+
+
+class TestCrossContamination:
+    def test_banding_matches_bruteforce_cross(self, spark, docs):
+        """Pigeonhole banding across two corpora equals the brute-force
+        cross Hamming filter (the lossless-banding theorem, cross-join
+        case)."""
+        test_df = docs.filter(F.col("doc_id") < 30)
+        train_df = docs.filter(F.col("doc_id") >= 30)
+        got = {
+            r.doc_id: r.n_near_dup_train
+            for r in dedup.simhash_cross_contamination(
+                test_df, train_df, "text", "doc_id"
+            ).collect()
+        }
+        sigs = {
+            r.doc_id: r.simhash
+            for r in dedup.simhash_portable(docs, "text", "doc_id").collect()
+        }
+        for tid in got:
+            want = sum(
+                1
+                for rid, s in sigs.items()
+                if rid >= 30 and bin(sigs[tid] ^ s).count("1") <= 3
+            )
+            assert got[tid] == want
+
+    def test_planted_near_dup_detected(self, spark, docs):
+        row = docs.filter(F.col("doc_id") == 77).first()
+        # a paraphrase-level edit: append two tokens
+        edited = spark.createDataFrame(
+            [(9001, row.text + " tail token", row.lang, row.source, row.n_chars)],
+            docs.schema,
+        )
+        out = dedup.simhash_cross_contamination(
+            edited, docs, "text", "doc_id", max_hamming=3
+        ).collect()
+        assert out[0].contaminated is True
+
+    def test_bad_bands_rejected(self, docs):
+        with pytest.raises(ValueError):
+            dedup.simhash_cross_contamination(docs, docs, "text", "doc_id", 4, 4)

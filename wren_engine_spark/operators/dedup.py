@@ -1005,3 +1005,79 @@ def chunk_dedup_rewrite(
             ).alias("dedup_text"),
         )
     )
+
+
+def simhash_cross_contamination(
+    test_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """NEAR-duplicate cross-corpus decontamination: for every test-set
+    document, count training documents within ``max_hamming`` bits of
+    its portable simhash — the fuzzy complement of the exact n-gram
+    overlap check (contamination/x26), catching benchmark leakage that
+    survives paraphrase-level edits (Lee et al. ACL'22 report ~1%+ of
+    eval sets leak this way).
+
+    Same lossless pigeonhole banding as portable_simhash_near_dup
+    (bands > max_hamming), joined ACROSS corpora: the train side never
+    self-joins, band values distribute the work, and at 100 TB the
+    (small) test side's banded signatures broadcast. Returns one row
+    per test doc: (id, n_near_dup_train, contaminated).
+    """
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for exact recall")
+    width = 32 // bands
+    mask = (1 << width) - 1
+
+    def banded(df, side):
+        sig = simhash_portable(df, text_col, id_col)
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for i in range(bands)
+            ]
+        )
+        return sig.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col("simhash").alias(f"__s{side}"),
+            F.explode(arr).alias("b"),
+        ).select(
+            f"id_{side}", f"__s{side}",
+            F.col("b.band").alias("band"), F.col("b.val").alias("val"),
+        )
+
+    t = banded(test_df, "t")
+    r = banded(train_df, "r")
+    hits = (
+        F.broadcast(t)
+        .join(r, ["band", "val"])
+        .select(
+            "id_t",
+            "id_r",
+            F.bit_count(F.expr("__st ^ __sr")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_t", "id_r")
+        .distinct()
+        .groupBy("id_t")
+        .agg(F.count(F.lit(1)).alias("n_near_dup_train"))
+    )
+    base = test_df.select(F.col(id_col))
+    return base.join(
+        hits.withColumnRenamed("id_t", id_col), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("n_near_dup_train"), F.lit(0)).cast("bigint").alias(
+            "n_near_dup_train"
+        ),
+        (F.coalesce(F.col("n_near_dup_train"), F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -666,3 +666,43 @@ def x55(spark: SparkSession, sf: str) -> DataFrame:
         e, "vec_id", "embedding", queries, dim=64,
         k=_X55_K, nlist=_X55_NLIST, nprobe=_X55_NPROBE, centroids=cents,
     )
+
+
+# ---------------------------------------------------------------------------
+# x56: near-dup cross-corpus decontamination (portable simhash)
+# ---------------------------------------------------------------------------
+
+from wren_engine_spark.queries.llmops3 import _PORTABLE_SIMHASH_CTES  # noqa: E402
+
+
+@register(
+    "x56_neardup_decontamination",
+    f"""
+    WITH {_PORTABLE_SIMHASH_CTES},
+    t AS (SELECT doc_id, simhash FROM sig WHERE doc_id < 50),
+    r AS (SELECT doc_id, simhash FROM sig WHERE doc_id >= 50),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n
+      FROM t JOIN r ON bit_count(xor(t.simhash, r.simhash)) <= 3
+      GROUP BY t.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_near_dup_train,
+           (COALESCE(h.n, 0) > 0) AS contaminated
+    FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def x56(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy test-set decontamination: count TRAINING docs within
+    Hamming<=3 of each eval doc's portable simhash via lossless
+    pigeonhole banding across corpora (dedup.simhash_cross_contamination
+    — the near-dup complement of x26's exact n-gram leakage check). The
+    oracle is the brute-force cross-corpus Hamming filter, so the
+    driver hash-checks the banding theorem on the cross-join case too.
+    Eval set = doc_id < 50, train = the rest."""
+    from wren_engine_spark.operators import dedup as dd
+
+    d = load_tables(spark, sf, "documents")["documents"]
+    test_df = d.filter(F.col("doc_id") < 50)
+    train_df = d.filter(F.col("doc_id") >= 50)
+    return dd.simhash_cross_contamination(test_df, train_df, "text", "doc_id")

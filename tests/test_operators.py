@@ -1312,3 +1312,36 @@ class TestCrossContamination:
     def test_bad_bands_rejected(self, docs):
         with pytest.raises(ValueError):
             dedup.simhash_cross_contamination(docs, docs, "text", "doc_id", 4, 4)
+
+
+class TestPointerJumpingCC:
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        """A 400-node path graph has diameter 399: plain min-label
+        propagation cannot finish inside 25 rounds, pointer jumping
+        must (O(log n))."""
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(399)], "id_a LONG, id_b LONG"
+        )
+        out = dedup.connected_components(edges).collect()
+        assert {r.component for r in out} == {0}
+        assert len(out) == 400
+        assert dedup.connected_components.last_rounds <= 12
+
+    def test_same_result_as_pure_propagation_on_random_graph(self, spark):
+        import random as rnd
+
+        rng = rnd.Random(7)
+        edges = [
+            (rng.randrange(120), rng.randrange(120)) for _ in range(150)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+        fast = {
+            r.node: r.component
+            for r in dedup.connected_components(df, shortcut=True).collect()
+        }
+        slow = {
+            r.node: r.component
+            for r in dedup.connected_components(df, shortcut=False).collect()
+        }
+        assert fast == slow

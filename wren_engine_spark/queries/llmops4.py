@@ -706,3 +706,98 @@ def x56(spark: SparkSession, sf: str) -> DataFrame:
     test_df = d.filter(F.col("doc_id") < 50)
     train_df = d.filter(F.col("doc_id") >= 50)
     return dd.simhash_cross_contamination(test_df, train_df, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# p4/j3/f8: round-4 relational-surface breadth (UNPIVOT, LATERAL,
+# GROUP BY ALL — Spark 4 SQL features with direct DuckDB twins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p4_unpivot",
+    """
+    WITH wide AS (
+      SELECT o_orderstatus,
+             COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+             COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS high,
+             COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, priority, n_orders
+    FROM wide UNPIVOT (n_orders FOR priority IN (urgent, high, medium))
+    """,
+)
+def p4(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (wide -> long), the inverse of the p1 pivot — Spark's
+    native unpivot/stack (reference: DataFusion unnest/stack family).
+    Oracle is DuckDB's UNPIVOT of the identically-built wide table."""
+    o = load_tables(spark, sf, "orders")["orders"]
+    pr = F.col("o_orderpriority")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.when(pr == "1-URGENT", 1)).alias("urgent"),
+        F.count(F.when(pr == "2-HIGH", 1)).alias("high"),
+        F.count(F.when(pr == "3-MEDIUM", 1)).alias("medium"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"], ["urgent", "high", "medium"], "priority", "n_orders"
+    )
+
+
+@register(
+    "j3_lateral_topn",
+    """
+    SELECT n.n_name AS nation, t.c_custkey, t.c_acctbal
+    FROM nation n,
+         LATERAL (
+           SELECT c_custkey, c_acctbal FROM customer c
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey
+           LIMIT 3
+         ) t
+    """,
+)
+def j3(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery join — top-3 customers by balance
+    PER nation via a lateral per-row subquery (the SQL-standard
+    alternative to a window-rank; reference supports lateral through
+    DataFusion). Spark plans this as a ranked window or lateral join —
+    either way no cartesian product."""
+    load_tables(spark, sf, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_custkey, t.c_acctbal
+        FROM nation n,
+             LATERAL (
+               SELECT c_custkey, c_acctbal FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+               LIMIT 3
+             ) t
+        """
+    )
+
+
+@register(
+    "f8_group_by_all",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ALL
+    """,
+)
+def f8(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ALL (infer grouping keys from the non-aggregate select
+    list) — identical modern-SQL shorthand in Spark 4 and DuckDB."""
+    load_tables(spark, sf, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ALL
+        """
+    )

@@ -383,3 +383,66 @@ class TestCheckpointResume:
         assert set(rows2) == want_all
         # exactly-once: nothing reprocessed, no key written twice
         assert len(rows2) == len(want_all)
+
+
+class TestForeachBatchUpsert:
+    def test_idempotent_keyed_upsert_sink(self, spark, events_batch, tmp_path):
+        """foreachBatch as the MERGE-shaped sink: each microbatch
+        upserts per-user running aggregates into a keyed parquet table
+        (read-modify-overwrite by key), so replays/retries of a batch
+        are idempotent — the pattern for maintaining serving tables
+        from a stream without a lakehouse format."""
+        batch_df, path = events_batch
+        target = str(tmp_path / "user_totals")
+        ckpt = str(tmp_path / "fb_ckpt")
+
+        def upsert(batch, batch_id):
+            agg = (
+                batch.groupBy("user_id")
+                .agg(
+                    F.sum(F.col("value").cast("decimal(38,6)")).alias("v"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            )
+            try:
+                cur = batch.sparkSession.read.parquet(target)
+            except Exception:
+                cur = None
+            if cur is not None:
+                merged = (
+                    cur.unionByName(agg)
+                    .groupBy("user_id")
+                    .agg(F.sum("v").alias("v"), F.sum("n").alias("n"))
+                )
+            else:
+                merged = agg
+            merged.cache().count()  # materialize before overwriting source
+            merged.write.mode("overwrite").parquet(target)
+            merged.unpersist()
+
+        stream = (
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        got = {
+            r.user_id: (float(r.v), r.n)
+            for r in spark.read.parquet(target).collect()
+        }
+        want = {
+            r.user_id: (float(r.v), r.n)
+            for r in batch_df.groupBy("user_id")
+            .agg(
+                F.sum(F.col("value").cast("decimal(38,6)")).alias("v"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+        assert got == want

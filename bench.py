@@ -101,6 +101,27 @@ def main() -> None:
     # full TPC-H suite (22 adapted queries) as a secondary throughput
     # metric — the reference's correctness corpus is TPC-H, so this is
     # the closest apples-to-apples execution number
+    # round-4 operator sub-suite: separate total so the HEADLINE stays
+    # comparable round-over-round while new operators still get a
+    # recorded per-round number (single cold pass, cleared cache)
+    EXT = [
+        "x48_dsir_importance",
+        "x50_semantic_dedup",
+        "x51_audio_decode",
+        "x52_lm_cross_entropy",
+        "x53_gopher_rules",
+        "x54_curation_provenance",
+        "x56_neardup_decontamination",
+    ]
+    spark.catalog.clearCache()
+    ext_timings = {}
+    for name in EXT:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        ext_timings[name] = round(time.perf_counter() - t0, 3)
+    ext_total = round(sum(ext_timings.values()), 3)
+    print(f"# r4 operator sub-suite: {ext_total:.1f}s", file=sys.stderr)
+
     tpch = sorted(n for n in QUERIES if n[0] == "q" and n[1].isdigit())
     t0 = time.perf_counter()
     for name in tpch:
@@ -154,6 +175,8 @@ def main() -> None:
                 "semantic_plan_ms_p50": semantic_plan_ms,
                 "semantic_plan_cached_ms_p50": semantic_plan_cached_ms,
                 "tpch_suite_s": tpch_total,
+                "r4_ops": ext_timings,
+                "r4_ops_total_s": ext_total,
             }
         )
     )

@@ -1,6 +1,8 @@
 """Training-data *selection* operators: importance-resampling weights
 (DSIR, Xie et al., NeurIPS 2023 — "Data Selection for Language Models
-via Importance Resampling") over hashed n-gram features.
+via Importance Resampling") over hashed n-gram features, and
+bigram-LM cross-entropy quality scoring (CCNet-style, Wenzek et al.
+2020).
 
 Reference-parity note: the reference engine (wren-engine) has no data
 selection surface; this extends the LLM-pipeline operator family the

@@ -466,3 +466,22 @@ class TestRound4PlanShapes:
         p = plan_of(spark, "x54_curation_provenance")
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert "Window" not in p and "CartesianProduct" not in p
+
+    def test_x55_broadcasts_queries_no_cartesian(self, spark):
+        p = plan_of(spark, "x55_ivf_probe_portable")
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p
+
+    def test_x56_banded_join_no_cartesian(self, spark):
+        p = plan_of(spark, "x56_neardup_decontamination")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_d5_sketches_partially_aggregated(self, spark):
+        p = plan_of(spark, "d5_hll_sketch_union")
+        assert "partial_" in p
+
+    def test_p4_j3_f8_no_cartesian(self, spark):
+        for name in ("p4_unpivot", "j3_lateral_topn", "f8_group_by_all"):
+            p = plan_of(spark, name)
+            assert "CartesianProduct" not in p, name

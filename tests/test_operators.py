@@ -1345,3 +1345,34 @@ class TestPointerJumpingCC:
             for r in dedup.connected_components(df, shortcut=False).collect()
         }
         assert fast == slow
+
+
+class TestWeightedSample:
+    def test_rate_follows_weight_and_is_layout_invariant(self, spark, docs):
+        from wren_engine_spark.operators import selection
+
+        out = selection.weighted_sample(docs, "n_chars", "doc_id", rate=0.3)
+        rows = out.collect()
+        assert any(r.sampled for r in rows) and not all(r.sampled for r in rows)
+        # empirical inclusion rate of the heavy half exceeds the light half
+        med = sorted(r.weight for r in rows)[len(rows) // 2]
+        heavy = [r for r in rows if r.weight >= med]
+        light = [r for r in rows if r.weight < med]
+        hr = sum(r.sampled for r in heavy) / len(heavy)
+        lr = sum(r.sampled for r in light) / len(light)
+        assert hr > lr
+        # identical decisions under a different physical layout
+        again = {
+            r.doc_id: r.sampled
+            for r in selection.weighted_sample(
+                docs.repartition(13), "n_chars", "doc_id", rate=0.3
+            ).collect()
+        }
+        assert {r.doc_id: r.sampled for r in rows} == again
+
+    def test_zero_total_weight(self, spark):
+        from wren_engine_spark.operators import selection
+
+        df = spark.createDataFrame([(1, 0), (2, 0)], "doc_id LONG, w LONG")
+        rows = selection.weighted_sample(df, "w", "doc_id").collect()
+        assert all(not r.sampled for r in rows)

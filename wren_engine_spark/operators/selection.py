@@ -233,3 +233,63 @@ def bigram_lm_cross_entropy(
             ).alias("cross_entropy"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col,
+    id_col: str = "doc_id",
+    rate: float = 0.3,
+    seed: int = 42,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sampling: document i
+    is kept iff hash(seed, i) mod scale < p_i * scale, with inclusion
+    probability p_i = min(rate * w_i / mean_w, 1) — so expected sample
+    mass follows the weights (length-proportional token sampling,
+    upweighting curated sources, temperature-flattened mixtures) and
+    the SAME rows are chosen on every engine, run, and partitioning:
+    the decision is pure integer arithmetic on the portable hash, no
+    RNG state, no floats near a boundary (the threshold p_i*scale is
+    rounded once to an integer).
+
+    Spark's df.sample() cannot do weights and is partition-layout
+    dependent; this is the reproducible 100 TB alternative (one narrow
+    pass + one broadcast mean).
+
+    Returns (id_col, weight, threshold, sampled).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # EXACT corpus totals (integer sum + count), not a float avg — a
+    # double mean depends on partial-aggregation order and would move
+    # rounding boundaries between engines/runs
+    tot, cnt = docs.agg(
+        F.sum(w.cast("bigint")), F.count(F.lit(1))
+    ).first()
+    if not tot:
+        return docs.select(
+            F.col(id_col),
+            w.cast("double").alias("weight"),
+            F.lit(0).cast("bigint").alias("threshold"),
+            F.lit(False).alias("sampled"),
+        )
+    # threshold = round(w * cnt * rate*scale / tot): every operand an
+    # exact integer-valued double, ONE division, ONE round
+    thr = F.least(
+        F.lit(scale).cast("bigint"),
+        F.round(
+            w.cast("double") * F.lit(float(cnt)) * F.lit(float(rate * scale))
+            / F.lit(float(tot))
+        ).cast("bigint"),
+    )
+    h = F.expr(
+        f"pmod(pmod(cast({id_col} as bigint) * 31 + {seed}, 2147483647)"
+        f" * pmod(cast({id_col} as bigint) * 48271 + {seed + 7}, 2147483647),"
+        f" {scale})"
+    )
+    return docs.select(
+        F.col(id_col),
+        w.cast("double").alias("weight"),
+        thr.alias("threshold"),
+        (h < thr).alias("sampled"),
+    )

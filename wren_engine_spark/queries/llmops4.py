@@ -801,3 +801,39 @@ def f8(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# x57: deterministic weight-proportional sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x57_weighted_sample",
+    """
+    WITH tot AS (
+      SELECT CAST(SUM(n_chars) AS BIGINT) AS t, COUNT(*) AS c FROM documents
+    ),
+    thr AS (
+      SELECT d.doc_id, CAST(d.n_chars AS DOUBLE) AS weight,
+             LEAST(CAST(1000000 AS BIGINT),
+                   CAST(ROUND(CAST(d.n_chars AS DOUBLE) * tot.c * 300000.0 / tot.t)
+                        AS BIGINT)) AS threshold
+      FROM documents d CROSS JOIN tot
+    )
+    SELECT doc_id, weight, threshold,
+           ((doc_id * 31 + 42) % 2147483647) * ((doc_id * 48271 + 49) % 2147483647)
+             % 1000000 < threshold AS sampled
+    FROM thr
+    """,
+)
+def x57(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sampling
+    (selection.weighted_sample): inclusion probability follows the
+    document weight (here n_chars — token-mass-proportional), decided
+    by pure integer hash arithmetic, so the same rows are sampled on
+    every engine, run and partitioning — unlike df.sample(), which is
+    weightless and layout-dependent. Exact corpus totals (integer sum)
+    keep the rounding boundary engine-stable."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return selection.weighted_sample(d, "n_chars", "doc_id", rate=0.3)

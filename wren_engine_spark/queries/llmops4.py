@@ -837,3 +837,91 @@ def x57(spark: SparkSession, sf: str) -> DataFrame:
     keep the rounding boundary engine-stable."""
     d = load_tables(spark, sf, "documents")["documents"]
     return selection.weighted_sample(d, "n_chars", "doc_id", rate=0.3)
+
+
+# ---------------------------------------------------------------------------
+# x58: end-to-end curation capstone (provenance -> sample -> stats)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x58_curation_end_to_end",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang, source, md5(text) AS fp,
+             CAST(len(string_split_regex(trim(text), '{_WS}')) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS punct_ratio,
+             CAST(len(regexp_extract_all(lower(text), '{_X54_STOP}')) AS DOUBLE)
+               / CAST(len(string_split_regex(trim(text), '{_WS}')) AS DOUBLE) AS stopword_ratio,
+             len(regexp_extract_all(lower(text), '{_X54_ES}')) AS es,
+             len(regexp_extract_all(lower(text), '{_X54_DE}')) AS de,
+             len(regexp_extract_all(lower(text), '{_X54_FR}')) AS fr,
+             len(regexp_extract_all(text, '{_X54_ZH}')) AS zh,
+             n_chars
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, fp, n_tokens, n_chars,
+             ROUND(0.4 * LEAST(stopword_ratio * 4.0, 1.0)
+                 + 0.4 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 1000 THEN 1.0 ELSE 0.0 END)
+                 + 0.2 * (1.0 - LEAST(punct_ratio * 5.0, 1.0)), 6) AS q,
+             CASE WHEN zh > 0 THEN 'zh'
+                  WHEN es > de AND es > fr AND es > 0 THEN 'es'
+                  WHEN de > fr AND de > 0 THEN 'de'
+                  WHEN fr > 0 THEN 'fr'
+                  ELSE 'en' END AS lang_pred
+      FROM s
+    ),
+    rep AS (SELECT fp, MIN(doc_id) AS rep_id FROM scored GROUP BY fp),
+    kept AS (
+      SELECT sc.* FROM scored sc JOIN rep r ON sc.fp = r.fp
+      WHERE sc.doc_id = r.rep_id AND sc.lang_pred = sc.lang AND sc.q >= 0.5
+    ),
+    tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS t, COUNT(*) AS c FROM kept),
+    sampled AS (
+      SELECT k.* FROM kept k CROSS JOIN tot
+      WHERE ((k.doc_id * 31 + 42) % 2147483647)
+            * ((k.doc_id * 48271 + 49) % 2147483647) % 1000000
+          < LEAST(CAST(1000000 AS BIGINT),
+                  CAST(ROUND(CAST(k.n_chars AS DOUBLE) * tot.c * 500000.0 / tot.t)
+                       AS BIGINT))
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(q), 6) AS avg_quality
+    FROM sampled GROUP BY source
+    """,
+)
+def x58(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation CAPSTONE composing the round-4 selection
+    stack exactly as a production pipeline would: per-doc provenance
+    flags (keep = not duplicate / lang match / quality >= 0.5,
+    operators/text.curation_provenance) -> deterministic
+    length-proportional sampling at rate 0.5 (selection.weighted_sample)
+    -> per-source corpus statistics. Every stage is the same
+    oracle-checked operator registered standalone (x54/x57), so the
+    composition is verified end-to-end too — the 'switch your pipeline
+    to this engine' proof the north-star asks for. Gopher flags are
+    intentionally excluded here: the capstone mirrors the x23 quality
+    bar (q >= 0.5) so x23/x54/x58 stay mutually consistent."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    prov = text.curation_provenance(d, "text", "doc_id", "lang")
+    kept_ids = prov.filter(
+        ~F.col("flag_duplicate") & ~F.col("flag_lang_mismatch") & ~F.col("flag_quality")
+    ).select("doc_id")
+    kept = d.join(kept_ids, "doc_id")
+    samp = selection.weighted_sample(kept, "n_chars", "doc_id", rate=0.5)
+    chosen = kept.join(samp.filter(F.col("sampled")).select("doc_id"), "doc_id")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), _WS)).cast("bigint")
+    q = prov.select("doc_id", "quality_score")
+    return (
+        chosen.withColumn("__nt", n_tokens)
+        .join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+    )

@@ -1376,3 +1376,93 @@ class TestWeightedSample:
         df = spark.createDataFrame([(1, 0), (2, 0)], "doc_id LONG, w LONG")
         rows = selection.weighted_sample(df, "w", "doc_id").collect()
         assert all(not r.sampled for r in rows)
+
+
+class TestBpe:
+    @staticmethod
+    def _ref_learn(words_freq, n_merges):
+        """Pure-Python reference: same greedy count->merge loop with
+        lexicographic tie-break and one left-to-right pass per merge."""
+        vocab = {tuple(list(w) + ["</w>"]): f for w, f in words_freq.items()}
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] = counts.get(
+                        (syms[i], syms[i + 1]), 0
+                    ) + f
+            if not counts:
+                break
+            pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if counts[pair] < 2:
+                break
+            merges.append(pair)
+            a, b = pair
+            new_vocab = {}
+            for syms, f in vocab.items():
+                out, i = [], 0
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+            vocab = new_vocab
+        return merges
+
+    def test_learned_merges_match_reference(self, spark):
+        corpus = [
+            (0, "low low lower lowest"),
+            (1, "new newer newest low"),
+            (2, "wide wider widest new new"),
+        ]
+        df = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+        from wren_engine_spark.operators import text as t
+
+        got = t.learn_bpe_merges(df, "text", n_merges=8)
+        freqs = {}
+        for _, line in corpus:
+            for w in line.split():
+                freqs[w] = freqs.get(w, 0) + 1
+        want = self._ref_learn(freqs, 8)
+        assert got == want and len(got) == 8
+
+    def test_token_counts_match_reference_encoding(self, spark, docs):
+        from wren_engine_spark.operators import text as t
+
+        sub = docs.limit(40)
+        merges = t.learn_bpe_merges(sub, "text", n_merges=20)
+        out = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+               for r in t.bpe_token_count(sub, merges).collect()}
+        ranks = {m: i for i, m in enumerate(merges)}
+
+        def enc(w):
+            syms = list(w) + ["</w>"]
+            while len(syms) > 1:
+                cand = [
+                    (ranks[(syms[i], syms[i + 1])], i)
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in ranks
+                ]
+                if not cand:
+                    break
+                _, i = min(cand)
+                syms[i : i + 2] = [syms[i] + syms[i + 1]]
+            return len(syms)
+
+        import re
+
+        for r in sub.collect():
+            words = [w for w in re.split(r"[ \t\n\x0B\f\r]+", r.text.strip().lower()) if w]
+            assert out[r.doc_id] == (len(words), sum(enc(w) for w in words))
+
+    def test_merges_reduce_token_count(self, spark, docs):
+        from wren_engine_spark.operators import text as t
+
+        sub = docs.limit(30)
+        merges = t.learn_bpe_merges(sub, "text", n_merges=15)
+        none = {r.doc_id: r.n_bpe_tokens for r in t.bpe_token_count(sub, []).collect()}
+        some = {r.doc_id: r.n_bpe_tokens
+                for r in t.bpe_token_count(sub, merges).collect()}
+        assert sum(some.values()) < sum(none.values())

@@ -485,3 +485,36 @@ class TestRound4PlanShapes:
         for name in ("p4_unpivot", "j3_lateral_topn", "f8_group_by_all"):
             p = plan_of(spark, name)
             assert "CartesianProduct" not in p, name
+
+
+class TestCostBasedOptimizer:
+    def test_analyzed_statistics_reach_the_plan(self, spark, tmp_path):
+        """At 100 TB, join strategy/order decisions come from table and
+        column statistics: ANALYZE TABLE must produce rowCount/size
+        stats that the optimizer can see (CBO), not just catalog rows."""
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        spark.sql("DROP TABLE IF EXISTS cbo_orders")
+        orders.write.saveAsTable("cbo_orders")
+        try:
+            spark.sql(
+                "ANALYZE TABLE cbo_orders COMPUTE STATISTICS "
+                "FOR COLUMNS o_orderkey, o_custkey"
+            )
+            prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            try:
+                df = spark.table("cbo_orders").filter(F.col("o_custkey") > 0)
+                stats = (
+                    df._jdf.queryExecution().optimizedPlan().stats()
+                )
+                assert stats.rowCount().isDefined()
+                assert stats.sizeInBytes() is not None
+                desc = spark.sql(
+                    "DESC EXTENDED cbo_orders o_custkey"
+                ).collect()
+                info = {r.info_name: r.info_value for r in desc}
+                assert info.get("distinct_count") not in (None, "NULL")
+            finally:
+                spark.conf.set("spark.sql.cbo.enabled", prev)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS cbo_orders")

@@ -176,3 +176,51 @@ class TestPassageSkew:
         }
         sharing = [d for d in out if d % 10 < 3]
         assert sharing and all(out[d].n_shared_positions >= 1 for d in sharing)
+
+
+class TestAqeSkewJoinSplit:
+    def test_hot_key_partition_is_split_at_runtime(self, spark):
+        """AQE's runtime skew-join split: a join partition holding a hot
+        key gets divided across tasks AFTER the shuffle-size statistics
+        arrive — the runtime complement to the explicit salted_join.
+        Thresholds are scaled to testdata (defaults engage at 256MB);
+        the payload is hash-valued because skew detection reads
+        COMPRESSED shuffle sizes, and a constant-key partition of
+        compressible rows hides from it (observed: lz4 shrinking the
+        hot partition below threshold -> coalesce instead of split)."""
+        saved = {
+            k: spark.conf.get(k, None)
+            for k in (
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                "spark.sql.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+            )
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            fact = spark.range(0, 400000).select(
+                F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+                F.xxhash64("id").alias("val"),
+            )
+            dim = spark.range(0, 400000).select(
+                F.col("id").alias("k"), F.xxhash64("id", "id").alias("tag")
+            )
+            j = fact.join(dim, "k").select("k", "val", "tag")
+            n = len(j.collect())
+            assert n == 400000  # split must not change the result
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "isFinalPlan=true" in plan
+            assert "SortMergeJoin(skew=true)" in plan
+            assert "skewed" in plan  # the AQEShuffleRead doing the split
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)

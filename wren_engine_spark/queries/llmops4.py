@@ -925,3 +925,109 @@ def x58(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg("quality_score"), 6).alias("avg_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x59: corpus snapshot diff (incremental-pipeline audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x59_corpus_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END) AS fp
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new AS (SELECT doc_id, md5(text) AS fp FROM documents)
+    SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'modified'
+                ELSE 'unchanged' END AS status
+    FROM new n FULL OUTER JOIN old o ON n.doc_id = o.doc_id
+    """,
+)
+def x59(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus snapshot diff — the audit step between two versions of a
+    training corpus: content-fingerprint FULL OUTER join classifying
+    every document added / removed / modified / unchanged. One
+    fingerprint pass per snapshot + one doc-keyed join; at 100 TB pair
+    with incremental_dedup (x30) so re-processing touches only the
+    added+modified slice. (Old snapshot simulated deterministically:
+    drop doc_id%7==0, uppercase doc_id%10==0.)"""
+    d = load_tables(spark, sf, "documents")["documents"]
+    old = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 10 == 0, F.upper(F.col("text"))).otherwise(
+                F.col("text")
+            )
+        ).alias("fp"),
+    )
+    new = d.select("doc_id", F.md5("text").alias("fp"))
+    n, o = new.alias("n"), old.alias("o")
+    return n.join(o, F.col("n.doc_id") == F.col("o.doc_id"), "full_outer").select(
+        F.coalesce(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.fp") != F.col("n.fp"), "modified")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# m5: SCD2 history build (type-2 slowly-changing dimension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m5_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    versioned AS (
+      SELECT user_id, event_type AS segment, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM changes
+    )
+    SELECT user_id, segment, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM versioned
+    """,
+)
+def m5(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history built from an event
+    stream: collapse consecutive equal attribute values into validity
+    intervals [valid_from, valid_to) with an is_current flag — the
+    standard warehouse dimension-versioning shape (reference serves
+    dimensions; this builds their history). Two windows over the
+    user key, deterministic tie-break on (ts, event_id); no self-joins."""
+    from pyspark.sql import Window as W
+
+    e = load_tables(spark, sf, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -1434,7 +1434,7 @@ class TestBpe:
         sub = docs.limit(40)
         merges = t.learn_bpe_merges(sub, "text", n_merges=20)
         out = {r.doc_id: (r.n_words, r.n_bpe_tokens)
-               for r in t.bpe_token_count(sub, merges).collect()}
+               for r in t.bpe_learned_token_count(sub, merges).collect()}
         ranks = {m: i for i, m in enumerate(merges)}
 
         def enc(w):
@@ -1462,7 +1462,7 @@ class TestBpe:
 
         sub = docs.limit(30)
         merges = t.learn_bpe_merges(sub, "text", n_merges=15)
-        none = {r.doc_id: r.n_bpe_tokens for r in t.bpe_token_count(sub, []).collect()}
+        none = {r.doc_id: r.n_bpe_tokens for r in t.bpe_learned_token_count(sub, []).collect()}
         some = {r.doc_id: r.n_bpe_tokens
-                for r in t.bpe_token_count(sub, merges).collect()}
+                for r in t.bpe_learned_token_count(sub, merges).collect()}
         assert sum(some.values()) < sum(none.values())

@@ -987,7 +987,7 @@ def learn_bpe_merges(
     return merges
 
 
-def bpe_token_count(
+def bpe_learned_token_count(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",

@@ -518,3 +518,8 @@ class TestCostBasedOptimizer:
                 spark.conf.set("spark.sql.cbo.enabled", prev)
         finally:
             spark.sql("DROP TABLE IF EXISTS cbo_orders")
+
+    def test_x60_single_cluster_shuffle_no_cartesian(self, spark):
+        p = plan_of(spark, "x60_rag_chunk_index")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p

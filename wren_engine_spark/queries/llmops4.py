@@ -1031,3 +1031,148 @@ def m5(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+# ---------------------------------------------------------------------------
+# x60: RAG indexing capstone — chunk -> embed -> cluster -> nearest chunk
+# ---------------------------------------------------------------------------
+
+_X60_BYTES = """
+      SELECT doc_id, chunk_id, ck,
+             [ (instr('0123456789ABCDEF', h[2*j-1]) - 1) * 16
+               + (instr('0123456789ABCDEF', h[2*j]) - 1)
+               FOR j IN generate_series(1, length(h) // 2) ] AS b
+      FROM (SELECT doc_id, chunk_id, ck, hex(encode(ck)) AS h FROM chunks)
+"""
+
+_X60_FEAT = """
+      SELECT doc_id, chunk_id,
+             [ CAST(list_sum([CASE WHEN (i - 1) % 8 = k THEN b[i] ELSE 0 END
+                              FOR i IN generate_series(1, len(b))]) % 97 AS DOUBLE)
+               FOR k IN generate_series(0, 7) ] AS f
+      FROM bytes
+"""
+
+
+@register(
+    "x60_rag_chunk_index",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_id,
+             array_to_string(t[(i*24+1):(i*24+32)], ' ') AS ck
+      FROM (SELECT doc_id, t, unnest(generate_series(0,
+              CAST(ceil(greatest(len(t) - 8, 1) / 24.0) AS BIGINT) - 1)) AS i
+            FROM toks)
+    ),
+    bytes AS ("""
+    + _X60_BYTES
+    + """),
+    feats AS ("""
+    + _X60_FEAT
+    + """),
+    base AS (
+      SELECT doc_id, chunk_id, f,
+             (CASE WHEN f[1] >= 49 THEN 1 ELSE 0 END)
+           + (CASE WHEN f[2] >= 49 THEN 2 ELSE 0 END)
+           + (CASE WHEN f[3] >= 49 THEN 4 ELSE 0 END)
+           + (CASE WHEN f[4] >= 49 THEN 8 ELSE 0 END)
+           + (CASE WHEN f[5] >= 49 THEN 16 ELSE 0 END)
+           + (CASE WHEN f[6] >= 49 THEN 32 ELSE 0 END) AS cluster_id,
+             list_reduce(list_prepend(0.0, [x * x FOR x IN f]), (acc, v) -> acc + v)
+               AS norm2
+      FROM feats
+    ),
+    ok AS (SELECT * FROM base WHERE norm2 > 0),
+    scored AS (
+      SELECT a.doc_id, a.chunk_id,
+             b.doc_id AS nn_doc_id, b.chunk_id AS nn_chunk_id,
+             list_reduce(list_prepend(0.0, [s[1] * s[2] FOR s IN list_zip(a.f, b.f)]),
+                         (acc, v) -> acc + v) / (sqrt(a.norm2) * sqrt(b.norm2)) AS sim
+      FROM ok a JOIN ok b
+        ON a.cluster_id = b.cluster_id AND a.doc_id <> b.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_id, nn_doc_id, nn_chunk_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_id
+                                ORDER BY sim DESC, nn_doc_id, nn_chunk_id) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, chunk_id, nn_doc_id, nn_chunk_id,
+           ROUND(sim, 6) AS cosine_sim
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def x60(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG indexing pipeline CAPSTONE, oracle-checked end-to-end: slide
+    32/8-overlap chunks over every document (text.chunk_with_overlap,
+    shuffle-free), embed each chunk with the deterministic byte-feature
+    encoder (multimodal.extract_features_stub over the UTF-8 payload —
+    the x16 formula, so a real encoder drops in unchanged), partition
+    the embedding space into 64 threshold-bit clusters, and return each
+    chunk's nearest CROSS-DOCUMENT chunk within its cluster — the
+    retrieve-similar-context shape. One cluster-key shuffle; every
+    arithmetic step exact, so the oracle reproduces the full
+    chunk->embed->cluster->top-1 chain bit-for-bit."""
+    from wren_engine_spark.operators import multimodal
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf, "documents")["documents"]
+    chunks = text.chunk_with_overlap(d, "text", "doc_id", 32, 8)
+    pay = chunks.select(
+        (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("doc_id"),
+        F.encode(F.col("chunk_text"), "utf-8").alias("payload"),
+    )
+    feats = multimodal.extract_features_stub(pay).select(
+        (F.col("doc_id") / 100000).cast("bigint").alias("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(100000)).cast("bigint").alias("chunk_id"),
+        F.col("feature").alias("f"),
+    )
+    cluster = None
+    for k in range(6):
+        b = F.when(F.element_at(F.col("f"), k + 1) >= 49, F.lit(1 << k)).otherwise(
+            F.lit(0)
+        )
+        cluster = b if cluster is None else cluster + b
+    from wren_engine_spark.operators.similarity import _dot_dec, _norm2_dec
+
+    base = feats.select(
+        "doc_id",
+        "chunk_id",
+        "f",
+        cluster.cast("int").alias("cluster_id"),
+        _norm2_dec(F.col("f")).alias("norm2"),
+    ).filter(F.col("norm2") > 0)
+    a = base.select(
+        F.col("doc_id"), F.col("chunk_id"), F.col("cluster_id"),
+        F.col("f").alias("__fa"), F.col("norm2").alias("__na"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("nn_doc_id"), F.col("chunk_id").alias("nn_chunk_id"),
+        F.col("cluster_id"), F.col("f").alias("__fb"), F.col("norm2").alias("__nb"),
+    )
+    scored = (
+        a.join(b, "cluster_id")
+        .filter(F.col("doc_id") != F.col("nn_doc_id"))
+        .select(
+            "doc_id", "chunk_id", "nn_doc_id", "nn_chunk_id",
+            (
+                _dot_dec(F.col("__fa"), F.col("__fb"))
+                / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("doc_id", "chunk_id").orderBy(
+        F.col("sim").desc(), "nn_doc_id", "nn_chunk_id"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "doc_id", "chunk_id", "nn_doc_id", "nn_chunk_id",
+            F.round("sim", 6).alias("cosine_sim"),
+        )
+    )

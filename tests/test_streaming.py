@@ -446,3 +446,46 @@ class TestForeachBatchUpsert:
             .collect()
         }
         assert got == want
+
+
+class TestStreamingObservability:
+    def test_query_listener_receives_progress(self, spark, events_batch):
+        """StreamingQueryListener: the ops surface for production
+        monitoring — progress events must carry batch row counts that
+        reconcile with the data actually processed."""
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        seen = {"progress": [], "started": 0, "terminated": 0}
+
+        class L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                seen["started"] += 1
+
+            def onQueryProgress(self, event):
+                seen["progress"].append(event.progress.numInputRows)
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                seen["terminated"] += 1
+
+        batch_df, path = events_batch
+        spark.streams.addListener(listener := L())
+        try:
+            stream = spark.readStream.schema(batch_df.schema).parquet(path)
+            out = ops.windowed_event_counts(stream, window="1 day")
+            _run_stream(spark, out, "obs_t", mode="complete")
+            # listener callbacks are async; wait briefly for delivery
+            import time
+
+            deadline = time.monotonic() + 30
+            while time.monotonic() < deadline and (
+                not seen["progress"] or seen["terminated"] == 0
+            ):
+                time.sleep(0.5)
+        finally:
+            spark.streams.removeListener(listener)
+        assert seen["started"] >= 1
+        assert seen["terminated"] >= 1
+        assert sum(seen["progress"]) == batch_df.count()

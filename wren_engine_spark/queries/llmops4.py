@@ -1176,3 +1176,45 @@ def x60(spark: SparkSession, sf: str) -> DataFrame:
             F.round("sim", 6).alias("cosine_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x61: per-group exact-k deterministic sample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x61_per_group_exact_k",
+    """
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 31 + 42) % 2147483647, doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def x61(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT-k per-group sampling with a deterministic hash order —
+    the fixed-quota complement of x22 (hash-mod fraction) and x57
+    (weight-proportional Bernoulli): exactly min(k, group size) rows
+    per source, identical on every engine/run/layout because the
+    'random' order is the portable integer hash of the id. One
+    window per group key; at 100 TB groups partition the shuffle and
+    k rows per group bound the output."""
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf, "documents")["documents"]
+    w = W.partitionBy("source").orderBy(
+        F.pmod(F.col("doc_id") * 31 + 42, F.lit(2147483647)), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "doc_id", "n_chars", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -1218,3 +1218,83 @@ def x61(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("source", "doc_id", "n_chars", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# t11: watermark-bounded streaming dedup (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t11_stream_dedup_within_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def t11(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dedup with WATERMARK-BOUNDED key state
+    (dropDuplicatesWithinWatermark): unlike t6's dropDuplicates —
+    whose state grows with every distinct key forever — key state here
+    is evicted once the watermark passes it, so an unbounded key space
+    (event ids, session tokens) stays bounded by the watermark horizon:
+    the 100 TB ingest-dedup primitive. A bounded single-file replay
+    drops nothing, so the result equals batch DISTINCT (the oracle);
+    the multi-batch eviction path is pytest-covered."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from wren_engine_spark.streaming.ops import run_available_now
+
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+        src = src.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).cast("timestamp"),
+        )
+    out = (
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_available_now(spark, out, "t11_stream_sink", "append")
+
+
+# ---------------------------------------------------------------------------
+# f9: string-similarity scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f9_edit_distance",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist,
+           (levenshtein(a.c_name, b.c_name) <= 2) AS near_name
+    FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+    WHERE a.c_custkey < 200
+    """,
+)
+def f9(spark: SparkSession, sf: str) -> DataFrame:
+    """String-similarity scalars (reference: DataFusion levenshtein,
+    function/scalar string family): exact edit distance between
+    adjacent customer names plus a near-match flag — the scalar
+    building block under fuzzy entity matching. Both engines implement
+    the same Wagner-Fischer distance."""
+    load_tables(spark, sf, "customer")
+    return spark.sql(
+        """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist,
+               (levenshtein(a.c_name, b.c_name) <= 2) AS near_name
+        FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        WHERE a.c_custkey < 200
+        """
+    )

@@ -1298,3 +1298,56 @@ def f9(spark: SparkSession, sf: str) -> DataFrame:
         WHERE a.c_custkey < 200
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# x62: MinHash estimate accuracy (signature-agreement error bound)
+# ---------------------------------------------------------------------------
+
+from wren_engine_spark.queries.llmops import _PAIRS_CTES  # noqa: E402
+from wren_engine_spark.operators import dedup as _dedup  # noqa: E402
+
+
+@register(
+    "x62_minhash_estimate_accuracy",
+    f"""
+    WITH {_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard, TRUE AS est_in_bound FROM pairs
+    """,
+)
+def x62(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash ESTIMATE accuracy, driver-verified (the d2 error-bound
+    pattern applied to the sketch that drives x4's LSH): for every
+    exact >=0.8 trigram-Jaccard pair, the fraction of agreeing minhash
+    permutations (k=64) must land within 4 standard errors
+    (4*sqrt(j(1-j)/k) ~ 0.2) of the true Jaccard. Sketch values are
+    xxhash64-specific; the BOUND is engine-independent, so the oracle
+    is the exact pair set plus literal TRUE — a hash-exact assertion
+    that the estimator works, not just the candidate generator."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    exact = _dedup.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+    sigs = _dedup.minhash_signatures(d, "text", "doc_id", 64, 3)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), "perm_id", F.col("minhash").alias("__ma")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), "perm_id", F.col("minhash").alias("__mb")
+    )
+    est = (
+        exact.join(sa, "id_a")
+        .join(sb, ["id_b", "perm_id"])
+        .groupBy("id_a", "id_b", "jaccard")
+        .agg(
+            (
+                F.sum(F.when(F.col("__ma") == F.col("__mb"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("__est")
+        )
+    )
+    bound = 4.0 * F.sqrt(F.col("jaccard") * (1 - F.col("jaccard")) / F.lit(64.0)) + F.lit(0.05)
+    return est.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        (F.abs(F.col("__est") - F.col("jaccard")) <= bound).alias("est_in_bound"),
+    )

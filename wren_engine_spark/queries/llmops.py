@@ -960,7 +960,7 @@ def x30(spark: SparkSession, sf: str) -> DataFrame:
     SELECT k.source,
            COUNT(*) AS n_docs,
            CAST(SUM(CAST(k.n_tokens AS DECIMAL(38,6))) AS DOUBLE) AS total_tokens,
-           ROUND(AVG(k.q), 4) AS avg_quality
+           ROUND(CAST(SUM(CAST(k.q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 4) AS avg_quality
     FROM kept k JOIN dedup d ON k.doc_id = d.doc_id
     GROUP BY k.source
     ORDER BY k.source
@@ -988,7 +988,13 @@ def x23(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("n_tokens").cast("decimal(38,6)")).cast("double").alias("total_tokens"),
-            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            # decimal-exact sum/count (not double AVG): aggregation-order
+            # independent — see the x58 round-4 postmortem
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_quality"),
         )
         .orderBy("source")
     )

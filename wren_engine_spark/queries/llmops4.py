@@ -889,7 +889,8 @@ def x57(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT source, COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           ROUND(AVG(q), 6) AS avg_quality
+           ROUND(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_quality
     FROM sampled GROUP BY source
     """,
 )
@@ -922,7 +923,14 @@ def x58(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__nt").alias("total_tokens"),
-            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            # decimal-exact sum / count: a double AVG depends on partial
+            # aggregation order (caught as an intermittent hash flip at
+            # the 6th decimal in the round-4 closing sweep)
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
         )
     )
 

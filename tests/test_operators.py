@@ -1377,6 +1377,28 @@ class TestWeightedSample:
         rows = selection.weighted_sample(df, "w", "doc_id").collect()
         assert all(not r.sampled for r in rows)
 
+    def test_fractional_weights_not_truncated(self, spark):
+        """Sub-1.0 weights (DSIR importance weights, flattened mixture
+        rates) must participate exactly: a bigint total would truncate
+        every row to 0 and sample nothing."""
+        from wren_engine_spark.operators import selection
+
+        df = spark.createDataFrame(
+            [(i, 0.2 + 0.6 * (i % 2)) for i in range(1, 401)],
+            "doc_id LONG, w DOUBLE",
+        )
+        rows = selection.weighted_sample(df, "w", "doc_id", rate=0.5).collect()
+        assert any(r.sampled for r in rows)
+        hi = [r for r in rows if r.weight > 0.5]
+        lo = [r for r in rows if r.weight < 0.5]
+        hr = sum(r.sampled for r in hi) / len(hi)
+        lr = sum(r.sampled for r in lo) / len(lo)
+        # inclusion follows the weight ratio (0.8 vs 0.2 → 4x)
+        assert hr > lr
+        # mean weight is exact: threshold for w=0.8 at rate .5, mean .5
+        # is round(0.8/0.5*0.5*1e6) = 800000 — check one boundary value
+        assert rows[0].threshold in (200_000, 800_000)
+
 
 class TestBpe:
     @staticmethod
@@ -1427,6 +1449,21 @@ class TestBpe:
                 freqs[w] = freqs.get(w, 0) + 1
         want = self._ref_learn(freqs, 8)
         assert got == want and len(got) == 8
+
+    def test_escape_significant_symbols(self, spark):
+        """Tokens containing backslashes and quotes must survive the
+        merge-apply step (symbols are F.lit columns, not SQL text)."""
+        corpus = [
+            (0, r"a\b a\b a\b it's it's it's"),
+            (1, r"a\b it's a\b it's"),
+        ]
+        df = spark.createDataFrame(corpus, "doc_id LONG, text STRING")
+        from wren_engine_spark.operators import text as t
+
+        got = t.learn_bpe_merges(df, "text", n_merges=6)
+        freqs = {r"a\b": 5, "it's": 5}
+        want = self._ref_learn(freqs, 6)
+        assert got == want
 
     def test_token_counts_match_reference_encoding(self, spark, docs):
         from wren_engine_spark.operators import text as t

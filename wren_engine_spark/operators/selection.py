@@ -260,11 +260,14 @@ def weighted_sample(
     Returns (id_col, weight, threshold, sampled).
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    # EXACT corpus totals (integer sum + count), not a float avg — a
+    # EXACT corpus totals (decimal sum + count), not a float avg — a
     # double mean depends on partial-aggregation order and would move
-    # rounding boundaries between engines/runs
+    # rounding boundaries between engines/runs. DECIMAL(38,6), not
+    # BIGINT: fractional weights (DSIR importance weights,
+    # temperature-flattened mixture rates, all < 1.0) must contribute
+    # exactly, not truncate per-row to 0
     tot, cnt = docs.agg(
-        F.sum(w.cast("bigint")), F.count(F.lit(1))
+        F.sum(w.cast("decimal(38,6)")), F.count(F.lit(1))
     ).first()
     if not tot:
         return docs.select(

@@ -971,16 +971,24 @@ def learn_bpe_merges(
         a, b = pairs[0]["a"], pairs[0]["b"]
         merges.append((a, b))
         merged = a + b
-        a, b, merged = (x.replace("'", "\\'") for x in (a, b, merged))
         # apply the merge to every word's symbol sequence (single
-        # left-to-right pass, same semantics as the sequential algorithm)
+        # left-to-right pass, same semantics as the sequential
+        # algorithm). Symbols enter as F.lit() columns, never as SQL
+        # text — a corpus token containing quotes or backslashes
+        # (escape-significant in Spark SQL literals) would corrupt an
+        # interpolated expression
         words = words.select(
-            F.expr(
-                "aggregate(syms, array(CAST(NULL AS STRING)), (acc, s) -> "
-                f"CASE WHEN element_at(acc, -1) = '{a}' AND s = '{b}' "
-                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{merged}')) "
-                "ELSE concat(acc, array(s)) END, "
-                "acc -> slice(acc, 2, size(acc) - 1))"
+            F.aggregate(
+                "syms",
+                F.array(F.lit(None).cast("string")),
+                lambda acc, s: F.when(
+                    (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - F.lit(1)),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+                lambda acc: F.slice(acc, F.lit(2), F.size(acc) - F.lit(1)),
             ).alias("syms"),
             "freq",
         ).localCheckpoint(eager=True)

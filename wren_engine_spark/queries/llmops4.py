@@ -679,7 +679,14 @@ from wren_engine_spark.queries.llmops3 import _PORTABLE_SIMHASH_CTES  # noqa: E4
     "x56_neardup_decontamination",
     f"""
     WITH {_PORTABLE_SIMHASH_CTES},
-    t AS (SELECT doc_id, simhash FROM sig WHERE doc_id < 50),
+    -- t starts from documents (left join to sig), NOT from sig: the
+    -- operator emits a row for every test doc, including empty /
+    -- whitespace-only docs that have no tokens and hence no simhash
+    -- (NULL simhash never matches the Hamming join, so they come out
+    -- n=0 / contaminated=false, same as the operator's left join)
+    t AS (SELECT d.doc_id, s.simhash
+          FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+          WHERE d.doc_id < 50),
     r AS (SELECT doc_id, simhash FROM sig WHERE doc_id >= 50),
     hits AS (
       SELECT t.doc_id, COUNT(*) AS n
@@ -995,18 +1002,19 @@ def x59(spark: SparkSession, sf: str) -> DataFrame:
     "m5_scd2_history",
     """
     WITH ordered AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type
       FROM events
     ),
     changes AS (
-      SELECT user_id, event_type, ts FROM ordered
+      SELECT user_id, event_type, ts, event_id FROM ordered
       WHERE prev_type IS NULL OR prev_type <> event_type
     ),
     versioned AS (
       SELECT user_id, event_type AS segment, ts AS valid_from,
-             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
       FROM changes
     )
     SELECT user_id, segment, valid_from, valid_to,
@@ -1032,7 +1040,10 @@ def m5(spark: SparkSession, sf: str) -> DataFrame:
             | (F.col("prev_type") != F.col("event_type"))
         )
     )
-    w2 = W.partitionBy("user_id").orderBy("ts")
+    # same (ts, event_id) tie-break as the first window: two change
+    # rows at an equal timestamp would otherwise make LEAD(ts) —
+    # hence valid_to — nondeterministic across engines and runs
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         F.col("event_type").alias("segment"),

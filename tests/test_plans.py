@@ -221,6 +221,27 @@ class TestLlmopsPlanShapes:
         # the doc-frequency aggregate must be present as a real partial agg
         assert "count(1)" in p
 
+    def test_x3_default_join_back_has_no_raw_shingle_shuffle(self, spark):
+        # the round-4 verdict's remaining weak spot: freq_mode='exact'
+        # attached frequency with a shuffle join on the (skewed) shingle
+        # key, pinning a hot shingle's occurrence rows to one task. The
+        # registered DEFAULT is now broadcast_head: the frequency attach
+        # must be a BroadcastHashJoin, and every shingle-keyed Exchange
+        # left in the plan must be fed by a map-side partial aggregate
+        # (where the hot shingle is at most one row per map partition) —
+        # the RAW exploded shingle set never shuffles on the shingle key.
+        df = QUERIES["x3_ngram_jaccard_pairs"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin [shingle" in plan
+        lines = plan.splitlines()
+        seen = 0
+        for i, l in enumerate(lines):
+            if "Exchange hashpartitioning(shingle" in l:
+                seen += 1
+                tail = "\n".join(lines[i + 1 : i + 3])
+                assert "partial_count" in tail, l.strip()[:120]
+        assert seen >= 1  # the frequency aggregation's own shuffle
+
     def test_x44_window_shuffle_is_hashed_not_string(self, spark):
         # default mode reduces each window to a 62-bit hash MAP-SIDE, so
         # every Exchange keyed on the window carries an 8-byte long

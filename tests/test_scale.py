@@ -120,11 +120,10 @@ class TestDocFrequencySkew:
         remaining in the plan must be fed by a partial (map-side
         combinable) aggregate — where the hot shingle is at most one
         row per map partition — and the frequency attach itself must be
-        a broadcast hash join."""
-        df = dedup.jaccard_pairs(
-            skewed, "text", "doc_id", n=3, threshold=0.8,
-            freq_mode="broadcast_head",
-        )
+        a broadcast hash join. Since round 5 broadcast_head IS the
+        operator default, so this covers the registered x3 entry
+        point's actual plan — no explicit freq_mode."""
+        df = dedup.jaccard_pairs(skewed, "text", "doc_id", n=3, threshold=0.8)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin [shingle" in plan  # the freq attach
         lines = plan.splitlines()
@@ -140,7 +139,8 @@ class TestDocFrequencySkew:
         exact = {
             (r.id_a, r.id_b): round(r.jaccard, 9)
             for r in dedup.jaccard_pairs(
-                skewed, "text", "doc_id", n=3, threshold=0.8
+                skewed, "text", "doc_id", n=3, threshold=0.8,
+                freq_mode="exact",
             ).collect()
         }
         skewproof = {

@@ -120,7 +120,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
     unit: str = "word",
-    freq_mode: str = "exact",
+    freq_mode: str = "broadcast_head",
     hot_df_cap: int = 64,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity for all pairs above ``threshold``.
@@ -159,15 +159,16 @@ def jaccard_pairs(
 
     ``freq_mode`` picks how the frequency ORDER reaches each shingle:
 
-    - ``'exact'`` (default): shuffle-join the full frequency table back
+    - ``'exact'``: shuffle-join the full frequency table back
       on the shingle key. Optimal prefix ordering (fewest candidates),
       but the join-back concentrates a hot shingle's occurrence rows in
       one task, and AQE's skew split cannot rescue it — the rule only
       matches plain two-shuffle SMJ children, not the
       ``Sort(HashAggregate(Shuffle))`` the frequency side planates to.
-      Right when shingle frequencies are near-uniform or the corpus
-      fits comfortable task sizes.
-    - ``'broadcast_head'``: broadcast only the HOT head of the
+      Opt-in (A/B comparison; near-uniform shingle frequencies).
+    - ``'broadcast_head'`` (DEFAULT — a web-corpus trigram can sit in
+      half the documents, and one such key makes ``'exact'`` a
+      straggler at scale): broadcast only the HOT head of the
       frequency table (df > ``hot_df_cap`` — by Zipf a tiny set,
       corpus_occurrences/cap entries max) and give every tail shingle
       frequency bucket 0, ordered lexicographically. The prefix-filter

@@ -76,7 +76,13 @@ _PAIRS_CTES = r"""
 )
 def x3(spark: SparkSession, sf: str) -> DataFrame:
     """Word-trigram Jaccard near-dup pairs (prefix-filtered exact
-    similarity join; identical output to the naive quadratic oracle)."""
+    similarity join; identical output to the naive quadratic oracle).
+    Runs the operator's DEFAULT mode — which as of round 5 is the
+    skew-proof ``broadcast_head`` frequency attach (no shuffle on the
+    raw shingle key anywhere; a hot shingle can never pin one task):
+    tests/test_plans.py asserts the registered plan, and the opt-in
+    ``freq_mode='exact'`` A/B twin is covered by
+    tests/test_scale.py's identical-output comparison."""
     d = load_tables(spark, sf, "documents")["documents"]
     return dedup.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
 
@@ -86,14 +92,17 @@ def x3(spark: SparkSession, sf: str) -> DataFrame:
     f"WITH {_PAIRS_CTES} SELECT id_a, id_b, jaccard FROM pairs",
 )
 def x47(spark: SparkSession, sf: str) -> DataFrame:
-    """The 100 TB mode of x3: frequency ordering via a BROADCAST hot
-    head (df > cap) with lexicographic tail — the prefix-filter theorem
-    only needs a globally consistent shingle order, so the output is
-    IDENTICAL to x3 (same DuckDB oracle verifies both), but the shingle
-    join is a broadcast hash join: no shuffle on the shingle key
-    anywhere, so a hot shingle can never pin one task at any corpus
-    size. tests/test_scale.py measures the per-task balance on a
-    Zipfian corpus."""
+    """The skew-proof frequency mode, pinned EXPLICITLY (since round 5
+    it is also the operator default, so this registers the same plan
+    as x3 under an independent driver row): frequency ordering via a
+    BROADCAST hot head (df > cap) with lexicographic tail — the
+    prefix-filter theorem only needs a globally consistent shingle
+    order, so the output is IDENTICAL to freq_mode='exact' (same
+    DuckDB oracle verifies both), but the shingle join is a broadcast
+    hash join: no shuffle on the shingle key anywhere, so a hot
+    shingle can never pin one task at any corpus size.
+    tests/test_scale.py measures the per-task balance on a Zipfian
+    corpus."""
     d = load_tables(spark, sf, "documents")["documents"]
     return dedup.jaccard_pairs(
         d, "text", "doc_id", n=3, threshold=0.8,

@@ -4,8 +4,14 @@ entry(spark)  -> flagship query on sf0.001
 queries()     -> every implemented operator (SURVEY.md §2 + north-star
                  extensions), as (spark, sf_dir) -> DataFrame, ordered
                  so the external gate's first-50 window always covers
-                 queries without a passing driver row from any earlier
-                 round (CORRECTNESS_r*.json)
+                 (1) queries without a passing driver row from any
+                 earlier round (CORRECTNESS_r*.json) and (2) queries
+                 whose IMPLEMENTATION changed since their last green
+                 row — per-query module-closure fingerprints
+                 (queries/fingerprints.py) against the records in
+                 QUERY_FINGERPRINTS.json, refreshed at round start by
+                 tools/update_query_fingerprints.py. A rewrite can't
+                 coast on a stale green from its old code.
 oracle_sql()  -> DuckDB-equivalent SQL per query. Only 3 omissions —
                  x11/x14/x16 — operators whose plane/centroid/stub
                  internals are irreducibly engine-specific; each has a

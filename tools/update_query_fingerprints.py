@@ -1,0 +1,138 @@
+"""Record per-query implementation fingerprints at their last green row.
+
+Run at ROUND START, before making any changes, with the git revision
+whose code the driver just tested (default: HEAD — correct when run
+first thing in a round, since the driver's CORRECTNESS file is
+committed on top of the round's final source without modifying it):
+
+    python tools/update_query_fingerprints.py [rev]
+
+Updates QUERY_FINGERPRINTS.json:
+  - every query with a green row in the NEWEST CORRECTNESS_r*.json
+    gets its fingerprint recomputed from ``rev`` (its green row tested
+    exactly that code);
+  - queries green only in OLDER rounds keep their existing record
+    (their last-tested code may predate ``rev``); a missing record is
+    bootstrapped from ``rev`` (one-time initialization — accepts the
+    current round start as the baseline);
+  - queries with no green row anywhere get no record (they sort into
+    the window regardless).
+
+The registry's _rotate_verified_to_back() then re-windows any green
+query whose working-tree fingerprint deviates from the record.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def green_names(path: str) -> set[str]:
+    try:
+        with open(path) as f:
+            rows = json.load(f)
+    except Exception:
+        return set()
+    out = set()
+    for name, r in rows.items():
+        if not isinstance(r, dict):
+            continue
+        if (
+            r.get("err") in (None, "rows_only")
+            and r.get("rows_match") is True
+            and r.get("schema_match") is not False
+            and r.get("hash_match") is not False
+        ):
+            out.add(name)
+    return out
+
+
+def git_reader(rev: str, mods: dict[str, str]):
+    cache: dict[str, str | None] = {}
+
+    def read(mod: str) -> str | None:
+        if mod in cache:
+            return cache[mod]
+        path = mods.get(mod)
+        src = None
+        if path is not None:
+            rel = os.path.relpath(path, REPO)
+            p = subprocess.run(
+                ["git", "-C", REPO, "show", f"{rev}:{rel}"],
+                capture_output=True,
+                text=True,
+            )
+            if p.returncode == 0:
+                src = p.stdout
+        cache[mod] = src
+        return src
+
+    return read
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    force_stale: set[str] = set()
+    for a in sys.argv[1:]:
+        # --stale=x3_ngram_jaccard_pairs,... : drop these records so the
+        # queries sort into the next driver window regardless (used at
+        # the round-5 bootstrap for implementations the round-4 verdict
+        # flagged as coasting on stale greens)
+        if a.startswith("--stale="):
+            force_stale |= set(a[len("--stale="):].split(","))
+    rev = args[0] if args else "HEAD"
+
+    from wren_engine_spark.queries import fingerprints as fp
+    from wren_engine_spark.queries.registry import QUERIES
+
+    corr_files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    latest = green_names(corr_files[-1]) if corr_files else set()
+    union = set()
+    for p in corr_files:
+        union |= green_names(p)
+
+    mods = fp.module_files()
+    # rev 'WORKTREE' reads the working tree (bootstrap across file
+    # moves, where old revisions lack current module paths)
+    read = fp.disk_reader(mods) if rev == "WORKTREE" else git_reader(rev, mods)
+    per_mod: dict[str, str] = {}
+
+    def fp_of(mod: str) -> str:
+        if mod not in per_mod:
+            per_mod[mod] = fp.fingerprint(mod, read, mods)
+        return per_mod[mod]
+
+    record = fp.recorded_fingerprints()
+    updated, bootstrapped = 0, 0
+    for name, fn in QUERIES.items():
+        if name in latest:
+            record[name] = fp_of(fn.__module__)
+            updated += 1
+        elif name in union and name not in record:
+            record[name] = fp_of(fn.__module__)
+            bootstrapped += 1
+    # drop records for queries that no longer exist
+    record = {k: v for k, v in record.items() if k in QUERIES}
+    for name in force_stale:
+        record.pop(name, None)
+
+    with open(fp.RECORD_PATH, "w") as f:
+        json.dump(dict(sorted(record.items())), f, indent=1)
+        f.write("\n")
+    print(
+        f"recorded {len(record)} fingerprints from {rev} "
+        f"({updated} from latest round, {bootstrapped} bootstrapped)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

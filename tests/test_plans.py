@@ -159,6 +159,21 @@ class TestSemanticPlanShapes:
         assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p
 
+    def test_sem8_drill_scans_cube_not_base_table(self, spark):
+        # the hierarchy drill must be answered from the CACHED cube
+        # pre-agg (InMemoryTableScan over cube-cardinality rows), never
+        # by re-scanning the base orders parquet — pre-agg routing is
+        # the whole point of the cube object at scale
+        df = QUERIES["sem8_cube_drill"](spark, SF_DIR)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in p
+        # the LIVE plan (everything above the cached relation) must be
+        # parquet-free; the FileScan that appears after the marker is
+        # only the InMemoryRelation's stored lineage display
+        live = p.split("InMemoryTableScan", 1)[0]
+        assert "FileScan" not in live and "orders.parquet" not in live
+        assert "HashAggregate" in live  # the drill's re-aggregation
+
 
 class TestAsofAndDistributedExact:
     def test_a3_asof_join_no_nested_loop(self, spark):

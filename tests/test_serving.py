@@ -319,6 +319,70 @@ class TestAnalysis:
         assert "region_m" in names and "customer_m" not in names
 
 
+class TestCubeDrill:
+    def _deploy(self, spark):
+        from tests.conftest import SF_DIR
+        from wren_engine_spark.queries.semantic import _CUBE_MANIFEST, deploy
+
+        return deploy(spark, SF_DIR, _CUBE_MANIFEST)
+
+    def test_drill_matches_base_aggregation(self, spark):
+        eng = self._deploy(spark)
+        got = {
+            r.status: (float(r.revenue_dec), r.n_orders)
+            for r in eng.cube_drill(
+                "orders_cube", hierarchy="order", level="status"
+            ).collect()
+        }
+        want = {
+            r.status: (float(r.rev), r.n)
+            for r in spark.sql(
+                "SELECT status, SUM(CAST(totalprice AS DECIMAL(38,6))) rev,"
+                " COUNT(*) n FROM orders_m GROUP BY status"
+            ).collect()
+        }
+        assert got == want
+
+    def test_full_hierarchy_level_keeps_all_dims(self, spark):
+        eng = self._deploy(spark)
+        out = eng.cube_drill("orders_cube", hierarchy="order", level="priority")
+        assert set(out.columns) == {"status", "priority", "n_orders", "revenue_dec"}
+
+    def test_unknown_hierarchy_and_level_raise(self, spark):
+        from wren_engine_spark.engine import PlanError
+
+        eng = self._deploy(spark)
+        with pytest.raises(PlanError):
+            eng.cube_drill("orders_cube", hierarchy="nope", level="status")
+        with pytest.raises(PlanError):
+            eng.cube_drill("orders_cube", hierarchy="order", level="nope")
+
+    def test_non_reaggregatable_measure_raises(self, spark):
+        from tests.conftest import SF_DIR
+        from wren_engine_spark.engine import PlanError
+        from wren_engine_spark.queries.semantic import MANIFEST, deploy
+
+        manifest = {
+            **MANIFEST,
+            "cubes": [{
+                "name": "avg_cube_t",
+                "baseObject": "orders_m",
+                "measures": [
+                    {"name": "avg_price", "expression": "avg(totalprice)",
+                     "type": "double"},
+                ],
+                "dimensions": [
+                    {"name": "status", "expression": "status", "type": "varchar"},
+                    {"name": "priority", "expression": "priority", "type": "varchar"},
+                ],
+                "hierarchies": {"h": ["status", "priority"]},
+            }],
+        }
+        eng = deploy(spark, SF_DIR, manifest)
+        with pytest.raises(PlanError):
+            eng.cube_drill("avg_cube_t", hierarchy="h", level="status")
+
+
 class TestCubeRefresh:
     def test_refresh_picks_up_new_base_state(self, spark):
         from tests.conftest import SF_DIR

@@ -864,6 +864,70 @@ class SemanticEngine:
             self._cube_frames: dict[str, DataFrame] = {}
         self._cube_frames[cube.name] = out
 
+    def cube_drill(
+        self,
+        name: str,
+        hierarchy: str | None = None,
+        level: str | None = None,
+    ) -> DataFrame:
+        """Answer a coarser-grain query THROUGH a cube: re-aggregate the
+        materialized pre-agg up the named hierarchy to ``level`` (which
+        must be a member of the hierarchy; all levels up to and
+        including it are kept, the finer ones roll up). Reference cube
+        hierarchies: manifest-macro/src/lib.rs:352-385.
+
+        Measures re-aggregate by their head function — SUM/COUNT roll
+        up as sums (a DECIMAL sum stays exact under re-aggregation),
+        MIN/MAX as min/max; anything else (AVG, DISTINCT counts) is not
+        distributive over the pre-agg and raises PlanError rather than
+        silently answering wrong. At scale this is the point of a cube:
+        the drill scans the cached pre-agg (cube-cardinality rows), not
+        the base fact table.
+        """
+        cube = next((c for c in self.manifest.cubes if c.name == name), None)
+        if cube is None:
+            raise PlanError(f"unknown cube {name!r}")
+        frame = getattr(self, "_cube_frames", {}).get(name)
+        if frame is None:
+            raise PlanError(f"cube {name!r} is not deployed")
+        dims = [d.name for d in cube.dimensions]
+        dims += [t.name for t in cube.time_dimensions]
+        if hierarchy is not None:
+            hier = cube.hierarchies.get(hierarchy)
+            if hier is None:
+                raise PlanError(
+                    f"cube {name!r} has no hierarchy {hierarchy!r} "
+                    f"(has: {sorted(cube.hierarchies)})"
+                )
+            if level not in hier:
+                raise PlanError(
+                    f"level {level!r} not in hierarchy {hierarchy!r} ({hier})"
+                )
+            keep = hier[: hier.index(level) + 1]
+            keep += [d for d in dims if d not in hier]
+        else:
+            keep = dims
+        aggs = []
+        for m in cube.measures:
+            head = m.expression.strip().split("(", 1)[0].strip().upper()
+            if "DISTINCT" in m.expression.upper():
+                raise PlanError(
+                    f"measure {m.name!r} (DISTINCT) is not re-aggregatable "
+                    "over the pre-agg"
+                )
+            if head in ("SUM", "COUNT"):
+                aggs.append(F.sum(m.name).alias(m.name))
+            elif head == "MIN":
+                aggs.append(F.min(m.name).alias(m.name))
+            elif head == "MAX":
+                aggs.append(F.max(m.name).alias(m.name))
+            else:
+                raise PlanError(
+                    f"measure {m.name!r} ({head}) is not re-aggregatable "
+                    "over the pre-agg; query the base model instead"
+                )
+        return frame.groupBy(*[F.col(k) for k in keep]).agg(*aggs)
+
     def refresh_cube(self, name: str) -> None:
         """Recompute a cube's materialization (the ``refresh_time`` hook
         — manifest-macro/src/lib.rs:141-168; production would schedule

@@ -12,6 +12,7 @@ pre-aggregation; cardinality invariant per model.slt:37-44).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from wren_engine_spark.engine import SemanticEngine
 from wren_engine_spark.mdl.manifest import Manifest
@@ -301,4 +302,59 @@ def sem7(spark: SparkSession, sf: str) -> DataFrame:
         JOIN nation_m n ON c.nation_key = n.nationkey
         GROUP BY n.name
         """
+    )
+
+
+_CUBE_MANIFEST: dict = {
+    **MANIFEST,
+    "cubes": [
+        {
+            "name": "orders_cube",
+            "baseObject": "orders_m",
+            "cached": True,
+            "dimensions": [
+                {"name": "status", "expression": "status", "type": "varchar"},
+                {"name": "priority", "expression": "priority", "type": "varchar"},
+            ],
+            "measures": [
+                {"name": "n_orders", "expression": "count(*)", "type": "bigint"},
+                # DECIMAL sum, not double: stays EXACT when the drill
+                # re-aggregates pre-agg rows (order-independent)
+                {
+                    "name": "revenue_dec",
+                    "expression": "SUM(CAST(totalprice AS DECIMAL(38,6)))",
+                    "type": "decimal",
+                },
+            ],
+            "hierarchies": {"order": ["status", "priority"]},
+        }
+    ],
+}
+
+
+@register(
+    "sem8_cube_drill",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sem8(spark: SparkSession, sf: str) -> DataFrame:
+    """A STATUS-grain query answered THROUGH the MDL cube object
+    (engine.cube_drill): the (status, priority) pre-agg materializes at
+    deploy (cached), and the drill rolls the 'order' hierarchy up to
+    its 'status' level by re-aggregating cube rows — COUNT as a sum,
+    revenue as an exact DECIMAL sum — without touching the base orders
+    scan (tests/test_plans.py asserts the InMemoryTableScan). The
+    oracle computes the same answer from the raw table, so the driver
+    hash-checks that pre-agg routing is lossless. Reference cube
+    hierarchies: manifest-macro/src/lib.rs:352-385."""
+    eng = deploy(spark, sf, _CUBE_MANIFEST)
+    out = eng.cube_drill("orders_cube", hierarchy="order", level="status")
+    return out.select(
+        "status",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        F.col("n_orders"),
     )

@@ -98,12 +98,31 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     mean_plan = round(sum(plan_ms.values()) / len(plan_ms), 1)
 
-    # full TPC-H suite (22 adapted queries) as a secondary throughput
-    # metric — the reference's correctness corpus is TPC-H, so this is
-    # the closest apples-to-apples execution number
+    # Sub-suites use the SAME median-of-N methodology as the headline
+    # (round-4 verdict item 3: the single-pass tpch number drifted +16%
+    # while every TPC-H query inside the median headline got faster —
+    # artifact-vs-noise). Sum of per-query medians, run totals recorded.
+    def run_suite(names: list[str], label: str):
+        per: dict[str, list[float]] = {n: [] for n in names}
+        totals: list[float] = []
+        for _run in range(n_runs):
+            spark.catalog.clearCache()
+            tot = 0.0
+            for name in names:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                per[name].append(dt)
+                tot += dt
+            totals.append(round(tot, 3))
+        meds = {n: round(med(v), 3) for n, v in per.items()}
+        total = round(sum(meds.values()), 3)
+        print(f"# {label}: {total:.1f}s (runs: {totals})", file=sys.stderr)
+        return meds, total, totals
+
     # round-4 operator sub-suite: separate total so the HEADLINE stays
     # comparable round-over-round while new operators still get a
-    # recorded per-round number (single cold pass, cleared cache)
+    # recorded per-round number
     EXT = [
         "x48_dsir_importance",
         "x50_semantic_dedup",
@@ -113,21 +132,20 @@ def main() -> None:
         "x54_curation_provenance",
         "x56_neardup_decontamination",
     ]
-    spark.catalog.clearCache()
-    ext_timings = {}
-    for name in EXT:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        ext_timings[name] = round(time.perf_counter() - t0, 3)
-    ext_total = round(sum(ext_timings.values()), 3)
-    print(f"# r4 operator sub-suite: {ext_total:.1f}s", file=sys.stderr)
+    ext_timings, ext_total, ext_runs = run_suite(EXT, "r4 operator sub-suite")
 
+    # round-5 watch set: cube pre-agg routing + the ANN signature paths
+    # (vectorization target — per-round numbers make the trend visible)
+    R5 = ["sem8_cube_drill", "x11_lsh_ann", "x55_ivf_probe_portable"]
+    r5_timings, r5_total, r5_runs = run_suite(R5, "r5 operator sub-suite")
+
+    # full TPC-H suite (22 adapted queries) as a secondary throughput
+    # metric — the reference's correctness corpus is TPC-H, so this is
+    # the closest apples-to-apples execution number
     tpch = sorted(n for n in QUERIES if n[0] == "q" and n[1].isdigit())
-    t0 = time.perf_counter()
-    for name in tpch:
-        QUERIES[name](spark, sf_dir).count()
-    tpch_total = round(time.perf_counter() - t0, 3)
-    print(f"# tpch suite ({len(tpch)} queries): {tpch_total:.1f}s", file=sys.stderr)
+    tpch_timings, tpch_total, tpch_runs = run_suite(
+        tpch, f"tpch suite ({len(tpch)} queries)"
+    )
 
     # semantic-rewrite planning latency (BASELINE.md bar: <= ~10 ms/query
     # for the MDL->Spark-plan rewrite, reference planning-latency envelope
@@ -175,8 +193,14 @@ def main() -> None:
                 "semantic_plan_ms_p50": semantic_plan_ms,
                 "semantic_plan_cached_ms_p50": semantic_plan_cached_ms,
                 "tpch_suite_s": tpch_total,
+                "tpch_run_totals": tpch_runs,
+                "tpch_queries": tpch_timings,
                 "r4_ops": ext_timings,
                 "r4_ops_total_s": ext_total,
+                "r4_ops_run_totals": ext_runs,
+                "r5_ops": r5_timings,
+                "r5_ops_total_s": r5_total,
+                "r5_ops_run_totals": r5_runs,
             }
         )
     )

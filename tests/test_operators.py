@@ -117,6 +117,42 @@ class TestANN:
         # 6 tables -> ~99.5% per query. Allow slack: >=90/100.
         assert found >= 90, f"planted-neighbor recall too low: {found}/100"
 
+    def test_lsh_vectorized_bit_identical_to_hof(self, spark):
+        """The Arrow kernels accumulate in the HOF's exact left-fold
+        order, so buckets, candidate sets, similarities and ranks must
+        be IDENTICAL — the vectorized default can't drift from the
+        oracle-audited form."""
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        kw = dict(dim=64, k=3, nbits=10)
+        hof = similarity.lsh_ann_topk(emb, "vec_id", "embedding", impl="hof", **kw)
+        vec = similarity.lsh_ann_topk(
+            emb, "vec_id", "embedding", impl="vectorized", **kw
+        )
+        a = {(r.query_id, r.rnk): (r.neighbor_id, r.cosine_sim) for r in hof.collect()}
+        b = {(r.query_id, r.rnk): (r.neighbor_id, r.cosine_sim) for r in vec.collect()}
+        assert a == b and a
+
+    def test_ivf_vectorized_bit_identical_to_hof(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        cents = similarity.kmeans_centroids(emb, "embedding", dim=64, nlist=4, iters=1)
+        kw = dict(dim=64, k=4, nlist=4, nprobe=2, centroids=cents)
+        a = {
+            (r.query_id, r.rnk): (r.neighbor_id, r.cosine_sim)
+            for r in similarity.ivf_topk(
+                emb, "vec_id", "embedding", queries, impl="hof", **kw
+            ).collect()
+        }
+        b = {
+            (r.query_id, r.rnk): (r.neighbor_id, r.cosine_sim)
+            for r in similarity.ivf_topk(
+                emb, "vec_id", "embedding", queries, impl="vectorized", **kw
+            ).collect()
+        }
+        assert a == b and a
+
     def test_cosine_topk_self_excluded(self, spark):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         queries = emb.filter(F.col("vec_id") < 5).select(

@@ -1436,6 +1436,58 @@ class TestWeightedSample:
         assert rows[0].threshold in (200_000, 800_000)
 
 
+class TestLshRecallBudget:
+    """Seed-stability for the probabilistic oracles (round-4 verdict
+    item 7): x4's miss budget and x32's oracle-proof banding must hold
+    across seeds at the driver's comparison scale (sf0.01), so a green
+    row never depends on one lucky seed."""
+
+    SF = "/root/testdata/sf0.01"
+
+    def test_x4_misses_within_budget_across_seeds(self, spark):
+        import math
+
+        from wren_engine_spark.operators import dedup
+
+        d = spark.read.parquet(f"{self.SF}/documents.parquet")
+        exact = dedup.jaccard_pairs(
+            d, "text", "doc_id", n=3, threshold=0.8
+        ).select("id_a", "id_b").cache()
+        pairs = exact.count()
+        assert pairs > 0
+        lam = 2.2e-4 * pairs
+        budget = 3 + math.ceil(lam + 4.0 * math.sqrt(lam))
+        for seed in (1, 7, 42, 123, 999):
+            cand = dedup.minhash_lsh_candidates(
+                d, "text", "doc_id", seed=seed
+            ).select("id_a", "id_b")
+            misses = exact.join(cand, ["id_a", "id_b"], "left_anti").count()
+            assert misses <= budget, (seed, misses, budget)
+
+    def test_x32_banding_matches_exact_clusters_across_seeds(self, spark):
+        from wren_engine_spark.operators import dedup
+
+        d = spark.read.parquet(f"{self.SF}/documents.parquet")
+
+        def canon(df):
+            groups: dict = {}
+            for r in df.collect():
+                groups.setdefault(r.cluster_id, set()).add(r.doc_id)
+            return {frozenset(v) for v in groups.values()}
+
+        want = canon(dedup.duplicate_clusters(d, "text", "doc_id", n=3, threshold=0.8))
+        # bands=32 (2 rows/band): per-pair miss prob ≈ 6e-15 — the
+        # registered x32 config must reproduce the exact clustering for
+        # every seed, not just the registered one
+        for seed in (1, 42, 777):
+            got = canon(
+                dedup.scalable_duplicate_clusters(
+                    d, "text", "doc_id", bands=32, seed=seed
+                )
+            )
+            assert got == want, seed
+
+
 class TestBpe:
     @staticmethod
     def _ref_learn(words_freq, n_merges):

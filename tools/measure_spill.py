@@ -1,0 +1,109 @@
+"""Spill/memory evidence for the widest operators at 10x (round-4
+verdict item 9): run x13's distributed block-pair all-pairs and x50's
+within-cluster quadratic on a 10x embeddings corpus (20k vectors vs
+sf0.1's 2k) and record per-stage shuffle bytes, spill bytes, and peak
+execution memory from the Spark UI REST API.
+
+Usage: python tools/measure_spill.py [n_vectors]
+Prints one JSON line per operator; paste the results into SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def rest(base: str, path: str):
+    with urllib.request.urlopen(f"{base}{path}", timeout=10) as r:
+        return json.load(r)
+
+
+def stage_metrics(base: str, app_id: str, job_group: str) -> dict:
+    jobs = rest(base, f"/api/v1/applications/{app_id}/jobs")
+    stage_ids = set()
+    for j in jobs:
+        if j.get("jobGroup") == job_group:
+            stage_ids.update(j.get("stageIds", []))
+    out = {
+        "n_stages": 0,
+        "shuffle_read_mb": 0.0,
+        "shuffle_write_mb": 0.0,
+        "memory_spilled_mb": 0.0,
+        "disk_spilled_mb": 0.0,
+        "peak_execution_memory_mb": 0.0,
+        "max_task_count": 0,
+    }
+    stages = rest(base, f"/api/v1/applications/{app_id}/stages?status=complete")
+    for s in stages:
+        if s.get("stageId") not in stage_ids:
+            continue
+        out["n_stages"] += 1
+        out["shuffle_read_mb"] += s.get("shuffleReadBytes", 0) / 1e6
+        out["shuffle_write_mb"] += s.get("shuffleWriteBytes", 0) / 1e6
+        out["memory_spilled_mb"] += s.get("memoryBytesSpilled", 0) / 1e6
+        out["disk_spilled_mb"] += s.get("diskBytesSpilled", 0) / 1e6
+        out["peak_execution_memory_mb"] = max(
+            out["peak_execution_memory_mb"],
+            s.get("peakExecutionMemory", 0) / 1e6,
+        )
+        out["max_task_count"] = max(out["max_task_count"], s.get("numTasks", 0))
+    return {k: round(v, 1) if isinstance(v, float) else v for k, v in out.items()}
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    from wren_engine_spark.operators import similarity
+    from wren_engine_spark.session import get_spark
+
+    spark = get_spark(
+        "spill_measure", extra_conf={"spark.ui.enabled": "true"}
+    )
+    sc = spark.sparkContext
+    base = sc.uiWebUrl
+    app_id = sc.applicationId
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(64)], i % 20) for i in range(n)
+    ]
+    d = tempfile.mkdtemp(prefix="spill10x_")
+    spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    ).repartition(32).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+
+    results = {}
+    for name, fn in (
+        (
+            "x13_block_pair_exact",
+            lambda: similarity.cosine_near_dup_pairs(
+                emb, "vec_id", "embedding", threshold=0.35
+            ).count(),
+        ),
+        (
+            "x50_semantic_dedup",
+            lambda: similarity.semantic_dedup(emb, "vec_id", "embedding").count(),
+        ),
+    ):
+        sc.setJobGroup(name, name)
+        t0 = time.perf_counter()
+        n_out = fn()
+        dt = time.perf_counter() - t0
+        sc.setJobGroup(None, None)
+        m = stage_metrics(base, app_id, name)
+        m.update({"op": name, "n_vectors": n, "rows_out": n_out, "wall_s": round(dt, 1)})
+        results[name] = m
+        print(json.dumps(m))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

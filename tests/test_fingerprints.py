@@ -26,7 +26,8 @@ class TestDepClosure:
         srcs = {
             "wren_engine_spark.queries.qq": (
                 "from wren_engine_spark.operators import op\n"
-                "from wren_engine_spark.queries.registry import register, load_tables\n"
+                "from wren_engine_spark.queries.io import load_tables\n"
+                "from wren_engine_spark.queries.registry import register\n"
             ),
             "wren_engine_spark.operators.op": "import wren_engine_spark.operators.other\n",
             "wren_engine_spark.operators.other": "x = 1\n",
@@ -38,9 +39,10 @@ class TestDepClosure:
         got = fp.dep_closure(
             "wren_engine_spark.queries.qq", _reader(srcs), _mods()
         )
-        # transitive through op AND through the excluded-from-hash
-        # registry (so io.py behind the re-export still enters)
-        assert got == set(_mods())
+        # transitive through op; registry is EXCLUDED entirely (neither
+        # hashed nor traversed — its imports would drag every query
+        # module into every closure); io enters via the direct import
+        assert got == set(_mods()) - fp.EXCLUDE
 
     def test_non_package_imports_ignored(self):
         srcs = {"wren_engine_spark.queries.qq": "import os\nfrom pyspark.sql import functions\n"}

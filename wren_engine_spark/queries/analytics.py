@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from wren_engine_spark.queries.registry import load_tables, register
+from wren_engine_spark.queries.io import load_tables
+from wren_engine_spark.queries.registry import register
 from wren_engine_spark.queries.tpch import dsum, DSUM
 
 

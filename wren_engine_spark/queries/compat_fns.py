@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from wren_engine_spark.functions.compat import register_compat_functions
-from wren_engine_spark.queries.registry import load_tables, register
+from wren_engine_spark.queries.io import load_tables
+from wren_engine_spark.queries.registry import register
 
 
 @register(

@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 from wren_engine_spark.operators.textnorm import WS_RE
 
 from wren_engine_spark.operators import dedup, multimodal, similarity, text
-from wren_engine_spark.queries.registry import load_tables, register
+from wren_engine_spark.queries.io import load_tables
+from wren_engine_spark.queries.registry import register
 
 _STOP = r"\b(the|a|an|and|of|to|in|is|it|that)\b"
 _ES = r"\b(el|la|los|las|que|de|y|en|un|una|es)\b"
@@ -303,18 +304,27 @@ def x10(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _x11_oracle() -> str:
+def _lsh_oracle(
+    nbits: int = 10,
+    tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    k: int = 3,
+    query_pred: str = "TRUE",
+) -> str:
     """Exact DuckDB oracle for the hyperplane-LSH ANN: the planes are
     Python-RNG constants shared with similarity.hyperplane_signatures
     (same seeds), embedded here as double literals; signature dots use
     the same left fold as the Spark HOF, so buckets — and therefore the
-    candidate sets and the final top-k — reproduce bit-for-bit."""
+    candidate sets and the final top-k — reproduce bit-for-bit.
+    ``query_pred`` restricts the query side (the probe form, x63); TRUE
+    is the all-pairs self-search (x11)."""
     import random as _random
 
     rows = []
-    for t in range(4):  # lsh_ann_topk defaults: tables=4, seed=42
-        rng = _random.Random(42 + 1000 * t)
-        planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(10)]
+    for t in range(tables):
+        rng = _random.Random(seed + 1000 * t)
+        planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
         for j, plane in enumerate(planes):
             ws = "[" + ", ".join(repr(w) for w in plane) + "]"
             rows.append(f"({t}, {j}, {ws}::DOUBLE[])")
@@ -337,7 +347,7 @@ def _x11_oracle() -> str:
     cand AS (
       SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
       FROM sigs a JOIN sigs b ON a.t = b.t AND a.bucket = b.bucket
-      WHERE a.vec_id <> b.vec_id
+      WHERE a.vec_id <> b.vec_id AND ({query_pred.replace('vec_id', 'a.vec_id')})
     ),
     base AS (
       SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2 FROM embeddings
@@ -357,11 +367,11 @@ def _x11_oracle() -> str:
       FROM scored
     )
     SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, CAST(rnk AS INTEGER) AS rnk
-    FROM ranked WHERE rnk <= 3
+    FROM ranked WHERE rnk <= {k}
     """
 
 
-@register("x11_lsh_ann", _x11_oracle())
+@register("x11_lsh_ann", _lsh_oracle())
 def x11(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane-LSH ANN, ORACLE-GREEN (round-4: was rows-only): the
     plane matrix is a seeded constant shared with the oracle, and every
@@ -369,6 +379,37 @@ def x11(spark: SparkSession, sf: str) -> DataFrame:
     exact cosine, tie-broken top-k) is reproducible bit-for-bit."""
     e = load_tables(spark, sf, "embeddings")["embeddings"]
     return similarity.lsh_ann_topk(e, "vec_id", "embedding", dim=64, k=3, nbits=10)
+
+
+_ANN_INDEX_MEMO: dict = {}
+
+
+@register(
+    "x63_ann_index_probe",
+    _lsh_oracle(query_pred="vec_id < 10"),
+)
+def x63(spark: SparkSession, sf: str) -> DataFrame:
+    """Build-once/probe-many ANN: persist the hyperplane-LSH index as a
+    BUCKETED table (similarity.write_ann_index — bucket-pruned scans,
+    no index-side shuffle on probe; SelectedBucketsCount plan assert in
+    tests/test_plans.py) and serve a 10-query probe through it
+    (similarity.ann_index_topk). Same seeded planes as x11, so the
+    oracle recomputes buckets, candidates, and the exact-cosine top-k
+    bit-for-bit — the persisted-index path gets its own driver row
+    instead of riding x11's. The index build is memoized per
+    (session, sf): build once, probe many is the point."""
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    key = (id(spark), sf)
+    table = f"ann_idx_{abs(hash(key)) % 10**8}"
+    if _ANN_INDEX_MEMO.get(key) != table or not spark.catalog.tableExists(table):
+        similarity.write_ann_index(
+            e, "vec_id", "embedding", table, dim=64, nbits=10, tables=4
+        )
+        _ANN_INDEX_MEMO[key] = table
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.ann_index_topk(
+        spark, table, queries, "vec_id", "embedding", dim=64, k=3, nbits=10, tables=4
+    )
 
 
 @register(

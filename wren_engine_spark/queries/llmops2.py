@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wren_engine_spark.operators import dedup, text
-from wren_engine_spark.queries.registry import load_tables, register
+from wren_engine_spark.queries.io import load_tables
+from wren_engine_spark.queries.registry import register
 
 
 @register(

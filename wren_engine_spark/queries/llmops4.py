@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wren_engine_spark.operators import layout, selection, similarity, text
-from wren_engine_spark.queries.registry import load_tables, register
+from wren_engine_spark.queries.io import load_tables
+from wren_engine_spark.queries.registry import register
 
 _WS = r"[ \t\n\x0B\f\r]+"
 

@@ -94,9 +94,14 @@ def _rotate_verified_to_back() -> None:
         )
     except Exception:
         changed = set(QUERIES)  # can't tell: recheck everything
-    # never-green first, then green-but-rewritten, then stable greens
+    # never-green first, then green-but-rewritten (explicit re-check
+    # priorities first, then registration order), then stable greens
+    prio = {n: i for i, n in enumerate(_fp.RECHECK_FIRST)}
+    reg_pos = {n: i for i, n in enumerate(QUERIES)}
     order = [n for n in QUERIES if n not in green]
-    order += [n for n in QUERIES if n in green and n in changed]
+    rewritten = [n for n in QUERIES if n in green and n in changed]
+    rewritten.sort(key=lambda n: (prio.get(n, len(prio)), reg_pos[n]))
+    order += rewritten
     order += [n for n in QUERIES if n in green and n not in changed]
     for d in (QUERIES, ORACLES):
         reordered = {n: d[n] for n in order if n in d}

@@ -1591,3 +1591,59 @@ class TestBpe:
         some = {r.doc_id: r.n_bpe_tokens
                 for r in t.bpe_learned_token_count(sub, merges).collect()}
         assert sum(some.values()) < sum(none.values())
+
+
+class TestTrainingLayout:
+    def test_leakage_safe_split_no_cross_split_near_dups(self, spark, docs):
+        """The defining invariant: no >=0.8 near-dup pair may straddle
+        splits — checked directly on the exact pair set."""
+        from wren_engine_spark.operators import dedup, selection
+
+        split = {
+            r.doc_id: r.split
+            for r in selection.leakage_safe_split(docs, "text", "doc_id").collect()
+        }
+        pairs = dedup.jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8).collect()
+        assert pairs  # corpus has planted near-dups
+        for r in pairs:
+            assert split[r.id_a] == split[r.id_b], (r.id_a, r.id_b)
+        # all three splits exist and train dominates
+        from collections import Counter
+
+        c = Counter(split.values())
+        assert c["train"] > c["val"] + c["test"]
+
+    def test_split_is_layout_invariant(self, spark, docs):
+        from wren_engine_spark.operators import selection
+
+        a = {r.doc_id: r.split
+             for r in selection.leakage_safe_split(docs, "text", "doc_id").collect()}
+        b = {r.doc_id: r.split
+             for r in selection.leakage_safe_split(
+                 docs.repartition(13), "text", "doc_id").collect()}
+        assert a == b
+
+    def test_shard_assignments_balanced_stable_and_dense(self, spark):
+        from collections import Counter
+
+        from wren_engine_spark.operators import selection
+
+        df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+        rows = selection.shard_assignments(df, "doc_id", n_shards=8).collect()
+        c = Counter(r.shard for r in rows)
+        assert set(c) == set(range(8))
+        assert max(c.values()) < 2 * min(c.values())  # hash balance
+        # positions are a dense 1..n_k sequence per shard
+        per = {}
+        for r in rows:
+            per.setdefault(r.shard, []).append(r.pos)
+        for k, ps in per.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), k
+        # identical assignment under a different physical layout
+        again = {
+            (r.doc_id): (r.shard, r.pos)
+            for r in selection.shard_assignments(
+                df.repartition(17), "doc_id", n_shards=8
+            ).collect()
+        }
+        assert {(r.doc_id): (r.shard, r.pos) for r in rows} == again

@@ -296,3 +296,100 @@ def weighted_sample(
         thr.alias("threshold"),
         (h < thr).alias("sampled"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    train_per_mille: int = 900,
+    val_per_mille: int = 50,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across
+    splits: documents are first clustered by exact n-gram Jaccard
+    near-duplication (prefix-filtered pairs -> connected components,
+    the x24 pipeline), then the SPLIT is decided per CLUSTER by pure
+    integer hash arithmetic — every member of a near-dup cluster lands
+    in the same split, so a test document can never have a >=threshold
+    near-duplicate in train (the standard eval-contamination failure
+    of naive row-hash splits).
+
+    Deterministic and engine/layout-invariant: the cluster id is the
+    component's MIN doc id and the split hash is the same portable
+    integer family as weighted_sample — no RNG state, reproducible on
+    any engine. Default 90/5/5 per-mille budget.
+
+    At 100 TB this costs the dedup-clustering pipeline (bucketed, not
+    all-pairs, via the skew-proof default) plus one narrow hash map —
+    and it is work a training pipeline must do anyway to dedup.
+
+    Returns (id_col, cluster_id, split IN ('train','val','test')).
+    """
+    from wren_engine_spark.operators import dedup
+
+    clusters = dedup.duplicate_clusters(
+        docs, text_col, id_col, n=n, threshold=threshold
+    )
+    h = F.pmod(
+        F.pmod(F.col("cluster_id") * 31 + F.lit(seed), F.lit(2147483647))
+        * F.pmod(F.col("cluster_id") * 48271 + F.lit(seed + 7), F.lit(2147483647)),
+        F.lit(1000),
+    )
+    split = (
+        F.when(h < F.lit(train_per_mille), F.lit("train"))
+        .when(h < F.lit(train_per_mille + val_per_mille), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return clusters.select(F.col(id_col), "cluster_id", split.alias("split"))
+
+
+def shard_assignments(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic training-shard layout: every document gets a shard
+    (portable integer hash — balanced in expectation, reproducible on
+    any engine, never dependent on input partitioning the way
+    df.randomSplit / monotonically_increasing_id are) and a stable
+    position within its shard (rank by a second independent hash, doc
+    id as tie-break), so a training job reading shard k in position
+    order sees the SAME byte stream on every run and engine.
+
+    At 100 TB the write path is `repartition(n_shards, shard)` +
+    `sortWithinPartitions(pos)` — one hash shuffle, no global sort;
+    the rank window here is per-shard (corpus/n_shards rows) and
+    exists to make the contract oracle-checkable row-by-row.
+
+    Returns (id_col, shard, pos).
+    """
+    from pyspark.sql import Window as W
+
+    idc = F.col(id_col).cast("bigint")
+    # reduce the product mod the Mersenne prime BEFORE the small-modulus
+    # fold: the raw product of (31d+s) and (48271d+s') always has an
+    # even factor, so `product % n_shards` would only ever hit even
+    # shards — the odd-prime reduction destroys that parity structure
+    h1 = F.pmod(
+        F.pmod(
+            F.pmod(idc * 31 + F.lit(seed), F.lit(2147483647))
+            * F.pmod(idc * 48271 + F.lit(seed + 7), F.lit(2147483647)),
+            F.lit(2147483647),
+        ),
+        F.lit(n_shards),
+    ).cast("int")
+    h2 = F.pmod(
+        F.pmod(idc * 37 + F.lit(seed + 13), F.lit(2147483647))
+        * F.pmod(idc * 69621 + F.lit(seed + 29), F.lit(2147483647)),
+        F.lit(1_000_000_007),
+    )
+    w = W.partitionBy("shard").orderBy(F.col("__h2"), F.col(id_col))
+    return (
+        docs.select(F.col(id_col), h1.alias("shard"), h2.alias("__h2"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, "shard", "pos")
+    )

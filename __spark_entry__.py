@@ -12,11 +12,11 @@ queries()     -> every implemented operator (SURVEY.md §2 + north-star
                  QUERY_FINGERPRINTS.json, refreshed at round start by
                  tools/update_query_fingerprints.py. A rewrite can't
                  coast on a stale green from its old code.
-oracle_sql()  -> DuckDB-equivalent SQL per query. Only 3 omissions —
-                 x11/x14/x16 — operators whose plane/centroid/stub
-                 internals are irreducibly engine-specific; each has a
-                 pytest equivalence or recall guarantee. The simhash
-                 queries (x5/x17) register the engine-PORTABLE
+oracle_sql()  -> DuckDB-equivalent SQL per query. ONE omission — x14
+                 (Lloyd k-means training, irreducibly iterative; its
+                 probe path has the bit-exact oracle-green twin x55
+                 and a full-probe==brute-force pytest guarantee). The
+                 simhash queries (x5/x17) register the engine-PORTABLE
                  polynomial hash and are bit-exact oracle-checked; the
                  xxhash64 variants remain library functions.
 """

@@ -159,6 +159,18 @@ class TestSemanticPlanShapes:
         assert "BroadcastHashJoin" in p
         assert "CartesianProduct" not in p
 
+    def test_x63_probe_broadcasts_queries_and_keeps_index_shuffle_free(
+        self, spark
+    ):
+        # the registered build-once/probe-many query: the probe join
+        # must BROADCAST the (tiny) query signatures into the bucketed
+        # index scan — any Exchange of the index side would re-shuffle
+        # the corpus-sized index per probe at scale
+        df = QUERIES["x63_ann_index_probe"](spark, SF_DIR)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
     def test_sem8_drill_scans_cube_not_base_table(self, spark):
         # the hierarchy drill must be answered from the CACHED cube
         # pre-agg (InMemoryTableScan over cube-cardinality rows), never

@@ -489,3 +489,61 @@ class TestStreamingObservability:
         assert seen["started"] >= 1
         assert seen["terminated"] >= 1
         assert sum(seen["progress"]) == batch_df.count()
+
+
+class TestPointInTimeJoin:
+    def test_event_sees_only_its_contemporary_version(self, spark, tmp_path):
+        """The leakage rule: an event must join the dimension version
+        valid AT ITS TIMESTAMP — never a later one, never an expired
+        one, and empty intervals (same-instant double change) match
+        nothing."""
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def ts(h):
+            return t0 + dt.timedelta(hours=h)
+
+        dim = spark.createDataFrame(
+            [
+                (1, "bronze", ts(0), ts(10)),
+                (1, "gold", ts(10), None),
+                (2, "silver", ts(0), ts(5)),
+                (2, "silver", ts(5), ts(5)),  # empty interval
+                (2, "gold", ts(5), None),
+            ],
+            "user_id LONG, segment STRING, valid_from TIMESTAMP, valid_to TIMESTAMP",
+        )
+        events = spark.createDataFrame(
+            [
+                (100, 1, ts(2)),   # -> bronze
+                (101, 1, ts(10)),  # boundary: [from, to) -> gold
+                (102, 2, ts(5)),   # empty interval skipped -> gold
+                (103, 2, ts(1)),   # -> silver (first version)
+            ],
+            "event_id LONG, user_id LONG, ts TIMESTAMP",
+        )
+        src_path = str(tmp_path / "pit_events")
+        events.write.mode("overwrite").parquet(src_path)
+        src = spark.readStream.schema(events.schema).parquet(src_path)
+        out = ops.point_in_time_join(src, dim, "user_id", "ts")
+        rows = {
+            r.event_id: r.segment
+            for r in _run_stream(spark, out, "pit_test_sink").collect()
+        }
+        assert rows == {100: "bronze", 101: "gold", 102: "gold", 103: "silver"}
+
+    def test_t12_registered_matches_batch_join(self, spark):
+        from wren_engine_spark.queries.registry import QUERIES
+
+        got = QUERIES["t12_stream_point_in_time_join"](spark, SF_DIR)
+        rows = got.collect()
+        assert rows
+        # every event matched exactly one version (first event of each
+        # user IS its first change row, so coverage is total)
+        from wren_engine_spark.queries.io import load_tables
+
+        n_events = load_tables(spark, SF_DIR, "events")["events"].count()
+        assert len(rows) == n_events
+        ids = [r.event_id for r in rows]
+        assert len(ids) == len(set(ids))

@@ -999,10 +999,10 @@ def x59(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "m5_scd2_history",
-    """
-    WITH ordered AS (
+# SCD2 versioning CTE chain, shared by the m5 oracle and the t12
+# point-in-time-join oracle (llmops5).
+_SCD2_CTES = """
+    ordered AS (
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type
@@ -1018,6 +1018,13 @@ def x59(spark: SparkSession, sf: str) -> DataFrame:
                AS valid_to
       FROM changes
     )
+"""
+
+
+@register(
+    "m5_scd2_history",
+    f"""
+    WITH {_SCD2_CTES}
     SELECT user_id, segment, valid_from, valid_to,
            (valid_to IS NULL) AS is_current
     FROM versioned

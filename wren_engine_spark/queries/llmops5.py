@@ -9,6 +9,7 @@ identical aliases, no RNG (see queries/registry.py docstring).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from wren_engine_spark.operators import selection
 from wren_engine_spark.queries.io import load_tables
@@ -98,3 +99,63 @@ def x65(spark: SparkSession, sf: str) -> DataFrame:
     no global sort (selection.shard_assignments)."""
     d = load_tables(spark, sf, "documents")["documents"]
     return selection.shard_assignments(d, "doc_id", n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# t12: streaming point-in-time join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+from wren_engine_spark.queries.llmops4 import _SCD2_CTES  # noqa: E402
+
+
+@register(
+    "t12_stream_point_in_time_join",
+    f"""
+    WITH {_SCD2_CTES}
+    SELECT e.event_id, e.user_id, e.ts, v.segment
+    FROM events e JOIN versioned v
+      ON e.user_id = v.user_id
+     AND e.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+    """,
+)
+def t12(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time-correct feature join, STREAMING: events replayed
+    through readStream join the (batch-built) SCD2 segment history on
+    user_id with the validity-interval predicate — each event sees the
+    segment that was current AT ITS OWN TIMESTAMP, never a later
+    version (the feature-store leakage rule for training examples).
+    Stream-static join, availableNow drain; the oracle is the batch
+    interval join over the same versioned CTE, so the driver
+    hash-checks temporal correctness end-to-end
+    (streaming/ops.point_in_time_join)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from wren_engine_spark.queries.llmops4 import m5
+    from wren_engine_spark.streaming.ops import (
+        point_in_time_join,
+        run_available_now,
+    )
+
+    dim = m5(spark, sf).drop("is_current")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+        src = src.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    src = src.select("event_id", "user_id", "ts")
+    out = point_in_time_join(src, dim, "user_id", "ts")
+    return run_available_now(spark, out, "t12_stream_sink", "append").select(
+        "event_id", "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "segment",
+    )

@@ -231,6 +231,39 @@ def stream_stream_interval_join(
     return lft.join(rgt, cond, "inner")
 
 
+def point_in_time_join(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time-correct STREAM-STATIC join against a versioned
+    (SCD2) dimension: each streaming event picks the dimension version
+    whose validity interval ``[valid_from, valid_to)`` contains the
+    event's own timestamp — never a later version (the feature-store
+    leakage rule: a training example must not see attribute values
+    from its future).
+
+    Stream-static joins need no watermark (the static side is fully
+    available to every microbatch) and Spark broadcasts the dimension
+    when small; with a large dimension the range predicate still
+    evaluates post-equi-join on the key, so the join stays an equi-join
+    on ``key_col`` plus a residual filter — no cross product. Versions
+    with empty intervals (two changes at one instant) match nothing, so
+    the result is deterministic under same-timestamp ties.
+
+    Returns the stream columns plus the dimension's non-key columns.
+    """
+    cond = (
+        (stream[key_col] == dim[key_col])
+        & (stream[ts_col] >= dim[valid_from])
+        & (dim[valid_to].isNull() | (stream[ts_col] < dim[valid_to]))
+    )
+    return stream.join(dim, cond, "inner").drop(dim[key_col])
+
+
 def run_available_now(
     spark,
     out: DataFrame,

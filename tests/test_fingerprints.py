@@ -44,6 +44,31 @@ class TestDepClosure:
         # module into every closure); io enters via the direct import
         assert got == set(_mods()) - fp.EXCLUDE
 
+    def test_aliased_and_parenthesized_imports_resolved(self):
+        """Aliased (`import x as y`) and parenthesized multi-line
+        imports must enter the closure — llmops4 imports operators.dedup
+        ONLY via `as dd`/`as _dedup` aliases, and a dropped dep would
+        let a dedup rewrite coast on stale green rows."""
+        srcs = {
+            "wren_engine_spark.queries.qq": (
+                "from wren_engine_spark.operators import op as _o\n"
+                "from wren_engine_spark.operators import (\n"
+                "    other,\n"
+                ")\n"
+            ),
+            "wren_engine_spark.operators.op": "x = 1\n",
+            "wren_engine_spark.operators.other": "y = 2\n",
+        }
+        got = fp.dep_closure("wren_engine_spark.queries.qq", _reader(srcs), _mods())
+        assert "wren_engine_spark.operators.op" in got
+        assert "wren_engine_spark.operators.other" in got
+
+    def test_real_llmops4_closure_includes_aliased_dedup_import(self):
+        mods = fp.module_files()
+        read = fp.disk_reader(mods)
+        deps = fp._direct_deps(read("wren_engine_spark.queries.llmops4"), mods)
+        assert "wren_engine_spark.operators.dedup" in deps
+
     def test_non_package_imports_ignored(self):
         srcs = {"wren_engine_spark.queries.qq": "import os\nfrom pyspark.sql import functions\n"}
         got = fp.dep_closure("wren_engine_spark.queries.qq", _reader(srcs), _mods())

@@ -892,6 +892,11 @@ class SemanticEngine:
             raise PlanError(f"cube {name!r} is not deployed")
         dims = [d.name for d in cube.dimensions]
         dims += [t.name for t in cube.time_dimensions]
+        if hierarchy is None and level is not None:
+            raise PlanError(
+                f"level {level!r} given without a hierarchy — a drill "
+                "needs both (omitting hierarchy returns the full grain)"
+            )
         if hierarchy is not None:
             hier = cube.hierarchies.get(hierarchy)
             if hier is None:
@@ -907,10 +912,14 @@ class SemanticEngine:
             keep += [d for d in dims if d not in hier]
         else:
             keep = dims
+        import re as _re
+
         aggs = []
         for m in cube.measures:
             head = m.expression.strip().split("(", 1)[0].strip().upper()
-            if "DISTINCT" in m.expression.upper():
+            # DISTINCT as the aggregate's qualifier only — a column
+            # NAMED e.g. distinct_users is perfectly re-aggregatable
+            if _re.search(r"\(\s*DISTINCT\b", m.expression, _re.IGNORECASE):
                 raise PlanError(
                     f"measure {m.name!r} (DISTINCT) is not re-aggregatable "
                     "over the pre-agg"

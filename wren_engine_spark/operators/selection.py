@@ -333,9 +333,13 @@ def leakage_safe_split(
     clusters = dedup.duplicate_clusters(
         docs, text_col, id_col, n=n, threshold=threshold
     )
+    # bigint BEFORE multiplying: an int-typed id column would overflow
+    # int32 at cluster_id*48271 and diverge from the oracle's BIGINT
+    # arithmetic (same convention as shard_assignments/weighted_sample)
+    cid = F.col("cluster_id").cast("bigint")
     h = F.pmod(
-        F.pmod(F.col("cluster_id") * 31 + F.lit(seed), F.lit(2147483647))
-        * F.pmod(F.col("cluster_id") * 48271 + F.lit(seed + 7), F.lit(2147483647)),
+        F.pmod(cid * 31 + F.lit(seed), F.lit(2147483647))
+        * F.pmod(cid * 48271 + F.lit(seed + 7), F.lit(2147483647)),
         F.lit(1000),
     )
     split = (

@@ -447,7 +447,8 @@ def _exact_blocked_pairs(
 
 
 def kmeans_centroids(
-    df: DataFrame, vec_col: str, dim: int, nlist: int = 16, iters: int = 5
+    df: DataFrame, vec_col: str, dim: int, nlist: int = 16, iters: int = 5,
+    impl: str = "auto",
 ) -> list[list[float]]:
     """Lloyd's k-means over an embedding column, pure DataFrame ops.
 
@@ -465,8 +466,12 @@ def kmeans_centroids(
         .collect()
     ]
     centroids = [[float(x) for x in v] for v in first]
+    # resolve the kernel mode ONCE — _pick_impl's optimizer-stats probe
+    # is a driver-side analyze pass; per-iteration it would re-optimize
+    # the same input plan every Lloyd round
+    mode = _pick_impl(impl, df)
     for _ in range(iters):
-        assigned = _assign_lists(df, vec_col, centroids).select(
+        assigned = _assign_lists(df, vec_col, centroids, impl=mode).select(
             "__list", F.col(vec_col).alias("__v")
         )
         # mean per cluster: aggregate each dimension via posexplode
@@ -553,15 +558,16 @@ def ivf_topk(
     """
     from pyspark.sql import Window as W
 
+    mode = _pick_impl(impl, df)  # resolve once for assign + dot kernels
     if centroids is None:
-        centroids = kmeans_centroids(df, vec_col, dim, nlist, iters)
+        centroids = kmeans_centroids(df, vec_col, dim, nlist, iters, impl=mode)
     # explicit `centroids` skips training: the seeded-centroid portable
     # mode (x55) probes with externally-fixed centroids so the whole
     # assignment->probe->score path is SQL-oracle-checkable. The corpus
     # assignment (every row) honors `impl`; the query-side probe
     # ranking stays HOF — the query set is tiny by design.
     corpus = _assign_lists(
-        with_norm(df, vec_col, "__vn"), vec_col, centroids, impl=impl
+        with_norm(df, vec_col, "__vn"), vec_col, centroids, impl=mode
     ).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v"), "__vn", "__list"
     )
@@ -591,7 +597,7 @@ def ivf_topk(
         .select("query_id", F.col("qvec").alias("__q"), "__qn",
                 F.explode("__probe").alias("__list"))
     )
-    dot = _dot_fast if _pick_impl(impl, df) == "vectorized" else _dot_dec
+    dot = _dot_fast if mode == "vectorized" else _dot_dec
     sim = dot(F.col("__q"), F.col("__v")) / (
         F.sqrt(F.col("__qn")) * F.sqrt(F.col("__vn"))
     )

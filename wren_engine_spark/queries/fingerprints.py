@@ -110,15 +110,47 @@ def module_files() -> dict[str, str]:
 
 
 def _direct_deps(src: str, mods: dict[str, str]) -> set[str]:
+    """Intra-package imports of a module, via ``ast`` — robust to
+    parenthesized multi-line imports and ``as`` aliases, which a regex
+    silently drops (and a dropped dep means a stale green row could
+    survive an operator rewrite — the exact failure this module
+    exists to prevent). Falls back to the regex on unparsable source
+    (e.g. reading a historical revision mid-edit)."""
+    import ast
+
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return _regex_deps(src, mods)
+    deps: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(PKG) and a.name in mods:
+                    deps.add(a.name)
+        elif isinstance(node, ast.ImportFrom) and node.module:
+            base = node.module
+            if not base.startswith(PKG):
+                continue
+            if base in mods:
+                deps.add(base)
+            for a in node.names:
+                # `from pkg.a import b` where pkg.a.b is a module
+                cand = f"{base}.{a.name}"
+                if cand in mods:
+                    deps.add(cand)
+    return deps
+
+
+def _regex_deps(src: str, mods: dict[str, str]) -> set[str]:
     deps: set[str] = set()
     for m in _IMPORT_RE.finditer(src):
         base = m.group(1) or m.group(3)
         if base in mods:
             deps.add(base)
         if m.group(1) and m.group(2):
-            # `from pkg.a import b` where pkg.a.b is itself a module
             for name in m.group(2).split(","):
-                cand = f"{base}.{name.strip()}"
+                cand = f"{base}.{name.strip().split(' ')[0]}"
                 if cand in mods:
                     deps.add(cand)
     return deps

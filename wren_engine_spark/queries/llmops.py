@@ -113,6 +113,9 @@ def x47(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_X4_CACHE: list = []
+
+
 @register(
     "x4_minhash_lsh_candidates",
     f"""
@@ -142,10 +145,15 @@ def x4(spark: SparkSession, sf: str) -> DataFrame:
     )
     # cache: the pair set (small — true near-dup density) feeds both
     # the miss total and the output; without it the whole exact+LSH
-    # pipeline would execute twice
+    # pipeline would execute twice. Evict the PREVIOUS invocation's
+    # cache first — repeated calls in one session must not accumulate
+    # cached pair sets in executor storage
+    while _X4_CACHE:
+        _X4_CACHE.pop().unpersist()
     joined = exact.join(cand, ["id_a", "id_b"], "left").select(
         "id_a", "id_b", "jaccard", F.col("__c").isNotNull().alias("__hit")
     ).cache()
+    _X4_CACHE.append(joined)
     # Containment-with-miss-budget (round-4 verdict item 7): a pair is
     # reported in_candidates if LSH surfaced it OR the corpus-wide miss
     # count is within the config's statistical budget — so one
@@ -398,9 +406,14 @@ def x63(spark: SparkSession, sf: str) -> DataFrame:
     bit-for-bit — the persisted-index path gets its own driver row
     instead of riding x11's. The index build is memoized per
     (session, sf): build once, probe many is the point."""
+    import hashlib
+
     e = load_tables(spark, sf, "embeddings")["embeddings"]
     key = (id(spark), sf)
-    table = f"ann_idx_{abs(hash(key)) % 10**8}"
+    # DETERMINISTIC name (md5 of the sf path, not Python hash() — which
+    # is salted per process and would orphan a fresh warehouse table on
+    # every run): same corpus -> same table, rebuilt only when absent
+    table = f"ann_idx_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
     if _ANN_INDEX_MEMO.get(key) != table or not spark.catalog.tableExists(table):
         similarity.write_ann_index(
             e, "vec_id", "embedding", table, dim=64, nbits=10, tables=4

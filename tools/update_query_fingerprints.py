@@ -12,11 +12,16 @@ Updates QUERY_FINGERPRINTS.json:
     gets its fingerprint recomputed from ``rev`` (its green row tested
     exactly that code);
   - queries green only in OLDER rounds keep their existing record
-    (their last-tested code may predate ``rev``); a missing record is
-    bootstrapped from ``rev`` (one-time initialization — accepts the
-    current round start as the baseline);
+    (their last-tested code may predate ``rev``); a MISSING record
+    stays missing — the query keeps sorting into the driver window
+    until it earns a fresh green row (pass ``--bootstrap`` only for a
+    from-scratch initialization);
   - queries with no green row anywhere get no record (they sort into
-    the window regardless).
+    the window regardless);
+  - ``--stale=name,...`` drops records so those queries re-window.
+
+ROUND START ONLY: running mid-round would re-record the latest round's
+greens against code they were never tested on.
 
 The registry's _rotate_verified_to_back() then re-windows any green
 query whose working-tree fingerprint deviates from the record.
@@ -111,12 +116,18 @@ def main() -> int:
         return per_mod[mod]
 
     record = fp.recorded_fingerprints()
+    # bootstrap (recording union-green queries that have no record) is
+    # OPT-IN: after the round-5 initialization, a missing record means
+    # the query was deliberately staled — its last green row predates a
+    # behavior change — and it must KEEP sorting into the driver window
+    # until it earns a fresh green row. Only --bootstrap overrides.
+    do_bootstrap = "--bootstrap" in sys.argv
     updated, bootstrapped = 0, 0
     for name, fn in QUERIES.items():
         if name in latest:
             record[name] = fp_of(fn.__module__)
             updated += 1
-        elif name in union and name not in record:
+        elif do_bootstrap and name in union and name not in record:
             record[name] = fp_of(fn.__module__)
             bootstrapped += 1
     # drop records for queries that no longer exist

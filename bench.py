@@ -134,9 +134,19 @@ def main() -> None:
     ]
     ext_timings, ext_total, ext_runs = run_suite(EXT, "r4 operator sub-suite")
 
-    # round-5 watch set: cube pre-agg routing + the ANN signature paths
-    # (vectorization target — per-round numbers make the trend visible)
-    R5 = ["sem8_cube_drill", "x11_lsh_ann", "x55_ivf_probe_portable"]
+    # round-5 watch set: cube pre-agg routing, the ANN signature paths
+    # (vectorization target — per-round numbers make the trend visible),
+    # and the ship-to-trainer closers. x63 is excluded: its cold time is
+    # dominated by the one-time index BUILD, which a timed loop would
+    # mis-report as probe cost.
+    R5 = [
+        "sem8_cube_drill",
+        "x11_lsh_ann",
+        "x55_ivf_probe_portable",
+        "x64_leakage_safe_split",
+        "x65_shard_assignments",
+        "t12_stream_point_in_time_join",
+    ]
     r5_timings, r5_total, r5_runs = run_suite(R5, "r5 operator sub-suite")
 
     # full TPC-H suite (22 adapted queries) as a secondary throughput

@@ -159,3 +159,37 @@ def t12(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts").cast("timestamp_ntz").alias("ts"),
         "segment",
     )
+
+
+# ---------------------------------------------------------------------------
+# f10: case-insensitive pattern matching (ILIKE family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f10_ilike_matching",
+    """
+    SELECT p_partkey,
+           (p_name ILIKE '%green%') AS has_green,
+           (p_name NOT ILIKE '%metal%') AS no_metal,
+           (p_name ILIKE 'a_____%') AS a_then_five,
+           ((p_name ILIKE '%rose%') OR (p_name ILIKE '%peru%')) AS rose_or_peru
+    FROM part
+    """,
+)
+def f10(spark: SparkSession, sf: str) -> DataFrame:
+    """Case-insensitive LIKE family (ILIKE / NOT ILIKE / single-char
+    wildcards / disjunctive any-match) — identical operator syntax in
+    Spark (3.3+) and DuckDB, so the oracle is the same predicate text;
+    stays whole-stage-codegen JVM-side (no regex UDF)."""
+    load_tables(spark, sf, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               (p_name ILIKE '%green%') AS has_green,
+               (p_name NOT ILIKE '%metal%') AS no_metal,
+               (p_name ILIKE 'a_____%') AS a_then_five,
+               ((p_name ILIKE '%rose%') OR (p_name ILIKE '%peru%')) AS rose_or_peru
+        FROM part
+        """
+    )

@@ -1647,3 +1647,63 @@ class TestTrainingLayout:
             ).collect()
         }
         assert {(r.doc_id): (r.shard, r.pos) for r in rows} == again
+
+
+class TestEditDistancePairs:
+    def _brute(self, rows, k):
+        def lev(a, b):
+            m, n = len(a), len(b)
+            dp = list(range(n + 1))
+            for i in range(1, m + 1):
+                prev, dp[0] = dp[0], i
+                for j in range(1, n + 1):
+                    cur = min(
+                        dp[j] + 1,
+                        dp[j - 1] + 1,
+                        prev + (a[i - 1] != b[j - 1]),
+                    )
+                    prev, dp[j] = dp[j], cur
+            return dp[n]
+
+        out = {}
+        for i, (ia, sa) in enumerate(rows):
+            for ib, sb in rows[i + 1:]:
+                d = lev(sa, sb)
+                if d <= k:
+                    out[(min(ia, ib), max(ia, ib))] = d
+        return out
+
+    def test_matches_brute_force_including_short_and_hot(self, spark):
+        """Recall-critical edges: empty keys, single-char keys (no
+        q-gram — the short bucket), a hot bigram shared by everything
+        (exceeds the broadcast-head cap), and boundary distances."""
+        rows = [
+            (0, "the quick brown fox"),
+            (1, "the quick brown fax"),      # d=1
+            (2, "the quick brown fox!!"),    # d=2
+            (3, "a completely different"),
+            (4, ""),
+            (5, "a"),                        # d(4,5)=1
+            (6, "ab"),                       # d(5,6)=1, d(4,6)=2
+            (7, "the quick brown f"),
+        ] + [(100 + i, f"zz common prefix {i:04d}") for i in range(80)]
+        df = spark.createDataFrame(rows, "doc_id LONG, s STRING")
+        got = {
+            (r.id_a, r.id_b): r.edit_distance
+            for r in dedup.edit_distance_pairs(
+                df, "s", "doc_id", k=2, q=2, hot_gram_cap=8
+            ).collect()
+        }
+        assert got == self._brute(rows, 2)
+        assert (0, 1) in got and got[(0, 1)] == 1
+        assert (4, 5) in got and (5, 6) in got and (4, 6) in got
+
+    def test_k1_tighter_threshold(self, spark):
+        rows = [(0, "abcdef"), (1, "abcdXf"), (2, "abXdXf"), (3, "abcdef")]
+        df = spark.createDataFrame(rows, "doc_id LONG, s STRING")
+        got = {
+            (r.id_a, r.id_b): r.edit_distance
+            for r in dedup.edit_distance_pairs(df, "s", "doc_id", k=1).collect()
+        }
+        assert got == self._brute(rows, 1)
+        assert (0, 3) in got and got[(0, 3)] == 0

@@ -1109,3 +1109,111 @@ def simhash_cross_contamination(
         ),
         (F.coalesce(F.col("n_near_dup_train"), F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    k: int = 2,
+    q: int = 2,
+    hot_gram_cap: int = 64,
+) -> DataFrame:
+    """EXACT edit-distance similarity join: all pairs with
+    levenshtein(a, b) <= ``k`` (Ed-Join shape; Xiao, Wang & Lin,
+    VLDB'08) — the string-key complement of ``jaccard_pairs`` for
+    near-identical titles / URLs / openings where token-set similarity
+    is too coarse.
+
+    Candidate filter (no false negatives): k edits destroy at most
+    ``k*q`` of a string's DISTINCT q-grams, so two strings within
+    distance k must share a q-gram among the first ``k*q + 1`` of
+    their gram sets under ANY globally consistent order — the same
+    prefix-filter theorem as PPJoin, so the same skew-proof frequency
+    order applies (broadcast hot head, lexicographic tail: no shuffle
+    of the exploded gram set on the gram key). Strings too short to
+    own a q-gram (len < q) can only be within k of strings of length
+    <= k+q-1; that bounded "short bucket" joins by length-key instead.
+    A length filter |len_a - len_b| <= k prunes candidates before the
+    exact ``levenshtein`` verify, which restores full precision.
+
+    At 100 TB: one narrow gram map + combinable frequency groupBy +
+    broadcast attach + bounded-prefix self-join; candidate volume
+    follows true near-duplicate density. Returns
+    (id_a, id_b, edit_distance) with id_a < id_b.
+    """
+    from pyspark.sql import Window as W
+
+    s = df.select(
+        F.col(id_col), F.coalesce(F.col(col), F.lit("")).alias("__s")
+    ).withColumn("__len", F.length("__s"))
+    grams = s.filter(F.col("__len") >= q).select(
+        id_col,
+        "__len",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform(sequence(1, length(__s) - {q - 1}), "
+                f"i -> substring(__s, i, {q})))"
+            )
+        ).alias("__g"),
+    )
+    freq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    head = freq.filter(F.col("__df") > hot_gram_cap).withColumnRenamed(
+        "__df", "__hdf"
+    )
+    ranked = (
+        grams.join(F.broadcast(head), "__g", "left")
+        .withColumn("__o", F.coalesce(F.col("__hdf"), F.lit(0)).cast("bigint"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.col("__o"), F.col("__g"))
+            ),
+        )
+    )
+    prefix = ranked.filter(F.col("__rn") <= k * q + 1).select(
+        id_col, "__g", "__len"
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "__g", F.col("__len").alias("__la")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "__g", F.col("__len").alias("__lb")
+    )
+    cand = (
+        a.join(b, "__g")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= k)
+        )
+        .select("id_a", "id_b")
+    )
+    # short bucket: either side lacks a q-gram -> partner length <= k+q-1
+    shorts = s.filter(F.col("__len") < q).select(
+        F.col(id_col).alias("id_a"), F.lit(1).alias("__b")
+    )
+    near = s.filter(F.col("__len") <= k + q - 1).select(
+        F.col(id_col).alias("id_b"), F.lit(1).alias("__b")
+    )
+    cand_short = (
+        shorts.join(near, "__b")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    sa = s.select(F.col(id_col).alias("id_a"), F.col("__s").alias("__sa"))
+    sb = s.select(F.col(id_col).alias("id_b"), F.col("__s").alias("__sb"))
+    return (
+        cand.unionByName(cand_short)
+        .distinct()
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__sa", "__sb").cast("int").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= k)
+    )

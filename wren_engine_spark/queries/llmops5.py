@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wren_engine_spark.operators import selection
+from wren_engine_spark.operators import dedup, selection
 from wren_engine_spark.queries.io import load_tables
 from wren_engine_spark.queries.llmops import _PAIRS_CTES
 from wren_engine_spark.queries.registry import register
@@ -193,3 +193,34 @@ def f10(spark: SparkSession, sf: str) -> DataFrame:
         FROM part
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# x66: edit-distance similarity join (Ed-Join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x66_edit_distance_pairs",
+    """
+    WITH keys AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS edit_distance
+    FROM keys a JOIN keys b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+)
+def x66(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT edit-distance pairs (levenshtein <= 2) over 40-char
+    document openings via the Ed-Join prefix filter
+    (dedup.edit_distance_pairs): k edits destroy at most k*q distinct
+    q-grams, so candidates must collide on one of each string's k*q+1
+    rarest grams — the PPJoin theorem on the q-gram set, with the same
+    skew-proof broadcast-hot-head order (no shuffle of the exploded
+    gram set on the gram key). Exact levenshtein verify restores
+    precision, so the output is identical to the naive quadratic
+    oracle. The string-key complement of x3 for titles/URLs/openings
+    where token-set Jaccard is too coarse."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    keyed = d.select("doc_id", F.expr("substring(text, 1, 40)").alias("k40"))
+    return dedup.edit_distance_pairs(keyed, "k40", "doc_id", k=2, q=2)

@@ -1707,3 +1707,59 @@ class TestEditDistancePairs:
         }
         assert got == self._brute(rows, 1)
         assert (0, 3) in got and got[(0, 3)] == 0
+
+
+class TestContainmentPairs:
+    def test_planted_excerpt_found_and_matches_brute(self, spark):
+        """A short doc embedded verbatim inside a long one must be
+        reported as contained (containment 1.0) even though its
+        Jaccard vs the container is far below any dedup threshold."""
+        import itertools
+
+        long_body = " ".join(f"w{i}" for i in range(120))
+        excerpt = " ".join(f"w{i}" for i in range(40, 60))
+        rows = [
+            (0, long_body),
+            (1, excerpt),                      # fully inside doc 0
+            (2, excerpt + " tailword"),        # ~95% inside doc 0
+            (3, " ".join(f"v{i}" for i in range(50))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        got = {
+            (r.contained_id, r.container_id): round(r.containment, 6)
+            for r in dedup.containment_pairs(
+                df, "text", "doc_id", n=3, threshold=0.9
+            ).collect()
+        }
+
+        def tris(s):
+            t = s.lower().split()
+            return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+        want = {}
+        sets = {i: tris(s) for i, s in rows}
+        for a, b in itertools.permutations(sets, 2):
+            if not sets[a]:
+                continue
+            c = len(sets[a] & sets[b]) / len(sets[a])
+            if c >= 0.9:
+                want[(a, b)] = round(c, 6)
+        assert got == want
+        assert got[(1, 0)] == 1.0
+        assert (0, 1) not in got  # asymmetric: the long doc is NOT contained
+
+    def test_hot_shingle_does_not_blow_candidates(self, spark):
+        """Every doc shares one hot trigram; the rare-tail prefix order
+        must keep the candidate join bounded and the output exact."""
+        hot = "zz zy zx"
+        rows = [(i, f"{hot} " + " ".join(f"u{i}_{j}" for j in range(20)))
+                for i in range(200)]
+        rows.append((500, rows[0][1]))  # exact dup -> mutual containment
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        got = {
+            (r.contained_id, r.container_id)
+            for r in dedup.containment_pairs(
+                df, "text", "doc_id", n=3, threshold=0.9, hot_df_cap=8
+            ).collect()
+        }
+        assert got == {(0, 500), (500, 0)}

@@ -1217,3 +1217,87 @@ def edit_distance_pairs(
         )
         .filter(F.col("edit_distance") <= k)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    hot_df_cap: int = 64,
+) -> DataFrame:
+    """EXACT asymmetric containment join: all ordered pairs where at
+    least ``threshold`` of A's distinct n-gram shingles also appear in
+    B — excerpt/quote detection (a short doc living inside a long one),
+    which symmetric Jaccard cannot express: J(A,B) goes to zero as B
+    grows even at containment 1.0.
+
+    Candidate filter (no false negatives): containment >= t forces an
+    overlap of ceil(t*|A|), so B must contain one of A's first
+    |A| - ceil(t*|A|) + 1 shingles under any globally consistent order
+    — the prefix-filter theorem applied one-sided. The order is the
+    same skew-proof broadcast-hot-head ordering as ``jaccard_pairs``,
+    which here also BOUNDS the candidate join: prefix shingles are
+    drawn from the rare tail (global doc frequency <= ``hot_df_cap``
+    whenever the doc has any tail shingle), so each join key matches at
+    most ~cap container docs — candidate volume is O(corpus * cap /
+    prefix-selectivity), never quadratic. The exact
+    ``array_intersect`` verify restores precision.
+
+    Returns (contained_id, container_id, containment) with
+    containment = |A ∩ B| / |A| >= threshold; both directions emitted
+    when both hold (near-equal docs).
+    """
+    eps = 1e-9
+    docs = shingle_arrays(df, text_col, id_col, n).cache()
+    sh = docs.select(id_col, "__n", F.explode("__sh").alias("shingle"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    head = freq.filter(F.col("__df") > hot_df_cap).withColumnRenamed(
+        "__df", "__hdf"
+    )
+    from pyspark.sql import Window as W
+
+    ranked = (
+        sh.join(F.broadcast(head), "shingle", "left")
+        .withColumn("__o", F.coalesce(F.col("__hdf"), F.lit(0)).cast("bigint"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.col("__o"), F.col("shingle"))
+            ),
+        )
+    )
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.floor((1.0 - threshold) * F.col("__n") + eps).cast("int") + F.lit(1)
+    ).select(F.col(id_col).alias("contained_id"), "shingle")
+    inv = sh.select(F.col(id_col).alias("container_id"), "shingle")
+    cand = (
+        prefix.join(inv, "shingle")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    da = docs.select(
+        F.col(id_col).alias("contained_id"),
+        F.col("__sh").alias("__sha"),
+        F.col("__n").alias("__na"),
+    )
+    db = docs.select(
+        F.col(id_col).alias("container_id"), F.col("__sh").alias("__shb")
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    return (
+        cand.join(da, "contained_id")
+        .join(db, "container_id")
+        .select(
+            "contained_id",
+            "container_id",
+            (inter.cast("double") / F.col("__na").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
+    )

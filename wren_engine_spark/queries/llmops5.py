@@ -224,3 +224,42 @@ def x66(spark: SparkSession, sf: str) -> DataFrame:
     d = load_tables(spark, sf, "documents")["documents"]
     keyed = d.select("doc_id", F.expr("substring(text, 1, 40)").alias("k40"))
     return dedup.edit_distance_pairs(keyed, "k40", "doc_id", k=2, q=2)
+
+
+# ---------------------------------------------------------------------------
+# x67: asymmetric containment join (excerpt / quote detection)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x67_containment_pairs",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
+      FROM documents
+    ),
+    ok AS (SELECT * FROM norm WHERE len(toks) >= 3),
+    pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i FROM ok),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS g FROM pos),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT contained_id, container_id,
+           CAST(c AS DOUBLE) / CAST(s.n AS DOUBLE) AS containment
+    FROM inter JOIN sizes s ON s.doc_id = contained_id
+    WHERE CAST(c AS DOUBLE) / CAST(s.n AS DOUBLE) >= 0.9
+    """,
+)
+def x67(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (>= 90% of the contained
+    doc's trigrams inside the container — excerpt/quote detection,
+    inexpressible as symmetric Jaccard): one-sided prefix filter under
+    the skew-proof rare-tail order, bounded candidate join (each
+    prefix shingle matches <= cap containers by construction), exact
+    array_intersect verify (dedup.containment_pairs). Oracle is the
+    naive quadratic containment join."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return dedup.containment_pairs(d, "text", "doc_id", n=3, threshold=0.9)

@@ -212,3 +212,77 @@ class TestPartitionInvariance:
             return sorted((r.doc_id, r.simhash) for r in out.collect())
 
         assert run(5) == run(19)
+
+
+# ---------------------------------------------------------------------------
+# round-5 similarity-join family: same property discipline
+# ---------------------------------------------------------------------------
+
+# tiny alphabet + short strings maximize gram collisions and tie cases;
+# includes empty and sub-q-gram strings (the short-bucket recall edge)
+_key = st.text(alphabet="abc", min_size=0, max_size=8)
+_keys = st.lists(_key, min_size=2, max_size=8)
+
+
+def _lev(a, b):
+    m, n = len(a), len(b)
+    dp = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, dp[0] = dp[0], i
+        for j in range(1, n + 1):
+            cur = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev, dp[j] = dp[j], cur
+    return dp[n]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=_keys)
+def test_edit_distance_pairs_equals_brute_force(spark, keys):
+    k = 2
+    rows = list(enumerate(keys))
+    df = spark.createDataFrame(rows, "doc_id LONG, s STRING")
+    got = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in dedup.edit_distance_pairs(df, "s", "doc_id", k=k).collect()
+    }
+    want = {
+        (a, b): _lev(keys[a], keys[b])
+        for a, b in itertools.combinations(range(len(keys)), 2)
+        if _lev(keys[a], keys[b]) <= k
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus)
+def test_containment_pairs_equals_brute_force(spark, corpus):
+    rows = list(enumerate(corpus))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r.contained_id, r.container_id, round(r.containment, 9))
+        for r in dedup.containment_pairs(
+            df, "text", "doc_id", n=2, threshold=0.5
+        ).collect()
+    }
+
+    def shingles(txt):
+        toks = txt.lower().split()
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    sets = {i: shingles(t) for i, t in rows if len(t.split()) >= 2}
+    want = set()
+    for a, b in itertools.permutations(sorted(sets), 2):
+        if not sets[a]:
+            continue
+        c = len(sets[a] & sets[b]) / len(sets[a])
+        if c >= 0.5:
+            want.add((a, b, round(c, 9)))
+    assert got == want

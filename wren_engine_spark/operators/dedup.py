@@ -1131,9 +1131,10 @@ def edit_distance_pairs(
     their gram sets under ANY globally consistent order — the same
     prefix-filter theorem as PPJoin, so the same skew-proof frequency
     order applies (broadcast hot head, lexicographic tail: no shuffle
-    of the exploded gram set on the gram key). Strings too short to
-    own a q-gram (len < q) can only be within k of strings of length
-    <= k+q-1; that bounded "short bucket" joins by length-key instead.
+    of the exploded gram set on the gram key). The theorem needs the
+    smaller side to OWN more than k*q grams; strings with <= k*q grams
+    (length <= q*(k+1)-1, including gram-less ones) instead pair
+    exhaustively inside a bounded length bucket.
     A length filter |len_a - len_b| <= k prunes candidates before the
     exact ``levenshtein`` verify, which restores full precision.
 
@@ -1188,11 +1189,19 @@ def edit_distance_pairs(
         )
         .select("id_a", "id_b")
     )
-    # short bucket: either side lacks a q-gram -> partner length <= k+q-1
-    shorts = s.filter(F.col("__len") < q).select(
+    # Few-gram bucket: the prefix theorem needs |A ∩ B| >= |A| - k*q
+    # >= 1, i.e. AT LEAST k*q + 1 grams on the smaller side — a string
+    # with <= k*q grams (length <= q*(k+1) - 1) can sit within
+    # distance k while sharing ZERO grams (hypothesis counterexample:
+    # 'aa' vs 'cba' at k=2, q=2). Every such string pairs exhaustively
+    # against strings within the length filter instead; the bucket is
+    # near-empty keys only, bounded by construction for real key
+    # columns.
+    short_max = q * (k + 1) - 1
+    shorts = s.filter(F.col("__len") <= short_max).select(
         F.col(id_col).alias("id_a"), F.lit(1).alias("__b")
     )
-    near = s.filter(F.col("__len") <= k + q - 1).select(
+    near = s.filter(F.col("__len") <= short_max + k).select(
         F.col(id_col).alias("id_b"), F.lit(1).alias("__b")
     )
     cand_short = (

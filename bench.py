@@ -2,8 +2,12 @@
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+line: {"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
+plus sub-suite totals}. The line is deliberately COMPACT (totals only):
+r5's line carried per-query dicts, outgrew the driver's stdout capture,
+and the round's bench artifact recorded parsed:null. Per-query medians
+and per-run totals are written to BENCH_DETAIL.json and echoed on
+stderr instead.
 
 Timing = full query build + execution to a driver-side count/collect
 (small results are collected, row-heavy outputs counted), matching how
@@ -184,36 +188,67 @@ def main() -> None:
         lat_cached.append((time.perf_counter() - t0) * 1000)
     lat_cached.sort()
     semantic_plan_cached_ms = round(lat_cached[len(lat_cached) // 2], 3)
+
+    # x63 probe-only steady state: the registered entry memoizes the
+    # bucketed index build, so the first call pays the build and later
+    # calls measure pure probe cost — the number that substantiates the
+    # build-once/probe-many design (r5 verdict item 6). Excluded from
+    # the timed suites above because cold x63 is build-dominated.
+    QUERIES["x63_ann_index_probe"](spark, sf_dir).count()  # build + warm
+    probe_lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        QUERIES["x63_ann_index_probe"](spark, sf_dir).count()
+        probe_lat.append((time.perf_counter() - t0) * 1000)
+    probe_lat.sort()
+    x63_probe_ms = round(probe_lat[len(probe_lat) // 2], 1)
+    print(f"# x63 probe-only p50: {x63_probe_ms}ms (runs {probe_lat})",
+          file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "n_runs": n_runs,
-                "run_totals": run_totals,
-                "mean_plan_ms": mean_plan,
-                "semantic_plan_ms_p50": semantic_plan_ms,
-                "semantic_plan_cached_ms_p50": semantic_plan_cached_ms,
-                "tpch_suite_s": tpch_total,
-                "tpch_run_totals": tpch_runs,
-                "tpch_queries": tpch_timings,
-                "r4_ops": ext_timings,
-                "r4_ops_total_s": ext_total,
-                "r4_ops_run_totals": ext_runs,
-                "r5_ops": r5_timings,
-                "r5_ops_total_s": r5_total,
-                "r5_ops_run_totals": r5_runs,
-            }
-        )
+    # CONTRACT LINE (stdout): kept compact — r5's line carried three
+    # per-query dicts and outgrew the driver's stdout-tail capture, so
+    # BENCH_r05.json recorded parsed:null. Totals only here; per-query
+    # medians and per-run totals go to BENCH_DETAIL.json + stderr.
+    headline = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_runs": n_runs,
+        "run_totals": run_totals,
+        "mean_plan_ms": mean_plan,
+        "semantic_plan_ms_p50": semantic_plan_ms,
+        "semantic_plan_cached_ms_p50": semantic_plan_cached_ms,
+        "tpch_suite_s": tpch_total,
+        "r4_ops_total_s": ext_total,
+        "r5_ops_total_s": r5_total,
+        "x63_probe_p50_ms": x63_probe_ms,
+    }
+    detail = dict(
+        headline,
+        queries=timings,
+        tpch_queries=tpch_timings,
+        tpch_run_totals=tpch_runs,
+        r4_ops=ext_timings,
+        r4_ops_run_totals=ext_runs,
+        r5_ops=r5_timings,
+        r5_ops_run_totals=r5_runs,
+        x63_probe_runs_ms=[round(x, 1) for x in probe_lat],
     )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
+    print(f"# per-query detail -> {detail_path}", file=sys.stderr)
+    print("# detail: " + json.dumps(detail), file=sys.stderr)
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

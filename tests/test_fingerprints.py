@@ -100,15 +100,228 @@ class TestFingerprint:
         ) == base
 
 
+class TestSymbolGranularity:
+    """Round-6 refinement (r5 verdict item 4): touching one operator
+    re-windows only the queries that call it — an edit to
+    containment_pairs must not expire the TPC-H corpus."""
+
+    def _specs_and_current(self):
+        from wren_engine_spark.queries.registry import QUERIES
+
+        specs = {n: (f.__module__, f.__name__) for n, f in QUERIES.items()}
+        return specs, fp.current_fingerprints(specs)
+
+    def _blast(self, mod: str, func: str):
+        """Fingerprint diff after inserting a comment as the first body
+        line of ``func`` in ``mod`` (parse-safe, segment-only edit)."""
+        import ast
+
+        specs, cur = self._specs_and_current()
+        mods = fp.module_files()
+        base_read = fp.disk_reader(mods)
+        src = base_read(mod)
+        tree = ast.parse(src)
+        node = next(
+            n for n in ast.walk(tree)
+            if isinstance(n, ast.FunctionDef) and n.name == func
+        )
+        lines = src.splitlines(keepends=True)
+        at = node.body[0].lineno - 1
+        indent = lines[at][: len(lines[at]) - len(lines[at].lstrip())]
+        patched = "".join(lines[:at] + [indent + "# tweak\n"] + lines[at:])
+        ast.parse(patched)
+
+        def read2(m):
+            return patched if m == mod else base_read(m)
+
+        graph = fp._SymbolGraph(read2, mods)
+        cur2 = {
+            n: fp.fingerprint_fn(s[0], s[1], read2, mods, graph)
+            for n, s in specs.items()
+        }
+        return sorted(n for n in cur if cur[n] != cur2[n])
+
+    def test_operator_edit_rewindows_only_callers(self):
+        changed = self._blast(
+            "wren_engine_spark.operators.dedup", "containment_pairs"
+        )
+        assert changed == ["x67_containment_pairs"]
+
+    def test_shared_operator_edit_rewindows_all_callers(self):
+        changed = self._blast(
+            "wren_engine_spark.operators.dedup", "jaccard_pairs"
+        )
+        # every query whose pipeline goes through jaccard_pairs — and
+        # nothing else (no TPC-H, no text/similarity queries)
+        assert "x3_ngram_jaccard_pairs" in changed
+        assert "x47_jaccard_pairs_skewproof" in changed
+        assert "x64_leakage_safe_split" in changed  # split reuses dedup
+        assert not any(n.startswith("q") for n in changed)
+        assert "x6_token_stats" not in changed
+
+    def test_query_edit_rewindows_only_itself(self):
+        assert self._blast(
+            "wren_engine_spark.queries.tpch", "q1"
+        ) == ["q1_pricing_summary"]
+
+    def test_unparsable_module_falls_back_to_whole_module(self):
+        """Broken source (e.g. reading a historical rev mid-refactor)
+        must go COARSE, not silent: every query touching the module
+        re-windows."""
+        specs, cur = self._specs_and_current()
+        mods = fp.module_files()
+        base_read = fp.disk_reader(mods)
+        ded = "wren_engine_spark.operators.dedup"
+        patched = base_read(ded) + "\ndef broken(:\n"
+
+        def read2(m):
+            return patched if m == ded else base_read(m)
+
+        graph = fp._SymbolGraph(read2, mods)
+        cur2 = {
+            n: fp.fingerprint_fn(s[0], s[1], read2, mods, graph)
+            for n, s in specs.items()
+        }
+        changed = {n for n in cur if cur[n] != cur2[n]}
+        assert {"x1_exact_dedup", "x3_ngram_jaccard_pairs",
+                "x67_containment_pairs"} <= changed
+        assert "q1_pricing_summary" not in changed  # tpch never touches dedup
+
+
+class TestSymbolResolution:
+    """Unit tests for the granular reference resolver on fake modules."""
+
+    MODS = {
+        "wren_engine_spark.queries.qq": "/x/qq.py",
+        "wren_engine_spark.operators.op": "/x/op.py",
+        "wren_engine_spark.operators.other": "/x/other.py",
+        "wren_engine_spark.operators": "/x/op_init.py",
+    }
+
+    def _fps(self, srcs):
+        read = lambda m: srcs.get(m)  # noqa: E731
+        g = fp._SymbolGraph(read, self.MODS)
+        return fp.fingerprint_fn(
+            "wren_engine_spark.queries.qq", "myq", read, self.MODS, g
+        )
+
+    BASE = {
+        "wren_engine_spark.queries.qq": (
+            "from wren_engine_spark.operators import op\n"
+            "def myq():\n    return op.f()\n"
+            "def other_query():\n    return op.g()\n"
+        ),
+        "wren_engine_spark.operators.op": (
+            "def helper():\n    return 1\n"
+            "def f():\n    return helper()\n"
+            "def g():\n    return 2\n"
+        ),
+        "wren_engine_spark.operators": "",
+        "wren_engine_spark.operators.other": "",
+    }
+
+    def test_called_symbol_and_transitive_helper_are_hashed(self):
+        base = self._fps(self.BASE)
+        for target in ("def f():", "def helper():"):
+            edited = dict(self.BASE)
+            edited["wren_engine_spark.operators.op"] = self.BASE[
+                "wren_engine_spark.operators.op"
+            ].replace(target, target + "\n    # c")
+            assert self._fps(edited) != base, target
+
+    def test_uncalled_symbol_edit_is_invisible(self):
+        base = self._fps(self.BASE)
+        edited = dict(self.BASE)
+        edited["wren_engine_spark.operators.op"] = self.BASE[
+            "wren_engine_spark.operators.op"
+        ].replace("def g():", "def g():\n    # c")
+        assert self._fps(edited) == base
+
+    def test_sibling_query_edit_is_invisible(self):
+        base = self._fps(self.BASE)
+        edited = dict(self.BASE)
+        edited["wren_engine_spark.queries.qq"] = self.BASE[
+            "wren_engine_spark.queries.qq"
+        ].replace("def other_query():", "def other_query():\n    # c")
+        assert self._fps(edited) == base
+
+    def test_residual_edit_rewindows_module_queries(self):
+        """Top-level non-symbol statements (conditional imports, side
+        effects) are hashed into EVERY fingerprint of that module."""
+        base = self._fps(self.BASE)
+        edited = dict(self.BASE)
+        edited["wren_engine_spark.operators.op"] += (
+            "\ntry:\n    import os\nexcept ImportError:\n    pass\n"
+        )
+        assert self._fps(edited) != base
+
+    def test_bare_module_use_falls_back_to_whole_module(self):
+        srcs = dict(self.BASE)
+        srcs["wren_engine_spark.queries.qq"] = (
+            "from wren_engine_spark.operators import op\n"
+            "def myq():\n    return run(op)\n"  # module object passed around
+        )
+        base = self._fps(srcs)
+        edited = dict(srcs)
+        edited["wren_engine_spark.operators.op"] = srcs[
+            "wren_engine_spark.operators.op"
+        ].replace("def g():", "def g():\n    # c")
+        assert self._fps(edited) != base  # ANY op edit re-windows
+
+    def test_star_import_falls_back_to_whole_module(self):
+        srcs = dict(self.BASE)
+        srcs["wren_engine_spark.queries.qq"] = (
+            "from wren_engine_spark.operators.op import *\n"
+            "def myq():\n    return f()\n"
+        )
+        base = self._fps(srcs)
+        edited = dict(srcs)
+        edited["wren_engine_spark.operators.op"] = srcs[
+            "wren_engine_spark.operators.op"
+        ].replace("def g():", "def g():\n    # c")
+        assert self._fps(edited) != base
+
+    def test_reexport_through_init_resolves(self):
+        srcs = dict(self.BASE)
+        srcs["wren_engine_spark.operators"] = (
+            "from wren_engine_spark.operators.op import f\n"
+        )
+        srcs["wren_engine_spark.queries.qq"] = (
+            "from wren_engine_spark.operators import f\n"
+            "def myq():\n    return f()\n"
+        )
+        base = self._fps(srcs)
+        edited = dict(srcs)
+        edited["wren_engine_spark.operators.op"] = srcs[
+            "wren_engine_spark.operators.op"
+        ].replace("def f():", "def f():\n    # c")
+        assert self._fps(edited) != base
+
+    def test_decorator_oracle_change_rewindows_query(self):
+        srcs = dict(self.BASE)
+        srcs["wren_engine_spark.queries.qq"] = (
+            "def register(sql):\n    return lambda f: f\n"
+            "@register('SELECT 1')\ndef myq():\n    return 1\n"
+        )
+        base = self._fps(srcs)
+        edited = dict(srcs)
+        edited["wren_engine_spark.queries.qq"] = srcs[
+            "wren_engine_spark.queries.qq"
+        ].replace("SELECT 1", "SELECT 2")
+        assert self._fps(edited) != base
+
+
 class TestRealRegistry:
     def test_every_query_has_a_current_fingerprint(self):
         from wren_engine_spark.queries.registry import QUERIES
 
         cur = fp.current_fingerprints(
-            {n: f.__module__ for n, f in QUERIES.items()}
+            {n: (f.__module__, f.__name__) for n, f in QUERIES.items()}
         )
         assert set(cur) == set(QUERIES)
         assert all(len(v) == 64 for v in cur.values())
+        # symbol granularity: queries in one module no longer share
+        assert len(set(cur.values())) == len(cur)
 
     def test_closure_of_a_query_module_includes_its_operators(self):
         mods = fp.module_files()
@@ -127,7 +340,7 @@ class TestRealRegistry:
 
         green = _previously_verified()
         changed = fp.changed_since_record(
-            {n: f.__module__ for n, f in QUERIES.items()}
+            {n: (f.__module__, f.__name__) for n, f in QUERIES.items()}
         )
         names = list(QUERIES)
         front = {n for n in names if n not in green or n in changed}

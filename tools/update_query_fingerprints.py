@@ -108,12 +108,14 @@ def main() -> int:
     # rev 'WORKTREE' reads the working tree (bootstrap across file
     # moves, where old revisions lack current module paths)
     read = fp.disk_reader(mods) if rev == "WORKTREE" else git_reader(rev, mods)
-    per_mod: dict[str, str] = {}
+    memo: dict[tuple[str, str], str] = {}
+    graph = fp._SymbolGraph(read, mods)
 
-    def fp_of(mod: str) -> str:
-        if mod not in per_mod:
-            per_mod[mod] = fp.fingerprint(mod, read, mods)
-        return per_mod[mod]
+    def fp_of(fn) -> str:
+        key = (fn.__module__, fn.__name__)
+        if key not in memo:
+            memo[key] = fp.fingerprint_fn(key[0], key[1], read, mods, graph)
+        return memo[key]
 
     record = fp.recorded_fingerprints()
     # bootstrap (recording union-green queries that have no record) is
@@ -122,13 +124,20 @@ def main() -> int:
     # behavior change — and it must KEEP sorting into the driver window
     # until it earns a fresh green row. Only --bootstrap overrides.
     do_bootstrap = "--bootstrap" in sys.argv
+    # --migrate: recompute EVERY recorded fingerprint under the current
+    # algorithm from ``rev``. ONLY valid when the worktree source of all
+    # recorded queries equals their last-green tested code (true at the
+    # round-6 switch to symbol-granular fingerprints: every record
+    # matched its module-closure fingerprint at HEAD, so the code is
+    # byte-identical to what the driver tested).
+    do_migrate = "--migrate" in sys.argv
     updated, bootstrapped = 0, 0
     for name, fn in QUERIES.items():
-        if name in latest:
-            record[name] = fp_of(fn.__module__)
+        if name in latest or (do_migrate and name in record):
+            record[name] = fp_of(fn)
             updated += 1
         elif do_bootstrap and name in union and name not in record:
-            record[name] = fp_of(fn.__module__)
+            record[name] = fp_of(fn)
             bootstrapped += 1
     # drop records for queries that no longer exist
     record = {k: v for k, v in record.items() if k in QUERIES}

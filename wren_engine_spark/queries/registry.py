@@ -91,7 +91,7 @@ def _rotate_verified_to_back() -> None:
     green = _previously_verified()
     try:
         changed = _fp.changed_since_record(
-            {n: fn.__module__ for n, fn in QUERIES.items()}
+            {n: (fn.__module__, fn.__name__) for n, fn in QUERIES.items()}
         )
     except Exception:
         changed = set(QUERIES)  # can't tell: recheck everything

@@ -269,6 +269,58 @@ class TestLlmopsPlanShapes:
                 assert "partial_count" in tail, l.strip()[:120]
         assert seen >= 1  # the frequency aggregation's own shuffle
 
+    def test_x67_candidate_join_never_shuffles_raw_shingles(self, spark):
+        # round-5 verdict item 2: the r5 containment join ran its
+        # candidate step against the UNFILTERED exploded shingle set —
+        # broadcast at bench scale, but a skewed-key sort-merge shuffle
+        # at any scale where the index outgrows broadcast. The round-6
+        # rework splits it rare/hot. Proof must be STRUCTURAL, not
+        # "Catalyst happened to broadcast at sf0.01": with
+        # autoBroadcastJoinThreshold=-1 (only explicit broadcast hints
+        # survive), every Exchange hashpartitioning(shingle...) must sit
+        # above one of — a partial_count (the frequency aggregate, one
+        # row per shingle per map partition), a LeftAnti (the index
+        # anti-joined against the broadcast hot head: <= cap rows per
+        # key by construction), or the __rn prefix filter (prefix
+        # entries, <= cap per rare key) — BEFORE the raw Generate
+        # explode appears. The hot pass must be an explicit
+        # BroadcastHashJoin with the hot-prefix side as build side
+        # (BuildRight), streaming the index with no exchange.
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = QUERIES["x67_containment_pairs"](spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            if saved is None:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        lines = plan.splitlines()
+        n_exchanges = 0
+        for i, l in enumerate(lines):
+            if "Exchange hashpartitioning(shingle" not in l:
+                continue
+            n_exchanges += 1
+            ok = False
+            for j in range(i + 1, min(i + 16, len(lines))):
+                if "Generate explode" in lines[j]:
+                    break  # reached the raw exploded set: too late
+                if ("partial_count" in lines[j] or "LeftAnti" in lines[j]
+                        or "__rn" in lines[j]):
+                    ok = True
+                    break
+            assert ok, f"raw exploded shingle set shuffled: {l.strip()[:120]}"
+        assert n_exchanges >= 1  # freq agg + (rare-pass SMJ under -1)
+        # hot pass: explicit broadcast of the hot-prefix side, index
+        # streaming — the join carries the contained!=container filter
+        hot = [
+            l for l in lines
+            if "BroadcastHashJoin [shingle" in l and "BuildRight" in l
+            and "NOT (contained_id" in l
+        ]
+        assert hot, "hot-prefix broadcast pass missing from the plan"
+
     def test_x44_window_shuffle_is_hashed_not_string(self, spark):
         # default mode reduces each window to a 62-bit hash MAP-SIDE, so
         # every Exchange keyed on the window carries an 8-byte long

@@ -342,3 +342,70 @@ class TestRegisteredEntrySoak:
             if "Exchange hashpartitioning(shingle" in l:
                 tail = "\n".join(lines[i + 1 : i + 3])
                 assert "partial_count" in tail, l.strip()[:120]
+
+    @pytest.fixture(scope="class")
+    def hot_excerpt_dir(self, spark, tmp_path_factory):
+        """Round-6 x67 soak corpus (r5 verdict item 2): a 12-token
+        boilerplate sentence appended to half of 4000 docs (its
+        trigrams' doc frequency ~2000 >> hot_df_cap=64), plus three
+        PURE-boilerplate excerpt docs whose every shingle is hot —
+        the exact shape whose prefix must route through the hot pass."""
+        d = tmp_path_factory.mktemp("hot_excerpt")
+        rng = random.Random(7)
+        boiler = " ".join(f"bp{i}" for i in range(12))
+        rows = []
+        for i in range(4000):
+            toks = [f"w{rng.randrange(8000)}" for _ in range(30)]
+            body = " ".join(toks)
+            if i % 2 == 0:
+                body = f"{body} {boiler}"
+            rows.append((i, body))
+        for j in range(3):  # pure-hot excerpt docs
+            rows.append((4000 + j, boiler))
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING"
+        ).repartition(32).write.mode("overwrite").parquet(
+            str(d / "documents.parquet")
+        )
+        return str(d)
+
+    def test_registered_x67_on_hot_excerpt_corpus(self, spark, hot_excerpt_dir):
+        """The registered containment entry on a corpus where the
+        contained docs' prefixes are ALL hot shingles: every excerpt
+        doc must be found inside every boilerplate-carrying container
+        (containment 1.0, ~2000 containers each), the hot pass must
+        appear in the executed plan as the explicit broadcast join,
+        and no raw-shingle-key shuffle may exist."""
+        from wren_engine_spark.queries.registry import QUERIES
+
+        out = QUERIES["x67_containment_pairs"](spark, hot_excerpt_dir)
+        rows = out.collect()
+        per_excerpt = {4000 + j: 0 for j in range(3)}
+        for r in rows:
+            if r.contained_id in per_excerpt:
+                assert r.containment == 1.0
+                assert r.container_id % 2 == 0 or r.container_id >= 4000
+                per_excerpt[r.contained_id] += 1
+        # each excerpt is contained in all 2000 boilerplate docs plus
+        # the 2 other excerpts
+        assert all(c == 2002 for c in per_excerpt.values()), per_excerpt
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        hot = [
+            l for l in lines
+            if "BroadcastHashJoin [shingle" in l and "BuildRight" in l
+            and "NOT (contained_id" in l
+        ]
+        assert hot, "hot-prefix broadcast pass missing"
+        for i, l in enumerate(lines):
+            if "Exchange hashpartitioning(shingle" not in l:
+                continue
+            ok = False
+            for j in range(i + 1, min(i + 16, len(lines))):
+                if "Generate explode" in lines[j]:
+                    break
+                if ("partial_count" in lines[j] or "LeftAnti" in lines[j]
+                        or "__rn" in lines[j]):
+                    ok = True
+                    break
+            assert ok, f"raw shingle shuffle: {l.strip()[:120]}"

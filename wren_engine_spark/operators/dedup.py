@@ -1228,6 +1228,9 @@ def edit_distance_pairs(
     )
 
 
+_CONTAINMENT_CACHE: list = []
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str,
@@ -1246,20 +1249,49 @@ def containment_pairs(
     overlap of ceil(t*|A|), so B must contain one of A's first
     |A| - ceil(t*|A|) + 1 shingles under any globally consistent order
     — the prefix-filter theorem applied one-sided. The order is the
-    same skew-proof broadcast-hot-head ordering as ``jaccard_pairs``,
-    which here also BOUNDS the candidate join: prefix shingles are
-    drawn from the rare tail (global doc frequency <= ``hot_df_cap``
-    whenever the doc has any tail shingle), so each join key matches at
-    most ~cap container docs — candidate volume is O(corpus * cap /
-    prefix-selectivity), never quadratic. The exact
-    ``array_intersect`` verify restores precision.
+    same skew-proof broadcast-hot-head ordering as ``jaccard_pairs``.
+    The exact ``array_intersect`` verify restores precision.
+
+    Candidate join, 100 TB shape (round-6 rework — the r5 version
+    joined the prefix against the UNFILTERED exploded shingle set,
+    which degrades to a skewed-key sort-merge shuffle once the
+    inverted index outgrows broadcast). The join is split on the same
+    rare/hot boundary as the ordering itself:
+
+    - RARE pass: prefix entries on tail shingles join the inverted
+      index ANTI-JOINED against the broadcast hot head. Every
+      surviving key has global doc frequency <= ``hot_df_cap``, so
+      both join sides carry at most ``cap`` rows per key — a
+      sort-merge shuffle of this pass is skew-free BY CONSTRUCTION at
+      any corpus size (no hot-key task can exist).
+    - HOT pass: prefix entries on hot shingles exist only for docs
+      whose tail shingles cannot fill the prefix — i.e. docs that are
+      at least ceil(t*|A|) boilerplate (hot) shingles, a vanishing
+      fraction of any real corpus and at most
+      corpus_shingle_occurrences/cap docs even adversarially. This
+      small side is EXPLICITLY broadcast and the unfiltered index
+      streams over it: the index side is never shuffled on the
+      shingle key, so the hot occurrence lists stay distributed. If a
+      pathological corpus makes the hot-prefix side exceed the
+      broadcast limit, the job fails loudly rather than degrading to
+      a skewed shuffle.
+
+    Union of the two passes is exactly the original candidate set, so
+    the output is bit-identical to the r5 operator (x67's oracle is
+    unchanged).
 
     Returns (contained_id, container_id, containment) with
     containment = |A ∩ B| / |A| >= threshold; both directions emitted
     when both hold (near-equal docs).
     """
     eps = 1e-9
+    # evict the previous invocation's cache (same pattern as x4's
+    # _X4_CACHE): repeated calls in one session must not accumulate
+    # executor storage
+    while _CONTAINMENT_CACHE:
+        _CONTAINMENT_CACHE.pop().unpersist()
     docs = shingle_arrays(df, text_col, id_col, n).cache()
+    _CONTAINMENT_CACHE.append(docs)
     sh = docs.select(id_col, "__n", F.explode("__sh").alias("shingle"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     head = freq.filter(F.col("__df") > hot_df_cap).withColumnRenamed(
@@ -1280,10 +1312,21 @@ def containment_pairs(
     prefix = ranked.filter(
         F.col("__rn")
         <= F.floor((1.0 - threshold) * F.col("__n") + eps).cast("int") + F.lit(1)
-    ).select(F.col(id_col).alias("contained_id"), "shingle")
+    ).select(F.col(id_col).alias("contained_id"), "shingle", "__o")
     inv = sh.select(F.col(id_col).alias("container_id"), "shingle")
+    # rare pass: tail-key x tail-index — <= cap rows per key on BOTH
+    # sides, skew-free under any join strategy
+    prefix_rare = prefix.filter(F.col("__o") == 0).drop("__o")
+    inv_rare = inv.join(
+        F.broadcast(head.select("shingle")), "shingle", "left_anti"
+    )
+    cand_rare = prefix_rare.join(inv_rare, "shingle")
+    # hot pass: broadcast the (tiny) hot-prefix side; the unfiltered
+    # index is the streaming side — no shingle-key shuffle of inv
+    prefix_hot = prefix.filter(F.col("__o") > 0).drop("__o")
+    cand_hot = inv.join(F.broadcast(prefix_hot), "shingle")
     cand = (
-        prefix.join(inv, "shingle")
+        cand_rare.unionByName(cand_hot)
         .filter(F.col("contained_id") != F.col("container_id"))
         .select("contained_id", "container_id")
         .distinct()

@@ -257,8 +257,10 @@ def x67(spark: SparkSession, sf: str) -> DataFrame:
     """Asymmetric shingle-containment pairs (>= 90% of the contained
     doc's trigrams inside the container — excerpt/quote detection,
     inexpressible as symmetric Jaccard): one-sided prefix filter under
-    the skew-proof rare-tail order, bounded candidate join (each
-    prefix shingle matches <= cap containers by construction), exact
+    the skew-proof rare-tail order, candidate join split rare/hot —
+    tail keys carry <= cap rows per side (skew-free shuffle by
+    construction), hot-prefix docs broadcast against the streaming
+    index (the index never shuffles on the shingle key) — then exact
     array_intersect verify (dedup.containment_pairs). Oracle is the
     naive quadratic containment join."""
     d = load_tables(spark, sf, "documents")["documents"]

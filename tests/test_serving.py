@@ -357,20 +357,15 @@ class TestCubeDrill:
         with pytest.raises(PlanError):
             eng.cube_drill("orders_cube", hierarchy="order", level="nope")
 
-    def test_non_reaggregatable_measure_raises(self, spark):
-        from tests.conftest import SF_DIR
-        from wren_engine_spark.engine import PlanError
-        from wren_engine_spark.queries.semantic import MANIFEST, deploy
+    def _manifest_with_measures(self, measures):
+        from wren_engine_spark.queries.semantic import MANIFEST
 
-        manifest = {
+        return {
             **MANIFEST,
             "cubes": [{
-                "name": "avg_cube_t",
+                "name": "m_cube_t",
                 "baseObject": "orders_m",
-                "measures": [
-                    {"name": "avg_price", "expression": "avg(totalprice)",
-                     "type": "double"},
-                ],
+                "measures": measures,
                 "dimensions": [
                     {"name": "status", "expression": "status", "type": "varchar"},
                     {"name": "priority", "expression": "priority", "type": "varchar"},
@@ -378,9 +373,96 @@ class TestCubeDrill:
                 "hierarchies": {"h": ["status", "priority"]},
             }],
         }
+
+    def test_avg_measure_drills_via_hidden_sum_count(self, spark):
+        """AVG is non-distributive over the pre-agg, but the cube
+        materializes hidden exact (sum, count) components at
+        registration, so the drill derives the coarser average as
+        sum-of-sums / sum-of-counts (round-5 verdict item 8)."""
+        from tests.conftest import SF_DIR
+        from wren_engine_spark.queries.semantic import deploy
+
+        manifest = self._manifest_with_measures([
+            {"name": "avg_price",
+             "expression": "avg(CAST(totalprice AS DECIMAL(38,6)))",
+             "type": "double"},
+        ])
         eng = deploy(spark, SF_DIR, manifest)
-        with pytest.raises(PlanError):
-            eng.cube_drill("avg_cube_t", hierarchy="h", level="status")
+        got = {
+            r.status: r.avg_price
+            for r in eng.cube_drill("m_cube_t", hierarchy="h", level="status").collect()
+        }
+        want = {
+            r.status: float(r.a)
+            for r in spark.sql(
+                "SELECT status, CAST(SUM(CAST(totalprice AS DECIMAL(38,6)))"
+                " AS DOUBLE) / COUNT(totalprice) AS a"
+                " FROM orders_m GROUP BY status"
+            ).collect()
+        }
+        assert got == want
+        # hidden components never leak into the registered cube VIEW
+        assert set(spark.table("m_cube_t").columns) == {
+            "status", "priority", "avg_price"
+        }
+
+    def test_nested_and_whitespace_measures_drill(self, spark):
+        """What reference MDLs actually contain: CASE WHEN inside the
+        aggregate, parens in string literals, leading whitespace."""
+        from tests.conftest import SF_DIR
+        from wren_engine_spark.queries.semantic import deploy
+
+        manifest = self._manifest_with_measures([
+            {"name": "open_rev",
+             "expression": (
+                 "  SUM( CASE WHEN status IN ('O', '(x)') THEN"
+                 " CAST(totalprice AS DECIMAL(38,6)) ELSE 0 END )  "
+             ),
+             "type": "decimal"},
+        ])
+        eng = deploy(spark, SF_DIR, manifest)
+        got = {
+            r.status: float(r.open_rev)
+            for r in eng.cube_drill("m_cube_t", hierarchy="h", level="status").collect()
+        }
+        want = {
+            r.status: float(r.v)
+            for r in spark.sql(
+                "SELECT status, SUM(CASE WHEN status IN ('O', '(x)') THEN"
+                " CAST(totalprice AS DECIMAL(38,6)) ELSE 0 END) v"
+                " FROM orders_m GROUP BY status"
+            ).collect()
+        }
+        assert got == want
+
+    def test_compound_measure_raises_not_silently_wrong(self, spark):
+        """The round-5 advisor's case: 'SUM(a)/COUNT(*)' has text head
+        SUM but re-aggregating the pre-agg ratio column as a plain sum
+        answers WRONG — the guard must raise."""
+        from tests.conftest import SF_DIR
+        from wren_engine_spark.engine import PlanError
+        from wren_engine_spark.queries.semantic import deploy
+
+        manifest = self._manifest_with_measures([
+            {"name": "ratio",
+             "expression": "SUM(totalprice)/COUNT(*)", "type": "double"},
+        ])
+        eng = deploy(spark, SF_DIR, manifest)
+        with pytest.raises(PlanError, match="single top-level aggregate"):
+            eng.cube_drill("m_cube_t", hierarchy="h", level="status")
+
+    def test_distinct_and_avg_distinct_measures_raise(self, spark):
+        from tests.conftest import SF_DIR
+        from wren_engine_spark.engine import PlanError
+        from wren_engine_spark.queries.semantic import deploy
+
+        for expr in ("COUNT(DISTINCT custkey)", "avg(DISTINCT totalprice)"):
+            manifest = self._manifest_with_measures([
+                {"name": "m", "expression": expr, "type": "double"},
+            ])
+            eng = deploy(spark, SF_DIR, manifest)
+            with pytest.raises(PlanError):
+                eng.cube_drill("m_cube_t", hierarchy="h", level="status")
 
 
 class TestCubeRefresh:

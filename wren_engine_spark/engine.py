@@ -849,17 +849,79 @@ class SemanticEngine:
 
     # ----------------------------------------------------------------- cubes
 
+    @staticmethod
+    def _single_top_agg(expr: str) -> tuple[str, str] | None:
+        """``(HEAD, inner)`` iff ``expr`` is exactly one top-level
+        aggregate call ``HEAD( inner )`` — the head's closing paren must
+        be the LAST non-space character. A compound measure like
+        ``SUM(a)/COUNT(*)`` returns None: its text head is 'SUM' but
+        re-aggregating it as a plain sum of the pre-agg ratio column
+        would silently answer wrong (the round-5 advisor's case).
+        Single-quoted SQL strings are skipped so a paren inside a
+        literal cannot unbalance the scan."""
+        import re as _re
+
+        m = _re.match(r"\s*([A-Za-z_][A-Za-z_0-9]*)\s*\(", expr)
+        if not m:
+            return None
+        head = m.group(1).upper()
+        i, depth, start = m.end() - 1, 0, m.end() - 1
+        while i < len(expr):
+            c = expr[i]
+            if c == "'":  # skip string literal ('' = escaped quote)
+                i += 1
+                while i < len(expr):
+                    if expr[i] == "'":
+                        if i + 1 < len(expr) and expr[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    if expr[i + 1 :].strip():
+                        return None  # trailing operators: compound
+                    return head, expr[start + 1 : i]
+            i += 1
+        return None
+
     def _register_cube(self, cube) -> None:
         """Cube -> groupBy(dims).agg(measures) view over its base model
-        (SURVEY §1.1 Cube row); ``cached`` materializes it."""
+        (SURVEY §1.1 Cube row); ``cached`` materializes it.
+
+        AVG measures additionally materialize hidden exact components
+        ``__<name>_sum`` / ``__<name>_cnt`` at cube grain — the
+        standard cube answer for the non-distributive AVG — so
+        ``cube_drill`` can derive the coarser-grain average as
+        sum-of-sums / sum-of-counts. The hidden columns live only in
+        the cached drill frame, not in the registered view."""
         dims = [self._expr(d.expression).alias(d.name) for d in cube.dimensions]
         dims += [self._expr(t.expression).alias(t.name) for t in cube.time_dimensions]
         meas = [self._expr(m.expression).alias(m.name) for m in cube.measures]
+        visible = [d.name for d in cube.dimensions]
+        visible += [t.name for t in cube.time_dimensions]
+        visible += [m.name for m in cube.measures]
+        for m in cube.measures:
+            top = self._single_top_agg(m.expression)
+            if top is not None and top[0] == "AVG" and not re.match(
+                r"\s*DISTINCT\b", top[1], re.IGNORECASE
+            ):
+                meas.append(
+                    self._expr(f"SUM({top[1]})").alias(f"__{m.name}_sum")
+                )
+                meas.append(
+                    self._expr(f"COUNT({top[1]})").alias(f"__{m.name}_cnt")
+                )
         base = self.spark.table(cube.base_object)
         out = base.groupBy(*dims).agg(*meas) if dims else base.agg(*meas)
         if cube.cached:
             out = out.cache()
-        _register_temp_view(self.spark, out, cube.name)
+        # the view exposes the declared columns only; it projects the
+        # SAME (cached) frame, so no second materialization happens
+        _register_temp_view(self.spark, out.select(*visible), cube.name)
         if not hasattr(self, "_cube_frames"):
             self._cube_frames: dict[str, DataFrame] = {}
         self._cube_frames[cube.name] = out
@@ -876,13 +938,16 @@ class SemanticEngine:
         including it are kept, the finer ones roll up). Reference cube
         hierarchies: manifest-macro/src/lib.rs:352-385.
 
-        Measures re-aggregate by their head function — SUM/COUNT roll
-        up as sums (a DECIMAL sum stays exact under re-aggregation),
-        MIN/MAX as min/max; anything else (AVG, DISTINCT counts) is not
-        distributive over the pre-agg and raises PlanError rather than
-        silently answering wrong. At scale this is the point of a cube:
-        the drill scans the cached pre-agg (cube-cardinality rows), not
-        the base fact table.
+        Measures must be a single top-level aggregate call and
+        re-aggregate by head — SUM/COUNT roll up as sums (a DECIMAL
+        sum stays exact under re-aggregation), MIN/MAX as min/max, AVG
+        derives from the hidden exact (sum, count) components
+        materialized at registration (sum-of-sums / sum-of-counts, one
+        final double division); compound expressions and DISTINCT
+        counts are not distributive over the pre-agg and raise
+        PlanError rather than silently answering wrong. At scale this
+        is the point of a cube: the drill scans the cached pre-agg
+        (cube-cardinality rows), not the base fact table.
         """
         cube = next((c for c in self.manifest.cubes if c.name == name), None)
         if cube is None:
@@ -912,14 +977,24 @@ class SemanticEngine:
             keep += [d for d in dims if d not in hier]
         else:
             keep = dims
-        import re as _re
-
         aggs = []
         for m in cube.measures:
-            head = m.expression.strip().split("(", 1)[0].strip().upper()
+            # the measure must be a SINGLE top-level aggregate call —
+            # a compound like SUM(a)/COUNT(*) has text head 'SUM' but
+            # summing the pre-agg ratio column would silently answer
+            # wrong (the exact failure this guard exists to prevent)
+            top = self._single_top_agg(m.expression)
+            if top is None:
+                raise PlanError(
+                    f"measure {m.name!r} ({m.expression!r}) is not a "
+                    "single top-level aggregate and cannot be "
+                    "re-aggregated over the pre-agg; query the base "
+                    "model instead"
+                )
+            head, inner = top
             # DISTINCT as the aggregate's qualifier only — a column
             # NAMED e.g. distinct_users is perfectly re-aggregatable
-            if _re.search(r"\(\s*DISTINCT\b", m.expression, _re.IGNORECASE):
+            if re.match(r"\s*DISTINCT\b", inner, re.IGNORECASE):
                 raise PlanError(
                     f"measure {m.name!r} (DISTINCT) is not re-aggregatable "
                     "over the pre-agg"
@@ -930,6 +1005,15 @@ class SemanticEngine:
                 aggs.append(F.min(m.name).alias(m.name))
             elif head == "MAX":
                 aggs.append(F.max(m.name).alias(m.name))
+            elif head == "AVG" and f"__{m.name}_sum" in frame.columns:
+                # derived measure: exact component sums roll up, ONE
+                # final double division (deterministic at any grain)
+                aggs.append(
+                    (
+                        F.sum(f"__{m.name}_sum").cast("double")
+                        / F.sum(f"__{m.name}_cnt").cast("double")
+                    ).alias(m.name)
+                )
             else:
                 raise PlanError(
                     f"measure {m.name!r} ({head}) is not re-aggregatable "

@@ -325,6 +325,13 @@ _CUBE_MANIFEST: dict = {
                     "expression": "SUM(CAST(totalprice AS DECIMAL(38,6)))",
                     "type": "decimal",
                 },
+                # non-distributive AVG: the cube materializes hidden
+                # exact (sum, count) components so drills can derive it
+                {
+                    "name": "avg_price",
+                    "expression": "AVG(CAST(totalprice AS DECIMAL(38,6)))",
+                    "type": "double",
+                },
             ],
             "hierarchies": {"order": ["status", "priority"]},
         }
@@ -358,3 +365,28 @@ def sem8(spark: SparkSession, sf: str) -> DataFrame:
         F.col("revenue_dec").cast("double").alias("revenue"),
         F.col("n_orders"),
     )
+
+
+@register(
+    "sem9_cube_avg_drill",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(COUNT(o_totalprice) AS DOUBLE) AS avg_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sem9(spark: SparkSession, sf: str) -> DataFrame:
+    """An AVG measure drilled to a coarser grain THROUGH the cube —
+    the non-distributive case (round-5 verdict item 8): AVG of the
+    (status, priority) pre-agg rows would be wrong (unweighted), so
+    ``_register_cube`` materializes hidden exact (sum, count)
+    components and ``cube_drill`` derives status-grain avg_price as
+    sum-of-sums / sum-of-counts with one final double division. The
+    oracle recomputes the same from the raw orders table, so the
+    driver hash-checks that the derived-measure path is exact, not
+    approximately-averaged. Reference cube hierarchies:
+    manifest-macro/src/lib.rs:352-385."""
+    eng = deploy(spark, sf, _CUBE_MANIFEST)
+    out = eng.cube_drill("orders_cube", hierarchy="order", level="status")
+    return out.select("status", "avg_price")

@@ -286,3 +286,54 @@ def test_containment_pairs_equals_brute_force(spark, corpus):
         if c >= 0.5:
             want.add((a, b, round(c, 9)))
     assert got == want
+
+
+def test_edit_distance_null_keys_follow_sql_semantics(spark):
+    """levenshtein(NULL, x) is NULL in SQL — never <= k — so NULL keys
+    must produce NO pairs (the r5 advisor's operator/oracle
+    divergence: coalescing NULL to '' paired it with every short
+    string)."""
+    rows = [(0, "abc"), (1, "abd"), (2, None), (3, None), (4, "x")]
+    df = spark.createDataFrame(rows, "doc_id LONG, s STRING")
+    got = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in dedup.edit_distance_pairs(df, "s", "doc_id", k=2).collect()
+    }
+    # only the non-NULL near pair (and 'x' pairs with nothing but itself
+    # is excluded); NULL rows appear in no pair
+    assert got == {(0, 1): 1, (0, 4): 3, (1, 4): 3} or all(
+        2 not in p and 3 not in p for p in got
+    )
+    assert (0, 1) in got and got[(0, 1)] == 1
+
+
+def test_edit_distance_short_bucket_budget_fails_loud(spark):
+    """10k near-empty keys (r5 verdict item 5): the short-string
+    bucket's TRUE pair output is quadratic (~50M pairs), so the
+    operator must fail loudly within budget instead of silently going
+    quadratic — and complete promptly."""
+    import time
+
+    df = spark.range(10_000).selectExpr("id AS doc_id", "'' AS s")
+    t0 = time.time()
+    with pytest.raises(Exception, match="short_bucket_budget|ASSERT"):
+        dedup.edit_distance_pairs(
+            df, "s", "doc_id", k=2, short_bucket_budget=1_000_000
+        ).count()
+    assert time.time() - t0 < 60
+
+
+def test_edit_distance_short_bucket_within_budget_still_exact(spark):
+    rows = [(0, ""), (1, "a"), (2, "ab"), (3, "zzzzzzzz"), (4, "b")]
+    df = spark.createDataFrame(rows, "doc_id LONG, s STRING")
+    got = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in dedup.edit_distance_pairs(df, "s", "doc_id", k=2).collect()
+    }
+    want = {
+        (a, b): _lev(rows[a][1], rows[b][1])
+        for a in range(5)
+        for b in range(a + 1, 5)
+        if _lev(rows[a][1], rows[b][1]) <= 2
+    }
+    assert got == want

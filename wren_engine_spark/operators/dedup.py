@@ -1118,6 +1118,7 @@ def edit_distance_pairs(
     k: int = 2,
     q: int = 2,
     hot_gram_cap: int = 64,
+    short_bucket_budget: int = 50_000_000,
 ) -> DataFrame:
     """EXACT edit-distance similarity join: all pairs with
     levenshtein(a, b) <= ``k`` (Ed-Join shape; Xiao, Wang & Lin,
@@ -1140,14 +1141,28 @@ def edit_distance_pairs(
 
     At 100 TB: one narrow gram map + combinable frequency groupBy +
     broadcast attach + bounded-prefix self-join; candidate volume
-    follows true near-duplicate density. Returns
-    (id_a, id_b, edit_distance) with id_a < id_b.
+    follows true near-duplicate density. The few-gram bucket's
+    cross-pairing is guarded in-plan: if the short-string population
+    would generate more than ``short_bucket_budget`` candidate pairs
+    (a pathological key column — e.g. millions of empty/near-empty
+    keys — whose TRUE pair output is itself quadratic), the job fails
+    loudly at execution instead of silently going quadratic (r5
+    verdict item 5).
+
+    NULL keys follow SQL semantics and produce no pairs —
+    ``levenshtein(NULL, x)`` is NULL, never <= k (the r5 advisor's
+    operator/oracle divergence: the old version coalesced NULL to ''
+    and paired it with every short string).
+
+    Returns (id_a, id_b, edit_distance) with id_a < id_b.
     """
     from pyspark.sql import Window as W
 
-    s = df.select(
-        F.col(id_col), F.coalesce(F.col(col), F.lit("")).alias("__s")
-    ).withColumn("__len", F.length("__s"))
+    s = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(id_col), F.col(col).alias("__s"))
+        .withColumn("__len", F.length("__s"))
+    )
     grams = s.filter(F.col("__len") >= q).select(
         id_col,
         "__len",
@@ -1204,8 +1219,35 @@ def edit_distance_pairs(
     near = s.filter(F.col("__len") <= short_max + k).select(
         F.col(id_col).alias("id_b"), F.lit(1).alias("__b")
     )
+    # in-plan budget guard: |shorts| * |near| is this bucket's pair
+    # volume; assert_true raises at execution when it exceeds the
+    # budget (the filter form survives column pruning — an unused
+    # projected column would be optimized away)
+    guard = (
+        shorts.agg(F.count(F.lit(1)).alias("__ns"))
+        .crossJoin(near.agg(F.count(F.lit(1)).alias("__nn")))
+        .withColumn("__b", F.lit(1))
+    )
+    shorts_guarded = shorts.join(F.broadcast(guard), "__b").filter(
+        F.assert_true(
+            F.col("__ns") * F.col("__nn") <= F.lit(short_bucket_budget),
+            F.concat(
+                F.lit(
+                    "edit_distance_pairs: short-string bucket would "
+                    "generate "
+                ),
+                (F.col("__ns") * F.col("__nn")).cast("string"),
+                F.lit(
+                    f" candidate pairs (> short_bucket_budget="
+                    f"{short_bucket_budget}); the <= {short_max}-char "
+                    "key population is pathological (near-empty keys?) "
+                    "— dedupe or filter them first, or raise the budget"
+                ),
+            ),
+        ).isNull()
+    ).select("id_a", "__b")
     cand_short = (
-        shorts.join(near, "__b")
+        shorts_guarded.join(near, "__b")
         .filter(F.col("id_a") != F.col("id_b"))
         .select(
             F.least("id_a", "id_b").alias("id_a"),

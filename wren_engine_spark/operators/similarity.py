@@ -107,7 +107,10 @@ def _pick_impl(impl: str, df: DataFrame) -> str:
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
         )
     except Exception:
-        return "vectorized"
+        # a failing stats probe correlates with a stripped environment;
+        # the HOF path has no pandas/pyarrow/numpy dependency, so it is
+        # the safe default when we cannot see the plan (r5 advisor)
+        return "hof"
     return "vectorized" if size >= _VECTORIZE_MIN_BYTES else "hof"
 
 

@@ -120,22 +120,30 @@ _X4_CACHE: list = []
     "x4_minhash_lsh_candidates",
     f"""
     WITH {_PAIRS_CTES}
-    SELECT id_a, id_b, jaccard, TRUE AS in_candidates FROM pairs
+    SELECT id_a, id_b, jaccard, TRUE AS recall_within_budget FROM pairs
     """,
 )
 def x4(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH containment check, driver-verified WITH A MISS
-    BUDGET: every exact trigram-Jaccard pair >= 0.8 flagged by whether
-    the banded MinHash candidate generation surfaced it, except that
-    misses within the config's statistical budget (Poisson tail of the
-    per-pair miss probability (1-0.8^4)^16 ≈ 2.2e-4) still report
-    in_candidates=TRUE — the oracle (exact pair set, all TRUE) then
-    asserts "recall within spec", not "zero misses", so a single
-    expected miss on a new corpus cannot flip the green row while a
-    genuine recall collapse still fails it. The raw candidate set
-    stays sketch-specific (est_jaccard band collisions), which is why
-    the registered output is the containment projection, not the
-    sketch. Budget math + seed sweep: TestLshRecallBudget.
+    """MinHash-LSH recall check, driver-verified WITH A MISS BUDGET:
+    every exact trigram-Jaccard pair >= 0.8, plus a scalar
+    ``recall_within_budget`` column — TRUE iff the banded MinHash
+    candidate generation missed at most the config's statistical
+    budget of them (Poisson tail of the per-pair miss probability
+    (1-0.8^4)^16 ≈ 2.2e-4; budget = 3 + ceil(λ + 4√λ), λ = 2.2e-4·P).
+    The oracle emits the exact pair set with TRUE, so a single
+    statistically-EXPECTED miss on a new corpus cannot flip the green
+    row while a genuine recall collapse still fails the hash compare.
+
+    The round-5 advisor's fix: the r4 version published a per-pair
+    ``in_candidates`` flag that was rewritten to TRUE for
+    budget-masked misses — a fabricated row-level value under a green
+    row. The tolerance now lives where it belongs, in the row-
+    identical scalar; the TRUE per-pair hit flag is never falsified
+    and remains available from the library join
+    (``dedup.minhash_lsh_candidates``), with its faithfulness pinned
+    by TestLshRecallBudget. The raw candidate set stays
+    sketch-specific (est_jaccard band collisions), which is why the
+    registered output is the recall projection, not the sketch.
     """
     d = load_tables(spark, sf, "documents")["documents"]
     exact = dedup.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
@@ -154,14 +162,6 @@ def x4(spark: SparkSession, sf: str) -> DataFrame:
         "id_a", "id_b", "jaccard", F.col("__c").isNotNull().alias("__hit")
     ).cache()
     _X4_CACHE.append(joined)
-    # Containment-with-miss-budget (round-4 verdict item 7): a pair is
-    # reported in_candidates if LSH surfaced it OR the corpus-wide miss
-    # count is within the config's statistical budget — so one
-    # statistically-EXPECTED miss (p ≈ 2.2e-4/pair) on a new corpus
-    # doesn't flip the green row, while a real recall collapse (misses
-    # far above the Poisson tail: budget = 3 + ceil(λ + 4√λ),
-    # λ = 2.2e-4·P) still fails the hash compare. Seed-stability sweep:
-    # tests/test_operators.py::TestLshRecallBudget.
     # the totals are a convergence-style scalar collect (two longs):
     # computing them as a broadcast subquery instead would race the
     # output branch past the cache and run the whole pipeline twice
@@ -176,7 +176,7 @@ def x4(spark: SparkSession, sf: str) -> DataFrame:
         "id_a",
         "id_b",
         "jaccard",
-        (F.col("__hit") | F.lit(within)).alias("in_candidates"),
+        F.lit(within).alias("recall_within_budget"),
     )
 
 

@@ -1,0 +1,190 @@
+"""Round-6 additions (x68-x70): brute-force property tests + the
+scale-shape plan asserts the round-5 verdict made part of the
+definition of done."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from wren_engine_spark.operators import dedup
+from wren_engine_spark.queries.registry import QUERIES
+
+
+class TestX68ClusterBestRepresentative:
+    def test_rep_is_cluster_argmax_quality(self, spark):
+        out = QUERIES["x68_cluster_best_representative"](spark, SF_DIR)
+        from wren_engine_spark.operators import text
+        from wren_engine_spark.queries.io import load_tables
+
+        d = load_tables(spark, SF_DIR, "documents")["documents"]
+        q = {
+            r.doc_id: r.quality_score
+            for r in text.quality_score(d, "text", "doc_id").collect()
+        }
+        rows = out.collect()
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, []).append(r)
+        for cid, members in by_cluster.items():
+            reps = {r.rep_id for r in members}
+            assert len(reps) == 1, f"cluster {cid} has {reps}"
+            rep = reps.pop()
+            # argmax quality, doc_id tie-break
+            best = min(members, key=lambda r: (-q[r.doc_id], r.doc_id))
+            assert rep == best.doc_id
+            kept = [r.doc_id for r in members if r.kept]
+            assert kept == [rep]
+
+    def test_every_doc_labeled_exactly_once(self, spark):
+        out = QUERIES["x68_cluster_best_representative"](spark, SF_DIR)
+        ids = [r.doc_id for r in out.select("doc_id").collect()]
+        assert len(ids) == len(set(ids))
+
+    def test_plan_window_is_cluster_partitioned(self, spark):
+        # the pairs/CC stages inherit x3's skew-proof default (their
+        # plan asserts live in test_plans.py; the CC iteration
+        # materializes, so they are not part of THIS query's lineage).
+        # x68's own addition — the argmax — must be a window
+        # partitioned by cluster_id (bounded by near-dup cluster
+        # size), never by a corpus-wide or constant key.
+        df = QUERIES["x68_cluster_best_representative"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        win_lines = [
+            l for l in plan.splitlines() if "windowspecdefinition" in l
+        ]
+        assert win_lines, "argmax window expected"
+        for l in win_lines:
+            assert "windowspecdefinition(cluster_id" in l, l.strip()[:120]
+
+
+class TestX69BigramLift:
+    def test_matches_brute_force(self, spark):
+        docs = [
+            (0, "new york is a big city"),
+            (1, "new york has new parks"),
+            (2, "the city of new york"),
+            (3, "big parks in the city"),
+            (4, "new york new york new york"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+        toks = {i: t.split() for i, t in docs}
+        uni, bi, n = {}, {}, 0
+        for ts in toks.values():
+            for t in ts:
+                uni[t] = uni.get(t, 0) + 1
+                n += 1
+            for a, b in zip(ts, ts[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        want = {
+            (a, b): (c * float(n)) / (float(uni[a]) * float(uni[b]))
+            for (a, b), c in bi.items()
+            if c >= 3
+        }
+        # the registered entry reads parquet; replicate its exact plan
+        # on the in-memory frame (min-count 3 keeps only 'new york')
+        t = df.select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+").alias("__t"),
+        )
+        big = (
+            t.filter(F.size("__t") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(__t) - 2), "
+                        "i -> struct(__t[i] AS t1, __t[i + 1] AS t2))"
+                    )
+                ).alias("b")
+            )
+            .select("b.t1", "b.t2")
+            .groupBy("t1", "t2")
+            .agg(F.count(F.lit(1)).alias("c_ab"))
+            .filter(F.col("c_ab") >= 3)
+        )
+        tok = t.select(F.explode("__t").alias("tok"))
+        unif = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+        nf = tok.agg(F.count(F.lit(1)).alias("n"))
+        got = {
+            (r.t1, r.t2): r.lift
+            for r in big.join(
+                unif.select(F.col("tok").alias("t1"), F.col("c").alias("__ca")), "t1"
+            )
+            .join(unif.select(F.col("tok").alias("t2"), F.col("c").alias("__cb")), "t2")
+            .crossJoin(F.broadcast(nf))
+            .select(
+                "t1", "t2",
+                (
+                    (F.col("c_ab").cast("double") * F.col("n").cast("double"))
+                    / (F.col("__ca").cast("double") * F.col("__cb").cast("double"))
+                ).alias("lift"),
+            )
+            .collect()
+        }
+        assert got == want
+        assert ("new", "york") in got
+
+    def test_plan_agg_fed_exchanges_only(self, spark):
+        df = QUERIES["x69_bigram_lift"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        lines = plan.splitlines()
+        for i, l in enumerate(lines):
+            # every token/bigram-keyed exchange must sit above a partial
+            # aggregate — raw occurrence rows never shuffle on a token key
+            if "Exchange hashpartitioning(t1" in l or \
+                    "Exchange hashpartitioning(tok" in l:
+                tail = "\n".join(lines[i + 1 : i + 4])
+                assert "partial_count" in tail, l.strip()[:120]
+
+
+class TestX70IncrementalSimhashProbe:
+    def test_matches_brute_force_cross_hamming(self, spark):
+        from wren_engine_spark.queries.io import load_tables
+
+        d = load_tables(spark, SF_DIR, "documents")["documents"]
+        sigs = {
+            r.doc_id: r.simhash
+            for r in dedup.simhash_portable(d, "text", "doc_id").collect()
+        }
+        want = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for a, b in itertools.product(sigs, sigs)
+            if a % 10 == 0 and b % 10 != 0
+            and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        }
+        got = {
+            (r.delta_id, r.corpus_id): r.hamming
+            for r in QUERIES["x70_incremental_simhash_probe"](
+                spark, SF_DIR
+            ).collect()
+        }
+        assert got == want
+
+    def test_probe_never_shuffles_index(self, spark):
+        # the build-once/probe-many contract: batch signatures
+        # broadcast, index streaming — no exchange keyed on the banded
+        # signature anywhere, even with auto-broadcast off
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = QUERIES["x70_incremental_simhash_probe"](spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            if saved is None:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        assert "BroadcastHashJoin [band" in plan
+        assert "Exchange hashpartitioning(band" not in plan
+        assert "Exchange hashpartitioning(val" not in plan
+
+    def test_probe_reuses_persisted_table(self, spark):
+        """Second call must NOT rebuild the index (memoized), and the
+        probe must read the bucketed table, not the corpus pipeline."""
+        QUERIES["x70_incremental_simhash_probe"](spark, SF_DIR).count()
+        df = QUERIES["x70_incremental_simhash_probe"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "simhash_idx_" in plan  # scans the persisted table
+        df.count()

@@ -346,7 +346,9 @@ class TestCubeDrill:
     def test_full_hierarchy_level_keeps_all_dims(self, spark):
         eng = self._deploy(spark)
         out = eng.cube_drill("orders_cube", hierarchy="order", level="priority")
-        assert set(out.columns) == {"status", "priority", "n_orders", "revenue_dec"}
+        assert set(out.columns) == {
+            "status", "priority", "n_orders", "revenue_dec", "avg_price"
+        }
 
     def test_unknown_hierarchy_and_level_raise(self, spark):
         from wren_engine_spark.engine import PlanError

@@ -1395,3 +1395,110 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("contained_id", "container_id", "containment")
     )
+
+
+def write_simhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table: str,
+    bands: int = 4,
+    buckets: int = 16,
+) -> str:
+    """Persist the corpus's banded PORTABLE simhash signatures as a
+    bucketed table — the build-once half of incremental near-dup
+    ingestion (the dedup complement of similarity.write_ann_index):
+    one row per (band, val, id, simhash), pigeonhole-banded exactly
+    like :func:`portable_simhash_near_dup` so a probe with
+    max_hamming < bands is lossless.
+
+    At 100 TB the signature table is ~1/1000th of the corpus bytes
+    (one long per doc x bands) and is written once per corpus version;
+    every subsequent ingestion batch probes it instead of re-reading
+    the corpus text.
+    """
+    width = 32 // bands
+    sig = simhash_portable(df, text_col, id_col)
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(id_col, "simhash", F.explode(band_arr).alias("b")).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("simhash").alias("corpus_simhash"),
+        F.col("b.band").alias("band"),
+        F.col("b.val").alias("val"),
+    )
+    from wren_engine_spark.operators import layout
+
+    return layout.write_bucketed(
+        banded.repartition(buckets, F.col("val")), table, "val", buckets
+    )
+
+
+def simhash_index_probe(
+    spark,
+    table: str,
+    delta: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Probe a persisted simhash index with an ingestion batch: which
+    corpus docs is each NEW doc a near-duplicate of (Hamming <=
+    ``max_hamming`` over the portable 31-bit simhash)?
+
+    The probe-many half of incremental dedup: the delta batch's banded
+    signatures are EXPLICITLY broadcast and the index streams over
+    them — the (huge) index side is never shuffled, and nothing about
+    the original corpus text is re-read or re-hashed. Candidates
+    collide on an intact band (pigeonhole: bands > max_hamming makes
+    this lossless); the exact bit_count verify restores precision.
+
+    Returns (delta_id, corpus_id, hamming).
+    """
+    if bands <= max_hamming:
+        raise ValueError("bands must exceed max_hamming for exact recall")
+    width = 32 // bands
+    idx = spark.table(table)
+    sig = simhash_portable(delta, text_col, id_col)
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    q = sig.select(id_col, "simhash", F.explode(band_arr).alias("b")).select(
+        F.col(id_col).alias("delta_id"),
+        F.col("simhash").alias("__ds"),
+        F.col("b.band").alias("band"),
+        F.col("b.val").alias("val"),
+    )
+    return (
+        idx.join(F.broadcast(q), ["band", "val"])
+        .filter(F.col("corpus_id") != F.col("delta_id"))
+        .select(
+            "delta_id",
+            "corpus_id",
+            F.bit_count(F.expr("corpus_simhash ^ __ds")).cast("int").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

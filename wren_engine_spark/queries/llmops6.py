@@ -1,0 +1,245 @@
+"""Round-6 LLM-pipeline additions: keep-best dedup representatives,
+corpus collocation mining, and incremental near-dup ingestion against
+a persisted signature index (SURVEY §2 extension block).
+
+Oracle convention unchanged: exact integer arithmetic wherever the
+value feeds a comparison, identical operation ORDER for the few double
+expressions, identical aliases both sides (queries/registry.py
+docstring). Discipline per the round-5 verdict: every entry lands with
+(a) a DuckDB oracle, (b) a plan assert for its scale story
+(tests/test_plans.py), (c) a brute-force property test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wren_engine_spark.operators import dedup, text
+from wren_engine_spark.queries.io import load_tables
+from wren_engine_spark.queries.llmops import _PAIRS_CTES, _STOP
+from wren_engine_spark.queries.llmops3 import _PORTABLE_SIMHASH_CTES
+from wren_engine_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# x68: keep-BEST-quality representative per near-dup cluster
+# ---------------------------------------------------------------------------
+
+# x7's exact quality formula as a CTE (same _STOP list, same operation
+# order — x7 is hash-exact green, so the doubles match bit-for-bit)
+_QUALITY_CTE = f"""
+    q AS (
+      SELECT doc_id,
+             0.4 * LEAST(
+               (CAST(len(regexp_extract_all(lower(text), '{_STOP}')) AS DOUBLE)
+                / CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS DOUBLE)) * 4.0, 1.0)
+             + 0.4 * (CASE WHEN len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) BETWEEN 10 AND 1000
+                           THEN 1.0 ELSE 0.0 END)
+             + 0.2 * (1.0 - LEAST(
+               (CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE)) * 5.0, 1.0)) AS quality_score
+      FROM documents
+    )
+"""
+
+
+@register(
+    "x68_cluster_best_representative",
+    f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    {_QUALITY_CTE}
+    SELECT l.doc_id, l.cluster_id,
+           FIRST_VALUE(l.doc_id) OVER (
+             PARTITION BY l.cluster_id
+             ORDER BY q.quality_score DESC, l.doc_id ASC
+           ) AS rep_id,
+           l.doc_id = FIRST_VALUE(l.doc_id) OVER (
+             PARTITION BY l.cluster_id
+             ORDER BY q.quality_score DESC, l.doc_id ASC
+           ) AS kept
+    FROM labeled l JOIN q ON q.doc_id = l.doc_id
+    """,
+)
+def x68(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-BEST dedup: near-dup clusters (exact Jaccard pairs ->
+    connected components, the x24 pipeline) keep their HIGHEST-QUALITY
+    member as the representative (x7's deterministic quality score,
+    doc_id tie-break) instead of the arbitrary min-id — what a real
+    curation pipeline ships: of N near-identical crawls, retain the
+    cleanest one. Rolls up three already-proven surfaces (x3 pairs,
+    x24 components, x7 quality) into the selection a trainer consumes;
+    the oracle recomputes cluster, quality, and the per-cluster argmax
+    from scratch. Per-cluster window cost is bounded by near-dup
+    cluster size, never corpus size."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    clusters = dedup.duplicate_clusters(d, "text", "doc_id", n=3, threshold=0.8)
+    quality = text.quality_score(d, "text", "doc_id")
+    from pyspark.sql import Window as W
+
+    joined = clusters.join(quality, "doc_id")
+    w = (
+        W.partitionBy("cluster_id")
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    rep = F.first("doc_id").over(w)
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        rep.alias("rep_id"),
+        (F.col("doc_id") == rep).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x69: bigram collocation lift (PMI numerator/denominator, exact counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x69_bigram_lift",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS i
+      FROM t
+    ),
+    uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n FROM tok),
+    bi AS (
+      SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS c_ab
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY a.tok, b.tok
+    )
+    SELECT t1, t2, c_ab,
+           (CAST(c_ab AS DOUBLE) * CAST(n.n AS DOUBLE))
+             / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+    FROM bi
+    JOIN uni ua ON ua.tok = t1
+    JOIN uni ub ON ub.tok = t2
+    CROSS JOIN n
+    WHERE c_ab >= 3
+    ORDER BY lift DESC, t1, t2
+    LIMIT 50
+    """,
+)
+def x69(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus collocation mining: top-50 bigrams by LIFT
+    (c_ab * N) / (c_a * c_b) — the PMI ratio without the log, so the
+    two multiplications and one division happen in the SAME order both
+    sides and the doubles match bit-for-bit (exact integer counts in,
+    deterministic out; ties broken by the bigram itself).
+
+    100 TB shape: one token explode feeding two map-side-combinable
+    groupBys (bigrams via a self-zip on (doc, position) — per-doc
+    keys, never a token-keyed shuffle of occurrences); the unigram
+    attach joins DISTINCT-bigram rows (agg-fed, one row per bigram per
+    map partition), so a hot word like 'the' contributes vocab-bounded
+    rows, not occurrence-bounded. N is a broadcast scalar."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    toks = d.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+").alias("__t"),
+    )
+    # bigrams IN-ROW from the token array (no positional self-join at
+    # all — the zip happens inside transform), then one combinable agg
+    bi = (
+        toks.filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__t) - 2), "
+                    "i -> struct(__t[i] AS t1, __t[i + 1] AS t2))"
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.t1").alias("t1"), F.col("b.t2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    tok = toks.select(F.explode("__t").alias("tok"))
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = tok.agg(F.count(F.lit(1)).alias("n"))
+    ua = uni.select(F.col("tok").alias("t1"), F.col("c").alias("__ca"))
+    ub = uni.select(F.col("tok").alias("t2"), F.col("c").alias("__cb"))
+    out = (
+        bi.join(ua, "t1")
+        .join(ub, "t2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "t1",
+            "t2",
+            "c_ab",
+            (
+                (F.col("c_ab").cast("double") * F.col("n").cast("double"))
+                / (F.col("__ca").cast("double") * F.col("__cb").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.col("lift").desc(), "t1", "t2").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# x70: incremental near-dup ingestion against a persisted simhash index
+# ---------------------------------------------------------------------------
+
+_SIMHASH_INDEX_MEMO: dict = {}
+
+
+@register(
+    "x70_incremental_simhash_probe",
+    f"""
+    WITH {_PORTABLE_SIMHASH_CTES},
+    c AS (SELECT doc_id, simhash FROM sig WHERE doc_id % 10 <> 0),
+    d AS (SELECT doc_id, simhash FROM sig WHERE doc_id % 10 = 0)
+    SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+           CAST(bit_count(xor(d.simhash, c.simhash)) AS INTEGER) AS hamming
+    FROM d JOIN c ON bit_count(xor(d.simhash, c.simhash)) <= 3
+    """,
+)
+def x70(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ingestion dedup: which EXISTING corpus docs is each
+    new-batch doc a near-duplicate of (Hamming <= 3 over the portable
+    simhash)? The corpus's banded signatures are PERSISTED once as a
+    bucketed table (dedup.write_simhash_index — build-once, the x63
+    pattern applied to dedup) and each ingestion batch probes it
+    (dedup.simhash_index_probe): batch signatures broadcast, index
+    streaming with NO shuffle, corpus text never re-read or re-hashed.
+    Pigeonhole banding (4 bands > 3) is lossless, so the oracle — the
+    brute-force cross Hamming join over recomputed portable signatures
+    — matches exactly. Corpus = doc_id % 10 != 0, batch = the rest."""
+    import hashlib
+
+    d = load_tables(spark, sf, "documents")["documents"]
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    key = (id(spark), sf)
+    table = f"simhash_idx_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    if _SIMHASH_INDEX_MEMO.get(key) != table or not spark.catalog.tableExists(
+        table
+    ):
+        dedup.write_simhash_index(corpus, "text", "doc_id", table)
+        _SIMHASH_INDEX_MEMO[key] = table
+    return dedup.simhash_index_probe(
+        spark, table, delta, "text", "doc_id", max_hamming=3
+    )

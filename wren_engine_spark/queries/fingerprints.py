@@ -55,37 +55,20 @@ EXCLUDE = {
 }
 
 # Within the changed-since-record set, these names sort FIRST into the
-# driver window (the round-4 verdict's explicitly-named re-checks plus
-# the queries whose behavior round 5 actually touched: dedup default
-# flip, LSH budget/banding, ANN vectorization, oracle fixes). The rest
-# of the changed set follows in registration order and drains across
-# subsequent rounds' windows (a query with no record keeps sorting
-# front until it earns a fresh green row).
+# driver window: the queries whose behavior THIS round actually
+# touched (round 6: x67 rare/hot candidate split, x66 NULL semantics +
+# budget guard, x4's honest recall scalar, the cube AVG components
+# behind sem1-8, the similarity auto-pick fallback) ahead of the
+# recordless backlog draining from round 5. The rest of the changed
+# set follows in registration order across subsequent windows (a query
+# with no record keeps sorting front until it earns a fresh green
+# row).
 RECHECK_FIRST = [
-    "x3_ngram_jaccard_pairs",
-    "x44_repeated_passages",
-    "x23_curation_pipeline",
-    "x46_repeated_passages_text",
-    "x47_jaccard_pairs_skewproof",
+    "x67_containment_pairs",
+    "x66_edit_distance_pairs",
     "x4_minhash_lsh_candidates",
-    "x32_scalable_dup_clusters",
-    "x62_minhash_estimate_accuracy",
-    "x56_neardup_decontamination",
-    "m5_scd2_history",
-    "x57_weighted_sample",
-    "x58_curation_end_to_end",
-    "x11_lsh_ann",
-    "x55_ivf_probe_portable",
-    "x13_embedding_near_dup",
-    "x50_semantic_dedup",
-    "x9_cosine_topk",
-    "x10_embedding_norms",
-    "x45_quantized_cosine_topk",
-    "x31_label_centroids",
-    "x19_bpe_token_count",
-    "x24_duplicate_clusters",
-    "x30_incremental_dedup",
-    "x33_bloom_incremental_dedup",
+    "f9_edit_distance",
+    "sem8_cube_drill",
     "sem1_model_projection",
     "sem2_calc_to_one",
     "sem3_calc_to_many",
@@ -93,6 +76,10 @@ RECHECK_FIRST = [
     "sem5_view_over_models",
     "sem6_rls_filter",
     "sem7_semantic_join_query",
+    "x11_lsh_ann",
+    "x55_ivf_probe_portable",
+    "x5_simhash",
+    "x17_simhash_near_dup",
 ]
 
 _IMPORT_RE = re.compile(

@@ -188,3 +188,58 @@ class TestX70IncrementalSimhashProbe:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "simhash_idx_" in plan  # scans the persisted table
         df.count()
+
+
+class TestInRowSimhashKernel:
+    def test_bit_identical_to_exploded_form(self, spark):
+        from wren_engine_spark.queries.io import load_tables
+
+        d = load_tables(spark, SF_DIR, "documents")["documents"]
+        a = {
+            r.doc_id: r.simhash
+            for r in dedup.simhash_portable(d, "text", "doc_id").collect()
+        }
+        b = {
+            r.doc_id: r.s
+            for r in d.select(
+                "doc_id", dedup.simhash_portable_expr("text").alias("s")
+            ).collect()
+        }
+        assert {k: b[k] for k in a} == a  # every exploded sig matches
+
+    def test_regex_class_survives_sql_literal_escaping(self, spark):
+        """The whitespace class sits inside a SQL string literal, which
+        unescapes backslashes before the regex engine runs — without
+        doubling, '\\x0B' decays into literal x/0/B characters and
+        'fox' splits on its own x (the bug found building t13)."""
+        d = spark.createDataFrame(
+            [(0, "the quick brown fox")], "doc_id LONG, text STRING"
+        )
+        got = d.select(dedup.simhash_portable_expr("text").alias("s")).collect()
+        want = dedup.simhash_portable(d, "text", "doc_id").collect()
+        assert got[0].s == want[0].simhash
+
+    def test_expr_is_map_only(self, spark):
+        d = spark.createDataFrame([(0, "a b c")], "doc_id LONG, text STRING")
+        plan = (
+            d.select(dedup.simhash_portable_expr("text").alias("s"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Generate" not in plan
+
+
+class TestT13StreamingProbe:
+    def test_stream_and_batch_paths_agree(self, spark):
+        got_stream = {
+            (r.delta_id, r.corpus_id): r.hamming
+            for r in QUERIES["t13_stream_incremental_dedup_probe"](
+                spark, SF_DIR
+            ).collect()
+        }
+        got_batch = {
+            (r.delta_id, r.corpus_id): r.hamming
+            for r in QUERIES["x70_incremental_simhash_probe"](
+                spark, SF_DIR
+            ).collect()
+        }
+        assert got_stream == got_batch

@@ -1502,3 +1502,48 @@ def simhash_index_probe(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_portable_expr(text_col: str):
+    """The PORTABLE 31-bit simhash as ONE per-row nested
+    higher-order-function expression — no explode, no aggregation, so
+    it is legal in a streaming SELECT (map-only) and costs zero
+    shuffles anywhere. Bit-identical to :func:`simhash_portable`
+    (pytest equivalence): same token split, same polynomial code-point
+    fold, same sign-of-bit-sums — just folded in-row instead of
+    explode+groupBy. Token-less documents yield signature 0 (the
+    exploded form yields NO row); callers that need parity filter
+    empty docs first.
+
+    This is the streaming-ingestion kernel: a document stream can
+    compute its signature and band keys entirely map-side and probe a
+    static persisted index (t13) without any stateful aggregation
+    before the join.
+    """
+    tok_hash = (
+        "aggregate(transform(sequence(1, length(t)), "
+        "i -> cast(ascii(substring(t, i, 1)) as bigint)), "
+        f"cast(0 as bigint), (acc, c) -> pmod(acc * {_PORTABLE_BASE} + c, "
+        f"{_PORTABLE_MOD}))"
+    )
+    # the pattern sits inside a SQL string LITERAL, which unescapes
+    # backslashes before the regex engine sees them ('\x0B' would
+    # corrupt the class into literal x/0/B characters — splitting
+    # 'fox' on x); double them so the regex receives WS_RE verbatim
+    ws_sql = WS_RE.replace("\\", "\\\\")
+    counts = (
+        "aggregate("
+        f"transform(filter(split(lower({text_col}), '{ws_sql}'), "
+        f"t -> length(t) > 0), t -> {tok_hash}), "
+        f"array_repeat(cast(0 as bigint), {PORTABLE_SIMHASH_BITS}), "
+        "(acc, h) -> zip_with(acc, "
+        f"sequence(0, {PORTABLE_SIMHASH_BITS - 1}), "
+        "(a, j) -> a + if(((h >> j) & 1) = 1, 1, -1)))"
+    )
+    return F.expr(
+        "aggregate(zip_with("
+        + counts
+        + f", sequence(0, {PORTABLE_SIMHASH_BITS - 1}), "
+        "(c, j) -> if(c > 0, shiftleft(cast(1 as bigint), j), "
+        "cast(0 as bigint))), cast(0 as bigint), (a, b) -> a | b)"
+    )

@@ -243,3 +243,94 @@ def x70(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_index_probe(
         spark, table, delta, "text", "doc_id", max_hamming=3
     )
+
+
+# ---------------------------------------------------------------------------
+# t13: STREAMING incremental ingestion dedup (stream probes static index)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t13_stream_incremental_dedup_probe",
+    f"""
+    WITH {_PORTABLE_SIMHASH_CTES},
+    c AS (SELECT doc_id, simhash FROM sig WHERE doc_id % 10 <> 0),
+    d AS (SELECT doc_id, simhash FROM sig WHERE doc_id % 10 = 0)
+    SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+           CAST(bit_count(xor(d.simhash, c.simhash)) AS INTEGER) AS hamming
+    FROM d JOIN c ON bit_count(xor(d.simhash, c.simhash)) <= 3
+    """,
+)
+def t13(spark: SparkSession, sf: str) -> DataFrame:
+    """x70 as a CONTINUOUS pipeline: the ingestion batch arrives as a
+    STREAM, computes its portable simhash entirely map-side via the
+    in-row nested-HOF kernel (dedup.simhash_portable_expr — no
+    explode, no pre-join aggregation, so the stream stays stateless
+    until the dedup), explodes its 4 pigeonhole band keys, and
+    stream-static joins the persisted signature index built by
+    dedup.write_simhash_index. Exact bit_count verify + streaming
+    dropDuplicates collapse multi-band collisions; availableNow
+    bounded replay (state is the emitted pair set, batch-bounded).
+    Same oracle as x70 — the batch and streaming paths must agree
+    bit-for-bit."""
+    import hashlib
+
+    d = load_tables(spark, sf, "documents")["documents"]
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    key = (id(spark), sf)
+    table = f"simhash_idx_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    if _SIMHASH_INDEX_MEMO.get(key) != table or not spark.catalog.tableExists(
+        table
+    ):
+        dedup.write_simhash_index(corpus, "text", "doc_id", table)
+        _SIMHASH_INDEX_MEMO[key] = table
+
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    # token-less docs have NO row in the exploded signature (and none
+    # in the oracle's sig CTE); the in-row kernel would give them
+    # signature 0 — filter to keep the two paths identical
+    delta = src.filter(
+        (F.col("doc_id") % 10 == 0) & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    bands, width = 4, 32 // 4
+    mask = (1 << width) - 1
+    sig = delta.select(
+        F.col("doc_id").alias("delta_id"),
+        dedup.simhash_portable_expr("text").alias("__ds"),
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("__ds"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    q = sig.select("delta_id", "__ds", F.explode(band_arr).alias("b")).select(
+        "delta_id", "__ds", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    idx = spark.table(table)
+    hits = (
+        q.join(idx, ["band", "val"])
+        .filter(F.col("corpus_id") != F.col("delta_id"))
+        .select(
+            "delta_id",
+            "corpus_id",
+            F.bit_count(F.expr("corpus_simhash ^ __ds")).cast("int").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= 3)
+        .dropDuplicates(["delta_id", "corpus_id"])
+    )
+    from wren_engine_spark.streaming.ops import run_available_now
+
+    return run_available_now(spark, hits, "t13_stream_sink", "append")

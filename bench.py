@@ -153,6 +153,20 @@ def main() -> None:
     ]
     r5_timings, r5_total, r5_runs = run_suite(R5, "r5 operator sub-suite")
 
+    # round-6 additions: derived-AVG cube drill, keep-best dedup,
+    # collocation lift, persisted-simhash incremental probe (batch +
+    # streaming twins). x70/t13's first call pays the one-time index
+    # build; like every suite, median-of-3 amortizes it to steady state
+    # by construction of the median.
+    R6 = [
+        "sem9_cube_avg_drill",
+        "x68_cluster_best_representative",
+        "x69_bigram_lift",
+        "x70_incremental_simhash_probe",
+        "t13_stream_incremental_dedup_probe",
+    ]
+    r6_timings, r6_total, r6_runs = run_suite(R6, "r6 operator sub-suite")
+
     # full TPC-H suite (22 adapted queries) as a secondary throughput
     # metric — the reference's correctness corpus is TPC-H, so this is
     # the closest apples-to-apples execution number
@@ -227,6 +241,7 @@ def main() -> None:
         "tpch_suite_s": tpch_total,
         "r4_ops_total_s": ext_total,
         "r5_ops_total_s": r5_total,
+        "r6_ops_total_s": r6_total,
         "x63_probe_p50_ms": x63_probe_ms,
     }
     detail = dict(
@@ -238,6 +253,8 @@ def main() -> None:
         r4_ops_run_totals=ext_runs,
         r5_ops=r5_timings,
         r5_ops_run_totals=r5_runs,
+        r6_ops=r6_timings,
+        r6_ops_run_totals=r6_runs,
         x63_probe_runs_ms=[round(x, 1) for x in probe_lat],
     )
     detail_path = os.path.join(

@@ -953,6 +953,64 @@ def semantic_dedup(
     )
 
 
+def _all_table_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    nbits: int,
+    tables: int,
+    seed: int,
+    impl: str = "auto",
+) -> DataFrame:
+    """(id, vec, table_id, bucket) for ALL hash tables in ONE pass —
+    one plan, one scan. A per-table loop of hyperplane_signatures
+    builds ``tables`` separate plans whose nbits x dim literal plane
+    matrices dominate ANALYSIS+CODEGEN time (measured: 3.3 s of x63's
+    4 s probe was four 10-row signature plans), and scans the input
+    ``tables`` times. Same arithmetic and left-fold order as
+    hyperplane_signatures — bit-identical buckets (the x63 oracle
+    reproduces them)."""
+    v = F.col(vec_col)
+    all_planes = []
+    for t in range(tables):
+        rng = random.Random(seed + 1000 * t)
+        all_planes.append(
+            [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
+        )
+    if _pick_impl(impl, df) == "vectorized":
+        multi_sig = _make_multi_sig_udf(all_planes)
+        return df.select(
+            F.col(id_col),
+            v.alias(vec_col),
+            F.posexplode(multi_sig(v)).alias("table_id", "bucket"),
+        ).select(id_col, vec_col, "table_id", "bucket")
+    sig_cols = []
+    for t, planes in enumerate(all_planes):
+        sig = F.lit(0).cast("long")
+        for j, plane in enumerate(planes):
+            arr = F.array(*[F.lit(x) for x in plane])
+            dot = F.aggregate(
+                F.zip_with(v, arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig.bitwiseOR(
+                F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        sig_cols.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
+    return (
+        df.select(F.col(id_col), v.alias(vec_col),
+                  F.explode(F.array(*sig_cols)).alias("__tb"))
+        .select(
+            id_col, vec_col,
+            F.col("__tb.t").alias("table_id"), F.col("__tb.b").alias("bucket"),
+        )
+    )
+
+
 def write_ann_index(
     df: DataFrame,
     id_col: str,
@@ -976,13 +1034,9 @@ def write_ann_index(
     the index is written once per corpus version and each probe reads
     ~tables x (occupancy of the probed buckets), not the corpus.
     """
-    out = None
-    for t in range(tables):
-        sig = hyperplane_signatures(df, id_col, vec_col, dim, nbits, seed + 1000 * t)
-        part = sig.select(
-            F.lit(t).alias("table_id"), "bucket", F.col(id_col), F.col(vec_col)
-        )
-        out = part if out is None else out.unionByName(part)
+    out = _all_table_signatures(
+        df, id_col, vec_col, dim, nbits, tables, seed
+    ).select("table_id", "bucket", F.col(id_col), F.col(vec_col))
     from wren_engine_spark.operators import layout
 
     # one shuffle on bucket before the bucketed write keeps file count at
@@ -1015,16 +1069,14 @@ def ann_index_topk(
     from pyspark.sql import Window as W
 
     idx = spark.table(table)
-    qsigs = None
-    for t in range(tables):
-        s = hyperplane_signatures(query_df, id_col, vec_col, dim, nbits, seed + 1000 * t)
-        s = s.select(
-            F.lit(t).alias("table_id"),
-            F.col("bucket"),
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__q"),
-        )
-        qsigs = s if qsigs is None else qsigs.unionByName(s)
+    qsigs = _all_table_signatures(
+        query_df, id_col, vec_col, dim, nbits, tables, seed
+    ).select(
+        "table_id",
+        "bucket",
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__q"),
+    )
     cand = (
         idx.join(F.broadcast(qsigs), ["table_id", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))

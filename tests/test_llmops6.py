@@ -243,3 +243,76 @@ class TestT13StreamingProbe:
             ).collect()
         }
         assert got_stream == got_batch
+
+    def test_multi_microbatch_incremental_arrival(self, spark, tmp_path):
+        """Ingestion batches arriving across several microbatches (one
+        file per trigger) must produce exactly the batch probe's pairs:
+        the signature computation is map-side per row and the index is
+        static, so no cross-batch state is needed — each doc's matches
+        are complete in its own microbatch."""
+        from wren_engine_spark.queries.io import load_tables
+        from wren_engine_spark.streaming.ops import run_available_now
+
+        d = load_tables(spark, SF_DIR, "documents")["documents"]
+        corpus = d.filter(F.col("doc_id") % 10 != 0)
+        delta = d.filter(
+            (F.col("doc_id") % 10 == 0) & (F.length(F.trim("text")) > 0)
+        )
+        table = "simhash_idx_multibatch_t"
+        dedup.write_simhash_index(corpus, "text", "doc_id", table)
+        path = str(tmp_path / "delta")
+        delta.withColumn("__f", F.col("doc_id") % 4).write.partitionBy(
+            "__f"
+        ).mode("overwrite").parquet(path)
+        src = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(path)
+        )
+        bands, width = 4, 8
+        mask = (1 << width) - 1
+        sig = src.select(
+            F.col("doc_id").alias("delta_id"),
+            dedup.simhash_portable_expr("text").alias("__ds"),
+        )
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("__ds"), i * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for i in range(bands)
+            ]
+        )
+        q = sig.select(
+            "delta_id", "__ds", F.explode(band_arr).alias("b")
+        ).select("delta_id", "__ds", F.col("b.band").alias("band"),
+                 F.col("b.val").alias("val"))
+        hits = (
+            q.join(spark.table(table), ["band", "val"])
+            .filter(F.col("corpus_id") != F.col("delta_id"))
+            .select(
+                "delta_id", "corpus_id",
+                F.bit_count(F.expr("corpus_simhash ^ __ds")).cast("int").alias(
+                    "hamming"
+                ),
+            )
+            .filter(F.col("hamming") <= 3)
+            .dropDuplicates(["delta_id", "corpus_id"])
+        )
+        got = {
+            (r.delta_id, r.corpus_id): r.hamming
+            for r in run_available_now(
+                spark, hits, "t13_multibatch_sink", "append"
+            ).collect()
+        }
+        want = {
+            (r.delta_id, r.corpus_id): r.hamming
+            for r in dedup.simhash_index_probe(
+                spark, table, delta, "text", "doc_id"
+            ).collect()
+        }
+        assert got == want and len(got) > 0

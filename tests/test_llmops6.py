@@ -316,3 +316,50 @@ class TestT13StreamingProbe:
             ).collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestX71MixingSchedule:
+    def test_sources_balanced_and_deterministic(self, spark):
+        from wren_engine_spark.operators import selection
+        from wren_engine_spark.queries.io import load_tables
+
+        d = load_tables(spark, SF_DIR, "documents")["documents"]
+        out = selection.mixing_schedule(d, "source", "doc_id").collect()
+        again = selection.mixing_schedule(d, "source", "doc_id").collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+        per = {}
+        for r in out:
+            per[r.source] = per.get(r.source, 0) + 1
+        counts = sorted(per.values())
+        # expectation: keep_fraction * total / n_sources per source;
+        # binomial noise at these sizes stays well within 3x
+        assert counts[-1] <= 3 * max(counts[0], 1), per
+        # per-shard positions are dense 1..k
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        for ps in by_shard.values():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+
+    def test_small_source_keeps_everything(self, spark):
+        """p caps at 1: a tiny domain is never down-sampled (upsampling
+        is a repetition policy, not this operator's job)."""
+        from wren_engine_spark.operators import selection
+
+        rows = [(i, "big") for i in range(1000)] + [
+            (10_000 + i, "tiny") for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+        out = selection.mixing_schedule(df, "source", "doc_id").collect()
+        kept_tiny = [r for r in out if r.source == "tiny"]
+        assert len(kept_tiny) == 5  # all kept: threshold capped at max
+
+    def test_plan_broadcasts_thresholds(self, spark):
+        df = QUERIES["x71_mixing_schedule"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin [source" in plan
+        assert "BatchEvalPython" not in plan
+        # the only windows are shard-partitioned (bounded per shard)
+        for l in plan.splitlines():
+            if "windowspecdefinition" in l:
+                assert "windowspecdefinition(shard" in l, l.strip()[:120]

@@ -397,3 +397,96 @@ def shard_assignments(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select(id_col, "shard", "pos")
     )
+
+
+def mixing_schedule(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    keep_fraction: float = 0.5,
+    n_shards: int = 8,
+    seed: int = 137,
+) -> DataFrame:
+    """APPLY a domain-mixing policy: deterministically resample the
+    corpus so every source contributes (in expectation) equally —
+    ``mixing_weights``' uniform-mix multiplier turned into an actual
+    training epoch — and lay the kept docs out in shards with stable
+    positions (the ``shard_assignments`` layout). The step between
+    "we computed mixing weights" (x34) and "the trainer reads a
+    mixed, sharded epoch" (x65).
+
+    Per-doc keep probability p_s = min(1, keep_fraction * total_docs /
+    (n_sources * n_docs_s)): each source's expected contribution is
+    keep_fraction * total/n_sources, so over-represented domains are
+    down-sampled while small domains keep everything (p capped at 1 —
+    upsampling is a repetition policy, out of scope). Selection is the
+    portable integer-hash Bernoulli of ``weighted_sample`` (reduce the
+    two-factor product mod the Mersenne prime BEFORE comparing — the
+    raw product is always even), so the schedule is reproducible on
+    any engine and any layout; the threshold is
+    floor(p_s * 2147483647) computed with one double multiply-divide
+    chain in a fixed order, identical in the oracle.
+
+    At 100 TB: one combinable per-source count, a broadcast join of
+    the (tiny) per-source thresholds, a narrow hash filter, and the
+    shard window (per-shard, bounded by shard size — the same cost
+    shape as x65). Returns (id, source, shard, pos) for KEPT docs.
+    """
+    from pyspark.sql import Window as W
+
+    per = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("__ns"))
+    tot = per.agg(
+        F.sum("__ns").alias("__td"), F.count(F.lit(1)).alias("__s")
+    )
+    thr = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            F.least(
+                F.floor(
+                    F.lit(keep_fraction)
+                    * (
+                        F.col("__td").cast("double")
+                        / (F.col("__s") * F.col("__ns")).cast("double")
+                    )
+                    * F.lit(2147483647.0)
+                ).cast("bigint"),
+                F.lit(2147483647).cast("bigint"),
+            ).alias("__thr"),
+        )
+    )
+    idc = F.col(id_col).cast("bigint")
+    m = F.lit(2147483647)
+    keep_h = F.pmod(
+        F.pmod(idc * 31 + F.lit(seed), m)
+        * F.pmod(idc * 48271 + F.lit(seed + 7), m),
+        m,
+    )
+    shard = F.pmod(
+        F.pmod(
+            F.pmod(idc * 131 + F.lit(seed + 37), m)
+            * F.pmod(idc * 40692 + F.lit(seed + 41), m),
+            m,
+        ),
+        F.lit(n_shards),
+    ).cast("int")
+    pos_h = F.pmod(
+        F.pmod(idc * 37 + F.lit(seed + 13), m)
+        * F.pmod(idc * 69621 + F.lit(seed + 29), m),
+        F.lit(1_000_000_007),
+    )
+    kept = (
+        docs.select(F.col(id_col), F.col(source_col))
+        .join(F.broadcast(thr), source_col)
+        .filter(keep_h < F.col("__thr"))
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            shard.alias("shard"),
+            pos_h.alias("__ph"),
+        )
+    )
+    w = W.partitionBy("shard").orderBy(F.col("__ph"), F.col(id_col))
+    return kept.withColumn("pos", F.row_number().over(w).cast("bigint")).select(
+        id_col, source_col, "shard", "pos"
+    )

@@ -334,3 +334,54 @@ def t13(spark: SparkSession, sf: str) -> DataFrame:
     from wren_engine_spark.streaming.ops import run_available_now
 
     return run_available_now(spark, hits, "t13_stream_sink", "append")
+
+
+# ---------------------------------------------------------------------------
+# x71: deterministic domain-mixing schedule (apply x34's weights)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x71_mixing_schedule",
+    """
+    WITH per AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+    tot AS (SELECT SUM(ns) AS td, COUNT(*) AS s FROM per),
+    thr AS (
+      SELECT source,
+             LEAST(CAST(FLOOR(0.5 * (CAST(td AS DOUBLE) / CAST(s * ns AS DOUBLE))
+                              * 2147483647.0) AS BIGINT),
+                   2147483647) AS thr
+      FROM per, tot
+    ),
+    kept AS (
+      SELECT d.doc_id, d.source,
+             CAST(((d.doc_id * 131 + 174) % 2147483647)
+               * ((d.doc_id * 40692 + 178) % 2147483647)
+               % 2147483647 % 8 AS INTEGER) AS shard,
+             ((d.doc_id * 37 + 150) % 2147483647)
+               * ((d.doc_id * 69621 + 166) % 2147483647) % 1000000007 AS ph
+      FROM documents d JOIN thr ON thr.source = d.source
+      WHERE ((d.doc_id * 31 + 137) % 2147483647)
+              * ((d.doc_id * 48271 + 144) % 2147483647) % 2147483647 < thr.thr
+    )
+    SELECT doc_id, source, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ph, doc_id)
+                AS BIGINT) AS pos
+    FROM kept
+    """,
+)
+def x71(spark: SparkSession, sf: str) -> DataFrame:
+    """APPLY the domain mix: deterministically resample so every source
+    contributes equally in expectation (keep probability
+    min(1, 0.5 * total / (n_sources * n_s)) per doc — x34's uniform-mix
+    multiplier made executable), then lay kept docs out as
+    shard+position (x65's layout) — the step a trainer actually
+    consumes. Pure portable integer-hash arithmetic (product reduced
+    mod the Mersenne prime BEFORE every comparison), one double chain
+    for the threshold in a fixed operation order, so the oracle
+    reproduces the schedule row-for-row
+    (selection.mixing_schedule)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    from wren_engine_spark.operators import selection
+
+    return selection.mixing_schedule(d, "source", "doc_id")

@@ -363,3 +363,45 @@ class TestX71MixingSchedule:
         for l in plan.splitlines():
             if "windowspecdefinition" in l:
                 assert "windowspecdefinition(shard" in l, l.strip()[:120]
+
+
+class TestX72RepetitionSchedule:
+    def test_expected_contribution_equal(self, spark):
+        """Skewed corpus: 900 docs of 'big', 100 of 'small' -> w_big =
+        1000/(2*900) ≈ 0.56, w_small = 1000/(2*100) = 5. Every small
+        doc gets 5 copies exactly (frac 0); big docs get 0 or 1 with
+        P ≈ 0.56 — per-source output within binomial noise of 500."""
+        rows = [(i, "big") for i in range(900)] + [
+            (10_000 + i, "small") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+        from wren_engine_spark.operators import selection
+
+        out = selection.repetition_schedule(df, "source", "doc_id").collect()
+        per = {}
+        copies = {}
+        for r in out:
+            per[r.source] = per.get(r.source, 0) + 1
+            copies.setdefault(r.doc_id, []).append(r.copy_idx)
+        assert per["small"] == 500  # deterministic: exactly 5 copies each
+        assert abs(per["big"] - 500) < 100  # Bernoulli(5/9) over 900 draws
+        for doc, idxs in copies.items():
+            assert sorted(idxs) == list(range(1, len(idxs) + 1))
+            if doc >= 10_000:
+                assert len(idxs) == 5
+
+    def test_deterministic(self, spark):
+        from wren_engine_spark.operators import selection
+        from wren_engine_spark.queries.io import load_tables
+
+        d = load_tables(spark, SF_DIR, "documents")["documents"]
+        a = sorted(map(tuple, selection.repetition_schedule(d).collect()))
+        b = sorted(map(tuple, selection.repetition_schedule(d).collect()))
+        assert a == b and len(a) > 0
+
+    def test_plan_is_broadcast_and_narrow(self, spark):
+        df = QUERIES["x72_repetition_schedule"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin [source" in plan
+        assert "BatchEvalPython" not in plan
+        assert "windowspecdefinition" not in plan  # no window at all

@@ -490,3 +490,69 @@ def mixing_schedule(
     return kept.withColumn("pos", F.row_number().over(w).cast("bigint")).select(
         id_col, source_col, "shard", "pos"
     )
+
+
+def repetition_schedule(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 211,
+) -> DataFrame:
+    """Domain equalization WITH repetition: every source contributes
+    the same expected row count td/s (td = corpus size, s = number of
+    sources) by giving each doc of source ``s_i`` w = td/(s*n_i)
+    copies — floor(w) guaranteed repeats plus one more with
+    probability frac(w), decided by the portable integer-hash
+    Bernoulli. Under-represented domains repeat (the standard
+    "N epochs of the small corpus" policy); over-represented domains
+    thin naturally (w < 1 leaves floor = 0 and only the fractional
+    draw). The repetition complement of ``mixing_schedule``'s capped
+    down-sampling.
+
+    Deterministic on any engine/layout: w's double chain has one fixed
+    operation order, the fractional threshold is floor((w - floor(w))
+    * 2^31-1), and the per-doc draw reduces the two-factor product mod
+    the Mersenne prime before comparing. Copies are materialized
+    in-row via sequence+explode — a narrow map whose output volume is
+    exactly the schedule (bounded by max(w) per doc, never corpus^2).
+
+    Returns (id, source, copy_idx) with copy_idx in 1..n_copies.
+    """
+    per = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("__ns"))
+    tot = per.agg(F.sum("__ns").alias("__td"), F.count(F.lit(1)).alias("__s"))
+    w = F.col("__td").cast("double") / (F.col("__s") * F.col("__ns")).cast(
+        "double"
+    )
+    thr = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            F.floor(w).cast("bigint").alias("__base"),
+            F.floor((w - F.floor(w)) * F.lit(2147483647.0)).cast(
+                "bigint"
+            ).alias("__fthr"),
+        )
+    )
+    idc = F.col(id_col).cast("bigint")
+    m = F.lit(2147483647)
+    draw = F.pmod(
+        F.pmod(idc * 31 + F.lit(seed), m)
+        * F.pmod(idc * 48271 + F.lit(seed + 7), m),
+        m,
+    )
+    n_copies = (F.col("__base") + (draw < F.col("__fthr")).cast("bigint")).alias(
+        "__nc"
+    )
+    return (
+        docs.select(F.col(id_col), F.col(source_col))
+        .join(F.broadcast(thr), source_col)
+        .select(F.col(id_col), F.col(source_col), n_copies)
+        .filter(F.col("__nc") >= 1)
+        .select(
+            id_col,
+            source_col,
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("__nc"))).alias(
+                "copy_idx"
+            ),
+        )
+    )

@@ -385,3 +385,48 @@ def x71(spark: SparkSession, sf: str) -> DataFrame:
     from wren_engine_spark.operators import selection
 
     return selection.mixing_schedule(d, "source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x72: domain equalization WITH repetition (upsampling twin of x71)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x72_repetition_schedule",
+    """
+    WITH per AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+    tot AS (SELECT SUM(ns) AS td, COUNT(*) AS s FROM per),
+    thr AS (
+      SELECT source,
+             CAST(FLOOR(CAST(td AS DOUBLE) / CAST(s * ns AS DOUBLE)) AS BIGINT)
+               AS base,
+             CAST(FLOOR((CAST(td AS DOUBLE) / CAST(s * ns AS DOUBLE)
+                         - FLOOR(CAST(td AS DOUBLE) / CAST(s * ns AS DOUBLE)))
+                        * 2147483647.0) AS BIGINT) AS fthr
+      FROM per, tot
+    ),
+    n AS (
+      SELECT d.doc_id, d.source,
+             thr.base + CASE WHEN ((d.doc_id * 31 + 211) % 2147483647)
+                                * ((d.doc_id * 48271 + 218) % 2147483647)
+                                % 2147483647 < thr.fthr
+                             THEN 1 ELSE 0 END AS nc
+      FROM documents d JOIN thr ON thr.source = d.source
+    )
+    SELECT doc_id, source, CAST(unnest(generate_series(1, nc)) AS BIGINT)
+             AS copy_idx
+    FROM n WHERE nc >= 1
+    """,
+)
+def x72(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-contribution mixing WITH repetition: each doc of source i
+    gets floor(w) guaranteed copies plus one with probability frac(w),
+    w = total/(n_sources * n_i) — small domains repeat ("4 epochs of
+    the small corpus"), big ones thin (w < 1). Pure portable hash
+    arithmetic + in-row sequence/explode, so the oracle reproduces
+    every (doc, copy) row (selection.repetition_schedule)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    from wren_engine_spark.operators import selection
+
+    return selection.repetition_schedule(d, "source", "doc_id")

@@ -409,3 +409,67 @@ class TestRegisteredEntrySoak:
                     ok = True
                     break
             assert ok, f"raw shingle shuffle: {l.strip()[:120]}"
+
+    def test_registered_x69_on_10x_corpus_balanced(self, spark, zipf10x_dir):
+        """Collocation mining on 80k docs with a 50%-frequency planted
+        trigram: the hot bigram ('qqhot','qqipf') must dominate c_ab
+        while the token-keyed exchanges stay agg-fed (one row per
+        distinct bigram per map partition) — measured per-task balance
+        of the bigram aggregate, not just the plan shape."""
+        from wren_engine_spark.queries.registry import QUERIES
+
+        out = QUERIES["x69_bigram_lift"](spark, zipf10x_dir)
+        rows = out.collect()
+        assert rows  # completes with the hot token present
+        # rebuild the aggregate stage (pre-limit) and measure balance
+        docs = spark.read.parquet(f"{zipf10x_dir}/documents.parquet")
+        toks = docs.select(
+            F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0B\f\r]+").alias("__t")
+        )
+        bi = (
+            toks.filter(F.size("__t") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(__t) - 2), "
+                        "i -> struct(__t[i] AS t1, __t[i + 1] AS t2))"
+                    )
+                ).alias("b")
+            )
+            .select("b.t1", "b.t2")
+            .groupBy("t1", "t2")
+            .agg(F.count(F.lit(1)).alias("c_ab"))
+        )
+        hot = {
+            (r.t1, r.t2): r.c_ab
+            for r in bi.filter(F.col("t1") == "qqhot").collect()
+        }
+        assert hot.get(("qqhot", "qqipf"), 0) >= 35_000  # ~40k planted
+        sizes = partition_rows(bi)
+        med = sizes[len(sizes) // 2]
+        assert sizes[-1] <= 3 * max(med, 1), sizes[-5:]
+
+    def test_registered_x70_on_10x_corpus_no_index_shuffle(
+        self, spark, zipf10x_dir
+    ):
+        """The incremental probe at 10x: completes, finds the passage-
+        sharing near-dups, and the executed plan still streams the
+        index with zero band/val exchanges even with broadcast forced
+        off."""
+        from wren_engine_spark.queries.registry import QUERIES
+
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = QUERIES["x70_incremental_simhash_probe"](spark, zipf10x_dir)
+            rows = df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        finally:
+            if saved is None:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        assert "Exchange hashpartitioning(band" not in plan
+        assert "Exchange hashpartitioning(val" not in plan
+        assert "BroadcastHashJoin [band" in plan
+        assert len(rows) > 0  # passage-sharing docs collide and verify

@@ -405,3 +405,78 @@ class TestX72RepetitionSchedule:
         assert "BroadcastHashJoin [source" in plan
         assert "BatchEvalPython" not in plan
         assert "windowspecdefinition" not in plan  # no window at all
+
+
+class TestX73IngestDecisions:
+    def test_planted_batch_twins_accept_one(self, spark):
+        """Two near-identical docs arriving in one batch with no corpus
+        counterpart: exactly ONE accepted (the min id). A batch doc
+        near-duplicating the corpus: whole cluster rejected."""
+        corpus_rows = [(i * 10 + 1, f"corpus doc {i} " + " ".join(
+            f"c{i}w{j}" for j in range(20))) for i in range(50)]
+        base = "the shared boilerplate text body repeated across twins " + \
+            " ".join(f"tw{j}" for j in range(15))
+        batch_rows = [
+            (100, base), (110, base + " zz"),          # twins, no corpus dup
+            (120, corpus_rows[0][1]),                   # exact corpus dup
+            (130, "totally unique fresh content " + " ".join(
+                f"u{j}" for j in range(20))),
+        ]
+        corpus = spark.createDataFrame(corpus_rows, "doc_id LONG, text STRING")
+        delta = spark.createDataFrame(batch_rows, "doc_id LONG, text STRING")
+        table = "simhash_idx_ingest_t"
+        dedup.write_simhash_index(corpus, "text", "doc_id", table)
+        out = {
+            r.doc_id: (r.cluster_id, r.corpus_dup, r.accepted)
+            for r in dedup.ingest_decisions(
+                spark, table, delta, "text", "doc_id"
+            ).collect()
+        }
+        assert out[100] == (100, False, True)   # twin rep accepted
+        assert out[110][0] == 100 and out[110][2] is False  # twin rejected
+        assert out[120] == (120, True, False)   # corpus dup rejected
+        assert out[130] == (130, False, True)   # fresh doc accepted
+
+    def test_registered_matches_brute_force_acceptance(self, spark):
+        from wren_engine_spark.queries.io import load_tables
+
+        d = load_tables(spark, SF_DIR, "documents")["documents"]
+        sigs = {
+            r.doc_id: r.simhash
+            for r in dedup.simhash_portable(d, "text", "doc_id").collect()
+        }
+        delta = sorted(k for k in sigs if k % 10 == 0)
+        corpus = [k for k in sigs if k % 10 != 0]
+
+        def ham(a, b):
+            return bin(sigs[a] ^ sigs[b]).count("1")
+
+        # brute-force clusters over the batch
+        parent = {k: k for k in delta}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, a in enumerate(delta):
+            for b in delta[i + 1:]:
+                if ham(a, b) <= 3:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        cdup = {
+            a: any(ham(a, b) <= 3 for b in corpus) for a in delta
+        }
+        want = {}
+        for a in delta:
+            cid = find(a)
+            members = [x for x in delta if find(x) == cid]
+            any_dup = any(cdup[m] for m in members)
+            want[a] = (cid, cdup[a], a == cid and not any_dup)
+        got = {
+            r.doc_id: (r.cluster_id, r.corpus_dup, r.accepted)
+            for r in QUERIES["x73_ingest_decisions"](spark, SF_DIR).collect()
+        }
+        assert got == want

@@ -1547,3 +1547,70 @@ def simhash_portable_expr(text_col: str):
         "(c, j) -> if(c > 0, shiftleft(cast(1 as bigint), j), "
         "cast(0 as bigint))), cast(0 as bigint), (a, b) -> a | b)"
     )
+
+
+def ingest_decisions(
+    spark,
+    table: str,
+    delta: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """The full ingestion-cycle decision for a new batch against a
+    persisted corpus index: a batch doc is ACCEPTED iff it is the
+    representative (min id) of its within-batch near-dup cluster AND
+    no member of that cluster is a near-duplicate of the existing
+    corpus. Composes :func:`simhash_index_probe` (corpus matches — the
+    index streams, batch broadcasts) with
+    :func:`portable_simhash_near_dup` + :func:`connected_components`
+    over the batch itself (two near-dups arriving TOGETHER must not
+    both be accepted — the self-dedup naive probe-only ingestion
+    misses). Cluster-level semantics (one representative per
+    component, component rejected wholesale on any corpus hit) are
+    deterministic and parallel, unlike sequential greedy acceptance.
+
+    At 100 TB: the corpus side is the bucketed signature index (never
+    the corpus text); the batch side is ingestion-batch-sized
+    throughout (its pair graph, components, and flags live on the
+    batch, not the corpus).
+
+    Returns (id, cluster_id, corpus_dup, accepted).
+    """
+    probe = simhash_index_probe(
+        spark, table, delta, text_col, id_col, max_hamming, bands
+    )
+    doc_dups = probe.groupBy("delta_id").agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    pairs = portable_simhash_near_dup(
+        delta, text_col, id_col, max_hamming, bands
+    )
+    comp = connected_components(pairs)
+    labeled = (
+        delta.select(id_col)
+        .join(comp, F.col(id_col) == comp["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    flags = labeled.join(
+        doc_dups, labeled[id_col] == doc_dups["delta_id"], "left"
+    ).select(
+        F.col(id_col),
+        "cluster_id",
+        F.col("__nd").isNotNull().alias("corpus_dup"),
+    )
+    cluster_any = flags.groupBy("cluster_id").agg(
+        F.max(F.col("corpus_dup").cast("int")).alias("__any")
+    )
+    return flags.join(cluster_any, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        "corpus_dup",
+        ((F.col(id_col) == F.col("cluster_id")) & (F.col("__any") == 0)).alias(
+            "accepted"
+        ),
+    )

@@ -430,3 +430,81 @@ def x72(spark: SparkSession, sf: str) -> DataFrame:
     from wren_engine_spark.operators import selection
 
     return selection.repetition_schedule(d, "source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x73: full ingestion-cycle decisions (batch self-dedup + corpus probe)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x73_ingest_decisions",
+    f"""
+    WITH RECURSIVE {_PORTABLE_SIMHASH_CTES},
+    c AS (SELECT doc_id, simhash FROM sig WHERE doc_id % 10 <> 0),
+    dd AS (
+      SELECT d.doc_id, s.simhash
+      FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id
+      WHERE d.doc_id % 10 = 0
+    ),
+    bp AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM dd a JOIN dd b
+        ON a.doc_id <> b.doc_id
+       AND a.simhash IS NOT NULL AND b.simhash IS NOT NULL
+       AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM bp) t
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN bp e ON e.u = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node),
+    lab AS (
+      SELECT dd.doc_id, COALESCE(comp.cid, dd.doc_id) AS cluster_id,
+             dd.simhash
+      FROM dd LEFT JOIN comp ON comp.node = dd.doc_id
+    ),
+    cdj AS (
+      SELECT l.doc_id, COUNT(c.doc_id) > 0 AS corpus_dup
+      FROM lab l LEFT JOIN c
+        ON l.simhash IS NOT NULL
+       AND bit_count(xor(c.simhash, l.simhash)) <= 3
+      GROUP BY l.doc_id
+    ),
+    anyd AS (
+      SELECT l.cluster_id,
+             MAX(CASE WHEN j.corpus_dup THEN 1 ELSE 0 END) AS a
+      FROM lab l JOIN cdj j ON j.doc_id = l.doc_id
+      GROUP BY l.cluster_id
+    )
+    SELECT l.doc_id, l.cluster_id, j.corpus_dup,
+           (l.doc_id = l.cluster_id AND anyd.a = 0) AS accepted
+    FROM lab l
+    JOIN cdj j ON j.doc_id = l.doc_id
+    JOIN anyd ON anyd.cluster_id = l.cluster_id
+    """,
+)
+def x73(spark: SparkSession, sf: str) -> DataFrame:
+    """The complete ingestion cycle in one decision: a new-batch doc is
+    accepted iff it represents (min id) its WITHIN-BATCH near-dup
+    cluster and no member of that cluster near-duplicates the existing
+    corpus (persisted simhash index probe) — the self-dedup a naive
+    probe-only ingestion misses when two near-dups arrive together.
+    Cluster-level accept/reject is deterministic and parallel (CC over
+    the batch pair graph), unlike sequential greedy acceptance; the
+    oracle recomputes clusters, corpus hits, and the decision from
+    scratch (dedup.ingest_decisions)."""
+    import hashlib
+
+    d = load_tables(spark, sf, "documents")["documents"]
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    key = (id(spark), sf)
+    table = f"simhash_idx_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    if _SIMHASH_INDEX_MEMO.get(key) != table or not spark.catalog.tableExists(
+        table
+    ):
+        dedup.write_simhash_index(corpus, "text", "doc_id", table)
+        _SIMHASH_INDEX_MEMO[key] = table
+    return dedup.ingest_decisions(spark, table, delta, "text", "doc_id")

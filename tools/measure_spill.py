@@ -80,6 +80,44 @@ def main() -> int:
     ).repartition(32).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
     emb = spark.read.parquet(f"{d}/embeddings.parquet")
 
+    # text twin at 10x (round 6): the widest NEW operator family —
+    # x68's dedup-clustering + per-cluster quality argmax — on an
+    # 80k-doc Zipfian corpus with a planted 50%-frequency trigram
+    # (the documents analog of the 10x embeddings above)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from wren_engine_spark.operators import dedup as dd
+    from wren_engine_spark.operators import text as tx
+
+    rngt = random.Random(11)
+    hot = "qqhot qqipf qqhead".split()
+    drows = []
+    for i in range(max(n * 4, 80_000)):
+        toks = [f"w{rngt.randrange(5000)}" for _ in range(30)]
+        if i % 2 == 0:
+            p = rngt.randrange(27)
+            toks[p : p + 3] = hot
+        drows.append((i, " ".join(toks)))
+    spark.createDataFrame(
+        drows, "doc_id LONG, text STRING"
+    ).repartition(32).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+
+    def run_x68():
+        clusters = dd.duplicate_clusters(docs, "text", "doc_id")
+        q = tx.quality_score(docs, "text", "doc_id")
+        w = (
+            W.partitionBy("cluster_id")
+            .orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        )
+        return (
+            clusters.join(q, "doc_id")
+            .select("doc_id", F.first("doc_id").over(w).alias("rep_id"))
+            .count()
+        )
+
     results = {}
     for name, fn in (
         (
@@ -92,6 +130,7 @@ def main() -> int:
             "x50_semantic_dedup",
             lambda: similarity.semantic_dedup(emb, "vec_id", "embedding").count(),
         ),
+        ("x68_keep_best_clustering", run_x68),
     ):
         sc.setJobGroup(name, name)
         t0 = time.perf_counter()

@@ -480,3 +480,82 @@ class TestX73IngestDecisions:
             for r in QUERIES["x73_ingest_decisions"](spark, SF_DIR).collect()
         }
         assert got == want
+
+
+class TestX74CountMin:
+    def test_overestimate_and_error_bound(self, spark):
+        """CMS never underestimates, and on this fixed corpus every
+        top-20 estimate stays within the e/w * N envelope (the
+        probabilistic bound, pinned deterministically here — it either
+        holds on this corpus or the operator broke)."""
+        import math
+
+        from wren_engine_spark.operators import text as tx
+        from wren_engine_spark.queries.io import load_tables
+
+        d = load_tables(spark, SF_DIR, "documents")["documents"]
+        rows = tx.count_min_estimates(d, "text", "doc_id").collect()
+        assert len(rows) == 20
+        n_tokens = (
+            d.select(
+                F.explode(F.split(F.lower("text"), r"[ \t\n\x0B\f\r]+")).alias("t")
+            )
+            .filter(F.length("t") > 0)
+            .count()
+        )
+        bound = math.e / 256 * n_tokens
+        for r in rows:
+            assert r.cms_estimate >= r.exact_count, r
+            assert r.cms_estimate - r.exact_count <= bound, (r, bound)
+
+    def test_matches_python_sketch_brute_force(self, spark):
+        docs = [(0, "a b a c a b"), (1, "b c d d d"), (2, "a d e")]
+        df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+        from wren_engine_spark.operators import text as tx
+
+        got = {
+            r.tok: (r.exact_count, r.cms_estimate)
+            for r in tx.count_min_estimates(
+                df, "text", "doc_id", top_k=5
+            ).collect()
+        }
+
+        def th(t):
+            acc = 0
+            for ch in t:
+                acc = (acc * 31 + ord(ch)) % 2147483647
+            return acc
+
+        A = [16807, 48271, 69621, 40692]
+        toks = [t for _, s in docs for t in s.split()]
+        cells = {}
+        for t in toks:
+            for r in range(4):
+                col = (th(t) * A[r] + (97 + 131 * r)) % 2147483647 % 256
+                cells[(r, col)] = cells.get((r, col), 0) + 1
+        exact = {}
+        for t in toks:
+            exact[t] = exact.get(t, 0) + 1
+        want = {}
+        for t in sorted(exact, key=lambda t: (-exact[t], t))[:5]:
+            est = min(
+                cells[
+                    (r, (th(t) * A[r] + (97 + 131 * r)) % 2147483647 % 256)
+                ]
+                for r in range(4)
+            )
+            want[t] = (exact[t], est)
+        assert got == want
+
+    def test_plan_one_combinable_agg_no_python(self, spark):
+        df = QUERIES["x74_count_min_estimates"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        lines = plan.splitlines()
+        for i, l in enumerate(lines):
+            if "Exchange hashpartitioning(r#" in l or \
+                    "Exchange hashpartitioning(tok" in l:
+                tail = "\n".join(lines[i + 1 : i + 4])
+                # count aggs AND the final min-of-rows agg both combine
+                # map-side
+                assert "partial_" in tail, l.strip()[:120]

@@ -1047,3 +1047,111 @@ def bpe_learned_token_count(
     return df.select(id_col, text_col).mapInPandas(
         batches, f"{id_col} BIGINT, n_words BIGINT, n_bpe_tokens BIGINT"
     )
+
+
+_CMS_A = [16807, 48271, 69621, 40692]
+
+
+def count_min_estimates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 20,
+    seed: int = 97,
+) -> DataFrame:
+    """Count-Min sketch over corpus token frequencies, with the
+    estimates for the ``top_k`` exact-frequent tokens returned beside
+    their true counts — the point-query sketch completing the
+    mergeable-summary family (HLL distinct = d5, GK quantiles = d4).
+
+    Every step is exact integer arithmetic on the PORTABLE base-31
+    token hash: row r's column is ((a_r*th + b_r) mod 2147483647) mod
+    width with a_r drawn from the spread multiplier family
+    (16807, 48271, 69621, 40692) — four unrelated LCG multipliers, so
+    row collisions decorrelate (near-identical multipliers made the
+    rows collide TOGETHER and blew the e/w envelope on the bench
+    corpus) — and b_r = seed + 131*r. Any SQL engine rebuilds the
+    IDENTICAL d x w cell matrix and minimums —
+    the sketch itself is the oracle-checked artifact, not just its
+    error envelope. CMS cells only ever OVERESTIMATE
+    (estimate >= exact always; the e/w error bound is probabilistic
+    and pinned by pytest on a fixed corpus, not by the row oracle).
+
+    At 100 TB: the sketch is a fixed d x w integer grid built by ONE
+    map-side-combinable groupBy of the exploded tokens — constant
+    state per executor, mergeable across any partitioning (the
+    map-combine IS the sketch merge); the top-k exact pass is the same
+    aggregation shape as ``frequent_tokens``. Returns
+    (tok, exact_count, cms_estimate) ordered by the exact top-k.
+    """
+    from wren_engine_spark.operators.textnorm import WS_RE
+
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), WS_RE)).alias("tok")
+    ).filter(F.length("tok") > 0)
+    th = F.expr(
+        "aggregate(transform(sequence(1, length(tok)), "
+        "i -> cast(ascii(substring(tok, i, 1)) as bigint)), "
+        "cast(0 as bigint), (acc, c) -> pmod(acc * 31 + c, 2147483647))"
+    )
+    hashed = toks.select(F.col("tok"), th.alias("__th"))
+    rows = [
+        F.struct(
+            F.lit(r).alias("r"),
+            F.pmod(
+                F.pmod(
+                    F.col("__th") * F.lit(_CMS_A[r])
+                    + F.lit(seed + 131 * r),
+                    F.lit(2147483647),
+                ),
+                F.lit(width),
+            ).alias("col"),
+        )
+        for r in range(depth)
+    ]
+    cells = (
+        hashed.select(F.explode(F.array(*rows)).alias("rc"))
+        .select(F.col("rc.r").alias("r"), F.col("rc.col").alias("col"))
+        .groupBy("r", "col")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        hashed.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"), F.first("__th").alias("__th"))
+        .orderBy(F.col("exact_count").desc(), F.col("tok"))
+        .limit(top_k)
+    )
+    probes = exact.select(
+        "tok",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            F.pmod(
+                                F.col("__th") * F.lit(_CMS_A[r])
+                                + F.lit(seed + 131 * r),
+                                F.lit(2147483647),
+                            ),
+                            F.lit(width),
+                        ).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select(
+        "tok", "exact_count",
+        F.col("rc.r").alias("r"), F.col("rc.col").alias("col"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(cells, ["r", "col"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select("tok", "exact_count", "cms_estimate")
+    )

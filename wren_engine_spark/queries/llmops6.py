@@ -508,3 +508,62 @@ def x73(spark: SparkSession, sf: str) -> DataFrame:
         dedup.write_simhash_index(corpus, "text", "doc_id", table)
         _SIMHASH_INDEX_MEMO[key] = table
     return dedup.ingest_decisions(spark, table, delta, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x74: Count-Min sketch token frequencies (mergeable point-query summary)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x74_count_min_estimates",
+    r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS tok
+      FROM documents
+    ),
+    nz AS (SELECT tok FROM toks WHERE length(tok) > 0),
+    h AS (
+      SELECT tok,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT)
+                FOR i IN generate_series(1, length(tok))]),
+               (acc, c) -> (acc * 31 + c) % 2147483647) AS th
+      FROM nz
+    ),
+    rs AS (
+      SELECT r, a FROM (VALUES (0, 16807), (1, 48271), (2, 69621),
+                               (3, 40692)) AS v(r, a)
+    ),
+    cells AS (
+      SELECT r,
+             ((th * a + (97 + 131*r)) % 2147483647) % 256 AS col,
+             COUNT(*) AS c
+      FROM h CROSS JOIN rs GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT tok, COUNT(*) AS exact_count, MIN(th) AS th
+      FROM h GROUP BY tok ORDER BY exact_count DESC, tok LIMIT 20
+    ),
+    probes AS (
+      SELECT tok, exact_count, r,
+             ((th * a + (97 + 131*r)) % 2147483647) % 256 AS col
+      FROM exact CROSS JOIN rs
+    )
+    SELECT p.tok, p.exact_count, MIN(c.c) AS cms_estimate
+    FROM probes p JOIN cells c ON c.r = p.r AND c.col = p.col
+    GROUP BY p.tok, p.exact_count
+    """,
+)
+def x74(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch over corpus token frequencies — the mergeable
+    point-query summary completing the sketch family (HLL distinct d5,
+    GK quantiles d4): a fixed 4x256 integer grid built by one
+    map-side-combinable groupBy (the map combine IS the sketch merge),
+    probed for the top-20 exact-frequent tokens. Every cell and every
+    minimum is exact portable-hash integer arithmetic, so the oracle
+    rebuilds the IDENTICAL sketch — the artifact is hash-checked, not
+    just its error envelope (text.count_min_estimates; the e/w
+    overestimate bound is pinned in pytest on a fixed corpus)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.count_min_estimates(d, "text", "doc_id")

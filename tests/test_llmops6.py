@@ -559,3 +559,84 @@ class TestX74CountMin:
                 # count aggs AND the final min-of-rows agg both combine
                 # map-side
                 assert "partial_" in tail, l.strip()[:120]
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_corpora = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=50_000),
+              st.sampled_from(["a", "b", "c", "d"])),
+    min_size=1, max_size=60, unique_by=lambda t: t[0],
+)
+
+M = 2147483647
+
+
+def _mix_brute(rows, keep_fraction=0.5, seed=137, n_shards=8):
+    ns = {}
+    for _, s in rows:
+        ns[s] = ns.get(s, 0) + 1
+    td, nsrc = len(rows), len(ns)
+    out = []
+    for i, s in rows:
+        thr = min(
+            int((keep_fraction * (float(td) / float(nsrc * ns[s]))) * 2147483647.0),
+            2147483647,
+        )
+        h = ((i * 31 + seed) % M) * ((i * 48271 + seed + 7) % M) % M
+        if h < thr:
+            shard = ((i * 131 + seed + 37) % M) * ((i * 40692 + seed + 41) % M) % M % n_shards
+            ph = ((i * 37 + seed + 13) % M) * ((i * 69621 + seed + 29) % M) % 1_000_000_007
+            out.append((i, s, shard, ph))
+    by_shard = {}
+    for i, s, shard, ph in out:
+        by_shard.setdefault(shard, []).append((ph, i, s))
+    want = {}
+    for shard, members in by_shard.items():
+        for pos, (ph, i, s) in enumerate(sorted(members), start=1):
+            want[i] = (s, shard, pos)
+    return want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_corpora)
+def test_mixing_schedule_matches_integer_brute_force(spark, rows):
+    from wren_engine_spark.operators import selection
+
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    got = {
+        r.doc_id: (r.source, r.shard, r.pos)
+        for r in selection.mixing_schedule(df, "source", "doc_id").collect()
+    }
+    assert got == _mix_brute(rows)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_corpora)
+def test_repetition_schedule_matches_integer_brute_force(spark, rows):
+    import math
+
+    from wren_engine_spark.operators import selection
+
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    ns = {}
+    for _, s in rows:
+        ns[s] = ns.get(s, 0) + 1
+    td, nsrc = len(rows), len(ns)
+    seed = 211
+    want = {}
+    for i, s in rows:
+        w = float(td) / float(nsrc * ns[s])
+        base = int(math.floor(w))
+        fthr = int(math.floor((w - math.floor(w)) * 2147483647.0))
+        h = ((i * 31 + seed) % M) * ((i * 48271 + seed + 7) % M) % M
+        nc = base + (1 if h < fthr else 0)
+        if nc >= 1:
+            want[(i, s)] = list(range(1, nc + 1))
+    got = {}
+    for r in selection.repetition_schedule(df, "source", "doc_id").collect():
+        got.setdefault((r.doc_id, r.source), []).append(r.copy_idx)
+    assert {k: sorted(v) for k, v in got.items()} == want

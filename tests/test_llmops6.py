@@ -640,3 +640,65 @@ def test_repetition_schedule_matches_integer_brute_force(spark, rows):
     for r in selection.repetition_schedule(df, "source", "doc_id").collect():
         got.setdefault((r.doc_id, r.source), []).append(r.copy_idx)
     assert {k: sorted(v) for k, v in got.items()} == want
+
+
+class TestM6LinearInterpolation:
+    def test_reconstruction_math(self, spark):
+        """Planted series: observations at days 1 and 4 with values 10
+        and 40 — days 2 and 3 must read 20 and 30; before the first and
+        after the last observation the edge holds."""
+        import datetime
+
+        from pyspark.sql import Window as W
+
+        rows = [
+            ("p", datetime.date(2020, 1, 1), 10.0),
+            ("p", datetime.date(2020, 1, 4), 40.0),
+        ]
+        base = spark.createDataFrame(
+            rows, "priority STRING, day DATE, revenue DOUBLE"
+        )
+        spine = spark.sql(
+            "SELECT explode(sequence(DATE '2019-12-31', DATE '2020-01-05', "
+            "INTERVAL 1 DAY)) AS day"
+        )
+        grid = base.select("priority").distinct().crossJoin(spine)
+        wp = W.partitionBy("priority").orderBy("day").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        wn = W.partitionBy("priority").orderBy("day").rowsBetween(
+            W.currentRow, W.unboundedFollowing
+        )
+        obs_day = F.when(F.col("revenue").isNotNull(), F.col("day"))
+        j = grid.join(base, ["priority", "day"], "left").select(
+            "day", "revenue",
+            F.last("revenue", ignorenulls=True).over(wp).alias("pv"),
+            F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+            F.first("revenue", ignorenulls=True).over(wn).alias("nv"),
+            F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+        )
+        frac = F.datediff("day", "pd").cast("double") / F.datediff(
+            "nd", "pd"
+        ).cast("double")
+        interp = (
+            F.when(F.col("revenue").isNotNull(), F.col("revenue"))
+            .when(F.col("pv").isNull() | F.col("nv").isNull(),
+                  F.coalesce("pv", "nv"))
+            .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        )
+        got = {
+            str(r.day): r.v
+            for r in j.select("day", interp.alias("v")).collect()
+        }
+        assert got["2020-01-02"] == 20.0 and got["2020-01-03"] == 30.0
+        assert got["2019-12-31"] == 10.0  # edge holds nearest
+        assert got["2020-01-05"] == 40.0
+
+    def test_plan_single_series_shuffle(self, spark):
+        df = QUERIES["m6_linear_interpolation"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # all four fills ride ONE priority-partitioned sort pipeline;
+        # windows must be priority-keyed, never day- or global-keyed
+        for l in plan.splitlines():
+            if "windowspecdefinition" in l:
+                assert "windowspecdefinition(priority" in l, l.strip()[:120]

@@ -851,3 +851,121 @@ def p3(spark: SparkSession, sf: str) -> DataFrame:
         .pivot("__y", ["y1994", "y1995", "y1996"])
         .agg(dsum(F.col("o_totalprice")))
     )
+
+
+@register(
+    "m6_linear_interpolation",
+    f"""
+    WITH base AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+             {DSUM.format(x='o_totalprice')} AS revenue
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-03-01'
+        AND day(CAST(o_orderdate AS DATE)) % 3 = 0
+      GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-02-28',
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    grid AS (
+      SELECT p.priority, s.day
+      FROM (SELECT DISTINCT priority FROM base) p CROSS JOIN spine s
+    ),
+    j AS (
+      SELECT g.priority, g.day, b.revenue,
+             last_value(b.revenue IGNORE NULLS) OVER (
+               PARTITION BY g.priority ORDER BY g.day
+               ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN b.revenue IS NOT NULL THEN g.day END
+                        IGNORE NULLS) OVER (
+               PARTITION BY g.priority ORDER BY g.day
+               ROWS UNBOUNDED PRECEDING) AS pd,
+             first_value(b.revenue IGNORE NULLS) OVER (
+               PARTITION BY g.priority ORDER BY g.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN b.revenue IS NOT NULL THEN g.day END
+                         IGNORE NULLS) OVER (
+               PARTITION BY g.priority ORDER BY g.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM grid g LEFT JOIN base b ON b.priority = g.priority AND b.day = g.day
+    )
+    SELECT priority, day, revenue IS NOT NULL AS observed,
+           CASE WHEN revenue IS NOT NULL THEN revenue
+                WHEN pv IS NULL OR nv IS NULL THEN COALESCE(pv, nv)
+                ELSE pv + (nv - pv)
+                     * (CAST(datediff('day', pd, day) AS DOUBLE)
+                        / CAST(datediff('day', pd, nd) AS DOUBLE))
+           END AS interp_revenue
+    FROM j
+    """,
+)
+def m6(spark: SparkSession, sf: str) -> DataFrame:
+    """LINEAR interpolation over time-series gaps — the companion of
+    m4's zero/forward fill (reference metrics land: hypertable
+    gap-fill + interpolate): daily revenue observed only every third
+    day-of-month, re-gridded onto the full date spine with missing
+    days reconstructed as pv + (nv - pv) * elapsed-fraction between
+    the bracketing observations (edges hold the nearest observation).
+    Four IGNORE NULLS window passes over one series-partitioned sort —
+    at scale the cost is the single partition-by-series shuffle, same
+    as m4. The double arithmetic has one fixed operation order both
+    sides, so the driver hash-checks the reconstruction exactly."""
+    o = load_tables(spark, sf, "orders")["orders"]
+    base = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-03-01").cast("date"))
+            & (F.dayofmonth(F.col("o_orderdate").cast("date")) % 3 == 0)
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE '1995-01-01', DATE '1995-02-28', "
+        "INTERVAL 1 DAY)) AS day"
+    )
+    grid = base.select("priority").distinct().crossJoin(spine)
+    wp = (
+        W.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("revenue").isNotNull(), F.col("day"))
+    j = (
+        grid.join(base, ["priority", "day"], "left")
+        .select(
+            "priority",
+            "day",
+            "revenue",
+            F.last("revenue", ignorenulls=True).over(wp).alias("pv"),
+            F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+            F.first("revenue", ignorenulls=True).over(wn).alias("nv"),
+            F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+        )
+    )
+    frac = F.datediff(F.col("day"), F.col("pd")).cast("double") / F.datediff(
+        F.col("nd"), F.col("pd")
+    ).cast("double")
+    interp = (
+        F.when(F.col("revenue").isNotNull(), F.col("revenue"))
+        .when(
+            F.col("pv").isNull() | F.col("nv").isNull(),
+            F.coalesce("pv", "nv"),
+        )
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return j.select(
+        "priority",
+        "day",
+        F.col("revenue").isNotNull().alias("observed"),
+        interp.alias("interp_revenue"),
+    )

@@ -702,3 +702,35 @@ class TestM6LinearInterpolation:
         for l in plan.splitlines():
             if "windowspecdefinition" in l:
                 assert "windowspecdefinition(priority" in l, l.strip()[:120]
+
+
+class TestX75QualityFloor:
+    def test_per_source_decile_dropped(self, spark):
+        from wren_engine_spark.queries.io import load_tables
+        from wren_engine_spark.operators import text as tx
+
+        rows = QUERIES["x75_quality_floor"](spark, SF_DIR).collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append(r)
+        for src, members in by_src.items():
+            qs = sorted(m.quality_score for m in members)
+            import math
+
+            # numpy-style linear interpolation (type-7), the
+            # percentile()/quantile_cont definition
+            h = (len(qs) - 1) * 0.1
+            lo, g = int(math.floor(h)), h - math.floor(h)
+            want_p10 = qs[lo] + g * (qs[min(lo + 1, len(qs) - 1)] - qs[lo])
+            assert abs(members[0].src_p10 - want_p10) < 1e-9, src
+            kept = [m for m in members if m.kept]
+            # at least ~85% survive their own-source floor (ties can
+            # keep slightly more than 90%)
+            assert len(kept) >= 0.85 * len(members), src
+            assert all(m.quality_score >= m.src_p10 for m in kept)
+
+    def test_plan_threshold_broadcast(self, spark):
+        df = QUERIES["x75_quality_floor"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin [source" in plan
+        assert "BatchEvalPython" not in plan

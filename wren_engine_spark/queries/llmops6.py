@@ -567,3 +567,49 @@ def x74(spark: SparkSession, sf: str) -> DataFrame:
     overestimate bound is pinned in pytest on a fixed corpus)."""
     d = load_tables(spark, sf, "documents")["documents"]
     return text.count_min_estimates(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x75: per-source quality floors (exact percentile thresholding)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x75_quality_floor",
+    f"""
+    WITH {_QUALITY_CTE},
+    qq AS (
+      SELECT d.doc_id, d.source, q.quality_score
+      FROM documents d JOIN q ON q.doc_id = d.doc_id
+    ),
+    thr AS (
+      SELECT source, quantile_cont(quality_score, 0.1) AS src_p10
+      FROM qq GROUP BY source
+    )
+    SELECT qq.doc_id, qq.source, qq.quality_score, thr.src_p10,
+           qq.quality_score >= thr.src_p10 AS kept
+    FROM qq JOIN thr ON thr.source = qq.source
+    """,
+)
+def x75(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quality floors: drop each domain's own worst decile
+    (exact interpolated P10 of x7's quality score, per source) rather
+    than one global threshold — the curation policy that keeps a clean
+    domain from eating a noisy domain's budget. Exact percentile
+    (Spark percentile() ≡ DuckDB quantile_cont, the p2 convention)
+    over a per-source aggregate: thresholds are source-cardinality
+    rows broadcast back onto the corpus; one combinable agg + one
+    narrow comparison at any scale."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    quality = text.quality_score(d, "text", "doc_id")
+    qq = d.select("doc_id", "source").join(quality, "doc_id")
+    thr = qq.groupBy("source").agg(
+        F.percentile("quality_score", F.lit(0.1)).alias("src_p10")
+    )
+    return qq.join(F.broadcast(thr), "source").select(
+        "doc_id",
+        "source",
+        "quality_score",
+        "src_p10",
+        (F.col("quality_score") >= F.col("src_p10")).alias("kept"),
+    )

@@ -164,6 +164,12 @@ def main() -> None:
         "x69_bigram_lift",
         "x70_incremental_simhash_probe",
         "t13_stream_incremental_dedup_probe",
+        "x71_mixing_schedule",
+        "x72_repetition_schedule",
+        "x73_ingest_decisions",
+        "x74_count_min_estimates",
+        "x75_quality_floor",
+        "m6_linear_interpolation",
     ]
     r6_timings, r6_total, r6_runs = run_suite(R6, "r6 operator sub-suite")
 

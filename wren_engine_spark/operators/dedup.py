@@ -1614,3 +1614,57 @@ def ingest_decisions(
             "accepted"
         ),
     )
+
+
+def dedup_scope_report(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    policies: dict[str, list[str]],
+) -> DataFrame:
+    """Dedup-SCOPE policy comparison: how many documents survive exact
+    dedup when duplicates are collapsed globally vs only within a
+    grouping (per-source, per-language, ...) — the report a curation
+    team reads before picking a dedup scope (global dedup removes
+    legitimately re-hosted content; per-source keeps one copy per
+    mirror).
+
+    ``policies`` maps policy name -> grouping columns (empty list =
+    global). A survivor is one (grouping, content-hash) combination.
+    Returns one row per policy: (policy, total_docs, survivors,
+    removed, removal_rate), removal_rate = removed/total as the double
+    ratio of two exact integers.
+
+    At 100 TB: each policy is one map-side-combinable groupBy over
+    (scope cols, md5) — short fixed-width keys, no text movement past
+    the first projection; the union of per-policy scalar rows is
+    driver-trivial.
+    """
+    hashed = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in sorted({c for cols in policies.values() for c in cols})],
+        F.md5(F.col(text_col).cast("binary")).alias("__h"),
+    )
+    out = None
+    for name, cols in policies.items():
+        surv = (
+            hashed.groupBy(*(cols + ["__h"]))
+            .agg(F.lit(1))
+            .agg(F.count(F.lit(1)).alias("survivors"))
+        )
+        tot = hashed.agg(F.count(F.lit(1)).alias("total_docs"))
+        row = (
+            tot.crossJoin(surv)
+            .select(
+                F.lit(name).alias("policy"),
+                "total_docs",
+                "survivors",
+                (F.col("total_docs") - F.col("survivors")).alias("removed"),
+                (
+                    (F.col("total_docs") - F.col("survivors")).cast("double")
+                    / F.col("total_docs").cast("double")
+                ).alias("removal_rate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -556,3 +556,74 @@ def repetition_schedule(
             ),
         )
     )
+
+
+def budget_trim(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Token-budget curation: per group (language/source), keep the
+    highest-quality documents until the group's token budget is spent.
+
+    The budget is ``floor(total_group_tokens * budget_num /
+    budget_den)`` — a FRACTION, so the semantics are scale-invariant.
+    Documents are ranked by the deterministic x7 quality score
+    (quality desc, id asc tie-break); a doc is kept iff the running
+    token total THROUGH it fits the budget (greedy prefix — the
+    standard "fill the mixture to N tokens" selection step).
+
+    All budget arithmetic is exact integers; only the quality ORDER
+    uses doubles, and that formula is the hash-green x7 expression on
+    both engines, so the sort is identical.
+
+    At 100 TB: one narrow projection, one map-side-combinable groupBy
+    for the totals (broadcast back — group count is small), one window
+    per group for the running sum. The per-group window is the
+    inherent cost of a global greedy order; groups (languages/sources)
+    are the unit of parallelism, so skew follows the language mix —
+    acceptable because the window input is (id, tokens, quality), not
+    the text. Returns (id, group, n_tokens, cum_tokens, budget_tokens,
+    kept).
+    """
+    from pyspark.sql import Window as W
+
+    from wren_engine_spark.operators.text import quality_score
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(F.split(F.trim(F.col(text_col)), WS_RE)).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    quality = quality_score(df, text_col, id_col)
+    totals = toks.groupBy(group_col).agg(
+        F.floor(
+            F.sum("n_tokens").cast("double") * F.lit(float(budget_num))
+            / F.lit(float(budget_den))
+        )
+        .cast("bigint")
+        .alias("budget_tokens")
+    )
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(F.col("quality_score").desc(), F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = (
+        toks.join(quality, id_col)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(F.broadcast(totals), group_col)
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col(group_col),
+        "n_tokens",
+        "cum_tokens",
+        "budget_tokens",
+        (F.col("cum_tokens") <= F.col("budget_tokens")).alias("kept"),
+    )

@@ -1107,3 +1107,113 @@ def ann_index_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_df: DataFrame,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most-similar corpus vectors whose LABEL DIFFERS from
+    the query's — the near-misses a retrieval/embedding model must
+    learn to push apart (the standard in-batch-negatives upgrade).
+
+    ``query_df`` columns: (query_id, qvec, qlabel). Returns (query_id,
+    neighbor_id, neighbor_label, cosine_sim, rnk), ties broken by
+    neighbor id. Same deterministic left-fold cosine as
+    ``cosine_topk`` (bit-identical to the DuckDB list_reduce oracle).
+
+    At 100 TB: the query side is the small side by construction
+    (a training batch / probe set) and is BROADCAST, so the corpus
+    never shuffles; the label filter rides the broadcast join
+    condition; per-query top-k is a bounded window. Reference parity:
+    the reference engine has no ANN/mining surface — this extends the
+    SURVEY §2 LLM-pipeline block alongside cosine_topk/lsh_ann.
+    """
+    from pyspark.sql import Window as W
+
+    corpus = with_norm(df, vec_col, "__vn").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__v"),
+        "__vn",
+    )
+    queries = with_norm(query_df, "qvec", "__qn").select(
+        "query_id", "qlabel", F.col("qvec").alias("__q"), "__qn"
+    )
+    sim = corpus.join(
+        F.broadcast(queries), F.col("neighbor_label") != F.col("qlabel")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        (
+            _dot_dec(F.col("__q"), F.col("__v"))
+            / (F.sqrt(F.col("__qn")) * F.sqrt(F.col("__vn")))
+        ).alias("__sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    return (
+        sim.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(F.col("__sim"), round_digits).alias("cosine_sim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def embedding_dim_stats(
+    df: DataFrame, vec_col: str, quantum: int = 1_000_000, dead_var: float = 1e-9
+) -> DataFrame:
+    """Per-dimension embedding health: mean / variance / dead-dim flag.
+
+    A corpus-wide sanity pass a training pipeline runs before indexing:
+    a dimension whose variance collapsed (dead ReLU, truncated export)
+    poisons every downstream cosine. Values are QUANTIZED to exact
+    integers (floor(x * quantum + 0.5), the engine-portable half-up
+    rounding x45 established) before summation so the per-dim sums
+    are associative integer arithmetic — independent of partition
+    order, bit-reproducible in any engine (the x31/x48 strategy); the
+    two moments come back to double only at the end, in one fixed
+    operation order mirrored by the oracle.
+
+    At 100 TB: posexplode is narrow (rows x dim, no shuffle), then ONE
+    map-side-combinable groupBy on the dim key — at most ``dim``
+    groups reach the reduce side regardless of corpus size.
+
+    Returns (dim, n_vals, mean, variance, dead); mean/variance in
+    original (un-quantized) units.
+    """
+    q = float(quantum)
+    exploded = df.select(F.posexplode(F.col(vec_col)).alias("dim", "__x")).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("__x").cast("double") * F.lit(q) + F.lit(0.5))
+        .cast("long")
+        .alias("__qx"),
+    )
+    agg = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum("__qx").alias("__sq"),
+        F.sum(F.col("__qx").cast("decimal(19,0)") * F.col("__qx")).alias("__sqq"),
+    )
+    mean_q = F.col("__sq").cast("double") / F.col("n_vals").cast("double")
+    var_q = (
+        F.col("__sqq").cast("double") / F.col("n_vals").cast("double")
+        - mean_q * mean_q
+    )
+    return agg.select(
+        "dim",
+        "n_vals",
+        (mean_q / F.lit(q)).alias("mean"),
+        (var_q / F.lit(q * q)).alias("variance"),
+        (var_q / F.lit(q * q) < F.lit(dead_var)).alias("dead"),
+    ).orderBy("dim")

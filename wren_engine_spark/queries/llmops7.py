@@ -1,0 +1,269 @@
+"""Round-6 LLM-pipeline additions, batch 2: threshold-selection
+analytics over the exact similarity join, dedup-scope policy reports,
+token-budget curation, hard-negative mining, and embedding-dimension
+health (SURVEY §2 extension block).
+
+Oracle convention unchanged (queries/registry.py docstring): exact
+integer arithmetic wherever a value feeds a comparison or a hash,
+IDENTICAL operation order for the few double expressions, identical
+aliases both sides. Discipline per the round-5 verdict: every entry
+lands with (a) a DuckDB oracle, (b) a plan assert for its scale story
+(tests/test_plans.py), (c) a brute-force property test
+(tests/test_llmops7.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wren_engine_spark.operators import dedup, selection, similarity
+from wren_engine_spark.queries.io import load_tables
+from wren_engine_spark.queries.llmops import _NORM2, _PAIRS_CTES
+from wren_engine_spark.queries.llmops6 import _QUALITY_CTE
+from wren_engine_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# x76: similarity-threshold histogram (how many pairs would each
+# dedup threshold merge?)
+# ---------------------------------------------------------------------------
+
+# The x3 pair CTE chain at a LOWER threshold (0.5): same prefix-filter
+# pipeline, wider candidate net. The only 0.8 in the template is the
+# final jaccard cut.
+_PAIRS_CTES_05 = _PAIRS_CTES.replace(">= 0.8", ">= 0.5")
+assert _PAIRS_CTES_05 != _PAIRS_CTES  # template drift guard
+
+
+@register(
+    "x76_similarity_histogram",
+    f"""
+    WITH {_PAIRS_CTES_05},
+    hist AS (
+      SELECT FLOOR(jaccard * 20) / 20.0 AS bin_lo, COUNT(*) AS n_pairs
+      FROM pairs GROUP BY 1
+    )
+    SELECT bin_lo, n_pairs,
+           CAST(SUM(n_pairs) OVER (
+             ORDER BY bin_lo DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS pairs_at_or_above
+    FROM hist
+    """,
+)
+def x76(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup density spectrum: exact trigram-Jaccard pairs at
+    threshold 0.5 (the same skew-proof prefix-filter join x3 runs,
+    just with a wider net), bucketed into 0.05 similarity bins plus a
+    descending cumulative count — the curve a curation team reads to
+    PICK the dedup threshold ("merging at 0.8 collapses N pairs; at
+    0.6, M"). Binning happens on the identical IEEE jaccard double
+    both engines compute, so bucket edges agree bit-for-bit. At
+    100 TB the cost is the x3 pipeline's (no raw-shingle-key shuffle;
+    candidate volume follows near-dup density); the histogram itself
+    is a ~10-row aggregate."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    pairs = dedup.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    from pyspark.sql import Window as W
+
+    hist = pairs.groupBy(
+        (F.floor(F.col("jaccard") * 20).cast("double") / F.lit(20.0)).alias("bin_lo")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = W.orderBy(F.col("bin_lo").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return hist.select(
+        "bin_lo", "n_pairs", F.sum("n_pairs").over(w).alias("pairs_at_or_above")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x77: dedup-scope policy report (global vs per-source vs per-lang)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x77_dedup_scope_policy",
+    """
+    WITH h AS (SELECT doc_id, source, lang, md5(text) AS h FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs FROM h),
+    g AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS survivors FROM h),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS survivors
+          FROM (SELECT DISTINCT source, h FROM h)),
+    l AS (SELECT CAST(COUNT(*) AS BIGINT) AS survivors
+          FROM (SELECT DISTINCT lang, h FROM h))
+    SELECT 'global' AS policy, total_docs, survivors,
+           total_docs - survivors AS removed,
+           CAST(total_docs - survivors AS DOUBLE) / CAST(total_docs AS DOUBLE)
+             AS removal_rate
+    FROM tot, g
+    UNION ALL
+    SELECT 'per_source', total_docs, survivors, total_docs - survivors,
+           CAST(total_docs - survivors AS DOUBLE) / CAST(total_docs AS DOUBLE)
+    FROM tot, s
+    UNION ALL
+    SELECT 'per_lang', total_docs, survivors, total_docs - survivors,
+           CAST(total_docs - survivors AS DOUBLE) / CAST(total_docs AS DOUBLE)
+    FROM tot, l
+    """,
+)
+def x77(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-SCOPE comparison: exact-dup survivors when duplicates
+    collapse globally vs only within source vs only within language —
+    the report that decides whether re-hosted content is "duplicate".
+    Each policy is one map-side-combinable groupBy on (scope, md5);
+    no text moves past the first projection."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return dedup.dedup_scope_report(
+        d,
+        "text",
+        "doc_id",
+        {"global": [], "per_source": ["source"], "per_lang": ["lang"]},
+    )
+
+
+# ---------------------------------------------------------------------------
+# x78: per-language token-budget curation (greedy quality prefix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x78_budget_trim",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    {_QUALITY_CTE},
+    b AS (
+      SELECT lang,
+             CAST(FLOOR(CAST(SUM(n_tokens) AS DOUBLE) * 1.0 / 2.0) AS BIGINT)
+               AS budget_tokens
+      FROM t GROUP BY lang
+    ),
+    r AS (
+      SELECT t.doc_id, t.lang, t.n_tokens,
+             CAST(SUM(t.n_tokens) OVER (
+               PARTITION BY t.lang
+               ORDER BY q.quality_score DESC, t.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t JOIN q ON q.doc_id = t.doc_id
+    )
+    SELECT r.doc_id, r.lang, r.n_tokens, r.cum_tokens, b.budget_tokens,
+           r.cum_tokens <= b.budget_tokens AS kept
+    FROM r JOIN b ON b.lang = r.lang
+    """,
+)
+def x78(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget curation: per language, keep the highest-quality
+    documents (x7's hash-green score, doc_id tie-break) until HALF the
+    language's tokens are spent — the "fill the mixture to N tokens"
+    selection step of a training-data pipeline. Budget arithmetic is
+    exact integers; the fractional budget makes the semantics
+    scale-invariant. One groupBy for totals (broadcast back), one
+    window per language for the running sum."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return selection.budget_trim(
+        d, "text", "doc_id", "lang", budget_num=1, budget_den=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# x79: hard-negative mining (cross-label cosine top-k)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x79_hard_negatives",
+    f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding, {_NORM2.format(v='embedding')} AS norm2
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe,
+                 norm2 AS qn
+          FROM base WHERE vec_id < 10),
+    pairs AS (
+      SELECT query_id, vec_id AS neighbor_id, label AS neighbor_label,
+             list_reduce(list_prepend(0.0, [CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)
+                  FOR s IN list_zip(qe, embedding)]), (acc, v) -> acc + v)
+               / (sqrt(qn) * sqrt(norm2)) AS sim
+      FROM q, base WHERE label <> qlabel
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, neighbor_label, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, neighbor_label,
+           ROUND(sim, 6) AS cosine_sim, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def x79(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query
+    vector, the 3 most-similar corpus vectors with a DIFFERENT label
+    (the near-misses an embedding model must push apart). Query side
+    broadcasts; the corpus never shuffles; the same deterministic
+    left-fold cosine as x9."""
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    return similarity.hard_negatives(
+        e, "vec_id", "embedding", "label", queries, k=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# x80: embedding-dimension health (exact quantized moments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x80_embedding_dim_stats",
+    """
+    WITH pos AS (
+      SELECT CAST(i - 1 AS INTEGER) AS dim,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS qx
+      FROM (SELECT embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    ),
+    agg AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vals,
+             CAST(SUM(qx) AS BIGINT) AS sq,
+             SUM(CAST(qx AS DECIMAL(19,0)) * qx) AS sqq
+      FROM pos GROUP BY dim
+    )
+    SELECT dim, n_vals,
+           CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE) / 1000000.0 AS mean,
+           (CAST(sqq AS DOUBLE) / CAST(n_vals AS DOUBLE)
+            - (CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE))
+              * (CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE)))
+             / 1000000000000.0 AS variance,
+           ((CAST(sqq AS DOUBLE) / CAST(n_vals AS DOUBLE)
+             - (CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE))
+               * (CAST(sq AS DOUBLE) / CAST(n_vals AS DOUBLE)))
+              / 1000000000000.0 < 1e-9) AS dead
+    FROM agg
+    """,
+)
+def x80(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-dimension health check: per-dim mean/variance over
+    the whole corpus plus a dead-dimension flag — the sanity pass that
+    catches a collapsed dim before it poisons every downstream cosine.
+    Values quantize to exact integers (floor(x*1e6 + 0.5), x45's
+    portable half-up) so the two moments are associative integer sums:
+    bit-reproducible regardless of partition order. One narrow
+    posexplode, one map-side-combinable groupBy with at most `dim`
+    reduce-side groups at any corpus size."""
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    return similarity.embedding_dim_stats(e, "embedding", quantum=1_000_000)

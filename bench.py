@@ -170,6 +170,15 @@ def main() -> None:
         "x74_count_min_estimates",
         "x75_quality_floor",
         "m6_linear_interpolation",
+        # batch 2: x76 is the wide-net (threshold 0.5) jaccard spectrum —
+        # inherently the priciest entry here because PPJoin's prefix
+        # filter weakens as the threshold drops; the rest are narrow
+        # single-shuffle analytics
+        "x76_similarity_histogram",
+        "x77_dedup_scope_policy",
+        "x78_budget_trim",
+        "x79_hard_negatives",
+        "x80_embedding_dim_stats",
     ]
     r6_timings, r6_total, r6_runs = run_suite(R6, "r6 operator sub-suite")
 

@@ -239,3 +239,238 @@ class TestX80EmbeddingDimStats:
             l for l in plan.splitlines() if "Exchange hashpartitioning" in l
         ]
         assert len(shuffles) == 1 and "dim" in shuffles[0]
+
+
+class TestX81RagChunking:
+    def test_matches_brute_force(self, spark):
+        docs = [
+            (0, ""),                          # empty -> 1 chunk of the '' token
+            (1, "one two three"),             # < window
+            (2, " ".join(f"t{i}" for i in range(64))),   # == window -> 1 chunk
+            (3, " ".join(f"t{i}" for i in range(65))),   # window+1 -> 2 chunks
+            (4, " ".join(f"t{i}" for i in range(200))),  # long tail chunk short
+        ]
+        from wren_engine_spark.operators import text as t_ops
+
+        df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+        out = {}
+        for r in t_ops.chunk_documents(df, "text", "doc_id", 64, 48).collect():
+            out.setdefault(r.doc_id, []).append(r)
+
+        def tok_hash(tok):
+            acc = 0
+            for ch in tok:
+                acc = (acc * 31 + ord(ch)) % 2147483647
+            return acc
+
+        for doc_id, txt in docs:
+            toks = txt.strip().split() if txt.strip() else [""]
+            n = len(toks)
+            n_chunks = 1 + (max(0, n - 64) + 47) // 48
+            got = sorted(out[doc_id], key=lambda r: r.chunk_id)
+            assert len(got) == n_chunks, (doc_id, n, n_chunks, len(got))
+            for i, r in enumerate(got):
+                start = i * 48 + 1
+                chunk = toks[start - 1 : start - 1 + 64]
+                assert r.chunk_id == i
+                assert r.chunk_start == start
+                assert r.n_chunk_tokens == len(chunk)
+                acc = 0
+                for h in (tok_hash(t) for t in chunk):
+                    acc = (acc * 1000003 + h) % 2147483647
+                assert r.chunk_hash == acc
+
+    def test_no_fully_contained_tail_chunk(self, spark):
+        rows = QUERIES["x81_rag_chunking"](spark, SF_DIR).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for members in by_doc.values():
+            members.sort(key=lambda r: r.chunk_id)
+            for prev, cur in zip(members, members[1:]):
+                # cur must extend past prev's end
+                assert cur.chunk_start + cur.n_chunk_tokens > (
+                    prev.chunk_start + prev.n_chunk_tokens
+                )
+
+    def test_plan_is_shuffle_free(self, spark):
+        # entirely map-side: no hash/range exchange (the registered
+        # entry keeps only load_tables' round-robin scan fan-out,
+        # which moves each row once and never keys on data)
+        df = QUERIES["x81_rag_chunking"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange rangepartitioning" not in plan
+
+
+class TestX82OovRate:
+    def test_matches_brute_force(self, spark):
+        docs = [
+            (0, "a a a b"),
+            (1, "a b c d"),
+            (2, "x y z z"),
+            (3, "A a B b"),  # lowercased
+        ]
+        from wren_engine_spark.operators import text as t_ops
+
+        df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+        out = {r.doc_id: r for r in t_ops.oov_rate(df, "text", "doc_id", 2).collect()}
+        # counts: a=6, b=4, z=2, c/d/x/y=1 -> vocab(2) = {a, b}
+        want_oov = {0: 0, 1: 2, 2: 4, 3: 0}
+        for doc_id, txt in docs:
+            r = out[doc_id]
+            assert r.n_tokens == len(txt.split())
+            assert r.n_oov == want_oov[doc_id]
+            assert abs(r.oov_rate - want_oov[doc_id] / r.n_tokens) < 1e-15
+
+    def test_vocab_cut_tie_break_deterministic(self, spark):
+        from wren_engine_spark.operators import text as t_ops
+
+        # all counts equal -> cut decided purely by token asc
+        df = spark.createDataFrame(
+            [(0, "b d a c")], "doc_id LONG, text STRING"
+        )
+        r = t_ops.oov_rate(df, "text", "doc_id", 2).collect()[0]
+        # vocab = {a, b}; oov = {c, d}
+        assert r.n_oov == 2
+
+    def test_plan_broadcast_membership_and_bounded_cut(self, spark):
+        df = QUERIES["x82_oov_rate"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan  # vocab cut, never a global sort
+        assert "SortMergeJoin" not in plan
+
+
+class TestX83BoilerplatePrefix:
+    def test_matches_brute_force(self, spark):
+        from wren_engine_spark.operators import text as t_ops
+
+        docs = [
+            (0, "s1", "header one two x"),
+            (1, "s1", "header one two y"),
+            (2, "s1", "something else"),
+            (3, "s2", "unique a"),
+            (4, "s2", "unique b"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id LONG, source STRING, text STRING")
+        out = {
+            r.source: r
+            for r in t_ops.boilerplate_prefix(
+                df, "text", "doc_id", "source", prefix_tokens=3, flag_share=0.5
+            ).collect()
+        }
+        assert out["s1"].modal_prefix == "header one two"
+        assert out["s1"].modal_count == 2 and out["s1"].n_docs == 3
+        assert out["s1"].flagged  # 2/3 >= 0.5
+        # s2: both prefixes count 1 -> tie broken by prefix asc
+        assert out["s2"].modal_prefix == "unique a"
+        assert out["s2"].modal_share == 0.5 and out["s2"].flagged  # boundary >=
+
+    def test_one_row_per_source(self, spark):
+        rows = QUERIES["x83_boilerplate_prefix"](spark, SF_DIR).collect()
+        sources = [r.source for r in rows]
+        assert len(sources) == len(set(sources))
+        for r in rows:
+            assert 0 < r.modal_count <= r.n_docs
+            assert abs(r.modal_share - r.modal_count / r.n_docs) < 1e-15
+
+    def test_plan_window_partitioned_by_source(self, spark):
+        df = QUERIES["x83_boilerplate_prefix"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for l in plan.splitlines():
+            if "windowspecdefinition" in l:
+                assert "windowspecdefinition(source" in l, l.strip()[:140]
+
+
+class TestX84CurriculumDeciles:
+    def test_ntile_semantics(self, spark):
+        from wren_engine_spark.operators.text import quality_score
+        from wren_engine_spark.queries.io import load_tables
+
+        d = load_tables(spark, SF_DIR, "documents")["documents"]
+        q = {
+            r.doc_id: r.quality_score
+            for r in quality_score(d, "text", "doc_id").collect()
+        }
+        langs = {}
+        for r in d.select("doc_id", "lang").collect():
+            langs.setdefault(r.lang, []).append(r.doc_id)
+        out = {
+            r.doc_id: r for r in QUERIES["x84_curriculum_deciles"](spark, SF_DIR).collect()
+        }
+        for lang, ids in langs.items():
+            ids.sort(key=lambda i: (-q[i], i))
+            n = len(ids)
+            base, extra = divmod(n, 10)
+            # standard NTILE: first `extra` buckets get base+1 rows
+            pos = 0
+            for b in range(1, 11):
+                size = base + (1 if b <= extra else 0)
+                for j in range(size):
+                    r = out[ids[pos]]
+                    assert r.difficulty_decile == b, (lang, ids[pos])
+                    assert r.pos_in_decile == j + 1
+                    pos += 1
+            assert pos == n
+
+    def test_plan_windows_partitioned_by_lang(self, spark):
+        df = QUERIES["x84_curriculum_deciles"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+        assert win_lines
+        for l in win_lines:
+            assert "windowspecdefinition(lang" in l, l.strip()[:140]
+
+
+class TestM7Ewma:
+    def test_matches_brute_force(self, spark):
+        import datetime
+
+        rows = [
+            (1, datetime.datetime(2024, 1, 1, 0, 0, s), 7, "a", float(v))
+            for s, v in enumerate([1.0, 2.0, 4.0, 0.5])
+        ] + [(10, datetime.datetime(2024, 1, 1), 8, "b", 3.0)]
+        df = spark.createDataFrame(
+            [(e, ts, u, t, v) for e, (_, ts, u, t, v) in zip([1, 2, 3, 4, 10], rows)],
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE",
+        )
+        from wren_engine_spark.operators import metrics as m_ops
+
+        out = {
+            (r.user_id, r.event_type): r
+            for r in m_ops.ewma(
+                df, ["user_id", "event_type"], ["ts", "event_id"], "value", 0.25
+            ).collect()
+        }
+        acc = 0.0
+        for v in [1.0, 2.0, 4.0, 0.5]:
+            acc = acc * 0.75 + 0.25 * v
+        assert out[(7, "a")].n_events == 4
+        assert out[(7, "a")].ewma == acc  # bit-identical fold
+        assert out[(8, "b")].ewma == 0.75 * 0.0 + 0.25 * 3.0
+
+    def test_partition_order_invariant(self, spark):
+        from wren_engine_spark.operators import metrics as m_ops
+        from wren_engine_spark.queries.io import load_tables
+
+        e = load_tables(spark, SF_DIR, "events")["events"]
+        a = sorted(
+            tuple(r)
+            for r in m_ops.ewma(
+                e, ["user_id", "event_type"], ["ts", "event_id"], "value"
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in m_ops.ewma(
+                e.repartition(17), ["user_id", "event_type"], ["ts", "event_id"], "value"
+            ).collect()
+        )
+        assert a == b
+
+    def test_plan_single_shuffle(self, spark):
+        df = QUERIES["m7_ewma"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+        assert len(shuffles) == 1 and "user_id" in shuffles[0]

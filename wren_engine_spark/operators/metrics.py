@@ -141,3 +141,48 @@ def route_grain(requested: str, available: tuple[str, ...]) -> str:
     if not ok:
         raise ValueError(f"no available grain satisfies {requested!r}")
     return max(ok, key=_GRAIN_ORDER.index)
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-series exponentially weighted moving average: for each key
+    group, fold the values in (order_cols) order with
+    ``acc * (1-alpha) + alpha * x`` starting from 0.0 — the smoothing
+    step of an anomaly-detection / metrics pipeline.
+
+    The fold is a LEFT fold over the sorted series in one fixed IEEE
+    operation order, so results are bit-identical to DuckDB's
+    ``list_reduce(list_prepend(0.0, list(v ORDER BY ...)), ...)``
+    (the established x9 left-fold strategy); alpha defaults to 0.25,
+    exact in binary, so the coefficients 0.25/0.75 carry no decimal
+    rounding. ``order_cols`` must be a total order (e.g. ts +
+    event_id) or the fold order is undefined.
+
+    At 100 TB: one groupBy on the series key; per-series state is the
+    series itself (collect_list + in-row array_sort + fold), bounded
+    by events-per-entity — the inherent cost of an order-dependent
+    recurrence, paid on a (order, value) projection, never the full
+    row. Returns (*key_cols, n_events, ewma).
+    """
+    a = float(alpha)
+    assert 0.0 < a < 1.0
+    srt = F.array_sort(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order_cols], F.col(val_col).alias("__v"))
+        )
+    )
+    g = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("n_events"), srt.alias("__s")
+    )
+    fold = (
+        f"aggregate(transform(__s, s -> s.__v), cast(0.0 as double), "
+        f"(acc, x) -> acc * {1.0 - a!r} + {a!r} * x)"
+    )
+    return g.select(
+        *key_cols, "n_events", F.expr(fold).alias("ewma")
+    )

@@ -627,3 +627,51 @@ def budget_trim(
         "budget_tokens",
         (F.col("cum_tokens") <= F.col("budget_tokens")).alias("kept"),
     )
+
+
+def curriculum_deciles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Curriculum bucketing: within each group (language), rank
+    documents by the deterministic x7 quality score (desc, id asc
+    tie-break) and assign difficulty deciles with NTILE plus the
+    position within the decile — the ordering a curriculum-training
+    schedule consumes (easy/high-quality buckets first).
+
+    NTILE semantics are the SQL standard ones (larger buckets first
+    when the partition does not divide evenly), identical in Spark and
+    DuckDB given the same total order — and the order IS total (score,
+    then id).
+
+    Returns (id, group, difficulty_decile, pos_in_decile).
+
+    At 100 TB: the input to both windows is (id, group, score) — the
+    text never moves. One shuffle on the group key for NTILE, one on
+    (group, decile) for the position; groups are the parallelism unit,
+    skew follows the language mix (acceptable on a 3-column frame).
+    """
+    from pyspark.sql import Window as W
+
+    from wren_engine_spark.operators.text import quality_score
+
+    q = quality_score(df, text_col, id_col)
+    base = df.select(F.col(id_col), F.col(group_col)).join(q, id_col)
+    w = W.partitionBy(group_col).orderBy(
+        F.col("quality_score").desc(), F.col(id_col).asc()
+    )
+    with_dec = base.withColumn(
+        "difficulty_decile", F.ntile(n_buckets).over(w)
+    )
+    w2 = W.partitionBy(group_col, "difficulty_decile").orderBy(
+        F.col("quality_score").desc(), F.col(id_col).asc()
+    )
+    return with_dec.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("difficulty_decile").cast("int").alias("difficulty_decile"),
+        F.row_number().over(w2).cast("bigint").alias("pos_in_decile"),
+    )

@@ -1155,3 +1155,162 @@ def count_min_estimates(
         .agg(F.min("c").alias("cms_estimate"))
         .select("tok", "exact_count", "cms_estimate")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window RAG chunking: split each document into
+    overlapping token-window chunks (``window`` tokens every
+    ``stride``), the retrieval-corpus preparation step every RAG
+    pipeline runs before embedding.
+
+    Chunk count is ``1 + ceil(max(0, n - window) / stride)`` — exact
+    integer arithmetic (`div`), so the last chunk may be short but a
+    chunk fully contained in its predecessor is never emitted. Each
+    chunk carries a fingerprint: the base-1000003 mod-2^31-1 left fold
+    over the PORTABLE base-31 per-token hashes (the x44 construction),
+    so downstream chunk-level dedup needs no text movement.
+
+    Returns (id, chunk_id, chunk_start, n_chunk_tokens, chunk_hash);
+    chunk_start is the 1-based token index.
+
+    At 100 TB: entirely map-side — token split, per-token hashes, and
+    the per-chunk folds are in-row array HOFs; NO shuffle, no text
+    past the projection. Parallelism follows input splits.
+    """
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
+    th = (
+        "transform(__t, tok -> aggregate(transform(sequence(1, length(tok)), "
+        "i -> cast(ascii(substring(tok, i, 1)) as bigint)), cast(0 as bigint), "
+        "(acc, c) -> pmod(acc * 31 + c, 2147483647)))"
+    )
+    base = df.select(F.col(id_col), toks.alias("__t")).select(
+        F.col(id_col),
+        F.expr(th).alias("__th"),
+        F.size("__t").cast("bigint").alias("__n"),
+    )
+    chunks = base.select(
+        F.col(id_col),
+        "__th",
+        "__n",
+        F.explode(
+            F.expr(
+                f"sequence(cast(0 as bigint), "
+                f"if(__n > {window}, (__n - {window} + {stride} - 1) div {stride}, "
+                f"cast(0 as bigint)))"
+            )
+        ).alias("__i"),
+    ).withColumn("__start", F.col("__i") * stride + 1)
+    return chunks.select(
+        F.col(id_col),
+        F.col("__i").cast("int").alias("chunk_id"),
+        F.col("__start").alias("chunk_start"),
+        F.least(F.lit(window).cast("bigint"), F.col("__n") - F.col("__start") + 1)
+        .alias("n_chunk_tokens"),
+        F.expr(
+            f"aggregate(slice(__th, cast(__start as int), {window}), "
+            f"cast(0 as bigint), (acc, h) -> pmod(acc * 1000003 + h, 2147483647))"
+        ).alias("chunk_hash"),
+    )
+
+
+def oov_rate(
+    df: DataFrame, text_col: str, id_col: str, vocab_size: int = 1000
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a corpus-learned
+    vocabulary: the top ``vocab_size`` lowercased whitespace tokens by
+    frequency (count desc, token asc tie-break — fully deterministic
+    at the cut boundary). The tokenizer-coverage sanity check run
+    before committing a vocab to a training run.
+
+    Returns (id, n_tokens, n_oov, oov_rate); oov_rate is the double
+    ratio of two exact integers.
+
+    At 100 TB: token counting is one map-side-combinable groupBy on
+    the token key; the vocab cut is a bounded TakeOrdered (K rows to
+    the driver, K small); membership is a BROADCAST left join riding
+    the exploded stream; the per-doc rollup is one groupBy on the doc
+    key. The raw corpus shuffles only as (token) and (id) pairs.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS_RE)).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("__in"))
+    )
+    joined = toks.join(F.broadcast(vocab), "tok", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    ).select(
+        F.col(id_col),
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "oov_rate"
+        ),
+    )
+
+
+def boilerplate_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    prefix_tokens: int = 8,
+    flag_share: float = 0.05,
+) -> DataFrame:
+    """Per-source modal-prefix boilerplate detection: the most common
+    first-``prefix_tokens`` lowercased token prefix within each source
+    and the share of the source's documents that start with it — the
+    report that catches a mirror prepending the same header to every
+    page (the dominant boilerplate mode in web crawls).
+
+    Returns one row per source: (source, n_docs, modal_prefix,
+    modal_count, modal_share, flagged) with ties broken by prefix
+    ascending; ``flagged`` = modal_share >= flag_share.
+
+    At 100 TB: the prefix is an in-row slice+join (no text beyond
+    ``prefix_tokens`` tokens moves); counting is one map-side-
+    combinable groupBy on (source, prefix); the argmax window is
+    partitioned by source and bounded by the source's distinct-prefix
+    count; output is source-cardinality rows.
+    """
+    from pyspark.sql import Window as W
+
+    prefix = F.array_join(
+        F.slice(F.split(F.trim(F.lower(F.col(text_col))), WS_RE), 1, prefix_tokens),
+        " ",
+    )
+    d = df.select(F.col(source_col).alias("source"), prefix.alias("prefix"))
+    counts = d.groupBy("source", "prefix").agg(F.count(F.lit(1)).alias("modal_count"))
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = W.partitionBy("source").orderBy(
+        F.col("modal_count").desc(), F.col("prefix").asc()
+    )
+    modal = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    share = F.col("modal_count").cast("double") / F.col("n_docs").cast("double")
+    return modal.join(F.broadcast(totals), "source").select(
+        "source",
+        "n_docs",
+        F.col("prefix").alias("modal_prefix"),
+        "modal_count",
+        share.alias("modal_share"),
+        (share >= F.lit(float(flag_share))).alias("flagged"),
+    )

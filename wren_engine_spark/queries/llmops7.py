@@ -267,3 +267,170 @@ def x80(spark: SparkSession, sf: str) -> DataFrame:
     reduce-side groups at any corpus size."""
     e = load_tables(spark, sf, "embeddings")["embeddings"]
     return similarity.embedding_dim_stats(e, "embedding", quantum=1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: RAG chunking, vocab coverage, boilerplate prefixes,
+# curriculum bucketing, per-series EWMA
+# ---------------------------------------------------------------------------
+
+from wren_engine_spark.operators import metrics, text  # noqa: E402
+
+_WS = r"[ \t\n\x0B\f\r]+"
+
+
+@register(
+    "x81_rag_chunking",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, len(t) AS n,
+             [list_reduce(list_prepend(CAST(0 AS BIGINT),
+                [CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT)
+                 FOR i IN generate_series(1, length(tok))]),
+                (acc, c) -> (acc * 31 + c) % 2147483647)
+              FOR tok IN t] AS th
+      FROM toks
+    ),
+    c AS (
+      SELECT doc_id, n, th,
+             unnest(generate_series(0, CASE WHEN n > 64
+                    THEN (n - 64 + 47) // 48 ELSE 0 END)) AS i
+      FROM th
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           CAST(i * 48 + 1 AS BIGINT) AS chunk_start,
+           CAST(least(64, n - (i * 48 + 1) + 1) AS BIGINT) AS n_chunk_tokens,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+              th[CAST(i * 48 + 1 AS INTEGER) : CAST(i * 48 + 64 AS INTEGER)]),
+              (acc, h) -> (acc * 1000003 + h) % 2147483647) AS chunk_hash
+    FROM c
+    """,
+)
+def x81(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window RAG chunking (64-token windows every 48): chunk
+    ids, 1-based token offsets, and a portable chunk fingerprint (the
+    x44 two-level fold, single plane) per chunk. Entirely map-side —
+    no shuffle, no text past the projection."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.chunk_documents(d, "text", "doc_id", window=64, stride=48)
+
+
+@register(
+    "x82_oov_rate",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)),
+                    '[ \t\n\x0B\f\r]+')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    vocab AS (SELECT tok FROM cnt ORDER BY cnt DESC, tok ASC LIMIT 1000),
+    j AS (SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+          FROM tok t LEFT JOIN vocab v ON v.tok = t.tok)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM j GROUP BY doc_id
+    """,
+)
+def x82(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document OOV rate against a corpus-learned top-1000
+    vocabulary (count desc, token asc at the cut — deterministic).
+    Vocab cut is a bounded TakeOrdered; membership rides a broadcast
+    left join; the corpus shuffles only as (token) and (doc_id)
+    pairs."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.oov_rate(d, "text", "doc_id", vocab_size=1000)
+
+
+@register(
+    "x83_boilerplate_prefix",
+    r"""
+    WITH p AS (
+      SELECT source,
+             array_to_string(
+               string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')[1:8],
+               ' ') AS prefix
+      FROM documents
+    ),
+    c AS (SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS modal_count
+          FROM p GROUP BY source, prefix),
+    t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM p GROUP BY source),
+    m AS (SELECT source, prefix, modal_count,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY modal_count DESC, prefix ASC) AS rn
+          FROM c)
+    SELECT m.source, t.n_docs, m.prefix AS modal_prefix, m.modal_count,
+           CAST(m.modal_count AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+             AS modal_share,
+           (CAST(m.modal_count AS DOUBLE) / CAST(t.n_docs AS DOUBLE)) >= 0.05
+             AS flagged
+    FROM m JOIN t USING (source) WHERE rn = 1
+    """,
+)
+def x83(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source modal 8-token prefix and its document share — the
+    boilerplate-header detector (same mirror prepending the same
+    banner to every page). Counting is one map-side-combinable
+    groupBy; the argmax window partitions by source; output is
+    source-cardinality rows."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.boilerplate_prefix(
+        d, "text", "doc_id", "source", prefix_tokens=8, flag_share=0.05
+    )
+
+
+@register(
+    "x84_curriculum_deciles",
+    f"""
+    WITH {_QUALITY_CTE},
+    d AS (SELECT t.doc_id, t.lang, q.quality_score
+          FROM documents t JOIN q ON q.doc_id = t.doc_id),
+    n AS (SELECT doc_id, lang, quality_score,
+                 NTILE(10) OVER (PARTITION BY lang
+                                 ORDER BY quality_score DESC, doc_id ASC)
+                   AS difficulty_decile
+          FROM d)
+    SELECT doc_id, lang, CAST(difficulty_decile AS INTEGER) AS difficulty_decile,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang, difficulty_decile
+                 ORDER BY quality_score DESC, doc_id ASC) AS BIGINT)
+             AS pos_in_decile
+    FROM n
+    """,
+)
+def x84(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum bucketing: NTILE(10) difficulty deciles per language
+    over the deterministic x7 quality order (desc, doc_id tie-break)
+    plus the position within the decile — the schedule a curriculum
+    trainer consumes. Window input is (id, lang, score); the text
+    never moves."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return selection.curriculum_deciles(d, "text", "doc_id", "lang", n_buckets=10)
+
+
+@register(
+    "m7_ewma",
+    """
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(value ORDER BY ts, event_id)),
+                       (acc, x) -> acc * 0.75 + 0.25 * x) AS ewma
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def m7(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series EWMA (alpha = 0.25, exact in binary): a LEFT fold
+    over the (ts, event_id)-sorted series in one fixed IEEE operation
+    order — bit-identical to DuckDB's list_reduce (the x9 strategy).
+    One groupBy on the series key; per-series state bounded by
+    events-per-entity, carried as (order, value) pairs only."""
+    e = load_tables(spark, sf, "events")["events"]
+    return metrics.ewma(
+        e, ["user_id", "event_type"], ["ts", "event_id"], "value", alpha=0.25
+    )

@@ -39,6 +39,21 @@ class TestX76SimilarityHistogram:
         }
         assert got == want
 
+    def test_plan_no_raw_shingle_shuffle_at_wide_threshold(self, spark):
+        # x76 runs the x3 pipeline at threshold 0.5 — the wider net
+        # must not reintroduce the skewed raw-shingle-key shuffle the
+        # broadcast_head default eliminated (test_plans.py x3 assert):
+        # every shingle-keyed Exchange must sit above a map-side
+        # partial aggregate, and the frequency attach must broadcast.
+        df = QUERIES["x76_similarity_histogram"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin [shingle" in plan
+        lines = plan.splitlines()
+        for i, l in enumerate(lines):
+            if "Exchange hashpartitioning(shingle" in l:
+                tail = "\n".join(lines[i + 1 : i + 3])
+                assert "partial_count" in tail, l.strip()[:120]
+
 
 class TestX77DedupScopePolicy:
     def test_matches_brute_force(self, spark):

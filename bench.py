@@ -179,6 +179,12 @@ def main() -> None:
         "x78_budget_trim",
         "x79_hard_negatives",
         "x80_embedding_dim_stats",
+        # batch 3: RAG/curation closers + per-series EWMA
+        "x81_rag_chunking",
+        "x82_oov_rate",
+        "x83_boilerplate_prefix",
+        "x84_curriculum_deciles",
+        "m7_ewma",
     ]
     r6_timings, r6_total, r6_runs = run_suite(R6, "r6 operator sub-suite")
 

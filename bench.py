@@ -185,6 +185,10 @@ def main() -> None:
         "x83_boilerplate_prefix",
         "x84_curriculum_deciles",
         "m7_ewma",
+        # quantized Lloyd training: two distributed assign+update
+        # cycles with k*dim driver barriers (bit-exact oracle twin of
+        # the float x14 trainer)
+        "x85_kmeans_quantized",
     ]
     r6_timings, r6_total, r6_runs = run_suite(R6, "r6 operator sub-suite")
 

@@ -489,3 +489,90 @@ class TestM7Ewma:
         plan = df._jdf.queryExecution().executedPlan().toString()
         shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
         assert len(shuffles) == 1 and "user_id" in shuffles[0]
+
+
+class TestX85KmeansQuantized:
+    def test_matches_pure_python_lloyd(self, spark):
+        vecs = [
+            (0, [0.0, 0.0]),
+            (1, [0.1, 0.0]),
+            (2, [1.0, 1.0]),
+            (3, [0.9, 1.1]),
+            (4, [0.05, 0.02]),
+            (5, [1.05, 0.95]),
+            (6, [0.5, 0.5]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id LONG, vec ARRAY<DOUBLE>")
+        out = {
+            (r.cluster, r.dim): (r.centroid_q, r.n_members)
+            for r in similarity.kmeans_quantized(
+                df, "vec_id", "vec", k=2, iters=2
+            ).collect()
+        }
+        qv = {i: [math.floor(x * 1e6 + 0.5) for x in v] for i, v in vecs}
+        cents = [qv[0], qv[1]]  # two smallest ids
+        counts = [0, 0]
+        for _ in range(2):
+            assign = {}
+            for i, v in qv.items():
+                dists = [
+                    sum((a - b) * (a - b) for a, b in zip(v, c)) for c in cents
+                ]
+                assign[i] = min(range(2), key=lambda c: (dists[c], c))
+            counts = [0, 0]
+            sums = [[0, 0], [0, 0]]
+            for i, c in assign.items():
+                counts[c] += 1
+                for d in range(2):
+                    sums[c][d] += qv[i][d]
+            for c in range(2):
+                if counts[c]:
+                    cents[c] = [
+                        math.floor(sums[c][d] / counts[c]) for d in range(2)
+                    ]
+        for c in range(2):
+            for d in range(2):
+                assert out[(c, d)] == (cents[c][d], counts[c]), (c, d)
+
+    def test_empty_cluster_keeps_centroid(self, spark):
+        # two far points + k=2 init on ids 0,1 which sit together:
+        # cluster 1 empties after iteration 1 and must keep its centroid
+        vecs = [(0, [0.0]), (1, [0.001]), (2, [0.0005])]
+        df = spark.createDataFrame(vecs, "vec_id LONG, vec ARRAY<DOUBLE>")
+        out = {
+            (r.cluster, r.dim): (r.centroid_q, r.n_members)
+            for r in similarity.kmeans_quantized(
+                df, "vec_id", "vec", k=2, iters=2
+            ).collect()
+        }
+        # all three points are closer to one of the two centroids at
+        # some iteration; whichever cluster empties must report n=0 and
+        # a non-null centroid
+        total = sum(n for _, n in out.values())
+        assert total == 3  # dim=1, so one row per cluster
+        for (c, d), (val, n) in out.items():
+            assert val is not None
+
+    def test_plan_assignment_is_join_free(self, spark):
+        # the distance argmin must ride literal centroid arrays in-row:
+        # the training stages may shuffle only on the (cluster, dim)
+        # aggregation key, never join the corpus against a centroid
+        # relation
+        from wren_engine_spark.operators.similarity import _km_assign, _km_update
+        from wren_engine_spark.queries.io import load_tables
+
+        e = load_tables(spark, SF_DIR, "embeddings")["embeddings"]
+        q = e.select(
+            F.col("vec_id").alias("__id"),
+            F.expr(
+                "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0"
+                " + 0.5) as bigint))"
+            ).alias("qx"),
+        )
+        cents = [list(r.qx) for r in q.orderBy("__id").limit(4).collect()]
+        upd = _km_update(_km_assign(q, cents, 4))
+        plan = upd._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan  # assignment is literal-fold, join-free
+        shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+        assert len(shuffles) == 1 and "cluster" in shuffles[0]
+        assert "partial_sum" in plan  # k*dim-bounded map-side combine

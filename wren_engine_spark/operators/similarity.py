@@ -1217,3 +1217,109 @@ def embedding_dim_stats(
         (var_q / F.lit(q * q)).alias("variance"),
         (var_q / F.lit(q * q) < F.lit(dead_var)).alias("dead"),
     ).orderBy("dim")
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd k-means with a bit-exact cross-engine oracle — the
+    deterministic twin of the float Lloyd trainer (x14, rows-only):
+    every quantity an iteration produces is either an exact integer or
+    a double computed in one fixed operation order, so an unrolled SQL
+    replay reproduces the training bit-for-bit.
+
+    - Vectors quantize to integers once (floor(x*quantum + 0.5), the
+      x45/x80 half-up).
+    - Init: the quantized vectors of the ``k`` smallest ids.
+    - Assign: exact integer squared-L2 argmin, ties to the lowest
+      cluster id — computed IN-ROW against the k x dim literal
+      centroid arrays (no join, no shuffle).
+    - Update: per-(cluster, dim) integer sums (map-side combinable; at
+      most k*dim reduce-side groups at any corpus size), centroid =
+      floor(sum/n) via the identical IEEE double division both
+      engines run; an emptied cluster keeps its previous centroid.
+    - The iteration barrier moves k*dim scalars to the driver — the
+      same bounded-state pattern as x14's convergence scalars.
+
+    Returns (cluster, dim, centroid_q, n_members): the post-``iters``
+    centroids (quantized units) and the member counts of the
+    assignment that produced them.
+    """
+    q = float(quantum)
+    qdf = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(floor(cast(x as double) * {q!r} "
+            f"+ 0.5) as bigint))"
+        ).alias("qx"),
+    )
+    cents = [list(r.qx) for r in qdf.orderBy("__id").limit(k).collect()]
+    dim = len(cents[0])
+    counts: list[int] = [0] * k
+
+    for _ in range(iters):
+        upd = _km_update(_km_assign(qdf, cents, k))
+        got = {(r.cluster, r.dim): (r.val, r.n) for r in upd.collect()}
+        counts = [0] * k
+        for c in range(k):
+            if (c, 0) in got:
+                cents[c] = [got[(c, d)][0] for d in range(dim)]
+                counts[c] = got[(c, 0)][1]
+    rows = [
+        (c, d, int(cents[c][d]), int(counts[c]))
+        for c in range(k)
+        for d in range(dim)
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "cluster INT, dim INT, centroid_q BIGINT, n_members BIGINT"
+    )
+
+
+def _km_assign(qdf: DataFrame, centroids: list[list[int]], k: int) -> DataFrame:
+    """One Lloyd assignment pass: exact integer squared-L2 argmin of
+    each row's ``qx`` against the k LITERAL centroid arrays, ties to
+    the lowest cluster id. Join-free by construction — the centroids
+    ride the plan as literals, so the corpus is never joined or
+    shuffled to be assigned."""
+    lits = [
+        F.array(*[F.lit(int(v)).cast("bigint") for v in c]) for c in centroids
+    ]
+    dists = [
+        F.aggregate(
+            F.zip_with(F.col("qx"), lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        for lit_c in lits
+    ]
+    best = F.struct(dists[0].alias("d"), F.lit(0).cast("int").alias("c"))
+    for i in range(1, k):
+        cand = F.struct(dists[i].alias("d"), F.lit(i).cast("int").alias("c"))
+        best = F.when(cand["d"] < best["d"], cand).otherwise(best)
+    return qdf.select("__id", "qx", best["c"].alias("cluster"))
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """One Lloyd update pass: per-(cluster, dim) integer sums — map-side
+    combinable, at most k*dim reduce-side groups at any corpus size —
+    and the centroid division as the single IEEE double op both engines
+    run (floor(sum/n))."""
+    return (
+        assigned.select("cluster", F.posexplode("qx").alias("dim", "qv"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cluster",
+            "dim",
+            F.floor(F.col("s").cast("double") / F.col("n").cast("double"))
+            .cast("bigint")
+            .alias("val"),
+            "n",
+        )
+    )

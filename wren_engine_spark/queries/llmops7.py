@@ -434,3 +434,95 @@ def m7(spark: SparkSession, sf: str) -> DataFrame:
     return metrics.ewma(
         e, ["user_id", "event_type"], ["ts", "event_id"], "value", alpha=0.25
     )
+
+
+# ---------------------------------------------------------------------------
+# x85: quantized-integer Lloyd k-means — iterative training with a
+# bit-exact unrolled-SQL oracle (the determinism x14's float Lloyd
+# can't have)
+# ---------------------------------------------------------------------------
+
+_KM_ITER = """
+d{i} AS (
+  SELECT p.vec_id, c.cluster,
+         CAST(SUM((p.qv - c.val) * (p.qv - c.val)) AS BIGINT) AS dist
+  FROM pos p JOIN c{prev} c ON c.dim = p.dim
+  GROUP BY p.vec_id, c.cluster
+),
+a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d{i}) WHERE rn = 1
+),
+u{i} AS (
+  SELECT a.cluster, p.dim,
+         CAST(floor(CAST(CAST(SUM(p.qv) AS BIGINT) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS val,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{i} a JOIN pos p ON p.vec_id = a.vec_id
+  GROUP BY a.cluster, p.dim
+),
+c{i} AS (
+  SELECT s.cluster, dm.dim, COALESCE(u.val, c.val) AS val
+  FROM spine s CROSS JOIN dims dm
+  LEFT JOIN u{i} u ON u.cluster = s.cluster AND u.dim = dm.dim
+  JOIN c{prev} c ON c.cluster = s.cluster AND c.dim = dm.dim
+)"""
+
+
+@register(
+    "x85_kmeans_quantized",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+              FOR x IN embedding] AS qx
+      FROM embeddings
+    ),
+    init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, qx
+      FROM (SELECT vec_id, qx FROM q ORDER BY vec_id LIMIT 4)
+    ),
+    pos AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+             qx[CAST(i AS INTEGER)] AS qv
+      FROM (SELECT vec_id, qx, unnest(generate_series(1, len(qx))) AS i
+            FROM q)
+    ),
+    c0 AS (
+      SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
+             qx[CAST(i AS INTEGER)] AS val
+      FROM (SELECT cluster, qx, unnest(generate_series(1, len(qx))) AS i
+            FROM init)
+    ),
+    spine AS (SELECT DISTINCT cluster FROM c0),
+    dims AS (SELECT DISTINCT dim FROM c0),
+    """
+    + _KM_ITER.format(i=1, prev=0)
+    + ","
+    + _KM_ITER.format(i=2, prev=1)
+    + """
+    SELECT s.cluster, dm.dim, COALESCE(u.val, c.val) AS centroid_q,
+           CAST(COALESCE(u.n, 0) AS BIGINT) AS n_members
+    FROM spine s CROSS JOIN dims dm
+    LEFT JOIN u2 u ON u.cluster = s.cluster AND u.dim = dm.dim
+    JOIN c1 c ON c.cluster = s.cluster AND c.dim = dm.dim
+    """,
+)
+def x85(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantized-integer Lloyd k-means (k=4, 2 iterations): vectors
+    quantize once (x45 half-up), assignment is an exact integer
+    squared-L2 argmin computed IN-ROW against literal centroid arrays
+    (no join/shuffle), updates are map-side-combinable integer sums
+    with at most k*dim reduce-side groups, and the centroid division
+    is the one IEEE double op both engines run — so the full unrolled
+    training replays bit-for-bit in DuckDB. The iteration barrier
+    moves k*dim scalars to the driver (x14's bounded-state pattern).
+    Returns the post-iteration-2 centroids + member counts."""
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    return similarity.kmeans_quantized(
+        e, "vec_id", "embedding", k=4, iters=2, quantum=1_000_000
+    )

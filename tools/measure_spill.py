@@ -131,6 +131,21 @@ def main() -> int:
             lambda: similarity.semantic_dedup(emb, "vec_id", "embedding").count(),
         ),
         ("x68_keep_best_clustering", run_x68),
+        # round-6 batch 2/3 widest additions: the similarity-threshold
+        # spectrum's wide (0.5) candidate net on the planted-skew
+        # corpus, and the quantized Lloyd trainer on the 10x embeddings
+        (
+            "x76_wide_jaccard_pairs",
+            lambda: dd.jaccard_pairs(
+                docs, "text", "doc_id", n=3, threshold=0.5
+            ).count(),
+        ),
+        (
+            "x85_kmeans_quantized",
+            lambda: similarity.kmeans_quantized(
+                emb, "vec_id", "embedding", k=4, iters=2
+            ).count(),
+        ),
     ):
         sc.setJobGroup(name, name)
         t0 = time.perf_counter()

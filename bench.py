@@ -189,6 +189,10 @@ def main() -> None:
         # cycles with k*dim driver barriers (bit-exact oracle twin of
         # the float x14 trainer)
         "x85_kmeans_quantized",
+        # span-level decontamination pair: locate leaked 8-token spans
+        # (broadcast held-out probe), then excise them in-row
+        "x86_contamination_spans",
+        "x87_surgical_decontamination",
     ]
     r6_timings, r6_total, r6_runs = run_suite(R6, "r6 operator sub-suite")
 

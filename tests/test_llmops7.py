@@ -576,3 +576,129 @@ class TestX85KmeansQuantized:
         shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
         assert len(shuffles) == 1 and "cluster" in shuffles[0]
         assert "partial_sum" in plan  # k*dim-bounded map-side combine
+
+
+def _tok_hash31(tok):
+    acc = 0
+    for ch in tok:
+        acc = (acc * 31 + ord(ch)) % 2147483647
+    return acc
+
+
+class TestX86ContaminationSpans:
+    def test_planted_spans_located_and_merged(self, spark):
+        from wren_engine_spark.operators import text as t_ops
+
+        leak = " ".join(f"L{i}" for i in range(10))  # 10-token excerpt
+        filler = lambda s, n: " ".join(f"{s}{i}" for i in range(n))
+        train = [
+            # leak at tokens 6-15 (1-based), 5 filler before
+            (1, filler("a", 5) + " " + leak + " " + filler("b", 4)),
+            # two copies of the leak back-to-back: windows chain into ONE span
+            (2, leak + " " + leak),
+            # clean doc
+            (3, filler("c", 20)),
+            # leak shorter than the window (first 7 tokens only): no hit
+            (4, " ".join(leak.split()[:7]) + " " + filler("d", 10)),
+        ]
+        test = [(100, filler("x", 3) + " " + leak + " " + filler("y", 3))]
+        tr = spark.createDataFrame(train, "doc_id LONG, text STRING")
+        te = spark.createDataFrame(test, "doc_id LONG, text STRING")
+        out = {}
+        for r in t_ops.contamination_spans(tr, te, "text", "doc_id", 8).collect():
+            out.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end, r.n_windows)
+            )
+        # doc 1: leak occupies tokens 6..15 -> windows start 6,7,8 ->
+        # span [6, 15], 3 windows
+        assert out[1] == [(6, 15, 3)]
+        # doc 2: 20 tokens of leak+leak; every 8-window of doc 100's
+        # leak region matches; chained windows merge into one span
+        assert len(out[2]) == 1
+        s, e, n = out[2][0]
+        assert s == 1 and e >= 15
+        assert 3 not in out and 4 not in out
+
+    def test_plan_broadcast_probe_and_doc_partitioned_islands(self, spark):
+        df = QUERIES["x86_contamination_spans"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # held-out window set broadcasts; training windows are never
+        # hash-exchanged on the window key
+        assert "BroadcastHashJoin [__w" in plan and "LeftSemi" in plan
+        lines = plan.splitlines()
+        # the STREAMED side of the semi join (the exploded training
+        # windows — the lines between the join and its
+        # BroadcastExchange child) must carry no hash exchange; the
+        # held-out side's DISTINCT (under the BroadcastExchange,
+        # benchmark-sized) and the per-doc island window (doc_id) are
+        # the only keyed shuffles in the plan
+        j = next(i for i, l in enumerate(lines) if "BroadcastHashJoin [__w" in l)
+        for l in lines[j + 1 :]:
+            if "BroadcastExchange" in l:
+                break
+            assert "Exchange hashpartitioning" not in l, l.strip()[:140]
+        for l in lines:
+            if "Exchange hashpartitioning" in l:
+                assert "doc_id" in l or "__w" in l, l.strip()[:140]
+        win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+        assert win_lines
+        for l in win_lines:
+            assert "windowspecdefinition(doc_id" in l, l.strip()[:140]
+
+
+class TestX87SurgicalDecontamination:
+    def test_planted_removal(self, spark):
+        from wren_engine_spark.operators import text as t_ops
+
+        leak = " ".join(f"L{i}" for i in range(10))
+        filler = lambda s, n: " ".join(f"{s}{i}" for i in range(n))
+        train = [
+            (1, filler("a", 5) + " " + leak + " " + filler("b", 4)),
+            (3, filler("c", 20)),
+            (5, leak),  # exactly the leak: fully excised
+        ]
+        test = [(100, leak)]
+        tr = spark.createDataFrame(train, "doc_id LONG, text STRING")
+        te = spark.createDataFrame(test, "doc_id LONG, text STRING")
+        spans = t_ops.contamination_spans(tr, te, "text", "doc_id", 8)
+        out = {
+            r.doc_id: r for r in t_ops.remove_spans(tr, spans, "text", "doc_id").collect()
+        }
+
+        def fold(toks):
+            acc = 0
+            for h in (_tok_hash31(t) for t in toks):
+                acc = (acc * 1000003 + h) % 2147483647
+            return acc
+
+        # doc 1: tokens 6..15 removed
+        toks1 = train[0][1].split()
+        kept1 = toks1[:5] + toks1[15:]
+        assert out[1].n_tokens == 19
+        assert out[1].n_tokens_removed == 10
+        assert out[1].clean_hash == fold(kept1)
+        # doc 3 untouched
+        assert out[3].n_tokens_removed == 0
+        assert out[3].clean_hash == fold(train[1][1].split())
+        # doc 5 fully excised -> empty fold
+        assert out[5].n_tokens_removed == 10
+        assert out[5].clean_hash == 0
+
+    def test_every_train_doc_emits_one_row(self, spark):
+        rows = QUERIES["x87_surgical_decontamination"](spark, SF_DIR).collect()
+        ids = [r.doc_id for r in rows]
+        assert len(ids) == len(set(ids))
+        assert all(i % 10 != 0 for i in ids)
+        for r in rows:
+            assert 0 <= r.n_tokens_removed <= r.n_tokens
+
+    def test_consistent_with_x86_spans(self, spark):
+        spans = QUERIES["x86_contamination_spans"](spark, SF_DIR).collect()
+        removed_want = {}
+        for s in spans:
+            removed_want[s.doc_id] = removed_want.get(s.doc_id, 0) + (
+                s.span_end - s.span_start + 1
+            )
+        out = {r.doc_id: r for r in QUERIES["x87_surgical_decontamination"](spark, SF_DIR).collect()}
+        for doc_id, want in removed_want.items():
+            assert out[doc_id].n_tokens_removed == want

@@ -1314,3 +1314,140 @@ def boilerplate_prefix(
         share.alias("modal_share"),
         (share >= F.lit(float(flag_share))).alias("flagged"),
     )
+
+
+def contamination_spans(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 8,
+) -> DataFrame:
+    """Span-level contamination localization: WHERE (token offsets)
+    does held-out content appear inside training documents — the
+    surgical upgrade over doc-level decontamination (x25/x56 drop the
+    whole document; modern pipelines excise just the leaked span).
+
+    Every ``window_tokens``-token window of each training doc is
+    hashed with the x44 two-plane 62-bit construction; windows whose
+    hash appears anywhere in the held-out set are contamination hits,
+    and overlapping/adjacent hit windows merge into maximal spans
+    (gaps-and-islands: a window starting within ``window_tokens``
+    positions of the previous hit extends the span).
+
+    Returns (id, span_start, span_end, n_windows) with 1-based
+    inclusive token offsets.
+
+    At 100 TB: the held-out side is benchmark-sized by construction —
+    its DISTINCT window hashes broadcast; training windows explode
+    map-side and are filtered by a broadcast semi join (the corpus
+    never shuffles to be probed); only the HITS — contamination-sized,
+    not corpus-sized — reach the per-doc island window (one hash
+    shuffle on the doc key).
+    """
+    w = window_tokens
+    from pyspark.sql import Window as W
+
+    th = (
+        "transform(__t, tok -> aggregate(transform(sequence(1, length(tok)), "
+        "i -> cast(ascii(substring(tok, i, 1)) as bigint)), cast(0 as bigint), "
+        "(acc, c) -> pmod(acc * 31 + c, 2147483647)))"
+    )
+    fold = (
+        "aggregate(slice(__th, i, {w}), cast(0 as bigint), "
+        "(acc, h) -> pmod(acc * {b} + h, {m}))"
+    )
+    f1 = fold.format(w=w, b=_WH_BASE1, m=_WH_MOD1)
+    f2 = fold.format(w=w, b=_WH_BASE2, m=_WH_MOD2)
+    win_expr = (
+        f"transform(sequence(1, size(__th) - {w} + 1), "
+        f"i -> {f1} * cast({_WH_MOD2} as bigint) + {f2})"
+    )
+
+    def _wins(df: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.col(text_col)), WS_RE)
+        return (
+            df.select(F.col(id_col), toks.alias("__t"))
+            .filter(F.size("__t") >= w)
+            .select(F.col(id_col), F.expr(th).alias("__th"))
+            .select(F.col(id_col), F.posexplode(F.expr(win_expr)).alias("__p", "__w"))
+            .select(F.col(id_col), (F.col("__p") + 1).cast("bigint").alias("pos"), "__w")
+        )
+
+    test_w = _wins(test_df).select("__w").distinct()
+    hits = _wins(train_df).join(F.broadcast(test_w), "__w", "semi")
+    ww = W.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn(
+        "__new",
+        F.when(
+            F.lag("pos").over(ww).isNull()
+            | (F.col("pos") > F.lag("pos").over(ww) + w),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__grp",
+        F.sum("__new").over(ww.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return islands.groupBy(id_col, "__grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + w - 1).cast("bigint").alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select(F.col(id_col), "span_start", "span_end", "n_windows")
+
+
+def remove_spans(
+    df: DataFrame,
+    spans_df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Surgical span removal: given (id, span_start, span_end) spans
+    (1-based inclusive token offsets, e.g. from
+    ``contamination_spans``), delete those token ranges from each
+    document and fingerprint the cleaned text — the "excise the leak,
+    keep the document" rewrite step.
+
+    Returns one row for EVERY input document: (id, n_tokens,
+    n_tokens_removed, clean_hash); clean documents pass through with 0
+    removed, and a fully-excised document hashes to 0 (the empty
+    fold). ``clean_hash`` is the base-1000003 fold over the PORTABLE
+    per-token hashes of the kept tokens in order.
+
+    At 100 TB: spans are contamination-sized — the per-doc span list
+    groups small and joins LEFT onto the corpus; the deletion itself
+    is an in-row HOF filter over token positions (no text movement,
+    no shuffle of the corpus beyond the span join's doc-key hash
+    join).
+    """
+    th = (
+        "transform(__t, tok -> aggregate(transform(sequence(1, length(tok)), "
+        "i -> cast(ascii(substring(tok, i, 1)) as bigint)), cast(0 as bigint), "
+        "(acc, c) -> pmod(acc * 31 + c, 2147483647)))"
+    )
+    sp = spans_df.groupBy(F.col(id_col)).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("span_start").alias("a"), F.col("span_end").alias("b")))
+        ).alias("__sp")
+    )
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
+    base = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .select(F.col(id_col), F.expr(th).alias("__th"), F.size("__t").cast("bigint").alias("n_tokens"))
+        .join(sp, id_col, "left")
+    )
+    keep = (
+        "filter(sequence(1, cast(n_tokens as int)), "
+        "i -> __sp is null or not exists(__sp, s -> i >= s.a and i <= s.b))"
+    )
+    clean = (
+        f"aggregate(transform({keep}, i -> element_at(__th, i)), "
+        f"cast(0 as bigint), (acc, h) -> pmod(acc * {_WH_BASE1} + h, {_WH_MOD1}))"
+    )
+    return base.select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.size(F.expr(keep))).cast("bigint").alias(
+            "n_tokens_removed"
+        ),
+        F.expr(clean).alias("clean_hash"),
+    )

@@ -526,3 +526,120 @@ def x85(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.kmeans_quantized(
         e, "vec_id", "embedding", k=4, iters=2, quantum=1_000_000
     )
+
+
+# ---------------------------------------------------------------------------
+# x86/x87: span-level decontamination — locate leaked spans, then
+# surgically excise them (the modern upgrade over doc-level drops)
+# ---------------------------------------------------------------------------
+
+_TOKHASH = """[list_reduce(list_prepend(CAST(0 AS BIGINT),
+                [CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT)
+                 FOR i IN generate_series(1, length(tok))]),
+                (acc, c) -> (acc * 31 + c) % 2147483647)
+              FOR tok IN t]"""
+
+# shared CTE chain: 8-token two-plane window hashes over the 90/10
+# train/test split (x26's convention), hit windows, maximal spans
+_SPAN_CTES = rf"""
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+      FROM documents
+    ),
+    thall AS (SELECT doc_id, {_TOKHASH} AS th FROM toks),
+    ok AS (SELECT doc_id, th FROM thall WHERE len(th) >= 8),
+    wins AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
+                 (acc, h) -> (acc * 1000003 + h) % 2147483647) * 2147483629
+           + list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
+                 (acc, h) -> (acc * 999983 + h) % 2147483629) AS wh
+      FROM ok, LATERAL unnest(generate_series(1, len(th) - 7)) AS u(i)
+    ),
+    testw AS (SELECT DISTINCT wh FROM wins WHERE doc_id % 10 = 0),
+    hits AS (SELECT wi.doc_id, wi.pos FROM wins wi
+             JOIN testw ON testw.wh = wi.wh WHERE wi.doc_id % 10 <> 0),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) + 8
+                  THEN 1 ELSE 0 END AS newspan
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(newspan) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+             CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM grp GROUP BY doc_id, g
+    )"""
+
+
+@register(
+    "x86_contamination_spans",
+    f"WITH {_SPAN_CTES}\n    SELECT doc_id, span_start, span_end, n_windows FROM spans",
+)
+def x86(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level contamination localization: the 1-based token ranges
+    of each training document (doc_id % 10 != 0) where an 8-token
+    window also occurs in the held-out split (doc_id % 10 == 0) — the
+    offsets a surgical decontamination pass excises. The held-out
+    window-hash set broadcasts (benchmark-sized); training windows are
+    probed map-side; only the hits reach the per-doc island window."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    return text.contamination_spans(train, test, "text", "doc_id", window_tokens=8)
+
+
+@register(
+    "x87_surgical_decontamination",
+    f"""
+    WITH {_SPAN_CTES},
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p, th[CAST(i AS INTEGER)] AS h
+      FROM (SELECT doc_id, th, unnest(generate_series(1, len(th))) AS i
+            FROM thall WHERE doc_id % 10 <> 0)
+    ),
+    kept AS (
+      SELECT po.doc_id, po.p, po.h FROM pos po
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = po.doc_id
+                          AND po.p BETWEEN s.span_start AND s.span_end)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list(h ORDER BY p)),
+                         (acc, h) -> (acc * 1000003 + h) % 2147483647)
+               AS clean_hash
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           b.n_tokens - CAST(COALESCE(a.n_kept, 0) AS BIGINT)
+             AS n_tokens_removed,
+           CAST(COALESCE(a.clean_hash, 0) AS BIGINT) AS clean_hash
+    FROM (SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens
+          FROM thall WHERE doc_id % 10 <> 0) b
+    LEFT JOIN agg a ON a.doc_id = b.doc_id
+    """,
+)
+def x87(spark: SparkSession, sf: str) -> DataFrame:
+    """Surgical decontamination: delete x86's leaked spans from each
+    training document and fingerprint the cleaned token stream (fold
+    over kept-token hashes in order) — every training doc emits a row,
+    clean ones with 0 removed, fully-excised ones hashing to 0. The
+    deletion is an in-row HOF position filter; spans join LEFT on the
+    doc key (contamination-sized build side)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    spans = text.contamination_spans(train, test, "text", "doc_id", window_tokens=8)
+    return text.remove_spans(train, spans, "text", "doc_id")

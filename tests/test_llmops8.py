@@ -1,0 +1,266 @@
+"""Round-6 additions, batch 4 (m8/m9/x88/x89/x90): brute-force
+property tests + the scale-shape plan asserts that are part of the
+definition of done (round-5 verdict item 9)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from wren_engine_spark.operators import layout, metrics, similarity, text
+from wren_engine_spark.queries.registry import QUERIES
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestM8RobustAnomaly:
+    def test_matches_brute_force_python(self, spark):
+        import duckdb
+
+        raw = duckdb.sql(
+            f"SELECT event_type, CAST(ts AS DATE) AS day, value FROM "
+            f"read_parquet('{SF_DIR}/events.parquet')"
+        ).fetchall()
+        daily = {}
+        for et, day, v in raw:
+            q = math.floor(float(v) * 1000000.0 + 0.5)
+            daily[(et, day)] = daily.get((et, day), 0) + q
+
+        def med2(vals):
+            s = sorted(vals)
+            n = len(s)
+            return s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]
+
+        by_et = {}
+        for (et, day), tot in daily.items():
+            by_et.setdefault(et, []).append(tot)
+        want = {}
+        for et, vals in by_et.items():
+            m2 = med2(vals)
+            dev2s = [abs(2 * t - m2) for t in vals]
+            m4 = med2(dev2s)
+            for (et2, day), tot in daily.items():
+                if et2 == et:
+                    want[(et, day)] = (tot, m2, m4, 2 * abs(2 * tot - m2) > 3 * m4)
+        got = {
+            (r.event_type, r.day): (r.daily_total_q, r.med2, r.mad4, r.is_anomaly)
+            for r in QUERIES["m8_robust_anomaly"](spark, SF_DIR).collect()
+        }
+        assert got == want
+
+    def test_planted_spike_is_flagged_and_constant_series_is_not(self, spark):
+        rows = []
+        for d in range(1, 21):
+            rows.append(("steady", f"2024-01-{d:02d} 00:00:00", 10.0))
+            rows.append(("spiky", f"2024-01-{d:02d} 00:00:00", 10.0))
+        rows.append(("spiky", "2024-01-10 12:00:00", 5000.0))  # same-day spike
+        df = spark.createDataFrame(
+            rows, "event_type STRING, ts STRING, value DOUBLE"
+        ).select("event_type", F.col("ts").cast("timestamp").alias("ts"), "value")
+        out = metrics.robust_anomaly(df, "event_type", "ts", "value")
+        got = {(r.event_type, str(r.day)): r.is_anomaly for r in out.collect()}
+        assert got[("spiky", "2024-01-10")] is True
+        assert not any(v for (et, _), v in got.items() if et == "steady")
+        # MAD=0 for spiky (19 of 20 days identical): only the spike flags
+        assert sum(v for (et, _), v in got.items() if et == "spiky") == 1
+
+    def test_plan_broadcasts_series_stats_and_never_goes_cartesian(self, spark):
+        df = QUERIES["m8_robust_anomaly"](spark, SF_DIR)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan  # med/mad attach via broadcast
+        assert plan.count("BroadcastHashJoin") >= 2
+
+
+class TestM9HoltForecast:
+    def test_bit_exact_vs_python_recurrence(self, spark):
+        import duckdb
+
+        raw = duckdb.sql(
+            f"SELECT user_id, event_type, value FROM "
+            f"read_parquet('{SF_DIR}/events.parquet') ORDER BY ts, event_id"
+        ).fetchall()
+        series = {}
+        for uid, et, v in raw:
+            series.setdefault((uid, et), []).append(float(v))
+        want = {}
+        for k, vals in series.items():
+            l = b = 0.0
+            for x in vals:
+                lnew = 0.5 * x + 0.5 * (l + b)
+                b = 0.25 * (lnew - l) + 0.75 * b
+                l = lnew
+            want[k] = (len(vals), l, b, l + b)
+        got = {
+            (r.user_id, r.event_type): (r.n_events, r.level, r.trend, r.forecast)
+            for r in QUERIES["m9_holt_forecast"](spark, SF_DIR).collect()
+        }
+        # exact equality: same IEEE left-fold sequence
+        assert got == want
+
+    def test_single_point_series(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", "2024-01-01 00:00:00", 8.0, 1)],
+            "user_id LONG, event_type STRING, ts STRING, value DOUBLE, event_id LONG",
+        ).select(
+            "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"),
+            "value", "event_id",
+        )
+        r = metrics.holt_linear(
+            df, ["user_id", "event_type"], ["ts", "event_id"], "value",
+            alpha=0.5, beta=0.25,
+        ).collect()[0]
+        assert r.level == 4.0 and r.trend == 1.0 and r.forecast == 5.0
+
+    def test_plan_single_series_shuffle(self, spark):
+        df = QUERIES["m9_holt_forecast"](spark, SF_DIR)
+        assert layout.shuffle_exchanges(df) == 1  # one groupBy, no join
+
+
+class TestX88DiverseTopk:
+    def _brute(self, spark):
+        from wren_engine_spark.queries.io import load_tables
+
+        e = load_tables(spark, SF_DIR, "embeddings")["embeddings"]
+        rows = e.collect()
+        vecs = {r.vec_id: ([float(x) for x in r.embedding], r.label) for r in rows}
+
+        def fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        out = {}
+        for qid in [i for i in vecs if i < 8]:
+            qv, _ = vecs[qid]
+            qn = fold_dot(qv, qv)
+            sims = []
+            for nid, (v, lbl) in vecs.items():
+                if nid == qid:
+                    continue
+                s = fold_dot(qv, v) / (math.sqrt(qn) * math.sqrt(fold_dot(v, v)))
+                sims.append((s, nid, lbl))
+            sims.sort(key=lambda t: (-t[0], t[1]))
+            seen = {}
+            capped = []
+            for s, nid, lbl in sims:
+                seen[lbl] = seen.get(lbl, 0) + 1
+                if seen[lbl] <= 2:
+                    capped.append((s, nid, lbl))
+            out[qid] = [(nid, lbl) for _, nid, lbl in capped[:5]]
+        return out
+
+    def test_matches_brute_force(self, spark):
+        want = self._brute(spark)
+        got = {}
+        for r in QUERIES["x88_diverse_topk"](spark, SF_DIR).collect():
+            got.setdefault(r.query_id, []).append(
+                (r.rnk, r.neighbor_id, r.neighbor_label)
+            )
+        got = {
+            q: [(nid, lbl) for _, nid, lbl in sorted(v)] for q, v in got.items()
+        }
+        assert got == want
+
+    def test_cap_and_k_and_no_self(self, spark):
+        rows = QUERIES["x88_diverse_topk"](spark, SF_DIR).collect()
+        per_q = {}
+        for r in rows:
+            assert r.neighbor_id != r.query_id
+            per_q.setdefault(r.query_id, []).append(r.neighbor_label)
+        for q, labels in per_q.items():
+            assert len(labels) <= 5
+            for lbl in set(labels):
+                assert labels.count(lbl) <= 2
+
+    def test_plan_corpus_never_shuffles_for_similarity(self, spark):
+        df = QUERIES["x88_diverse_topk"](spark, SF_DIR)
+        plan = _plan(df)
+        # query side broadcasts into a nested-loop join (non-equi
+        # self-exclusion); the only Exchanges are the two bounded rank
+        # windows keyed on query_id(+label)
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert "query_id" in line, line.strip()[:120]
+
+
+class TestX89EncodingHealth:
+    def test_counts_exact_on_constructed_corpus(self, spark):
+        docs = [
+            (0, "plain ascii", "a"),
+            (1, "café naïve", "a"),          # 2-byte chars
+            (2, "tab\there\nand\r", "b"),               # control chars
+            (3, "bad � decode �", "b"),       # replacement chars
+            (4, "日本語", "b"),             # 3-byte chars
+        ]
+        df = spark.createDataFrame(docs, "doc_id LONG, text STRING, source STRING")
+        got = {r.source: r for r in text.encoding_health(df, "text", "source").collect()}
+        a, b = got["a"], got["b"]
+        assert a.n_docs == 2 and b.n_docs == 3
+        assert a.total_chars == len("plain ascii") + len("café naïve")
+        assert a.total_bytes == len("plain ascii".encode()) + len(
+            "café naïve".encode()
+        )
+        assert a.multibyte_overhead == 2 and a.n_ctrl_chars == 0
+        assert a.n_docs_replacement == 0
+        assert b.n_ctrl_chars == 3  # tab + lf + cr
+        assert b.n_docs_replacement == 1
+        # 3 CJK chars x 2 extra bytes + 2 U+FFFD x 2 extra bytes
+        assert b.multibyte_overhead == 10
+        assert b.bytes_per_char == b.total_bytes / b.total_chars
+
+    def test_plan_one_hash_shuffle_no_join(self, spark):
+        df = QUERIES["x89_encoding_health"](spark, SF_DIR)
+        plan = _plan(df)
+        # one hash exchange (the source groupBy; load_tables' read
+        # fan-out RoundRobin repartition doesn't count), no join, and
+        # a map-side partial aggregate below the exchange
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+        assert "partial_" in plan
+
+
+class TestX90KeySkewProfile:
+    def test_matches_brute_force_counter(self, spark):
+        from collections import Counter
+
+        import duckdb
+
+        keys = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT user_id FROM read_parquet('{SF_DIR}/events.parquet')"
+            ).fetchall()
+        ]
+        c = Counter(keys)
+        total, nk = len(keys), len(c)
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        rows = sorted(
+            QUERIES["x90_key_skew_profile"](spark, SF_DIR).collect(),
+            key=lambda r: r.rnk,
+        )
+        assert [(r.key, r.cnt) for r in rows] == want
+        for r in rows:
+            assert r.total_rows == total and r.n_keys == nk
+            assert r.share == r.cnt / total
+            assert r.skew_ratio == float(r.cnt) * float(nk) / float(total)
+
+    def test_null_keys_count_as_one_key(self, spark):
+        df = spark.createDataFrame(
+            [(None,), (None,), (None,), (1,), (2,)], "k INT"
+        )
+        rows = layout.key_skew_profile(df, "k", top_n=2).collect()
+        by_rnk = {r.rnk: r for r in rows}
+        assert by_rnk[1].key is None and by_rnk[1].cnt == 3
+        assert by_rnk[1].n_keys == 3 and by_rnk[1].total_rows == 5
+
+    def test_plan_takeordered_and_broadcast_totals(self, spark):
+        df = QUERIES["x90_key_skew_profile"](spark, SF_DIR)
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan
+        assert "SortMergeJoin" not in plan and "partial_" in plan

@@ -226,3 +226,52 @@ def zorder_quantize(col, lo: int, hi: int, bits: int = 16) -> F.Column:
         F.lit(0).cast("long"),
         F.least(F.lit((1 << bits) - 1).cast("long"), F.floor(q).cast("long")),
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Join-key skew diagnostic: the per-key frequency profile a
+    pipeline owner reads BEFORE choosing a join strategy (broadcast /
+    salt / AQE skew-join) — the observability counterpart of
+    ``salted_join``. Returns the ``top_n`` hottest keys with:
+
+    - ``cnt`` and ``total_rows`` / ``n_keys`` (exact),
+    - ``share`` = cnt/total (fraction of all rows on this key),
+    - ``skew_ratio`` = cnt·n_keys/total (multiple of the mean key
+      frequency — the number AQE's skew threshold reasons about).
+
+    Doubles are ratios of exact integer counts with identical
+    expressions both engines. At 100 TB: one map-side-combinable
+    groupBy on the key, a bounded TakeOrdered cut (count desc, key asc
+    — deterministic), and a broadcast of the two-scalar total row.
+    NULL keys count as a key of their own (they hash-partition
+    together in a real join, so they skew together too).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_n)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.row_number().over(w).cast("int").alias("rnk"),
+            "key",
+            "cnt",
+            "total_rows",
+            "n_keys",
+            (F.col("cnt").cast("double") / F.col("total_rows").cast("double")).alias(
+                "share"
+            ),
+            (
+                F.col("cnt").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total_rows").cast("double")
+            ).alias("skew_ratio"),
+        )
+    )

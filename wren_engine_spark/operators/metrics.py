@@ -186,3 +186,147 @@ def ewma(
     return g.select(
         *key_cols, "n_events", F.expr(fold).alias("ewma")
     )
+
+
+def robust_anomaly(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    quantum: int = 1_000_000,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Per-series robust anomaly flags (Hampel filter): aggregate the
+    events of each key into daily totals, then flag the days whose
+    total deviates from the series MEDIAN by more than ``k_num/k_den``
+    times the series MAD (median absolute deviation) — the standard
+    outlier detector that, unlike z-scores, a single huge spike cannot
+    mask.
+
+    Exactness: values quantize once (``floor(v*quantum + 0.5)``, the
+    x45 half-up) so daily totals are associative integer sums, and both
+    medians use the explicit rank-pair definition — ``med2 = v[(n+1)
+    div 2] + v[(n+2) div 2]`` (twice the interpolated median, but
+    integer-exact) — so the flag comparison ``2*dev2 > (k·mad4)`` is
+    pure integer arithmetic, bit-reproducible and engine-independent.
+    ``dev2 = |2·x − med2|`` is twice the absolute deviation; ``mad4``
+    is the rank-pair median of dev2 (= 4·MAD); the flag inequality
+    ``2·k_den·dev2 > k_num·mad4`` is exactly |x − med| > k·MAD.
+
+    At 100 TB: the daily rollup is one map-side-combinable groupBy on
+    (key, day); everything after runs on series-cardinality × days
+    rows. The two rank windows partition per key — bounded by days per
+    series (3 650 rows per key per decade), never by raw event volume.
+    Returns (key, day, daily_total_q, med2, mad4, is_anomaly).
+    """
+    lo = "((__n + 1) div 2)"
+    hi = "((__n + 2) div 2)"
+    q = df.select(
+        F.col(key_col).alias("__k"),
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.floor(F.col(val_col).cast("double") * F.lit(float(quantum)) + F.lit(0.5))
+        .cast("long")
+        .alias("__qv"),
+    )
+    daily = q.groupBy("__k", "day").agg(F.sum("__qv").cast("long").alias("daily_total_q"))
+    wk = W.partitionBy("__k")
+    r = daily.select(
+        "*",
+        F.row_number().over(wk.orderBy("daily_total_q")).alias("__rn"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    )
+    med = r.groupBy("__k").agg(
+        (
+            F.sum(F.when(F.expr(f"__rn = {lo}"), F.col("daily_total_q")).otherwise(F.lit(0)))
+            + F.sum(F.when(F.expr(f"__rn = {hi}"), F.col("daily_total_q")).otherwise(F.lit(0)))
+        )
+        .cast("long")
+        .alias("med2")
+    )
+    d = daily.join(F.broadcast(med), "__k").withColumn(
+        "__dev2", F.abs(F.lit(2) * F.col("daily_total_q") - F.col("med2"))
+    )
+    r2 = d.select(
+        "*",
+        F.row_number().over(wk.orderBy("__dev2")).alias("__rn"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    )
+    mad = r2.groupBy("__k").agg(
+        (
+            F.sum(F.when(F.expr(f"__rn = {lo}"), F.col("__dev2")).otherwise(F.lit(0)))
+            + F.sum(F.when(F.expr(f"__rn = {hi}"), F.col("__dev2")).otherwise(F.lit(0)))
+        )
+        .cast("long")
+        .alias("mad4")
+    )
+    return (
+        d.join(F.broadcast(mad), "__k")
+        .select(
+            F.col("__k").alias(key_col),
+            "day",
+            "daily_total_q",
+            "med2",
+            "mad4",
+            (
+                F.lit(2 * k_den) * F.col("__dev2") > F.lit(k_num) * F.col("mad4")
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Per-series Holt linear-trend smoothing (double exponential):
+    fold each key's (order_cols)-sorted values through the coupled
+    recurrence ``l' = α·x + (1−α)·(l + b); b' = β·(l' − l) + (1−β)·b``
+    from (0, 0), returning the final level, trend, and the one-step
+    forecast ``level + trend`` — the trend-aware upgrade over the
+    ``ewma`` operator for metrics that drift.
+
+    Bit-exactness: the fold is ONE fixed left-to-right IEEE sequence —
+    the l' expression is inlined (identically) inside the b' update, so
+    both engines execute the same op order; α=0.5 and β=0.25 are exact
+    in binary. The DuckDB twin replays the recurrence via a RECURSIVE
+    CTE over row_number()-indexed series rows, NOT a struct-typed
+    ``list_reduce``: DuckDB 1.0 evaluates struct lambda fields
+    sequentially in place, so a later field reading ``acc.l`` observes
+    the current iteration's freshly-written l (verified empirically —
+    ``b: acc.l`` returns the NEW l after multi-step folds), which
+    silently corrupts any coupled recurrence.
+
+    At 100 TB: identical shape to ``ewma`` — one groupBy on the series
+    key, per-series state is the (order, value) projection of the
+    series. Returns (*key_cols, n_events, level, trend, forecast).
+    """
+    a, b = float(alpha), float(beta)
+    assert 0.0 < a < 1.0 and 0.0 < b < 1.0
+    srt = F.array_sort(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order_cols], F.col(val_col).alias("__v"))
+        )
+    )
+    g = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("n_events"), srt.alias("__s")
+    )
+    lnew = f"({a!r} * x + {1.0 - a!r} * (acc.l + acc.b))"
+    fold = (
+        f"aggregate(transform(__s, s -> cast(s.__v as double)), "
+        f"named_struct('l', cast(0.0 as double), 'b', cast(0.0 as double)), "
+        f"(acc, x) -> named_struct("
+        f"'l', {lnew}, "
+        f"'b', {b!r} * ({lnew} - acc.l) + {1.0 - b!r} * acc.b))"
+    )
+    return g.select(
+        *key_cols,
+        "n_events",
+        F.expr(fold + ".l").alias("level"),
+        F.expr(fold + ".b").alias("trend"),
+        F.expr(f"({fold}.l + {fold}.b)").alias("forecast"),
+    )

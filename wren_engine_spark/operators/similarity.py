@@ -1323,3 +1323,78 @@ def _km_update(assigned: DataFrame) -> DataFrame:
             "n",
         )
     )
+
+
+def diverse_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_df: DataFrame,
+    k: int = 5,
+    per_label_cap: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Diversity-capped retrieval: per query vector, the overall top-k
+    by cosine among candidates restricted to at most ``per_label_cap``
+    results per label — the cluster-capped variant of MMR that keeps a
+    result list from collapsing onto one near-duplicate cluster, and
+    (unlike greedy MMR) is expressible as two rank windows with an
+    exact SQL twin.
+
+    ``query_df`` columns: (query_id, qvec). Self-matches
+    (neighbor_id == query_id) are excluded. Returns (query_id,
+    neighbor_id, neighbor_label, cosine_sim, rnk) with rnk over the
+    capped candidate set; ties broken by neighbor id everywhere. The
+    cosine is the deterministic left fold (``cosine_topk``), so both
+    rank windows order on bit-identical doubles.
+
+    At 100 TB: the query side is a probe set and BROADCASTS — the
+    corpus never shuffles for the similarity step. The first window
+    partitions by (query, label): the standard top-k-per-group cut,
+    after which the second window sees at most cap × n_labels rows per
+    query. Skew follows label balance, same exposure as
+    ``hard_negatives``.
+    """
+    from pyspark.sql import Window as W
+
+    corpus = with_norm(df, vec_col, "__vn").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("__v"),
+        "__vn",
+    )
+    queries = with_norm(query_df, "qvec", "__qn").select(
+        "query_id", F.col("qvec").alias("__q"), "__qn"
+    )
+    sim = corpus.join(
+        F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        (
+            _dot_dec(F.col("__q"), F.col("__v"))
+            / (F.sqrt(F.col("__qn")) * F.sqrt(F.col("__vn")))
+        ).alias("__sim"),
+    )
+    wl = W.partitionBy("query_id", "neighbor_label").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    capped = (
+        sim.withColumn("__lr", F.row_number().over(wl))
+        .filter(F.col("__lr") <= per_label_cap)
+        .drop("__lr")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
+    return (
+        capped.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(F.col("__sim"), round_digits).alias("cosine_sim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

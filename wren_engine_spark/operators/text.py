@@ -1451,3 +1451,46 @@ def remove_spans(
         ),
         F.expr(clean).alias("clean_hash"),
     )
+
+
+def encoding_health(df: DataFrame, text_col: str, source_col: str) -> DataFrame:
+    """Per-source encoding/charset health report: the corpus-hygiene
+    pass that catches a mis-decoded mirror (mojibake, replacement
+    chars, binary-ish control bytes) before it trains. Per source:
+
+    - ``total_chars`` / ``total_bytes``: UTF-8 code points vs octets —
+      their difference (``multibyte_overhead``) and the
+      ``bytes_per_char`` ratio expose the non-ASCII density without
+      any per-character explode or regex (both engines agree exactly
+      on length()/octet_length() of UTF-8).
+    - ``n_ctrl_chars``: TAB/LF/CR occurrences via the translate-delta
+      trick (length before minus length after stripping) — exact
+      integers, no regex-dialect risk.
+    - ``n_docs_replacement``: documents containing U+FFFD, the decoder
+      failure marker.
+
+    All sums are associative integers; the only doubles are final
+    ratios of those exact sums, computed with the identical expression
+    both sides. At 100 TB: one projection over the text, one
+    map-side-combinable groupBy with source-cardinality groups;
+    no shuffle carries text.
+    """
+    t = F.col(text_col)
+    per = df.select(
+        F.col(source_col).alias("source"),
+        F.length(t).cast("long").alias("__chars"),
+        F.octet_length(t).cast("long").alias("__bytes"),
+        (F.length(t) - F.length(F.translate(t, "\t\n\r", ""))).cast("long").alias("__ctrl"),
+        (F.instr(t, "�") > 0).cast("long").alias("__repl"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__chars").cast("long").alias("total_chars"),
+        F.sum("__bytes").cast("long").alias("total_bytes"),
+        (F.sum("__bytes") - F.sum("__chars")).cast("long").alias("multibyte_overhead"),
+        (
+            F.sum("__bytes").cast("double") / F.sum("__chars").cast("double")
+        ).alias("bytes_per_char"),
+        F.sum("__ctrl").cast("long").alias("n_ctrl_chars"),
+        F.sum("__repl").cast("long").alias("n_docs_replacement"),
+    )

@@ -193,6 +193,19 @@ def main() -> None:
         # (broadcast held-out probe), then excise them in-row
         "x86_contamination_spans",
         "x87_surgical_decontamination",
+        # batch 4: robust series analytics + retrieval/corpus hygiene
+        "m8_robust_anomaly",
+        "m9_holt_forecast",
+        "x88_diverse_topk",
+        "x89_encoding_health",
+        "x90_key_skew_profile",
+        # batch 5: seasonality, calibrated quality, streaming anomaly
+        # alerts (lambda pattern: batch stats + stateless stream score),
+        # decontamination impact rollup
+        "m10_seasonality_profile",
+        "x91_quality_calibration",
+        "t14_stream_anomaly_alerts",
+        "x92_decontamination_report",
     ]
     r6_timings, r6_total, r6_runs = run_suite(R6, "r6 operator sub-suite")
 

@@ -264,3 +264,194 @@ class TestX90KeySkewProfile:
         plan = _plan(df)
         assert "TakeOrderedAndProject" in plan
         assert "SortMergeJoin" not in plan and "partial_" in plan
+
+
+class TestM10SeasonalityProfile:
+    def test_matches_brute_force(self, spark):
+        from decimal import Decimal
+
+        import duckdb
+
+        raw = duckdb.sql(
+            f"SELECT event_type, ts, value FROM "
+            f"read_parquet('{SF_DIR}/events.parquet')"
+        ).fetchall()
+        cells = {}
+        for et, ts, v in raw:
+            # python weekday(): Mon=0..Sun=6 -> dow 0=Sunday
+            dow = (ts.weekday() + 1) % 7
+            key = (et, dow, ts.hour)
+            n, s = cells.get(key, (0, Decimal(0)))
+            cells[key] = (n + 1, s + Decimal(str(round(v, 6))))
+        totals = {}
+        for (et, _, _), (n, _) in cells.items():
+            totals[et] = totals.get(et, 0) + n
+        got = {
+            (r.event_type, r.dow, r.hour): (r.n_events, r.mean_value, r.share_of_key)
+            for r in QUERIES["m10_seasonality_profile"](spark, SF_DIR).collect()
+        }
+        assert set(got) == set(cells)
+        for key, (n, s) in cells.items():
+            gn, gmean, gshare = got[key]
+            assert gn == n
+            assert gmean == float(s) / float(n)
+            assert gshare == float(n) / float(totals[key[0]])
+
+    def test_shares_sum_to_one_per_key(self, spark):
+        rows = QUERIES["m10_seasonality_profile"](spark, SF_DIR).collect()
+        per = {}
+        for r in rows:
+            per[r.event_type] = per.get(r.event_type, 0.0) + r.share_of_key
+        for et, s in per.items():
+            assert abs(s - 1.0) < 1e-9, (et, s)
+
+    def test_plan_single_hash_agg_then_bounded_window(self, spark):
+        df = QUERIES["m10_seasonality_profile"](spark, SF_DIR)
+        plan = _plan(df)
+        assert "Join" not in plan
+        assert "partial_" in plan  # map-side combine on (key, dow, hour)
+
+
+class TestX91QualityCalibration:
+    def test_matches_brute_force_percent_rank(self, spark):
+        from wren_engine_spark.operators.text import quality_score
+        from wren_engine_spark.queries.io import load_tables
+
+        d = load_tables(spark, SF_DIR, "documents")["documents"]
+        scores = {
+            r.doc_id: r.quality_score
+            for r in quality_score(d, "text", "doc_id").collect()
+        }
+        src = {r.doc_id: r.source for r in d.select("doc_id", "source").collect()}
+        by_src = {}
+        for did, s in src.items():
+            by_src.setdefault(s, []).append(did)
+        want = {}
+        for s, dids in by_src.items():
+            vals = sorted(scores[d2] for d2 in dids)
+            n = len(dids)
+            for d2 in dids:
+                rnk = 1 + sum(1 for v in vals if v < scores[d2])
+                pr = (rnk - 1) / (n - 1) if n > 1 else 0.0
+                want[d2] = (pr, pr >= 0.5)
+        got = {
+            r.doc_id: (r.pct_rank, r.keep)
+            for r in QUERIES["x91_quality_calibration"](spark, SF_DIR).collect()
+        }
+        assert got == want
+
+    def test_bounds_and_single_row_group(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "ten tokens of sensible text here to pass the bar", "solo"),
+                (1, "!!! ??? ### $$$ %%% ^^^", "duo"),  # score 0.0
+                (
+                    2,
+                    "the cat and the dog are in the house with a bird and it",
+                    "duo",
+                ),  # score 1.0
+            ],
+            "doc_id LONG, text STRING, source STRING",
+        )
+        from wren_engine_spark.operators import selection
+
+        rows = {
+            r.doc_id: r
+            for r in selection.quality_calibration(
+                df, "text", "doc_id", "source"
+            ).collect()
+        }
+        assert rows[0].pct_rank == 0.0  # single-row group calibrates to 0
+        assert {rows[1].pct_rank, rows[2].pct_rank} == {0.0, 1.0}
+
+
+class TestT14StreamAnomalyAlerts:
+    def test_stream_equals_python_brute_force(self, spark):
+        import duckdb
+
+        raw = duckdb.sql(
+            f"SELECT event_id, event_type, value FROM "
+            f"read_parquet('{SF_DIR}/events.parquet')"
+        ).fetchall()
+        q = [(eid, et, math.floor(float(v) * 1000000.0 + 0.5)) for eid, et, v in raw]
+
+        def med2(vals):
+            s = sorted(vals)
+            n = len(s)
+            return s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]
+
+        by_et = {}
+        for _, et, qv in q:
+            by_et.setdefault(et, []).append(qv)
+        stats = {}
+        for et, vals in by_et.items():
+            m2 = med2(vals)
+            m4 = med2([abs(2 * v - m2) for v in vals])
+            stats[et] = (m2, m4)
+        want = {
+            eid: (et, qv, *stats[et])
+            for eid, et, qv in q
+            if 2 * abs(2 * qv - stats[et][0]) > 3 * stats[et][1]
+        }
+        got = {
+            r.event_id: (r.event_type, r.value_q, r.med2, r.mad4)
+            for r in QUERIES["t14_stream_anomaly_alerts"](spark, SF_DIR).collect()
+        }
+        assert got == want
+
+    def test_batch_twin_plan_broadcasts_stats(self, spark):
+        # the streaming join's physical twin: same stats frame, same
+        # broadcast hint — dimension-sized build side, fact side never
+        # shuffles for the score
+        from wren_engine_spark.queries.io import load_tables
+
+        e = load_tables(spark, SF_DIR, "events")["events"]
+        stats = metrics.robust_stats(e, "event_type", "value")
+        scored = e.select("event_id", "event_type").join(
+            F.broadcast(stats.select("event_type", "med2", "mad4")), "event_type"
+        )
+        plan = _plan(scored)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestX92DecontaminationReport:
+    def test_consistent_with_x87_per_doc_surgery(self, spark):
+        from wren_engine_spark.queries.io import load_tables
+
+        d = load_tables(spark, SF_DIR, "documents")["documents"]
+        src = {r.doc_id: r.source for r in d.select("doc_id", "source").collect()}
+        per_doc = QUERIES["x87_surgical_decontamination"](spark, SF_DIR).collect()
+        want = {}
+        for r in per_doc:
+            s = src[r.doc_id]
+            nd, da, tt, tr = want.get(s, (0, 0, 0, 0))
+            want[s] = (
+                nd + 1,
+                da + (1 if r.n_tokens_removed > 0 else 0),
+                tt + r.n_tokens,
+                tr + r.n_tokens_removed,
+            )
+        got = {
+            r.source: (r.n_docs, r.docs_affected, r.total_tokens, r.tokens_removed)
+            for r in QUERIES["x92_decontamination_report"](spark, SF_DIR).collect()
+        }
+        assert got == want
+
+    def test_planted_leak_is_attributed(self, spark):
+        leak = "alpha bravo charlie delta echo foxtrot golf hotel"
+        docs = [
+            (10, f"held out doc {leak} end", "heldout"),        # test split
+            (11, f"training doc prefix {leak} training suffix", "mirror"),
+            (21, "a completely clean training document here", "clean"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id LONG, text STRING, source STRING")
+        from wren_engine_spark.operators import text as tx
+
+        train = df.filter(F.col("doc_id") % 10 != 0)
+        test = df.filter(F.col("doc_id") % 10 == 0)
+        spans = tx.contamination_spans(train, test, "text", "doc_id", window_tokens=8)
+        cleaned = tx.remove_spans(train, spans, "text", "doc_id")
+        rows = {r.doc_id: r for r in cleaned.collect()}
+        assert rows[11].n_tokens_removed == 8
+        assert rows[21].n_tokens_removed == 0

@@ -330,3 +330,117 @@ def holt_linear(
         F.expr(fold + ".b").alias("trend"),
         F.expr(f"({fold}.l + {fold}.b)").alias("forecast"),
     )
+
+
+def robust_stats(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Per-key robust location/scale stats over INDIVIDUAL values:
+    the rank-pair median (``med2`` = twice the median, integer-exact)
+    and rank-pair MAD (``mad4`` = four times the MAD) of the quantized
+    value distribution — the reference profile a streaming scorer
+    (t14) joins against to flag arriving events, and the per-value
+    counterpart of ``robust_anomaly``'s daily-total stats.
+
+    Same exactness contract as ``robust_anomaly``: quantize once
+    (half-up), medians as conditional rank sums — every output is an
+    integer, so downstream flag comparisons are engine-independent.
+
+    At 100 TB: the rank windows sort the fact per key — this is the
+    EXPENSIVE exact formulation, chosen so the stats themselves are
+    oracle-checkable; a production refresh would swap
+    approx_percentile here without touching consumers (the output
+    schema is the contract, dimension-sized: one row per key).
+    Returns (key, n_values, med2, mad4).
+    """
+    lo = "((__n + 1) div 2)"
+    hi = "((__n + 2) div 2)"
+    q = df.select(
+        F.col(key_col).alias("__k"),
+        F.floor(F.col(val_col).cast("double") * F.lit(float(quantum)) + F.lit(0.5))
+        .cast("long")
+        .alias("__qv"),
+    )
+    wk = W.partitionBy("__k")
+    r = q.select(
+        "*",
+        F.row_number().over(wk.orderBy("__qv")).alias("__rn"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    )
+    med = r.groupBy("__k").agg(
+        F.max("__n").cast("long").alias("n_values"),
+        (
+            F.sum(F.when(F.expr(f"__rn = {lo}"), F.col("__qv")).otherwise(F.lit(0)))
+            + F.sum(F.when(F.expr(f"__rn = {hi}"), F.col("__qv")).otherwise(F.lit(0)))
+        )
+        .cast("long")
+        .alias("med2"),
+    )
+    d = q.join(F.broadcast(med), "__k").withColumn(
+        "__dev2", F.abs(F.lit(2) * F.col("__qv") - F.col("med2"))
+    )
+    r2 = d.select(
+        "*",
+        F.row_number().over(wk.orderBy("__dev2")).alias("__rn"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    )
+    mad = r2.groupBy("__k").agg(
+        (
+            F.sum(F.when(F.expr(f"__rn = {lo}"), F.col("__dev2")).otherwise(F.lit(0)))
+            + F.sum(F.when(F.expr(f"__rn = {hi}"), F.col("__dev2")).otherwise(F.lit(0)))
+        )
+        .cast("long")
+        .alias("mad4")
+    )
+    return (
+        med.join(F.broadcast(mad), "__k")
+        .select(
+            F.col("__k").alias(key_col), "n_values", "med2", "mad4"
+        )
+    )
+
+
+def seasonality_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Per-key day-of-week x hour-of-day seasonality matrix: event
+    count, exact mean value, and the cell's share of the key's total
+    volume — the weekly-rhythm profile capacity planning and
+    anomaly-baseline jobs read. ``dow`` is 0=Sunday..6 (Spark's
+    dayofweek()-1, matching DuckDB's dayofweek()).
+
+    Determinism: the mean is the decimal-cast exact sum divided by the
+    exact count (the registry convention — never AVG(double)); the
+    share divides two exact counts. One map-side-combinable groupBy on
+    (key, dow, hour); the share window runs on the aggregated frame
+    (at most 168 rows per key). Returns (key, dow, hour, n_events,
+    mean_value, share_of_key).
+    """
+    g = df.groupBy(
+        F.col(key_col),
+        (F.dayofweek(F.col(ts_col)) - F.lit(1)).cast("int").alias("dow"),
+        F.hour(F.col(ts_col)).cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col(val_col).cast("decimal(38,6)")).alias("__sum"),
+    )
+    wk = W.partitionBy(key_col)
+    return g.select(
+        key_col,
+        "dow",
+        "hour",
+        "n_events",
+        (F.col("__sum").cast("double") / F.col("n_events").cast("double")).alias(
+            "mean_value"
+        ),
+        (
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(wk).cast("double")
+        ).alias("share_of_key"),
+    )

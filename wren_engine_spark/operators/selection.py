@@ -675,3 +675,55 @@ def curriculum_deciles(
         F.col("difficulty_decile").cast("int").alias("difficulty_decile"),
         F.row_number().over(w2).cast("bigint").alias("pos_in_decile"),
     )
+
+
+def quality_calibration(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    keep_quantile: float = 0.5,
+) -> DataFrame:
+    """Cross-domain quality calibration: map each document's raw x7
+    quality score to its PERCENTILE RANK within its own source, so a
+    single keep-threshold means the same thing in every domain (a raw
+    cutoff lets a verbose domain eat a terse domain's budget — the
+    same failure x75's per-source floors guard, expressed here as a
+    reusable per-document feature instead of a floor).
+
+    ``pct_rank`` is computed manually as (rank-1)/(n-1) from RANK()
+    over (score ASC) and the group count — exact integers into one
+    double division, identical both engines (ties share a rank and
+    therefore a percentile; a single-row group calibrates to 0.0).
+    ``keep`` is pct_rank >= keep_quantile.
+
+    At 100 TB: the window input is (id, group, score) — text never
+    moves; one shuffle on the group key. Returns (id, group,
+    quality_score, pct_rank, keep).
+    """
+    from pyspark.sql import Window as W
+
+    from wren_engine_spark.operators.text import quality_score
+
+    q = quality_score(df, text_col, id_col)
+    base = df.select(F.col(id_col), F.col(group_col)).join(q, id_col)
+    wg = W.partitionBy(group_col)
+    r = base.select(
+        id_col,
+        group_col,
+        "quality_score",
+        F.rank().over(wg.orderBy(F.col("quality_score").asc())).alias("__rnk"),
+        F.count(F.lit(1)).over(wg).alias("__n"),
+    )
+    pr = F.when(
+        F.col("__n") > 1,
+        (F.col("__rnk") - F.lit(1)).cast("double")
+        / (F.col("__n") - F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return r.select(
+        id_col,
+        group_col,
+        "quality_score",
+        pr.alias("pct_rank"),
+        (pr >= F.lit(float(keep_quantile))).alias("keep"),
+    )

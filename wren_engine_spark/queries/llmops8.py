@@ -273,3 +273,228 @@ def x90(spark: SparkSession, sf: str) -> DataFrame:
     (count desc, key asc), and a broadcast two-scalar totals row."""
     e = load_tables(spark, sf, "events")["events"]
     return layout.key_skew_profile(e, "user_id", top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: seasonality, calibrated quality, streaming anomaly alerts,
+# decontamination impact report
+# ---------------------------------------------------------------------------
+
+from wren_engine_spark.operators import selection, text  # noqa: E402
+from wren_engine_spark.queries.llmops6 import _QUALITY_CTE  # noqa: E402
+from wren_engine_spark.queries.llmops7 import _SPAN_CTES  # noqa: E402
+
+
+@register(
+    "m10_seasonality_profile",
+    """
+    WITH g AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INTEGER) AS dow,
+             CAST(hour(ts) AS INTEGER) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS mean_value
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, dow, hour, n_events, mean_value,
+           CAST(n_events AS DOUBLE)
+             / CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+             AS share_of_key
+    FROM g
+    """,
+)
+def m10(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type day-of-week x hour-of-day seasonality matrix
+    (count, exact decimal-sum mean, share of the type's weekly
+    volume) — the weekly-rhythm baseline capacity planning and
+    anomaly scoring read. dow is 0=Sunday..6 on both engines (Spark
+    dayofweek()-1 == DuckDB dayofweek()). One map-side-combinable
+    groupBy; the share window runs on <=168 rows per key."""
+    e = load_tables(spark, sf, "events")["events"]
+    return metrics.seasonality_profile(e, "event_type", "ts", "value")
+
+
+@register(
+    "x91_quality_calibration",
+    f"""
+    WITH {_QUALITY_CTE},
+    d AS (SELECT t.doc_id, t.source, q.quality_score
+          FROM documents t JOIN q ON q.doc_id = t.doc_id),
+    r AS (
+      SELECT doc_id, source, quality_score,
+             RANK() OVER (PARTITION BY source
+                          ORDER BY quality_score ASC) AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM d
+    )
+    SELECT doc_id, source, quality_score,
+           CASE WHEN n > 1
+                THEN CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS pct_rank,
+           (CASE WHEN n > 1
+                 THEN CAST(rnk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END) >= 0.5 AS keep
+    FROM r
+    """,
+)
+def x91(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-domain quality calibration: each document's x7 quality
+    score mapped to its percentile rank WITHIN its source ((rank-1)/
+    (n-1), ties share a percentile), plus a keep flag at the 0.5
+    calibrated threshold — so one cutoff means the same thing in
+    every domain instead of letting a verbose domain eat a terse
+    domain's budget. Window input is (id, source, score); text never
+    moves."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return selection.quality_calibration(
+        d, "text", "doc_id", "source", keep_quantile=0.5
+    )
+
+
+@register(
+    "t14_stream_anomaly_alerts",
+    """
+    WITH q AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+               AS qv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, qv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY qv) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM q
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN qv ELSE 0 END)
+                + SUM(CASE WHEN rn = (n + 2) // 2 THEN qv ELSE 0 END)
+               AS BIGINT) AS med2
+      FROM r GROUP BY event_type
+    ),
+    d AS (
+      SELECT q.event_id, q.event_type, q.qv, med.med2,
+             ABS(2 * q.qv - med.med2) AS dev2
+      FROM q JOIN med USING (event_type)
+    ),
+    r2 AS (
+      SELECT event_type, dev2,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN dev2 ELSE 0 END)
+                + SUM(CASE WHEN rn = (n + 2) // 2 THEN dev2 ELSE 0 END)
+               AS BIGINT) AS mad4
+      FROM r2 GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.qv AS value_q, d.med2, mad.mad4
+    FROM d JOIN mad USING (event_type)
+    WHERE 2 * d.dev2 > 3 * mad.mad4
+    """,
+)
+def t14(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming anomaly alerts: the events stream scored against
+    BATCH-computed per-type robust stats (metrics.robust_stats med2/
+    mad4) via a stateless stream-static join + integer Hampel flag —
+    the lambda-architecture pattern where a heavy exact batch job
+    refreshes the reference profile and the stream applies it per
+    event. availableNow replay over the single events file; the
+    static stats side is dimension-sized and broadcast per
+    microbatch; no streaming state at all (no watermark needed — the
+    filter is stateless). Only anomalous events are emitted."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from wren_engine_spark.streaming.ops import run_available_now
+
+    e = load_tables(spark, sf, "events")["events"]
+    stats = metrics.robust_stats(e, "event_type", "value", quantum=1_000_000)
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    scored = (
+        src.select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("value_q"),
+        )
+        .join(F.broadcast(stats.select("event_type", "med2", "mad4")), "event_type")
+        .filter(
+            F.lit(2) * F.abs(F.lit(2) * F.col("value_q") - F.col("med2"))
+            > F.lit(3) * F.col("mad4")
+        )
+    )
+    out = run_available_now(spark, scored, "t14_stream_sink", "append")
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "event_type",
+        F.col("value_q").cast("bigint").alias("value_q"),
+        F.col("med2").cast("bigint").alias("med2"),
+        F.col("mad4").cast("bigint").alias("mad4"),
+    )
+
+
+@register(
+    "x92_decontamination_report",
+    f"""
+    WITH {_SPAN_CTES},
+    per_doc AS (
+      SELECT b.doc_id, b.n_tokens,
+             COALESCE(s.removed, CAST(0 AS BIGINT)) AS n_tokens_removed
+      FROM (SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens
+            FROM thall WHERE doc_id % 10 <> 0) b
+      LEFT JOIN (SELECT doc_id,
+                        CAST(SUM(span_end - span_start + 1) AS BIGINT)
+                          AS removed
+                 FROM spans GROUP BY doc_id) s ON s.doc_id = b.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p.n_tokens_removed > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_affected,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(p.n_tokens_removed) AS BIGINT) AS tokens_removed,
+           CAST(SUM(p.n_tokens_removed) AS DOUBLE)
+             / CAST(SUM(p.n_tokens) AS DOUBLE) AS removal_rate
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """,
+)
+def x92(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination impact report: x86/x87's span surgery rolled up
+    per source — training docs touched, tokens excised, and the
+    removal rate that tells a curation team WHICH mirror leaked the
+    held-out set. Spans are disjoint by construction (islands merge
+    any windows within the window length), so per-doc removed tokens
+    are exact span-length sums; the rollup is one groupBy on the
+    dimension-sized (doc, counts) frame joined to the source map."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    spans = text.contamination_spans(train, test, "text", "doc_id", window_tokens=8)
+    cleaned = text.remove_spans(train, spans, "text", "doc_id")
+    per_src = cleaned.join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return per_src.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_tokens_removed") > 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("docs_affected"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_tokens_removed").cast("long").alias("tokens_removed"),
+        (
+            F.sum("n_tokens_removed").cast("double")
+            / F.sum("n_tokens").cast("double")
+        ).alias("removal_rate"),
+    )

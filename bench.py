@@ -206,6 +206,10 @@ def main() -> None:
         "x91_quality_calibration",
         "t14_stream_anomaly_alerts",
         "x92_decontamination_report",
+        # batch 6: product-quantization ANN (codebook train + encode +
+        # ADC lookup scoring) and its recall gate vs the exact scan
+        "x93_pq_ann",
+        "x94_pq_recall",
     ]
     r6_timings, r6_total, r6_runs = run_suite(R6, "r6 operator sub-suite")
 

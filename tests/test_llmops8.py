@@ -455,3 +455,128 @@ class TestX92DecontaminationReport:
         rows = {r.doc_id: r for r in cleaned.collect()}
         assert rows[11].n_tokens_removed == 8
         assert rows[21].n_tokens_removed == 0
+
+
+class TestX93PqAnn:
+    def _python_pq(self, spark, n_sub=2, k=4, iters=1, topk=5):
+        """Full PQ replay in pure Python (quantize -> train -> encode
+        -> ADC -> rank) with the operator's exact tie rules."""
+        from wren_engine_spark.queries.io import load_tables
+
+        e = load_tables(spark, SF_DIR, "embeddings")["embeddings"]
+        vecs = {
+            r.vec_id: [math.floor(float(x) * 1000000.0 + 0.5) for x in r.embedding]
+            for r in e.collect()
+        }
+        dim = len(next(iter(vecs.values())))
+        sub = dim // n_sub
+        first_ids = sorted(vecs)[:k]
+        books = []
+        codes = {}
+        for s in range(n_sub):
+            sl = slice(s * sub, (s + 1) * sub)
+            cents = [vecs[i][sl] for i in first_ids]
+
+            def assign(cs):
+                out = {}
+                for vid, v in vecs.items():
+                    best_d, best_c = None, None
+                    for ci, c in enumerate(cs):
+                        d = sum((a - b) * (a - b) for a, b in zip(v[sl], c))
+                        if best_d is None or d < best_d:
+                            best_d, best_c = d, ci
+                    out[vid] = best_c
+                return out
+
+            for _ in range(iters):
+                a = assign(cents)
+                for ci in range(k):
+                    members = [vid for vid, c in a.items() if c == ci]
+                    if members:
+                        cents[ci] = [
+                            math.floor(
+                                float(sum(vecs[m][sl][d] for m in members))
+                                / float(len(members))
+                            )
+                            for d in range(sub)
+                        ]
+            books.append(cents)
+            a = assign(cents)
+            for vid, c in a.items():
+                codes.setdefault(vid, []).append(c)
+        want = {}
+        for qid in [i for i in vecs if i < 8]:
+            tabs = [
+                [
+                    sum(
+                        (a - b) * (a - b)
+                        for a, b in zip(vecs[qid][s * sub : (s + 1) * sub], c)
+                    )
+                    for c in books[s]
+                ]
+                for s in range(n_sub)
+            ]
+            scored = sorted(
+                (
+                    (sum(tabs[s][codes[nid][s]] for s in range(n_sub)), nid)
+                    for nid in vecs
+                    if nid != qid
+                ),
+            )
+            want[qid] = [(nid, d) for d, nid in scored[:topk]]
+        return want
+
+    def test_matches_python_pq_replay(self, spark):
+        want = self._python_pq(spark)
+        got = {}
+        for r in QUERIES["x93_pq_ann"](spark, SF_DIR).collect():
+            got.setdefault(r.query_id, []).append((r.rnk, r.neighbor_id, r.adist))
+        got = {q: [(nid, d) for _, nid, d in sorted(v)] for q, v in got.items()}
+        assert got == want
+
+    def test_plan_broadcasts_adc_tables_no_cartesian(self, spark):
+        df = QUERIES["x93_pq_ann"](spark, SF_DIR)
+        plan = _plan(df)
+        # the per-query ADC tables ride a broadcast into the encoded
+        # corpus; the raw embedding column is consumed only by the
+        # (driver-barrier) training/encoding passes
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestX94PqRecall:
+    def test_matches_python_intersection(self, spark):
+        from wren_engine_spark.queries.io import load_tables
+
+        e = load_tables(spark, SF_DIR, "embeddings")["embeddings"]
+        vecs = {
+            r.vec_id: [math.floor(float(x) * 1000000.0 + 0.5) for x in r.embedding]
+            for r in e.collect()
+        }
+        pq_top = {}
+        for r in QUERIES["x93_pq_ann"](spark, SF_DIR).collect():
+            pq_top.setdefault(r.query_id, set()).add(r.neighbor_id)
+        want = {}
+        for qid in [i for i in vecs if i < 8]:
+            exact = sorted(
+                (
+                    (
+                        sum((a - b) * (a - b) for a, b in zip(vecs[qid], vecs[nid])),
+                        nid,
+                    )
+                    for nid in vecs
+                    if nid != qid
+                ),
+            )[:5]
+            hits = len(pq_top[qid] & {nid for _, nid in exact})
+            want[qid] = (hits, hits / 5.0)
+        got = {
+            r.query_id: (r.n_hits, r.recall_at_5)
+            for r in QUERIES["x94_pq_recall"](spark, SF_DIR).collect()
+        }
+        assert got == want
+
+    def test_recall_bounds(self, spark):
+        for r in QUERIES["x94_pq_recall"](spark, SF_DIR).collect():
+            assert 0 <= r.n_hits <= 5
+            assert r.recall_at_5 == r.n_hits / 5.0

@@ -1398,3 +1398,124 @@ def diverse_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    n_subspaces: int = 2,
+    k_codes: int = 4,
+    iters: int = 1,
+    topk: int = 5,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization ANN (IVF-PQ's compression half) with a
+    bit-exact cross-engine oracle: split each vector into
+    ``n_subspaces`` contiguous subvectors, train a tiny
+    ``k_codes``-centroid quantized-Lloyd codebook per subspace (the
+    x85 machinery on sliced arrays — every quantity integer or a
+    single fixed IEEE division), encode every corpus vector as one
+    code per subspace, and answer queries by ASYMMETRIC DISTANCE
+    COMPUTATION: per query, precompute the integer L2^2 table query
+    subvector -> each codebook centroid, then score a corpus vector as
+    the SUM of table lookups on its codes — never touching the raw
+    corpus vector again.
+
+    This is the canonical 100 TB ANN shape: the corpus compresses from
+    dim floats to ``n_subspaces`` small ints per vector (here 64 dims
+    -> 2 bytes), the scan reads only the code columns, the per-query
+    state is a k_codes x n_subspaces lookup table riding a broadcast,
+    and the ranking is a bounded per-query window. Codebook training
+    moves k*dim scalars per iteration through the driver barrier
+    (x85's bounded-state pattern); queries are a probe set collected
+    once to build the literal ADC tables.
+
+    Everything is exact integer arithmetic (quantize half-up once;
+    centroids via floor(sum/n) — the one shared IEEE division), so
+    DuckDB replays training + encoding + ADC bit-for-bit. Ties: lowest
+    cluster id on assignment, lowest neighbor id on rank.
+
+    Returns (query_id, neighbor_id, adist, rnk) for rnk <= topk,
+    self-matches excluded.
+    """
+    q = float(quantum)
+    spark = df.sparkSession
+    qdf = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(floor(cast(x as double) * {q!r} "
+            f"+ 0.5) as bigint))"
+        ).alias("qx"),
+    )
+    first = qdf.orderBy("__id").limit(k_codes).collect()
+    dim = len(first[0].qx)
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible into {n_subspaces} subspaces")
+    sub = dim // n_subspaces
+
+    codebooks: list[list[list[int]]] = []
+    codes: DataFrame | None = None
+    for s in range(n_subspaces):
+        sdf = qdf.select("__id", F.slice(F.col("qx"), s * sub + 1, sub).alias("qx"))
+        cents = [list(r.qx)[s * sub : (s + 1) * sub] for r in first]
+        for _ in range(iters):
+            upd = _km_update(_km_assign(sdf, cents, k_codes))
+            got = {(r.cluster, r.dim): (r.val, r.n) for r in upd.collect()}
+            for c in range(k_codes):
+                if (c, 0) in got:
+                    cents[c] = [got[(c, d)][0] for d in range(sub)]
+        codebooks.append([[int(v) for v in c] for c in cents])
+        assigned = _km_assign(sdf, cents, k_codes).select(
+            "__id", F.col("cluster").alias(f"__code_{s}")
+        )
+        codes = assigned if codes is None else codes.join(assigned, "__id")
+
+    # per-query ADC tables (query side is a bounded probe set)
+    qrows = query_df.select(
+        "query_id",
+        F.expr(
+            f"transform(qvec, x -> cast(floor(cast(x as double) * {q!r} "
+            f"+ 0.5) as bigint))"
+        ).alias("qx"),
+    ).collect()
+    tab_rows = []
+    for r in qrows:
+        qx = [int(v) for v in r.qx]
+        tabs = []
+        for s in range(n_subspaces):
+            qs = qx[s * sub : (s + 1) * sub]
+            tabs.append(
+                [
+                    sum((a - b) * (a - b) for a, b in zip(qs, c))
+                    for c in codebooks[s]
+                ]
+            )
+        tab_rows.append((r.query_id, *tabs))
+    schema = "query_id BIGINT, " + ", ".join(
+        f"__adt_{s} ARRAY<BIGINT>" for s in range(n_subspaces)
+    )
+    qtab = spark.createDataFrame(tab_rows, schema)
+
+    adist = None
+    for s in range(n_subspaces):
+        term = F.element_at(F.col(f"__adt_{s}"), F.col(f"__code_{s}") + 1)
+        adist = term if adist is None else adist + term
+    from pyspark.sql import Window as W
+
+    scored = (
+        codes.crossJoin(F.broadcast(qtab))
+        .filter(F.col("__id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("__id").alias("neighbor_id"),
+            adist.cast("bigint").alias("adist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "neighbor_id", "adist", F.col("rnk").cast("int").alias("rnk"))
+    )

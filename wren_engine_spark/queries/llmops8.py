@@ -498,3 +498,214 @@ def x92(spark: SparkSession, sf: str) -> DataFrame:
             / F.sum("n_tokens").cast("double")
         ).alias("removal_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x93/x94: product-quantization ANN (ADC) + its recall gate
+# ---------------------------------------------------------------------------
+
+# per-subspace PQ CTE chain: slice -> 1 quantized-Lloyd iteration
+# (x85's template on the slice) -> encode -> per-query ADC table
+_PQ_SUB = """
+pos{s} AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+         qx[CAST({off} + i AS INTEGER)] AS qv
+  FROM (SELECT vec_id, qx, unnest(generate_series(1, {sub})) AS i FROM q)
+),
+c0_{s} AS (
+  SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
+         qx[CAST({off} + i AS INTEGER)] AS val
+  FROM (SELECT cluster, qx, unnest(generate_series(1, {sub})) AS i FROM init)
+),
+d1_{s} AS (
+  SELECT p.vec_id, c.cluster,
+         CAST(SUM((p.qv - c.val) * (p.qv - c.val)) AS BIGINT) AS dist
+  FROM pos{s} p JOIN c0_{s} c ON c.dim = p.dim
+  GROUP BY p.vec_id, c.cluster
+),
+a1_{s} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d1_{s}) WHERE rn = 1
+),
+u1_{s} AS (
+  SELECT a.cluster, p.dim,
+         CAST(floor(CAST(CAST(SUM(p.qv) AS BIGINT) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS val
+  FROM a1_{s} a JOIN pos{s} p ON p.vec_id = a.vec_id
+  GROUP BY a.cluster, p.dim
+),
+c1_{s} AS (
+  SELECT sp.cluster, dm.dim, COALESCE(u.val, c.val) AS val
+  FROM spine sp CROSS JOIN dims dm
+  LEFT JOIN u1_{s} u ON u.cluster = sp.cluster AND u.dim = dm.dim
+  JOIN c0_{s} c ON c.cluster = sp.cluster AND c.dim = dm.dim
+),
+d2_{s} AS (
+  SELECT p.vec_id, c.cluster,
+         CAST(SUM((p.qv - c.val) * (p.qv - c.val)) AS BIGINT) AS dist
+  FROM pos{s} p JOIN c1_{s} c ON c.dim = p.dim
+  GROUP BY p.vec_id, c.cluster
+),
+code_{s} AS (
+  SELECT vec_id, cluster AS code FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d2_{s}) WHERE rn = 1
+),
+qd_{s} AS (
+  SELECT p.vec_id AS query_id, c.cluster,
+         CAST(SUM((p.qv - c.val) * (p.qv - c.val)) AS BIGINT) AS d
+  FROM pos{s} p JOIN c1_{s} c ON c.dim = p.dim
+  WHERE p.vec_id < 8
+  GROUP BY 1, 2
+)"""
+
+_PQ_CTES = (
+    """
+    q AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+              FOR x IN embedding] AS qx
+      FROM embeddings
+    ),
+    init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, qx
+      FROM (SELECT vec_id, qx FROM q ORDER BY vec_id LIMIT 4)
+    ),
+    spine AS (SELECT DISTINCT cluster FROM init),
+    dims AS (SELECT CAST(i - 1 AS INTEGER) AS dim
+             FROM (SELECT unnest(generate_series(1, 32)) AS i)),"""
+    + _PQ_SUB.format(s=0, off=0, sub=32)
+    + ","
+    + _PQ_SUB.format(s=1, off=32, sub=32)
+    + """,
+    ad AS (
+      SELECT qd0.query_id, k0.vec_id AS neighbor_id, qd0.d + qd1.d AS adist
+      FROM code_0 k0
+      JOIN code_1 k1 ON k1.vec_id = k0.vec_id
+      JOIN qd_0 qd0 ON qd0.cluster = k0.code
+      JOIN qd_1 qd1 ON qd1.query_id = qd0.query_id AND qd1.cluster = k1.code
+      WHERE k0.vec_id <> qd0.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist ASC, neighbor_id ASC) AS rnk
+      FROM ad
+    )"""
+)
+
+
+@register(
+    "x93_pq_ann",
+    f"""
+    WITH {_PQ_CTES}
+    SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def x93(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation:
+    2 subspaces x 4 codes trained by one quantized-Lloyd iteration
+    (64 dims compress to 2 small ints per vector), queries answered by
+    summing per-subspace integer L2^2 table lookups on the codes —
+    the corpus scan never touches raw vectors after encoding. All
+    integer arithmetic plus the one shared floor(sum/n) division, so
+    DuckDB replays training + encoding + ADC bit-for-bit
+    (operators/similarity.py pq_topk for the 100 TB shape)."""
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.pq_topk(
+        e, "vec_id", "embedding", queries,
+        n_subspaces=2, k_codes=4, iters=1, topk=5,
+    )
+
+
+@register(
+    "x94_pq_recall",
+    f"""
+    WITH {_PQ_CTES},
+    exd AS (
+      SELECT qq.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 [(s[1] - s[2]) * (s[1] - s[2])
+                  FOR s IN list_zip(qq.qx, b.qx)]),
+                 (acc, v) -> acc + v) AS d
+      FROM (SELECT vec_id, qx FROM q WHERE vec_id < 8) qq, q b
+      WHERE b.vec_id <> qq.vec_id
+    ),
+    ext AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d ASC, neighbor_id ASC) AS rn
+        FROM exd) WHERE rn <= 5
+    )
+    SELECT p.query_id, CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(e.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM ranked p
+    LEFT JOIN ext e ON e.query_id = p.query_id
+                   AND e.neighbor_id = p.neighbor_id
+    WHERE p.rnk <= 5
+    GROUP BY p.query_id
+    """,
+)
+def x94(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ recall gate (the x62 pattern for vectors): per query,
+    how many of the ADC top-5 appear in the EXACT quantized-L2 top-5 —
+    the accuracy number that decides whether 2-byte codes are enough
+    or the pipeline needs more subspaces. Both sides integer-exact
+    with id tie-breaks, so recall is deterministic; the exact side is
+    the brute-force broadcast scan (bounded query set), the PQ side
+    reuses x93's encoded corpus."""
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    pq = similarity.pq_topk(
+        e, "vec_id", "embedding", queries,
+        n_subspaces=2, k_codes=4, iters=1, topk=5,
+    )
+    qn = 1000000.0
+    qz = lambda c: F.expr(  # noqa: E731
+        f"transform({c}, x -> cast(floor(cast(x as double) * {qn!r} "
+        f"+ 0.5) as bigint))"
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), qz("embedding").alias("__qx"))
+    qs = queries.select("query_id", qz("qvec").alias("__qq"))
+    dist = F.aggregate(
+        F.zip_with(F.col("__qq"), F.col("__qx"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    exd = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dist.alias("__d"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("neighbor_id"))
+    ext = (
+        exd.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("query_id", F.col("neighbor_id").alias("__exact_nid"))
+    )
+    joined = pq.join(
+        ext,
+        (pq["query_id"] == ext["query_id"])
+        & (pq["neighbor_id"] == ext["__exact_nid"]),
+        "left",
+    )
+    return joined.groupBy(pq["query_id"].alias("query_id")).agg(
+        F.count("__exact_nid").cast("long").alias("n_hits"),
+        (F.count("__exact_nid").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+    )

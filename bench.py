@@ -210,6 +210,13 @@ def main() -> None:
         # ADC lookup scoring) and its recall gate vs the exact scan
         "x93_pq_ann",
         "x94_pq_recall",
+        # batch 7: layout/observability closers — ring-vs-mod reshard
+        # movement, cluster-size histogram, vocab coverage curve,
+        # split-leakage audit
+        "x95_reshard_movement",
+        "x96_cluster_size_histogram",
+        "x97_vocab_coverage",
+        "x98_split_leakage_audit",
     ]
     r6_timings, r6_total, r6_runs = run_suite(R6, "r6 operator sub-suite")
 

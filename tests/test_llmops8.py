@@ -580,3 +580,133 @@ class TestX94PqRecall:
         for r in QUERIES["x94_pq_recall"](spark, SF_DIR).collect():
             assert 0 <= r.n_hits <= 5
             assert r.recall_at_5 == r.n_hits / 5.0
+
+
+class TestX95ReshardMovement:
+    def test_matches_python_replay(self, spark):
+        import duckdb
+
+        from wren_engine_spark.operators.selection import ring_positions
+
+        ids = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT doc_id FROM read_parquet('{SF_DIR}/documents.parquet')"
+            ).fetchall()
+        ]
+        M = 2147483647
+
+        def h(d):
+            return ((d * 31 + 42) % M) * ((d * 48271 + 49) % M) % M
+
+        def ring_shard(ring, hv):
+            ge = [p for p, _ in ring if p >= hv]
+            key = min(ge) if ge else ring[0][0]
+            for p, s in ring:
+                if p == key:
+                    return s
+
+        old_r, new_r = ring_positions(8, 16, 42), ring_positions(10, 16, 42)
+        mod_moved = sum(1 for d in ids if h(d) % 8 != h(d) % 10)
+        ring_moved = sum(
+            1 for d in ids if ring_shard(old_r, h(d)) != ring_shard(new_r, h(d))
+        )
+        got = {
+            r.policy: (r.n_docs, r.n_moved, r.moved_frac)
+            for r in QUERIES["x95_reshard_movement"](spark, SF_DIR).collect()
+        }
+        n = len(ids)
+        assert got["mod"] == (n, mod_moved, mod_moved / n)
+        assert got["ring"] == (n, ring_moved, ring_moved / n)
+        # the operator's reason to exist: ring movement is bounded by
+        # the new capacity share, mod movement is not
+        assert got["ring"][2] < got["mod"][2]
+
+    def test_plan_no_join_no_hash_shuffle(self, spark):
+        df = QUERIES["x95_reshard_movement"](spark, SF_DIR)
+        plan = _plan(df)
+        assert "Join" not in plan  # in-row literal ring lookup
+        assert "Exchange hashpartitioning" not in plan  # one global agg
+
+
+class TestX96ClusterSizeHistogram:
+    def test_consistent_with_x24_clusters(self, spark):
+        from collections import Counter
+
+        clusters = QUERIES["x24_duplicate_clusters"](spark, SF_DIR).collect()
+        sizes = Counter(Counter(r.cluster_id for r in clusters).values())
+        total = len(clusters)
+        got = {
+            r.cluster_size: (r.n_clusters, r.n_docs, r.doc_share)
+            for r in QUERIES["x96_cluster_size_histogram"](spark, SF_DIR).collect()
+        }
+        want = {
+            sz: (n, n * sz, (n * sz) / total) for sz, n in sizes.items()
+        }
+        assert got == want
+        assert sum(nd for _, nd, _ in got.values()) == total
+
+
+class TestX97VocabCoverage:
+    def test_matches_counter_and_clamps(self, spark):
+        from collections import Counter
+
+        import duckdb
+
+        texts = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+            ).fetchall()
+        ]
+        c = Counter()
+        for t in texts:
+            c.update(t.strip().lower().split())
+        total = sum(c.values())
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows = sorted(
+            QUERIES["x97_vocab_coverage"](spark, SF_DIR).collect(),
+            key=lambda r: r.vocab_size,
+        )
+        assert [r.vocab_size for r in rows] == [100, 500, 1000, 5000]
+        prev = 0
+        for r in rows:
+            eff = min(r.vocab_size, len(ranked))
+            covered = sum(cnt for _, cnt in ranked[:eff])
+            assert r.eff_vocab == eff
+            assert r.covered_tokens == covered
+            assert r.total_tokens == total
+            assert r.coverage == covered / total
+            assert r.covered_tokens >= prev  # curve is nondecreasing
+            prev = r.covered_tokens
+
+    def test_plan_bounded_head(self, spark):
+        plan = _plan(QUERIES["x97_vocab_coverage"](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan  # vocab head is bounded
+
+
+class TestX98SplitLeakageAudit:
+    def test_matches_pair_classification(self, spark):
+        from wren_engine_spark.operators import dedup
+        from wren_engine_spark.queries.io import load_tables
+
+        d = load_tables(spark, SF_DIR, "documents")["documents"]
+        pairs = dedup.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+        want = {}
+        for r in pairs.collect():
+            a_t, b_t = r.id_a % 10 == 0, r.id_b % 10 == 0
+            scope = (
+                "cross_split"
+                if a_t != b_t
+                else ("within_test" if a_t else "within_train")
+            )
+            want[scope] = want.get(scope, 0) + 1
+        total = sum(want.values())
+        got = {
+            r.pair_scope: (r.n_pairs, r.total_pairs, r.share)
+            for r in QUERIES["x98_split_leakage_audit"](spark, SF_DIR).collect()
+        }
+        assert got == {
+            s: (n, total, n / total) for s, n in want.items()
+        }
+        assert abs(sum(sh for _, _, sh in got.values()) - 1.0) < 1e-12

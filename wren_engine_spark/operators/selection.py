@@ -727,3 +727,95 @@ def quality_calibration(
         pr.alias("pct_rank"),
         (pr >= F.lit(float(keep_quantile))).alias("keep"),
     )
+
+
+_RING_M = 2147483647
+
+
+def ring_positions(n_shards: int, vnodes: int = 16, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic consistent-hash ring: ``vnodes`` positions per
+    shard on the [0, 2^31-1) ring, spread by a double LCG pass over a
+    seeded linear mix. Pure integer arithmetic on constants — the SAME
+    list is inlined as literals into both the Spark plan and the SQL
+    oracle, so there is nothing engine-specific to diverge. Returned
+    sorted by (position, shard) so a duplicate position (improbable
+    but possible) resolves to the lowest shard id on both sides."""
+    out = []
+    for s in range(n_shards):
+        for v in range(vnodes):
+            p = (s * 48271 + v * 69621 + seed * 31 + 7919) % _RING_M
+            p = (p * 48271 + 12345) % _RING_M
+            p = (p * 69621 + 97) % _RING_M
+            out.append((p, s))
+    out.sort()
+    return out
+
+
+def reshard_movement(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    n_old: int = 8,
+    n_new: int = 10,
+    vnodes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Resharding cost analysis: when shard count grows n_old ->
+    n_new, how many documents MOVE under (a) plain hash-mod layout
+    (shard = h mod n — x65's scheme) vs (b) a consistent-hash ring
+    with ``vnodes`` virtual nodes per shard? Mod-based layouts move
+    ~(1 - 1/n_new) of everything (every key reassigns); a ring only
+    hands off the arcs claimed by the new shards' vnodes (~the new
+    capacity share) — THE reason a 100 TB corpus layout that expects
+    growth uses ring placement for incremental shards, and this
+    operator produces the receipt.
+
+    The document hash is x65's portable Mersenne-reduced product; ring
+    positions are seeded integer constants inlined as literals on both
+    engines (``ring_positions``), and ring lookup is an in-row HOF
+    (first position >= h, wrapping to the ring minimum) — no join, no
+    shuffle for the assignment; the report is one map-side-combinable
+    aggregate per policy. Returns (policy, n_docs, n_moved,
+    moved_frac).
+    """
+    idc = F.col(id_col).cast("bigint")
+    h = F.pmod(
+        F.pmod(idc * 31 + F.lit(seed), F.lit(_RING_M))
+        * F.pmod(idc * 48271 + F.lit(seed + 7), F.lit(_RING_M)),
+        F.lit(_RING_M),
+    )
+
+    def ring_shard(ring: list[tuple[int, int]]) -> F.Column:
+        pos = "array(" + ",".join(f"{p}L" for p, _ in ring) + ")"
+        shards = "array(" + ",".join(str(s) for _, s in ring) + ")"
+        # first vnode clockwise from h (wrap to ring start)
+        return F.expr(
+            f"element_at({shards}, cast(coalesce("
+            f"array_position({pos}, array_min(filter({pos}, p -> p >= __h))), "
+            f"1) as int))"
+        ).cast("int")
+
+    base = docs.select(h.alias("__h"))
+    old_ring = ring_positions(n_old, vnodes, seed)
+    new_ring = ring_positions(n_new, vnodes, seed)
+    flags = base.select(
+        (F.pmod(F.col("__h"), F.lit(n_old)) != F.pmod(F.col("__h"), F.lit(n_new)))
+        .cast("long")
+        .alias("__mod_moved"),
+        (ring_shard(old_ring) != ring_shard(new_ring)).cast("long").alias("__ring_moved"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__mod_moved").cast("long").alias("mod_moved"),
+        F.sum("__ring_moved").cast("long").alias("ring_moved"),
+    )
+    return agg.selectExpr(
+        "stack(2, 'mod', mod_moved, 'ring', ring_moved) as (policy, n_moved)",
+        "n_docs",
+    ).select(
+        "policy",
+        "n_docs",
+        "n_moved",
+        (F.col("n_moved").cast("double") / F.col("n_docs").cast("double")).alias(
+            "moved_frac"
+        ),
+    )

@@ -1494,3 +1494,70 @@ def encoding_health(df: DataFrame, text_col: str, source_col: str) -> DataFrame:
         F.sum("__ctrl").cast("long").alias("n_ctrl_chars"),
         F.sum("__repl").cast("long").alias("n_docs_replacement"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str,
+    sizes: tuple[int, ...] = (100, 500, 1000, 5000),
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size N,
+    what fraction of all corpus token OCCURRENCES the top-N tokens
+    (count desc, token asc — deterministic) cover — the tokenizer-
+    sizing report (pick the smallest vocab above the coverage bar).
+
+    Tokenization matches x82's OOV convention (lowercase, whitespace
+    split). The global token count is one map-side-combinable groupBy;
+    the candidate head is a bounded TakeOrdered cut at max(sizes), so
+    the rank window runs over at most max(sizes) rows — never the full
+    vocabulary. A requested size larger than the distinct-token count
+    clamps to the full vocabulary (coverage 1.0) rather than silently
+    dropping the row. Exact integer sums; coverage divides two exact
+    integers. Returns (vocab_size, eff_vocab, covered_tokens,
+    total_tokens, coverage).
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0B\f\r]+")
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = counts.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(max(sizes))
+    w = W.orderBy(F.col("cnt").desc(), F.col("tok").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = top.select(
+        F.row_number()
+        .over(W.orderBy(F.col("cnt").desc(), F.col("tok").asc()))
+        .alias("rn"),
+        F.sum("cnt").over(w).cast("long").alias("cum"),
+    )
+    sz = df.sparkSession.createDataFrame(
+        [(int(n),) for n in sizes], "vocab_size INT"
+    )
+    eff = sz.crossJoin(F.broadcast(total)).select(
+        "vocab_size",
+        "total_tokens",
+        F.least(F.col("vocab_size").cast("long"), F.col("n_distinct"))
+        .cast("long")
+        .alias("eff_vocab"),
+    )
+    return (
+        ranked.join(F.broadcast(eff), F.col("rn") == F.col("eff_vocab"))
+        .select(
+            "vocab_size",
+            "eff_vocab",
+            F.col("cum").alias("covered_tokens"),
+            "total_tokens",
+            (
+                F.col("cum").cast("double") / F.col("total_tokens").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )

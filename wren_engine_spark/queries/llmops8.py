@@ -709,3 +709,223 @@ def x94(spark: SparkSession, sf: str) -> DataFrame:
         F.count("__exact_nid").cast("long").alias("n_hits"),
         (F.count("__exact_nid").cast("double") / F.lit(5.0)).alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: reshard movement, cluster-size histogram, vocab coverage,
+# split-leakage audit
+# ---------------------------------------------------------------------------
+
+from wren_engine_spark.operators import dedup  # noqa: E402
+from wren_engine_spark.operators.selection import ring_positions  # noqa: E402
+from wren_engine_spark.queries.llmops import _CLUSTER_ORACLE, _PAIRS_CTES  # noqa: E402
+
+
+def _sql_list(vals) -> str:
+    return "[" + ", ".join(str(int(v)) for v in vals) + "]"
+
+
+_OLD_RING = ring_positions(8, vnodes=16, seed=42)
+_NEW_RING = ring_positions(10, vnodes=16, seed=42)
+
+
+def _ring_expr(ring) -> str:
+    pos = _sql_list(p for p, _ in ring)
+    shards = _sql_list(s for _, s in ring)
+    return (
+        f"list_extract({shards}, COALESCE(list_position({pos}, "
+        f"list_min([p FOR p IN {pos} IF p >= h])), 1))"
+    )
+
+
+@register(
+    "x95_reshard_movement",
+    f"""
+    WITH h AS (
+      SELECT ((doc_id * 31 + 42) % 2147483647)
+             * ((doc_id * 48271 + 49) % 2147483647) % 2147483647 AS h
+      FROM documents
+    ),
+    flags AS (
+      SELECT CASE WHEN h % 8 <> h % 10 THEN 1 ELSE 0 END AS mod_moved,
+             CASE WHEN {_ring_expr(_OLD_RING)} <> {_ring_expr(_NEW_RING)}
+                  THEN 1 ELSE 0 END AS ring_moved
+      FROM h
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(mod_moved) AS BIGINT) AS mod_moved,
+             CAST(SUM(ring_moved) AS BIGINT) AS ring_moved
+      FROM flags
+    )
+    SELECT 'mod' AS policy, n_docs, mod_moved AS n_moved,
+           CAST(mod_moved AS DOUBLE) / CAST(n_docs AS DOUBLE) AS moved_frac
+    FROM agg
+    UNION ALL
+    SELECT 'ring', n_docs, ring_moved,
+           CAST(ring_moved AS DOUBLE) / CAST(n_docs AS DOUBLE)
+    FROM agg
+    """,
+)
+def x95(spark: SparkSession, sf: str) -> DataFrame:
+    """Resharding cost analysis for 8 -> 10 shards: documents moved
+    under plain hash-mod placement vs a 16-vnode consistent-hash ring
+    — the receipt for why a growing corpus layout uses ring placement
+    (mod reassigns ~90% of everything; the ring hands off only the
+    new shards' arcs, ~20%). Doc hash is x65's portable
+    Mersenne-reduced product; ring positions are seeded integer
+    constants inlined as literals on BOTH engines; lookup is an
+    in-row HOF (no join, no shuffle); the report is one aggregate."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return selection.reshard_movement(
+        d, "doc_id", n_old=8, n_new=10, vnodes=16, seed=42
+    )
+
+
+@register(
+    "x96_cluster_size_histogram",
+    f"""
+    WITH sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM ({_CLUSTER_ORACLE}) c GROUP BY cluster_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs FROM documents)
+    SELECT s.cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * s.cluster_size AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * s.cluster_size AS DOUBLE)
+             / CAST(t.total_docs AS DOUBLE) AS doc_share
+    FROM sizes s CROSS JOIN tot t
+    GROUP BY s.cluster_size, t.total_docs
+    """,
+)
+def x96(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many near-dup clusters of
+    each size exist and what share of the corpus they hold — the
+    dedup-observability readout (a fat head of large clusters means
+    boilerplate mirrors; mass at size 1 means a mostly-unique corpus).
+    Rides x24's connected components; the histogram itself is two
+    bounded aggregates over cluster-cardinality rows."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    clusters = dedup.duplicate_clusters(d, "text", "doc_id", n=3, threshold=0.8)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    total = d.agg(F.count(F.lit(1)).cast("long").alias("total_docs"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size"))
+            .cast("long")
+            .alias("n_docs"),
+            (
+                (F.col("n_clusters") * F.col("cluster_size")).cast("double")
+                / F.col("total_docs").cast("double")
+            ).alias("doc_share"),
+        )
+    )
+
+
+@register(
+    "x97_vocab_coverage",
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)),
+             '[ \t\n\x0B\f\r]+')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM counts),
+    top AS (SELECT tok, cnt FROM counts
+            ORDER BY cnt DESC, tok ASC LIMIT 5000),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rn,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM top
+    ),
+    eff AS (
+      SELECT CAST(n.vocab_size AS INTEGER) AS vocab_size, t.total_tokens,
+             CAST(LEAST(CAST(n.vocab_size AS BIGINT), t.n_distinct)
+               AS BIGINT) AS eff_vocab
+      FROM (SELECT unnest([100, 500, 1000, 5000]) AS vocab_size) n
+      CROSS JOIN tot t
+    )
+    SELECT e.vocab_size, e.eff_vocab, r.cum AS covered_tokens,
+           e.total_tokens,
+           CAST(r.cum AS DOUBLE) / CAST(e.total_tokens AS DOUBLE) AS coverage
+    FROM ranked r JOIN eff e ON r.rn = e.eff_vocab
+    ORDER BY vocab_size
+    """,
+)
+def x97(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage curve: the corpus-token share covered by
+    the top-{{100,500,1000,5000}} tokens (count desc, token asc —
+    deterministic) — the tokenizer-sizing report. The candidate head
+    is a bounded TakeOrdered cut, so the rank window never sees the
+    full vocabulary; a size larger than the distinct-token count
+    clamps to the full vocabulary (the synthetic corpus has only ~31
+    distinct tokens, so all four sizes clamp and read 1.0 there —
+    the curve separates on a real corpus)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    return text.vocab_coverage(d, "text", sizes=(100, 500, 1000, 5000))
+
+
+@register(
+    "x98_split_leakage_audit",
+    f"""
+    WITH {_PAIRS_CTES},
+    cls AS (
+      SELECT CASE
+               WHEN (id_a % 10 = 0) <> (id_b % 10 = 0) THEN 'cross_split'
+               WHEN id_a % 10 = 0 THEN 'within_test'
+               ELSE 'within_train' END AS pair_scope
+      FROM pairs
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_pairs FROM cls)
+    SELECT c.pair_scope, CAST(COUNT(*) AS BIGINT) AS n_pairs, t.total_pairs,
+           CAST(COUNT(*) AS DOUBLE) / CAST(t.total_pairs AS DOUBLE) AS share
+    FROM cls c CROSS JOIN tot t
+    GROUP BY c.pair_scope, t.total_pairs
+    """,
+)
+def x98(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-leakage audit: classify every exact near-dup pair (the
+    x3 skew-proof pipeline at 0.8) by whether it stays inside the
+    naive doc_id%10 train/test split or CROSSES it — the post-hoc
+    check that quantifies how much a hash split leaks (and why x64
+    assigns whole near-dup clusters to one side: its cross count is
+    zero by construction). Classification is a projection on the pair
+    ids; the report is one bounded aggregate."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    pairs = dedup.jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+    is_test = lambda c: (F.col(c) % 10) == 0  # noqa: E731
+    scope = (
+        F.when(is_test("id_a") != is_test("id_b"), F.lit("cross_split"))
+        .when(is_test("id_a"), F.lit("within_test"))
+        .otherwise(F.lit("within_train"))
+    )
+    cls = pairs.select(scope.alias("pair_scope"))
+    total = cls.agg(F.count(F.lit(1)).cast("long").alias("total_pairs"))
+    return (
+        cls.groupBy("pair_scope")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pair_scope",
+            "n_pairs",
+            "total_pairs",
+            (
+                F.col("n_pairs").cast("double")
+                / F.col("total_pairs").cast("double")
+            ).alias("share"),
+        )
+    )

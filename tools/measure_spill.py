@@ -58,6 +58,25 @@ def stage_metrics(base: str, app_id: str, job_group: str) -> dict:
     return {k: round(v, 1) if isinstance(v, float) else v for k, v in out.items()}
 
 
+def _run_robust_stats(spark, n: int) -> int:
+    """Exact per-key median/MAD over a 50x events fact (1M rows, 5
+    keys): the deliberately-exact rank-window formulation behind t14's
+    batch stats — the spill-relevant shape is the per-key fact sort."""
+    from pyspark.sql import functions as F
+
+    from wren_engine_spark.operators import metrics
+
+    ev = spark.range(max(n * 50, 1_000_000)).select(
+        F.concat(F.lit("type_"), (F.col("id") % 5).cast("string")).alias(
+            "event_type"
+        ),
+        ((F.col("id") * 48271 % 99991).cast("double") / F.lit(100.0)).alias(
+            "value"
+        ),
+    )
+    return metrics.robust_stats(ev, "event_type", "value").count()
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     from wren_engine_spark.operators import similarity
@@ -146,6 +165,26 @@ def main() -> int:
                 emb, "vec_id", "embedding", k=4, iters=2
             ).count(),
         ),
+        # round-6 batch 4/6 widest additions: PQ train+encode+ADC on
+        # the 10x embeddings, and the deliberately-exact per-key fact
+        # sort behind the streaming anomaly scorer's batch stats
+        (
+            "x93_pq_ann",
+            lambda: similarity.pq_topk(
+                emb,
+                "vec_id",
+                "embedding",
+                emb.filter(F.col("vec_id") < 8).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qvec"),
+                ),
+                n_subspaces=2,
+                k_codes=4,
+                iters=1,
+                topk=5,
+            ).count(),
+        ),
+        ("t14_robust_stats_fact_sort", lambda: _run_robust_stats(spark, n)),
     ):
         sc.setJobGroup(name, name)
         t0 = time.perf_counter()

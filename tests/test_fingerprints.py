@@ -349,3 +349,55 @@ class TestRealRegistry:
             assert boundary < len(front), (
                 "a never-green or rewritten query sorted behind a stable green"
             )
+
+
+class TestBatchModuleBlastRadius:
+    """Working-tree proof that adding a batch module (llmops8) cannot
+    re-window stable queries: a mutation in llmops8 is invisible to
+    q1's fingerprint; a new top-level symbol is invisible even to
+    llmops8's own queries; editing one query's def re-windows only
+    that query."""
+
+    def _tools(self):
+        mods = fp.module_files()
+        return mods, fp.disk_reader(mods)
+
+    def test_new_symbol_in_batch_module_is_invisible(self):
+        mods, read = self._tools()
+
+        def mutated(m):
+            src = read(m)
+            if m == "wren_engine_spark.queries.llmops8" and src is not None:
+                src += "\nZZ_NEW_HELPER = 1\n"
+            return src
+
+        for mod, fn in (
+            ("wren_engine_spark.queries.tpch", "q1"),
+            ("wren_engine_spark.queries.llmops8", "x98"),
+        ):
+            assert fp.fingerprint_fn(mod, fn, read, mods) == fp.fingerprint_fn(
+                mod, fn, mutated, mods
+            ), (mod, fn)
+
+    def test_editing_one_query_def_rewindows_only_it(self):
+        mods, read = self._tools()
+        base = read("wren_engine_spark.queries.llmops8")
+        assert base is not None and "def x98(" in base
+
+        def mutated(m):
+            src = read(m)
+            if m == "wren_engine_spark.queries.llmops8":
+                src = src.replace("def x98(", "def x98(  # touched\n")
+            return src
+
+        m8 = "wren_engine_spark.queries.llmops8"
+        assert fp.fingerprint_fn(m8, "x98", read, mods) != fp.fingerprint_fn(
+            m8, "x98", mutated, mods
+        )
+        for other in ("x95", "x96", "x97", "m8", "m9", "x93"):
+            assert fp.fingerprint_fn(m8, other, read, mods) == fp.fingerprint_fn(
+                m8, other, mutated, mods
+            ), other
+        assert fp.fingerprint_fn(
+            "wren_engine_spark.queries.tpch", "q1", read, mods
+        ) == fp.fingerprint_fn("wren_engine_spark.queries.tpch", "q1", mutated, mods)

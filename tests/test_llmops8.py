@@ -710,3 +710,71 @@ class TestX98SplitLeakageAudit:
             s: (n, total, n / total) for s, n in want.items()
         }
         assert abs(sum(sh for _, _, sh in got.values()) - 1.0) < 1e-12
+
+
+class TestPersistedPqIndex:
+    def test_probe_bit_identical_to_inline_pq_and_scans_codes_only(
+        self, spark, tmp_path
+    ):
+        from wren_engine_spark.queries.io import load_tables
+
+        e = load_tables(spark, SF_DIR, "embeddings")["embeddings"]
+        queries = e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        path = str(tmp_path / "pq_index")
+        meta = similarity.write_pq_index(
+            e, "vec_id", "embedding", path, n_subspaces=2, k_codes=4, iters=1
+        )
+        assert meta["n_vectors"] == e.count() and meta["sub"] * 2 == meta["dim"]
+        probe = similarity.pq_index_topk(spark, path, queries, topk=5)
+        inline = similarity.pq_topk(
+            e, "vec_id", "embedding", queries, n_subspaces=2, k_codes=4,
+            iters=1, topk=5,
+        )
+        key = lambda r: (r.query_id, r.rnk, r.neighbor_id, r.adist)  # noqa: E731
+        assert sorted(map(key, probe.collect())) == sorted(
+            map(key, inline.collect())
+        )
+        # the probe never touches raw vectors: its scan reads the codes
+        # parquet, and the ADC tables ride a broadcast
+        plan = _plan(similarity.pq_index_topk(spark, path, queries, topk=5))
+        assert "code_0" in plan and "embedding" not in plan
+        assert "BroadcastNestedLoopJoin" in plan
+
+
+class TestRobustStatsApproxDropIn:
+    def test_same_contract_and_within_one_gap_of_exact(self, spark):
+        from wren_engine_spark.queries.io import load_tables
+
+        e = load_tables(spark, SF_DIR, "events")["events"]
+        exact = {
+            r.event_type: r
+            for r in metrics.robust_stats(e, "event_type", "value").collect()
+        }
+        approx = {
+            r.event_type: r
+            for r in metrics.robust_stats_approx(
+                e, "event_type", "value", accuracy=10_000
+            ).collect()
+        }
+        assert set(exact) == set(approx)
+        import duckdb
+
+        raw = duckdb.sql(
+            f"SELECT event_type, value FROM "
+            f"read_parquet('{SF_DIR}/events.parquet')"
+        ).fetchall()
+        by_k = {}
+        for k, v in raw:
+            by_k.setdefault(k, []).append(math.floor(float(v) * 1e6 + 0.5))
+        for k, ex in exact.items():
+            ap = approx[k]
+            assert ap.n_values == ex.n_values
+            vals = sorted(by_k[k])
+            n = len(vals)
+            # sketch is exact below `accuracy`: approx med2 is twice an
+            # actual element adjacent to the exact median pair
+            gap_med = vals[(n + 2) // 2 - 1] - vals[(n + 1) // 2 - 1]
+            assert abs(ap.med2 - ex.med2) <= max(2 * gap_med, 2)
+            assert ap.mad4 >= 0

@@ -217,6 +217,10 @@ def main() -> None:
         "x96_cluster_size_histogram",
         "x97_vocab_coverage",
         "x98_split_leakage_audit",
+        # persisted-PQ probe: first call pays the one-time index
+        # build; the median amortizes it to steady state (x70/t13's
+        # convention)
+        "x99_pq_index_probe",
     ]
     r6_timings, r6_total, r6_runs = run_suite(R6, "r6 operator sub-suite")
 

@@ -929,3 +929,46 @@ def x98(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x99: persisted-PQ-index probe (build-once/probe-many, driver-checked)
+# ---------------------------------------------------------------------------
+
+_PQ_INDEX_MEMO: dict = {}
+
+
+@register(
+    "x99_pq_index_probe",
+    f"""
+    WITH {_PQ_CTES}
+    SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def x99(spark: SparkSession, sf: str) -> DataFrame:
+    """Build-once/probe-many PQ: persist the codebooks + per-vector
+    codes once (similarity.write_pq_index, memoized per (session,
+    sf) at a corpus-keyed path) and serve the 8-query probe through
+    the codes-only scan (similarity.pq_index_topk — no embedding
+    column anywhere in the probe plan, pytest-asserted). The probe is
+    bit-identical to x93's inline train+score, so the SAME unrolled
+    oracle certifies the persisted path with its own driver row —
+    x63's discipline applied to the PQ index. Probe p50 at sf0.1:
+    929 ms vs 6.4 s inline (SCALING.md)."""
+    import hashlib
+    import os
+
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    key = (id(spark), sf)
+    path = f"/tmp/pq_index_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    if _PQ_INDEX_MEMO.get(key) != path or not os.path.isdir(f"{path}/codes"):
+        similarity.write_pq_index(
+            e, "vec_id", "embedding", path, n_subspaces=2, k_codes=4, iters=1
+        )
+        _PQ_INDEX_MEMO[key] = path
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.pq_index_topk(spark, path, queries, topk=5)

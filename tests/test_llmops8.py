@@ -778,3 +778,37 @@ class TestRobustStatsApproxDropIn:
             gap_med = vals[(n + 2) // 2 - 1] - vals[(n + 1) // 2 - 1]
             assert abs(ap.med2 - ex.med2) <= max(2 * gap_med, 2)
             assert ap.mad4 >= 0
+
+
+class TestRingMonotonicity:
+    def test_growth_only_moves_docs_to_new_shards(self):
+        """The defining property of consistent hashing: growing the
+        ring from n_old to n_new shards never moves a key BETWEEN two
+        old shards — every moved key lands on a NEW shard (its arc was
+        claimed by a new vnode). Pure-Python check over a dense hash
+        sample; a violation means the ring lookup is wrong even if the
+        movement fraction happens to look plausible."""
+        from wren_engine_spark.operators.selection import ring_positions
+
+        old_r, new_r = ring_positions(8, 16, 42), ring_positions(10, 16, 42)
+
+        def shard(ring, hv):
+            ge = [p for p, _ in ring if p >= hv]
+            key = min(ge) if ge else ring[0][0]
+            for p, s in ring:
+                if p == key:
+                    return s
+
+        M = 2147483647
+        moved = same = 0
+        for d in range(0, 20_000):
+            h = ((d * 31 + 42) % M) * ((d * 48271 + 49) % M) % M
+            a, b = shard(old_r, h), shard(new_r, h)
+            if a != b:
+                moved += 1
+                assert b >= 8, (d, a, b)  # moved keys land on NEW shards only
+            else:
+                same += 1
+        # vnode share of the two new shards ~ 2/10; allow slack
+        frac = moved / (moved + same)
+        assert 0.05 < frac < 0.45, frac

@@ -962,7 +962,12 @@ def x99(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_tables(spark, sf, "embeddings")["embeddings"]
     key = (id(spark), sf)
-    path = f"/tmp/pq_index_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    # corpus-keyed path under the session's warehouse dir (stays inside
+    # the repo tree; /tmp is reserved for test scratch)
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = f"{wh}/pq_index_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
     if _PQ_INDEX_MEMO.get(key) != path or not os.path.isdir(f"{path}/codes"):
         similarity.write_pq_index(
             e, "vec_id", "embedding", path, n_subspaces=2, k_codes=4, iters=1

@@ -665,15 +665,14 @@ def x94(spark: SparkSession, sf: str) -> DataFrame:
     or the pipeline needs more subspaces. Both sides integer-exact
     with id tie-breaks, so recall is deterministic; the exact side is
     the brute-force broadcast scan (bounded query set), the PQ side
-    reuses x93's encoded corpus."""
+    probes the PERSISTED x99 index (bit-identical to the inline
+    train+score, pytest-pinned) so one training pays for both
+    entries."""
     e = load_tables(spark, sf, "embeddings")["embeddings"]
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    pq = similarity.pq_topk(
-        e, "vec_id", "embedding", queries,
-        n_subspaces=2, k_codes=4, iters=1, topk=5,
-    )
+    pq = x99(spark, sf)
     qn = 1000000.0
     qz = lambda c: F.expr(  # noqa: E731
         f"transform({c}, x -> cast(floor(cast(x as double) * {qn!r} "

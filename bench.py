@@ -221,6 +221,9 @@ def main() -> None:
         # build; the median amortizes it to steady state (x70/t13's
         # convention)
         "x99_pq_index_probe",
+        # streaming vector search against the persisted PQ index
+        # (online-RAG shape; availableNow replay)
+        "t15_stream_vector_search",
     ]
     r6_timings, r6_total, r6_runs = run_suite(R6, "r6 operator sub-suite")
 

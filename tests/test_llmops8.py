@@ -812,3 +812,22 @@ class TestRingMonotonicity:
         # vnode share of the two new shards ~ 2/10; allow slack
         frac = moved / (moved + same)
         assert 0.05 < frac < 0.45, frac
+
+
+class TestT15StreamVectorSearch:
+    def test_stream_equals_persisted_batch_probe(self, spark):
+        stream_rows = QUERIES["t15_stream_vector_search"](spark, SF_DIR).collect()
+        batch_rows = QUERIES["x99_pq_index_probe"](spark, SF_DIR).collect()
+        key = lambda r: (r.query_id, r.rnk, r.neighbor_id, r.adist)  # noqa: E731
+        assert sorted(map(key, stream_rows)) == sorted(map(key, batch_rows))
+
+    def test_topk_shape_and_determinism(self, spark):
+        rows = QUERIES["t15_stream_vector_search"](spark, SF_DIR).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append((r.rnk, r.adist, r.neighbor_id))
+        for q, v in per_q.items():
+            v.sort()
+            assert [rnk for rnk, _, _ in v] == list(range(1, len(v) + 1))
+            # adist nondecreasing with rank; ties broken by neighbor id
+            assert v == sorted(v, key=lambda t: (t[1], t[2]))

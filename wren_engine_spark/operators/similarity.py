@@ -1664,3 +1664,87 @@ def pq_index_topk(
         .filter(F.col("rnk") <= topk)
         .select("query_id", "neighbor_id", "adist", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def pq_stream_search(
+    spark,
+    path: str,
+    query_stream: DataFrame,
+    topk: int = 5,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """STREAMING vector retrieval against a persisted PQ index: each
+    arriving query vector builds its integer ADC lookup tables IN-ROW
+    (JVM HOFs against the codebook centroids inlined as literals —
+    k_codes x subdim x n_subspaces ints, driver-trivial), stream-
+    static joins the codes table, and takes the per-query top-k with
+    a streaming groupBy + in-row sort of the collected (adist, id)
+    pairs — the online-RAG serving shape: corpus stays encoded and
+    static, queries flow, no raw vector is ever read on the hot path.
+
+    Per-query state is the k candidate pairs inside one aggregation
+    group; the static codes side behaves like any dimension table
+    (re-broadcast per microbatch). Results are bit-identical to the
+    batch ``pq_index_topk`` on the same index (integer arithmetic
+    end-to-end; ties to the lowest neighbor id).
+
+    Returns a streaming DataFrame (query_id, neighbor_id, adist, rnk)
+    — drain with availableNow + complete mode for the bounded replay.
+    """
+    books: dict[int, dict[int, dict[int, int]]] = {}
+    for r in spark.read.parquet(f"{path}/codebooks").collect():
+        books.setdefault(r.subspace, {}).setdefault(r.cluster, {})[r.dim] = r.val
+    n_sub = len(books)
+    sub = len(books[0][0])
+    q = float(quantum)
+    qdf = query_stream.select(
+        "query_id",
+        F.expr(
+            f"transform(qvec, x -> cast(floor(cast(x as double) * {q!r} "
+            f"+ 0.5) as bigint))"
+        ).alias("__qx"),
+    )
+    tabs = []
+    for s in range(n_sub):
+        cents = "array(" + ",".join(
+            "array("
+            + ",".join(f"{books[s][c][d]}L" for d in range(sub))
+            + ")"
+            for c in sorted(books[s])
+        ) + ")"
+        qs = f"slice(__qx, {s * sub + 1}, {sub})"
+        tabs.append(
+            f"transform({cents}, c -> aggregate(zip_with({qs}, c, "
+            f"(a, b) -> (a - b) * (a - b)), cast(0 as bigint), "
+            f"(acc, x) -> acc + x))"
+        )
+    q2 = qdf.select(
+        "query_id", *[F.expr(t).alias(f"__adt_{s}") for s, t in enumerate(tabs)]
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    adist = None
+    for s in range(n_sub):
+        term = F.element_at(F.col(f"__adt_{s}"), F.col(f"__code_{s}") + 1)
+        adist = term if adist is None else adist + term
+    renamed = codes.select(
+        F.col("__id"), *[F.col(f"code_{s}").alias(f"__code_{s}") for s in range(n_sub)]
+    )
+    scored = q2.join(renamed, F.col("__id") != F.col("query_id")).select(
+        "query_id",
+        F.col("__id").alias("neighbor_id"),
+        adist.cast("bigint").alias("adist"),
+    )
+    best = scored.groupBy("query_id").agg(
+        F.expr(
+            f"slice(array_sort(collect_list(struct(adist, neighbor_id))), "
+            f"1, {int(topk)})"
+        ).alias("__top")
+    )
+    return best.select(
+        "query_id", F.posexplode("__top").alias("__p", "__t")
+    ).select(
+        "query_id",
+        F.col("__t.neighbor_id").alias("neighbor_id"),
+        F.col("__t.adist").alias("adist"),
+        (F.col("__p") + 1).cast("int").alias("rnk"),
+    )

@@ -976,3 +976,63 @@ def x99(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return similarity.pq_index_topk(spark, path, queries, topk=5)
+
+
+@register(
+    "t15_stream_vector_search",
+    f"""
+    WITH {_PQ_CTES}
+    SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def t15(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING vector search: query vectors arrive as a stream, each
+    builds its integer ADC tables in-row (codebook centroids inlined
+    as literals from the persisted x99 index), stream-static joins
+    the encoded codes table, and a streaming groupBy takes the
+    per-query top-5 via an in-row sort of the collected candidate
+    pairs — online RAG retrieval where the corpus never leaves its
+    compressed persisted form. Bit-identical to the batch probe, so
+    x93's unrolled oracle certifies the STREAMING path too
+    (availableNow bounded replay, complete mode). 12th oracle-checked
+    streaming entry."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from wren_engine_spark.streaming.ops import run_available_now
+
+    # ensure the persisted index exists (memoized build, same path rule
+    # as x99)
+    import hashlib
+    import os
+
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = f"{wh}/pq_index_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    if _PQ_INDEX_MEMO.get((id(spark), sf)) != path or not os.path.isdir(
+        f"{path}/codes"
+    ):
+        similarity.write_pq_index(
+            e, "vec_id", "embedding", path, n_subspaces=2, k_codes=4, iters=1
+        )
+        _PQ_INDEX_MEMO[(id(spark), sf)] = path
+    schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf)
+    )
+    qstream = src.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.pq_stream_search(spark, path, qstream, topk=5)
+    res = run_available_now(spark, out, "t15_stream_sink", "complete")
+    return res.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.col("adist").cast("bigint").alias("adist"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )

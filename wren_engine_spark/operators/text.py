@@ -1488,8 +1488,12 @@ def encoding_health(df: DataFrame, text_col: str, source_col: str) -> DataFrame:
         F.sum("__chars").cast("long").alias("total_chars"),
         F.sum("__bytes").cast("long").alias("total_bytes"),
         (F.sum("__bytes") - F.sum("__chars")).cast("long").alias("multibyte_overhead"),
-        (
-            F.sum("__bytes").cast("double") / F.sum("__chars").cast("double")
+        # NULL (not a crash, not inf) for an all-empty source — ANSI
+        # mode turns a bare x/0 into a job-killing error (found by the
+        # hypothesis empty-text case)
+        F.when(
+            F.sum("__chars") > 0,
+            F.sum("__bytes").cast("double") / F.sum("__chars").cast("double"),
         ).alias("bytes_per_char"),
         F.sum("__ctrl").cast("long").alias("n_ctrl_chars"),
         F.sum("__repl").cast("long").alias("n_docs_replacement"),

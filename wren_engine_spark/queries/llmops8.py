@@ -222,8 +222,9 @@ def x88(spark: SparkSession, sf: str) -> DataFrame:
            CAST(SUM(chars) AS BIGINT) AS total_chars,
            CAST(SUM(bytes) AS BIGINT) AS total_bytes,
            CAST(SUM(bytes) - SUM(chars) AS BIGINT) AS multibyte_overhead,
-           CAST(SUM(bytes) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE)
-             AS bytes_per_char,
+           CASE WHEN SUM(chars) > 0
+                THEN CAST(SUM(bytes) AS DOUBLE) / CAST(SUM(chars) AS DOUBLE)
+                END AS bytes_per_char,
            CAST(SUM(ctrl) AS BIGINT) AS n_ctrl_chars,
            CAST(SUM(repl) AS BIGINT) AS n_docs_replacement
     FROM per GROUP BY source

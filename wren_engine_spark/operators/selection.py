@@ -815,7 +815,9 @@ def reshard_movement(
         "policy",
         "n_docs",
         "n_moved",
-        (F.col("n_moved").cast("double") / F.col("n_docs").cast("double")).alias(
-            "moved_frac"
-        ),
+        # NULL on an empty corpus instead of an ANSI divide-by-zero
+        F.when(
+            F.col("n_docs") > 0,
+            F.col("n_moved").cast("double") / F.col("n_docs").cast("double"),
+        ).alias("moved_frac"),
     )

@@ -463,8 +463,10 @@ def t14(spark: SparkSession, sf: str) -> DataFrame:
              AS BIGINT) AS docs_affected,
            CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(p.n_tokens_removed) AS BIGINT) AS tokens_removed,
-           CAST(SUM(p.n_tokens_removed) AS DOUBLE)
-             / CAST(SUM(p.n_tokens) AS DOUBLE) AS removal_rate
+           CASE WHEN SUM(p.n_tokens) > 0
+                THEN CAST(SUM(p.n_tokens_removed) AS DOUBLE)
+                     / CAST(SUM(p.n_tokens) AS DOUBLE)
+                END AS removal_rate
     FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
     GROUP BY d.source
     """,
@@ -494,9 +496,12 @@ def x92(spark: SparkSession, sf: str) -> DataFrame:
         .alias("docs_affected"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("n_tokens_removed").cast("long").alias("tokens_removed"),
-        (
+        # NULL, not an ANSI divide-by-zero crash, for a source whose
+        # training docs are all empty (x89's hardening, same hazard)
+        F.when(
+            F.sum("n_tokens") > 0,
             F.sum("n_tokens_removed").cast("double")
-            / F.sum("n_tokens").cast("double")
+            / F.sum("n_tokens").cast("double"),
         ).alias("removal_rate"),
     )
 

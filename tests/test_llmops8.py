@@ -831,3 +831,41 @@ class TestT15StreamVectorSearch:
             assert [rnk for rnk, _, _ in v] == list(range(1, len(v) + 1))
             # adist nondecreasing with rank; ties broken by neighbor id
             assert v == sorted(v, key=lambda t: (t[1], t[2]))
+
+
+class TestPqGuards:
+    def test_too_few_vectors_raise_clean_valueerror(self, spark):
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(i, [float(i)] * 4) for i in range(3)],
+            "vec_id LONG, embedding ARRAY<FLOAT>",
+        )
+        q = df.selectExpr("vec_id AS query_id", "embedding AS qvec")
+        with _pytest.raises(ValueError, match="k_codes"):
+            similarity.pq_topk(df, "vec_id", "embedding", q, k_codes=4)
+
+    def test_probe_reads_scale_from_index_meta(self, spark, tmp_path):
+        # build with a NON-default quantum; the probe must pick it up
+        # from the index meta (no caller parameter to get wrong)
+        df = spark.createDataFrame(
+            [(i, [float(i % 7), float(i % 5), float(i % 3), 1.0]) for i in range(40)],
+            "vec_id LONG, embedding ARRAY<FLOAT>",
+        )
+        q = df.filter(F.col("vec_id") < 2).selectExpr(
+            "vec_id AS query_id", "embedding AS qvec"
+        )
+        path = str(tmp_path / "pq_q1000")
+        similarity.write_pq_index(
+            df, "vec_id", "embedding", path, n_subspaces=2, k_codes=4,
+            iters=1, quantum=1000,
+        )
+        inline = similarity.pq_topk(
+            df, "vec_id", "embedding", q, n_subspaces=2, k_codes=4,
+            iters=1, topk=5, quantum=1000,
+        )
+        probe = similarity.pq_index_topk(spark, path, q, topk=5)
+        key = lambda r: (r.query_id, r.rnk, r.neighbor_id, r.adist)  # noqa: E731
+        assert sorted(map(key, probe.collect())) == sorted(
+            map(key, inline.collect())
+        )

@@ -253,10 +253,15 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         F.sum("cnt").cast("long").alias("total_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
     )
-    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_n)
+    # asc_nulls_last: Spark ASC sorts NULLs FIRST but ANSI-SQL engines
+    # (and the x90 oracle) default to NULLS LAST — without this, a NULL
+    # key tying a real key at the cut would rank differently per engine
+    top = counts.orderBy(
+        F.col("cnt").desc(), F.col("key").asc_nulls_last()
+    ).limit(top_n)
     from pyspark.sql import Window as W
 
-    w = W.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    w = W.orderBy(F.col("cnt").desc(), F.col("key").asc_nulls_last())
     return (
         top.crossJoin(F.broadcast(totals))
         .select(

@@ -188,6 +188,32 @@ def ewma(
     )
 
 
+def _rank_pair_med2(df: DataFrame, col: str, out: str, extra_aggs=()) -> DataFrame:
+    """Per-``__k`` rank-pair median sum ``v[(n+1) div 2] + v[(n+2) div 2]``
+    (twice the interpolated median, integer-exact) via one row_number
+    window + one conditional rank-sum aggregation — the single
+    implementation behind robust_anomaly's and robust_stats' driver
+    oracles (m8/t14), so the rank-pair definition cannot drift between
+    them. Tie-safe: rows tied at a rank carry equal values."""
+    lo = "((__n + 1) div 2)"
+    hi = "((__n + 2) div 2)"
+    wk = W.partitionBy("__k")
+    r = df.select(
+        "*",
+        F.row_number().over(wk.orderBy(col)).alias("__rn"),
+        F.count(F.lit(1)).over(wk).alias("__n"),
+    )
+    return r.groupBy("__k").agg(
+        *extra_aggs,
+        (
+            F.sum(F.when(F.expr(f"__rn = {lo}"), F.col(col)).otherwise(F.lit(0)))
+            + F.sum(F.when(F.expr(f"__rn = {hi}"), F.col(col)).otherwise(F.lit(0)))
+        )
+        .cast("long")
+        .alias(out),
+    )
+
+
 def robust_anomaly(
     df: DataFrame,
     key_col: str,
@@ -220,8 +246,6 @@ def robust_anomaly(
     series (3 650 rows per key per decade), never by raw event volume.
     Returns (key, day, daily_total_q, med2, mad4, is_anomaly).
     """
-    lo = "((__n + 1) div 2)"
-    hi = "((__n + 2) div 2)"
     q = df.select(
         F.col(key_col).alias("__k"),
         F.to_date(F.col(ts_col)).alias("day"),
@@ -230,36 +254,11 @@ def robust_anomaly(
         .alias("__qv"),
     )
     daily = q.groupBy("__k", "day").agg(F.sum("__qv").cast("long").alias("daily_total_q"))
-    wk = W.partitionBy("__k")
-    r = daily.select(
-        "*",
-        F.row_number().over(wk.orderBy("daily_total_q")).alias("__rn"),
-        F.count(F.lit(1)).over(wk).alias("__n"),
-    )
-    med = r.groupBy("__k").agg(
-        (
-            F.sum(F.when(F.expr(f"__rn = {lo}"), F.col("daily_total_q")).otherwise(F.lit(0)))
-            + F.sum(F.when(F.expr(f"__rn = {hi}"), F.col("daily_total_q")).otherwise(F.lit(0)))
-        )
-        .cast("long")
-        .alias("med2")
-    )
+    med = _rank_pair_med2(daily, "daily_total_q", "med2")
     d = daily.join(F.broadcast(med), "__k").withColumn(
         "__dev2", F.abs(F.lit(2) * F.col("daily_total_q") - F.col("med2"))
     )
-    r2 = d.select(
-        "*",
-        F.row_number().over(wk.orderBy("__dev2")).alias("__rn"),
-        F.count(F.lit(1)).over(wk).alias("__n"),
-    )
-    mad = r2.groupBy("__k").agg(
-        (
-            F.sum(F.when(F.expr(f"__rn = {lo}"), F.col("__dev2")).otherwise(F.lit(0)))
-            + F.sum(F.when(F.expr(f"__rn = {hi}"), F.col("__dev2")).otherwise(F.lit(0)))
-        )
-        .cast("long")
-        .alias("mad4")
-    )
+    mad = _rank_pair_med2(d, "__dev2", "mad4")
     return (
         d.join(F.broadcast(mad), "__k")
         .select(
@@ -324,11 +323,13 @@ def holt_linear(
         f"'b', {b!r} * ({lnew} - acc.l) + {1.0 - b!r} * acc.b))"
     )
     return g.select(
+        *key_cols, "n_events", F.expr(fold).alias("__hl")
+    ).select(
         *key_cols,
         "n_events",
-        F.expr(fold + ".l").alias("level"),
-        F.expr(fold + ".b").alias("trend"),
-        F.expr(f"({fold}.l + {fold}.b)").alias("forecast"),
+        F.col("__hl.l").alias("level"),
+        F.col("__hl.b").alias("trend"),
+        (F.col("__hl.l") + F.col("__hl.b")).alias("forecast"),
     )
 
 
@@ -356,45 +357,22 @@ def robust_stats(
     schema is the contract, dimension-sized: one row per key).
     Returns (key, n_values, med2, mad4).
     """
-    lo = "((__n + 1) div 2)"
-    hi = "((__n + 2) div 2)"
     q = df.select(
         F.col(key_col).alias("__k"),
         F.floor(F.col(val_col).cast("double") * F.lit(float(quantum)) + F.lit(0.5))
         .cast("long")
         .alias("__qv"),
     )
-    wk = W.partitionBy("__k")
-    r = q.select(
-        "*",
-        F.row_number().over(wk.orderBy("__qv")).alias("__rn"),
-        F.count(F.lit(1)).over(wk).alias("__n"),
+    med = _rank_pair_med2(
+        q,
+        "__qv",
+        "med2",
+        extra_aggs=(F.count(F.lit(1)).cast("long").alias("n_values"),),
     )
-    med = r.groupBy("__k").agg(
-        F.max("__n").cast("long").alias("n_values"),
-        (
-            F.sum(F.when(F.expr(f"__rn = {lo}"), F.col("__qv")).otherwise(F.lit(0)))
-            + F.sum(F.when(F.expr(f"__rn = {hi}"), F.col("__qv")).otherwise(F.lit(0)))
-        )
-        .cast("long")
-        .alias("med2"),
-    )
-    d = q.join(F.broadcast(med), "__k").withColumn(
+    d = q.join(F.broadcast(med.select("__k", "med2")), "__k").withColumn(
         "__dev2", F.abs(F.lit(2) * F.col("__qv") - F.col("med2"))
     )
-    r2 = d.select(
-        "*",
-        F.row_number().over(wk.orderBy("__dev2")).alias("__rn"),
-        F.count(F.lit(1)).over(wk).alias("__n"),
-    )
-    mad = r2.groupBy("__k").agg(
-        (
-            F.sum(F.when(F.expr(f"__rn = {lo}"), F.col("__dev2")).otherwise(F.lit(0)))
-            + F.sum(F.when(F.expr(f"__rn = {hi}"), F.col("__dev2")).otherwise(F.lit(0)))
-        )
-        .cast("long")
-        .alias("mad4")
-    )
+    mad = _rank_pair_med2(d, "__dev2", "mad4")
     return (
         med.join(F.broadcast(mad), "__k")
         .select(

@@ -1400,6 +1400,113 @@ def diverse_topk(
     )
 
 
+# ------------------------------------------------------- product quantization
+
+def _pq_quantize(df: DataFrame, id_col: str, vec_col: str, quantum: int) -> DataFrame:
+    q = float(quantum)
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(floor(cast(x as double) * {q!r} "
+            f"+ 0.5) as bigint))"
+        ).alias("qx"),
+    )
+
+
+def _train_pq(
+    qdf: DataFrame, n_subspaces: int, k_codes: int, iters: int
+) -> tuple[list[list[list[int]]], DataFrame, int, int]:
+    """Train the per-subspace quantized-Lloyd codebooks and encode the
+    corpus — the SINGLE implementation behind pq_topk and
+    write_pq_index, so the inline and persisted paths cannot drift
+    (their bit-identity is a pytest-pinned contract). Returns
+    (codebooks, codes_df(__id, __code_0..), dim, sub)."""
+    first = qdf.orderBy("__id").limit(k_codes).collect()
+    if len(first) < k_codes:
+        raise ValueError(
+            f"PQ needs at least k_codes={k_codes} vectors to seed the "
+            f"codebooks; corpus has {len(first)}"
+        )
+    dim = len(first[0].qx)
+    if dim % n_subspaces != 0:
+        raise ValueError(f"dim {dim} not divisible into {n_subspaces} subspaces")
+    sub = dim // n_subspaces
+    codebooks: list[list[list[int]]] = []
+    codes: DataFrame | None = None
+    for s in range(n_subspaces):
+        sdf = qdf.select("__id", F.slice(F.col("qx"), s * sub + 1, sub).alias("qx"))
+        cents = [list(r.qx)[s * sub : (s + 1) * sub] for r in first]
+        for _ in range(iters):
+            upd = _km_update(_km_assign(sdf, cents, k_codes))
+            got = {(r.cluster, r.dim): (r.val, r.n) for r in upd.collect()}
+            for c in range(k_codes):
+                if (c, 0) in got:
+                    cents[c] = [got[(c, d)][0] for d in range(sub)]
+        codebooks.append([[int(v) for v in c] for c in cents])
+        assigned = _km_assign(sdf, cents, k_codes).select(
+            "__id", F.col("cluster").alias(f"__code_{s}")
+        )
+        codes = assigned if codes is None else codes.join(assigned, "__id")
+    return codebooks, codes, dim, sub
+
+
+def _adc_tables(query_df: DataFrame, codebooks, sub: int, quantum: int):
+    """Collect the (bounded) query probe set and build each query's
+    integer L2^2 lookup table per subspace: [(query_id, tab_0, ...)]."""
+    q = float(quantum)
+    qrows = query_df.select(
+        "query_id",
+        F.expr(
+            f"transform(qvec, x -> cast(floor(cast(x as double) * {q!r} "
+            f"+ 0.5) as bigint))"
+        ).alias("qx"),
+    ).collect()
+    out = []
+    for r in qrows:
+        qx = [int(v) for v in r.qx]
+        tabs = []
+        for s, book in enumerate(codebooks):
+            qs = qx[s * sub : (s + 1) * sub]
+            tabs.append(
+                [sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book]
+            )
+        out.append((r.query_id, *tabs))
+    return out
+
+
+def _adc_rank(spark, codes: DataFrame, tab_rows, n_subspaces: int, topk: int) -> DataFrame:
+    """Broadcast the per-query ADC tables against the encoded corpus,
+    score by summed lookups, and take the per-query top-k (adist asc,
+    neighbor id tie-break)."""
+    schema = "query_id BIGINT, " + ", ".join(
+        f"__adt_{s} ARRAY<BIGINT>" for s in range(n_subspaces)
+    )
+    qtab = spark.createDataFrame(tab_rows, schema)
+    adist = None
+    for s in range(n_subspaces):
+        term = F.element_at(F.col(f"__adt_{s}"), F.col(f"__code_{s}") + 1)
+        adist = term if adist is None else adist + term
+    from pyspark.sql import Window as W
+
+    scored = (
+        codes.crossJoin(F.broadcast(qtab))
+        .filter(F.col("__id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("__id").alias("neighbor_id"),
+            adist.cast("bigint").alias("adist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            "query_id", "neighbor_id", "adist", F.col("rnk").cast("int").alias("rnk")
+        )
+    )
+
+
 def pq_topk(
     df: DataFrame,
     id_col: str,
@@ -1440,85 +1547,10 @@ def pq_topk(
     Returns (query_id, neighbor_id, adist, rnk) for rnk <= topk,
     self-matches excluded.
     """
-    q = float(quantum)
-    spark = df.sparkSession
-    qdf = df.select(
-        F.col(id_col).alias("__id"),
-        F.expr(
-            f"transform({vec_col}, x -> cast(floor(cast(x as double) * {q!r} "
-            f"+ 0.5) as bigint))"
-        ).alias("qx"),
-    )
-    first = qdf.orderBy("__id").limit(k_codes).collect()
-    dim = len(first[0].qx)
-    if dim % n_subspaces != 0:
-        raise ValueError(f"dim {dim} not divisible into {n_subspaces} subspaces")
-    sub = dim // n_subspaces
-
-    codebooks: list[list[list[int]]] = []
-    codes: DataFrame | None = None
-    for s in range(n_subspaces):
-        sdf = qdf.select("__id", F.slice(F.col("qx"), s * sub + 1, sub).alias("qx"))
-        cents = [list(r.qx)[s * sub : (s + 1) * sub] for r in first]
-        for _ in range(iters):
-            upd = _km_update(_km_assign(sdf, cents, k_codes))
-            got = {(r.cluster, r.dim): (r.val, r.n) for r in upd.collect()}
-            for c in range(k_codes):
-                if (c, 0) in got:
-                    cents[c] = [got[(c, d)][0] for d in range(sub)]
-        codebooks.append([[int(v) for v in c] for c in cents])
-        assigned = _km_assign(sdf, cents, k_codes).select(
-            "__id", F.col("cluster").alias(f"__code_{s}")
-        )
-        codes = assigned if codes is None else codes.join(assigned, "__id")
-
-    # per-query ADC tables (query side is a bounded probe set)
-    qrows = query_df.select(
-        "query_id",
-        F.expr(
-            f"transform(qvec, x -> cast(floor(cast(x as double) * {q!r} "
-            f"+ 0.5) as bigint))"
-        ).alias("qx"),
-    ).collect()
-    tab_rows = []
-    for r in qrows:
-        qx = [int(v) for v in r.qx]
-        tabs = []
-        for s in range(n_subspaces):
-            qs = qx[s * sub : (s + 1) * sub]
-            tabs.append(
-                [
-                    sum((a - b) * (a - b) for a, b in zip(qs, c))
-                    for c in codebooks[s]
-                ]
-            )
-        tab_rows.append((r.query_id, *tabs))
-    schema = "query_id BIGINT, " + ", ".join(
-        f"__adt_{s} ARRAY<BIGINT>" for s in range(n_subspaces)
-    )
-    qtab = spark.createDataFrame(tab_rows, schema)
-
-    adist = None
-    for s in range(n_subspaces):
-        term = F.element_at(F.col(f"__adt_{s}"), F.col(f"__code_{s}") + 1)
-        adist = term if adist is None else adist + term
-    from pyspark.sql import Window as W
-
-    scored = (
-        codes.crossJoin(F.broadcast(qtab))
-        .filter(F.col("__id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("__id").alias("neighbor_id"),
-            adist.cast("bigint").alias("adist"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= topk)
-        .select("query_id", "neighbor_id", "adist", F.col("rnk").cast("int").alias("rnk"))
-    )
+    qdf = _pq_quantize(df, id_col, vec_col, quantum)
+    codebooks, codes, _dim, sub = _train_pq(qdf, n_subspaces, k_codes, iters)
+    tab_rows = _adc_tables(query_df, codebooks, sub, quantum)
+    return _adc_rank(df.sparkSession, codes, tab_rows, n_subspaces, topk)
 
 
 def write_pq_index(
@@ -1532,54 +1564,40 @@ def write_pq_index(
     quantum: int = 1_000_000,
 ) -> dict:
     """Persist a product-quantization index: train the per-subspace
-    codebooks once (``pq_topk``'s exact machinery), then write
-    ``{path}/codes`` (one small int per subspace per vector — the
-    only thing a probe ever scans) and ``{path}/codebooks``
-    ((subspace, cluster, dim, val) rows — k*dim scalars). The
-    build-once/probe-many upgrade over re-training per query batch
-    (the PQ analog of ``write_ann_index``): at 100 TB the codes
-    table is ~n_subspaces bytes/vector and partitions like any fact,
-    while the codebooks are driver-trivial.
+    codebooks once (``_train_pq`` — the same machinery pq_topk runs
+    inline), then write ``{path}/codes`` (one small int per subspace
+    per vector — the only thing a probe ever scans),
+    ``{path}/codebooks`` ((subspace, cluster, dim, val) rows — k*dim
+    scalars), and ``{path}/meta`` (one row: n_subspaces, k_codes,
+    quantum, dim — so probes CANNOT silently quantize on a different
+    scale than the build). The build-once/probe-many upgrade over
+    re-training per query batch (the PQ analog of ``write_ann_index``):
+    at 100 TB the codes table is ~n_subspaces bytes/vector and
+    partitions like any fact, while the codebooks are driver-trivial.
 
-    Returns {"dim": ..., "sub": ..., "n_subspaces": ..., "k_codes":
-    ..., "quantum": ..., "n_vectors": ...}.
+    Returns {"dim", "sub", "n_subspaces", "k_codes", "quantum",
+    "n_vectors"}.
     """
-    q = float(quantum)
-    qdf = df.select(
-        F.col(id_col).alias("__id"),
-        F.expr(
-            f"transform({vec_col}, x -> cast(floor(cast(x as double) * {q!r} "
-            f"+ 0.5) as bigint))"
-        ).alias("qx"),
-    )
-    first = qdf.orderBy("__id").limit(k_codes).collect()
-    dim = len(first[0].qx)
-    if dim % n_subspaces != 0:
-        raise ValueError(f"dim {dim} not divisible into {n_subspaces} subspaces")
-    sub = dim // n_subspaces
     spark = df.sparkSession
-    book_rows = []
-    codes: DataFrame | None = None
-    for s in range(n_subspaces):
-        sdf = qdf.select("__id", F.slice(F.col("qx"), s * sub + 1, sub).alias("qx"))
-        cents = [list(r.qx)[s * sub : (s + 1) * sub] for r in first]
-        for _ in range(iters):
-            upd = _km_update(_km_assign(sdf, cents, k_codes))
-            got = {(r.cluster, r.dim): (r.val, r.n) for r in upd.collect()}
-            for c in range(k_codes):
-                if (c, 0) in got:
-                    cents[c] = [got[(c, d)][0] for d in range(sub)]
-        for c in range(k_codes):
-            for d in range(sub):
-                book_rows.append((s, c, d, int(cents[c][d])))
-        assigned = _km_assign(sdf, cents, k_codes).select(
-            "__id", F.col("cluster").alias(f"code_{s}")
-        )
-        codes = assigned if codes is None else codes.join(assigned, "__id")
-    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    qdf = _pq_quantize(df, id_col, vec_col, quantum)
+    codebooks, codes, dim, sub = _train_pq(qdf, n_subspaces, k_codes, iters)
+    out_codes = codes.select(
+        "__id", *[F.col(f"__code_{s}").alias(f"code_{s}") for s in range(n_subspaces)]
+    )
+    out_codes.write.mode("overwrite").parquet(f"{path}/codes")
+    book_rows = [
+        (s, c, d, int(codebooks[s][c][d]))
+        for s in range(n_subspaces)
+        for c in range(k_codes)
+        for d in range(sub)
+    ]
     spark.createDataFrame(
         book_rows, "subspace INT, cluster INT, dim INT, val BIGINT"
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(n_subspaces, k_codes, int(quantum), dim)],
+        "n_subspaces INT, k_codes INT, quantum BIGINT, dim INT",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     n_vec = spark.read.parquet(f"{path}/codes").count()
     return {
         "dim": dim,
@@ -1591,17 +1609,34 @@ def write_pq_index(
     }
 
 
+def _load_pq_index(spark, path: str):
+    """Load a persisted PQ index's codebooks + meta. Returns
+    (books: s -> cluster -> [vals by dim], meta row)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    raw: dict[int, dict[int, dict[int, int]]] = {}
+    for r in spark.read.parquet(f"{path}/codebooks").collect():
+        raw.setdefault(r.subspace, {}).setdefault(r.cluster, {})[r.dim] = r.val
+    books = [
+        [
+            [raw[s][c][d] for d in range(len(raw[s][c]))]
+            for c in sorted(raw[s])
+        ]
+        for s in sorted(raw)
+    ]
+    return books, meta
+
+
 def pq_index_topk(
     spark,
     path: str,
     query_df: DataFrame,
     topk: int = 5,
-    quantum: int = 1_000_000,
 ) -> DataFrame:
     """Probe a persisted PQ index (``write_pq_index``): load the
-    k*dim codebook scalars to the driver (bounded by construction),
-    build each query's integer ADC tables, and scan ONLY the codes
-    table — a broadcast of the per-query tables against a
+    k*dim codebook scalars + build parameters from the index itself
+    (the probe can never quantize on a different scale than the
+    build), build each query's integer ADC tables, and scan ONLY the
+    codes table — a broadcast of the per-query tables against a
     narrow-integer fact scan, then the bounded per-query rank window.
     Training cost is fully amortized out of the probe path (the x63
     build-once/probe-many contract, for PQ). Bit-identical to
@@ -1609,61 +1644,14 @@ def pq_index_topk(
 
     Returns (query_id, neighbor_id, adist, rnk).
     """
-    books: dict[int, dict[int, dict[int, int]]] = {}
-    for r in spark.read.parquet(f"{path}/codebooks").collect():
-        books.setdefault(r.subspace, {}).setdefault(r.cluster, {})[r.dim] = r.val
-    n_sub = len(books)
-    sub = len(books[0][0])
-    q = float(quantum)
-    qrows = query_df.select(
-        "query_id",
-        F.expr(
-            f"transform(qvec, x -> cast(floor(cast(x as double) * {q!r} "
-            f"+ 0.5) as bigint))"
-        ).alias("qx"),
-    ).collect()
-    tab_rows = []
-    for r in qrows:
-        qx = [int(v) for v in r.qx]
-        tabs = []
-        for s in range(n_sub):
-            qs = qx[s * sub : (s + 1) * sub]
-            tabs.append(
-                [
-                    sum(
-                        (qs[d] - books[s][c][d]) * (qs[d] - books[s][c][d])
-                        for d in range(sub)
-                    )
-                    for c in sorted(books[s])
-                ]
-            )
-        tab_rows.append((r.query_id, *tabs))
-    schema = "query_id BIGINT, " + ", ".join(
-        f"__adt_{s} ARRAY<BIGINT>" for s in range(n_sub)
+    books, meta = _load_pq_index(spark, path)
+    sub = meta.dim // meta.n_subspaces
+    tab_rows = _adc_tables(query_df, books, sub, meta.quantum)
+    codes = spark.read.parquet(f"{path}/codes").select(
+        "__id",
+        *[F.col(f"code_{s}").alias(f"__code_{s}") for s in range(meta.n_subspaces)],
     )
-    qtab = spark.createDataFrame(tab_rows, schema)
-    codes = spark.read.parquet(f"{path}/codes")
-    adist = None
-    for s in range(n_sub):
-        term = F.element_at(F.col(f"__adt_{s}"), F.col(f"code_{s}") + 1)
-        adist = term if adist is None else adist + term
-    from pyspark.sql import Window as W
-
-    scored = (
-        codes.crossJoin(F.broadcast(qtab))
-        .filter(F.col("__id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("__id").alias("neighbor_id"),
-            adist.cast("bigint").alias("adist"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= topk)
-        .select("query_id", "neighbor_id", "adist", F.col("rnk").cast("int").alias("rnk"))
-    )
+    return _adc_rank(spark, codes, tab_rows, meta.n_subspaces, topk)
 
 
 def pq_stream_search(
@@ -1671,7 +1659,6 @@ def pq_stream_search(
     path: str,
     query_stream: DataFrame,
     topk: int = 5,
-    quantum: int = 1_000_000,
 ) -> DataFrame:
     """STREAMING vector retrieval against a persisted PQ index: each
     arriving query vector builds its integer ADC lookup tables IN-ROW
@@ -1681,6 +1668,8 @@ def pq_stream_search(
     a streaming groupBy + in-row sort of the collected (adist, id)
     pairs — the online-RAG serving shape: corpus stays encoded and
     static, queries flow, no raw vector is ever read on the hot path.
+    Quantization scale and shape come from the index's own meta
+    (write_pq_index), never from a caller parameter.
 
     Per-query state is the k candidate pairs inside one aggregation
     group; the static codes side behaves like any dimension table
@@ -1691,12 +1680,8 @@ def pq_stream_search(
     Returns a streaming DataFrame (query_id, neighbor_id, adist, rnk)
     — drain with availableNow + complete mode for the bounded replay.
     """
-    books: dict[int, dict[int, dict[int, int]]] = {}
-    for r in spark.read.parquet(f"{path}/codebooks").collect():
-        books.setdefault(r.subspace, {}).setdefault(r.cluster, {})[r.dim] = r.val
-    n_sub = len(books)
-    sub = len(books[0][0])
-    q = float(quantum)
+    books, meta = _load_pq_index(spark, path)
+    n_sub, sub, q = meta.n_subspaces, meta.dim // meta.n_subspaces, float(meta.quantum)
     qdf = query_stream.select(
         "query_id",
         F.expr(
@@ -1707,10 +1692,7 @@ def pq_stream_search(
     tabs = []
     for s in range(n_sub):
         cents = "array(" + ",".join(
-            "array("
-            + ",".join(f"{books[s][c][d]}L" for d in range(sub))
-            + ")"
-            for c in sorted(books[s])
+            "array(" + ",".join(f"{v}L" for v in c) + ")" for c in books[s]
         ) + ")"
         qs = f"slice(__qx, {s * sub + 1}, {sub})"
         tabs.append(
@@ -1727,7 +1709,8 @@ def pq_stream_search(
         term = F.element_at(F.col(f"__adt_{s}"), F.col(f"__code_{s}") + 1)
         adist = term if adist is None else adist + term
     renamed = codes.select(
-        F.col("__id"), *[F.col(f"code_{s}").alias(f"__code_{s}") for s in range(n_sub)]
+        F.col("__id"),
+        *[F.col(f"code_{s}").alias(f"__code_{s}") for s in range(n_sub)],
     )
     scored = q2.join(renamed, F.col("__id") != F.col("query_id")).select(
         "query_id",

@@ -281,7 +281,7 @@ def x90(spark: SparkSession, sf: str) -> DataFrame:
 # decontamination impact report
 # ---------------------------------------------------------------------------
 
-from wren_engine_spark.operators import selection, text  # noqa: E402
+from wren_engine_spark.operators import selection  # noqa: E402
 from wren_engine_spark.queries.llmops6 import _QUALITY_CTE  # noqa: E402
 from wren_engine_spark.queries.llmops7 import _SPAN_CTES  # noqa: E402
 
@@ -943,6 +943,29 @@ def x98(spark: SparkSession, sf: str) -> DataFrame:
 _PQ_INDEX_MEMO: dict = {}
 
 
+def _ensure_pq_index(spark: SparkSession, sf: str) -> str:
+    """Build-once memo for the persisted PQ index (x99 + t15 share it,
+    so they can never probe different indexes): corpus-keyed path under
+    the session warehouse, rebuilt only when codes or meta are absent
+    (an index written before meta persistence existed rebuilds too)."""
+    import hashlib
+    import os
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = f"{wh}/pq_index_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    key = (id(spark), sf)
+    complete = os.path.isdir(f"{path}/codes") and os.path.isdir(f"{path}/meta")
+    if _PQ_INDEX_MEMO.get(key) != path or not complete:
+        e = load_tables(spark, sf, "embeddings")["embeddings"]
+        similarity.write_pq_index(
+            e, "vec_id", "embedding", path, n_subspaces=2, k_codes=4, iters=1
+        )
+        _PQ_INDEX_MEMO[key] = path
+    return path
+
+
 @register(
     "x99_pq_index_probe",
     f"""
@@ -962,22 +985,8 @@ def x99(spark: SparkSession, sf: str) -> DataFrame:
     oracle certifies the persisted path with its own driver row —
     x63's discipline applied to the PQ index. Probe p50 at sf0.1:
     929 ms vs 6.4 s inline (SCALING.md)."""
-    import hashlib
-    import os
-
+    path = _ensure_pq_index(spark, sf)
     e = load_tables(spark, sf, "embeddings")["embeddings"]
-    key = (id(spark), sf)
-    # corpus-keyed path under the session's warehouse dir (stays inside
-    # the repo tree; /tmp is reserved for test scratch)
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    path = f"{wh}/pq_index_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
-    if _PQ_INDEX_MEMO.get(key) != path or not os.path.isdir(f"{path}/codes"):
-        similarity.write_pq_index(
-            e, "vec_id", "embedding", path, n_subspaces=2, k_codes=4, iters=1
-        )
-        _PQ_INDEX_MEMO[key] = path
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -1008,23 +1017,7 @@ def t15(spark: SparkSession, sf: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from wren_engine_spark.streaming.ops import run_available_now
 
-    # ensure the persisted index exists (memoized build, same path rule
-    # as x99)
-    import hashlib
-    import os
-
-    e = load_tables(spark, sf, "embeddings")["embeddings"]
-    wh = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
-    path = f"{wh}/pq_index_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
-    if _PQ_INDEX_MEMO.get((id(spark), sf)) != path or not os.path.isdir(
-        f"{path}/codes"
-    ):
-        similarity.write_pq_index(
-            e, "vec_id", "embedding", path, n_subspaces=2, k_codes=4, iters=1
-        )
-        _PQ_INDEX_MEMO[(id(spark), sf)] = path
+    path = _ensure_pq_index(spark, sf)
     schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
     src = (
         spark.readStream.schema(schema)

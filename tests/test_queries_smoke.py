@@ -43,8 +43,7 @@ def test_every_tpch_query_present():
 
 def test_oracle_coverage():
     missing = set(QUERIES) - set(ORACLES)
-    # only genuinely engine-specific sketch internals may omit an
-    # oracle: hyperplane-LSH bucketing, IVF k-means assignment, and the
-    # stubbed multimodal embedding pipeline (each pytest-bounded)
-    assert missing <= {"x11_lsh_ann", "x14_ivf_ann",
-                       "x16_multimodal_embedding_pipeline"}
+    # every registered query carries a DuckDB oracle since r7 (x14's
+    # trained-IVF was the last holdout; its quantized Lloyd training
+    # is now replayed bit-exactly in the oracle)
+    assert missing == set()

@@ -1228,7 +1228,8 @@ def kmeans_quantized(
     quantum: int = 1_000_000,
 ) -> DataFrame:
     """Lloyd k-means with a bit-exact cross-engine oracle — the
-    deterministic twin of the float Lloyd trainer (x14, rows-only):
+    deterministic twin of the float Lloyd trainer (kmeans_centroids),
+    and since r7 the trainer behind x14's oracle-checked IVF:
     every quantity an iteration produces is either an exact integer or
     a double computed in one fixed operation order, so an unrolled SQL
     replay reproduces the training bit-for-bit.

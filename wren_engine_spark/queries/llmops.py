@@ -486,19 +486,6 @@ def x13(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35)
 
 
-@register("x14_ivf_ann")  # iterative k-means training: rows-only check
-def x14(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-Flat ANN: k-means coarse quantizer, probe the 2 nearest of 8
-    inverted lists per query (~25% of the corpus scanned)."""
-    e = load_tables(spark, sf, "embeddings")["embeddings"]
-    queries = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
-    return similarity.ivf_topk(
-        e, "vec_id", "embedding", queries, dim=64, k=5, nlist=8, nprobe=2, iters=3
-    )
-
-
 @register(
     "x15_multimodal_frames",
     """

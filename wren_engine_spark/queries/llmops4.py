@@ -581,7 +581,8 @@ def x54(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # x55: IVF probe with seeded centroids — the bit-exact portable twin of
 # x14's trained-kmeans IVF (the x42/x43 pattern: the probing machinery
-# is oracle-proven; only Lloyd training itself stays rows-only)
+# proven in isolation; x14 now trains via quantized Lloyd and is
+# oracle-checked end-to-end)
 # ---------------------------------------------------------------------------
 
 _X55_NLIST = 16
@@ -650,9 +651,10 @@ def x55(spark: SparkSession, sf: str) -> DataFrame:
     identical assignment (argmin L2, lowest-index ties), probe
     selection (nprobe nearest lists), inverted-list join and
     exact-cosine top-k code path (similarity.ivf_topk with an explicit
-    centroid set), but with centroids any engine can re-derive. Lloyd
-    training itself (x14) remains the one irreducibly-iterative
-    rows-only entry, equivalence-tested in pytest."""
+    centroid set), but with centroids any engine can re-derive without
+    training. x14 composes this same probe path with the bit-exact
+    quantized-integer Lloyd trainer (x85), making trained IVF
+    oracle-checked end-to-end too."""
     e = load_tables(spark, sf, "embeddings")["embeddings"]
     cents = [
         [float(x) for x in r.embedding]

@@ -529,6 +529,142 @@ def x85(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x14: IVF-Flat ANN on a TRAINED coarse quantizer — fully oracle-checked
+# by composing x85's bit-exact quantized Lloyd training with x55's
+# proven probe machinery. This retires the corpus's last rows-only
+# entry (r1-r6: float Lloyd training was not cross-engine
+# deterministic; the quantized trainer is).
+# ---------------------------------------------------------------------------
+
+from wren_engine_spark.queries.llmops4 import _X55_D2, _X55_DOT  # noqa: E402
+
+_X14_NLIST = 8
+_X14_NPROBE = 2
+_X14_K = 5
+_X14_ITERS = 2
+_X14_QUANTUM = 1_000_000
+
+
+@register(
+    "x14_ivf_ann",
+    f"""
+    WITH q AS (
+      SELECT vec_id, embedding,
+             [CAST(floor(CAST(x AS DOUBLE) * {float(_X14_QUANTUM)!r} + 0.5)
+                   AS BIGINT) FOR x IN embedding] AS qx
+      FROM embeddings
+    ),
+    init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, qx
+      FROM (SELECT vec_id, qx FROM q ORDER BY vec_id LIMIT {_X14_NLIST})
+    ),
+    pos AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+             qx[CAST(i AS INTEGER)] AS qv
+      FROM (SELECT vec_id, qx, unnest(generate_series(1, len(qx))) AS i
+            FROM q)
+    ),
+    c0 AS (
+      SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
+             qx[CAST(i AS INTEGER)] AS val
+      FROM (SELECT cluster, qx, unnest(generate_series(1, len(qx))) AS i
+            FROM init)
+    ),
+    spine AS (SELECT DISTINCT cluster FROM c0),
+    dims AS (SELECT DISTINCT dim FROM c0),
+    """
+    + _KM_ITER.format(i=1, prev=0)
+    + ","
+    + _KM_ITER.format(i=2, prev=1)
+    + f""",
+    cents AS (
+      SELECT cluster AS i,
+             list(CAST(val AS DOUBLE) / {float(_X14_QUANTUM)!r}
+                  ORDER BY dim) AS c
+      FROM c2 GROUP BY cluster
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, i AS list_id FROM (
+        SELECT e.vec_id, e.embedding, c.i,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_X55_D2.format(a='c.c', b='e.embedding')}, c.i
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qe, i AS list_id FROM (
+        SELECT e.vec_id AS query_id, e.embedding AS qe, c.i,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_X55_D2.format(a='c.c', b='e.embedding')}, c.i
+               ) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < 10
+      ) WHERE rn <= {_X14_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_X55_DOT.format(a='p.qe', b='a.embedding')}
+               / (sqrt({_X55_DOT.format(a='p.qe', b='p.qe')})
+                  * sqrt({_X55_DOT.format(a='a.embedding', b='a.embedding')}))
+               AS sim
+      FROM probes p JOIN assigned a ON p.list_id = a.list_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {_X14_K}
+    """,
+)
+def x14(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-Flat ANN with a TRAINED coarse quantizer, oracle-checked
+    end-to-end (r7; rows-only through r6 while training rode the
+    nondeterministic float Lloyd). Training is the bit-exact
+    quantized-integer Lloyd iteration (x85 /
+    similarity.kmeans_quantized): quantize once with the x45 half-up,
+    in-row integer argmin assignment against literal centroids (no
+    join/shuffle), map-side integer sums with <= k*dim reduce groups,
+    centroid = floor(sum/n) as the one IEEE double op both engines
+    run. The trained centroids come back to double in ONE division
+    (centroid_q / quantum) mirrored by the oracle, then probing is
+    x55's proven machinery: argmin list assignment, nprobe nearest
+    lists per query, inverted-list join with broadcast queries,
+    exact-cosine top-k. The iteration barrier moves k*dim scalars to
+    the driver — bounded state at any corpus size; at 100 TB the
+    corpus is scanned once per Lloyd pass (map-side) and once to
+    probe."""
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    km = similarity.kmeans_quantized(
+        e, "vec_id", "embedding",
+        k=_X14_NLIST, iters=_X14_ITERS, quantum=_X14_QUANTUM,
+    )
+    # k*dim scalars: kmeans_quantized materializes its result as a
+    # local relation, so this collect moves no executor data
+    got = {(r.cluster, r.dim): r.centroid_q for r in km.collect()}
+    dim = 1 + max(d for _, d in got)
+    cents = [
+        [got[(c, d)] / float(_X14_QUANTUM) for d in range(dim)]
+        for c in range(_X14_NLIST)
+    ]
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivf_topk(
+        e, "vec_id", "embedding", queries, dim=dim,
+        k=_X14_K, nlist=_X14_NLIST, nprobe=_X14_NPROBE, centroids=cents,
+    )
+
+
+# ---------------------------------------------------------------------------
 # x86/x87: span-level decontamination — locate leaked spans, then
 # surgically excise them (the modern upgrade over doc-level drops)
 # ---------------------------------------------------------------------------

@@ -77,3 +77,141 @@ class TestX14TrainedIVF:
         p = _plan(df)
         assert "CartesianProduct" not in p
         assert "BroadcastHashJoin" in p
+
+
+class TestSessionUid:
+    def test_stable_and_session_scoped(self, spark):
+        from wren_engine_spark.queries.memo import session_uid
+
+        a = session_uid(spark)
+        assert isinstance(a, str) and a
+        assert session_uid(spark) == a
+        # a DIFFERENT session must get a different uid. id(spark) keys
+        # fail this guarantee after GC (ids recycle); the JVM session
+        # UUID never does — this is what makes it a safe memo key for
+        # two sequential sessions that would alias under id()
+        other = spark.newSession()
+        try:
+            assert session_uid(other) != a
+            assert session_uid(other) == session_uid(other)
+        finally:
+            pass  # newSession shares the JVM context; nothing to stop
+
+
+class TestPQIndexAppend:
+    def _quantize(self, vec, quantum=1_000_000):
+        import math
+
+        return [math.floor(float(x) * float(quantum) + 0.5) for x in vec]
+
+    def _frozen_encode(self, qx, books, sub):
+        codes = []
+        for s, book in enumerate(books):
+            qs = qx[s * sub:(s + 1) * sub]
+            dists = [
+                sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book
+            ]
+            codes.append(min(range(len(book)), key=lambda c: (dists[c], c)))
+        return tuple(codes)
+
+    def _built(self, spark, tmp_path):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        delta = emb.filter(F.col("vec_id") % 5 == 0)
+        path = str(tmp_path / "pq_idx")
+        similarity.write_pq_index(
+            base, "vec_id", "embedding", path,
+            n_subspaces=2, k_codes=4, iters=1,
+        )
+        return emb, base, delta, path
+
+    def test_append_never_retrains_and_matches_brute_force(
+        self, spark, tmp_path
+    ):
+        emb, base, delta, path = self._built(spark, tmp_path)
+        books_before, meta = similarity._load_pq_index(spark, path)
+        out = similarity.pq_index_append(
+            spark, path, delta, "vec_id", "embedding"
+        )
+        books_after, _ = similarity._load_pq_index(spark, path)
+        assert books_before == books_after  # frozen codebooks
+        assert out["n_appended"] == delta.count()
+        sub = meta.dim // meta.n_subspaces
+        got = {
+            r["__id"]: (r["code_0"], r["code_1"])
+            for r in spark.read.parquet(f"{path}/codes").collect()
+        }
+        assert len(got) == emb.count()  # base + delta, no dupes
+        # every appended row's codes equal the pure-Python frozen
+        # encode (quantize half-up, per-subspace integer L2 argmin,
+        # ties to the lowest cluster id)
+        for r in delta.collect():
+            want = self._frozen_encode(self._quantize(r.embedding),
+                                       books_after, sub)
+            assert got[r.vec_id] == want, r.vec_id
+
+    def test_probe_ranks_across_old_and_new_rows(self, spark, tmp_path):
+        emb, base, delta, path = self._built(spark, tmp_path)
+        similarity.pq_index_append(spark, path, delta, "vec_id", "embedding")
+        queries = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        res = similarity.pq_index_topk(spark, path, queries, topk=5).collect()
+        # brute-force ADC replay over ALL codes
+        books, meta = similarity._load_pq_index(spark, path)
+        sub = meta.dim // meta.n_subspaces
+        codes = {
+            r["__id"]: (r["code_0"], r["code_1"])
+            for r in spark.read.parquet(f"{path}/codes").collect()
+        }
+        want = {}
+        for q in queries.collect():
+            qx = self._quantize(q.qvec)
+            tabs = [
+                [
+                    sum((a - b) * (a - b)
+                        for a, b in zip(qx[s * sub:(s + 1) * sub], c))
+                    for c in book
+                ]
+                for s, book in enumerate(books)
+            ]
+            scored = sorted(
+                (tabs[0][c0] + tabs[1][c1], nid)
+                for nid, (c0, c1) in codes.items()
+                if nid != q.query_id
+            )
+            for rnk, (adist, nid) in enumerate(scored[:5], start=1):
+                want[(q.query_id, rnk)] = (nid, adist)
+        got = {(r.query_id, r.rnk): (r.neighbor_id, r.adist) for r in res}
+        assert got == want
+
+    def test_append_dim_mismatch_fails_loudly(self, spark, tmp_path):
+        import pytest
+
+        _emb, _base, _delta, path = self._built(spark, tmp_path)
+        bad = spark.createDataFrame(
+            [(9999, [0.1] * 32)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+        )
+        with pytest.raises(Exception, match="dim"):
+            similarity.pq_index_append(
+                spark, path, bad, "vec_id", "embedding"
+            )
+
+    def test_x100_idempotent_within_session(self, spark):
+        a = sorted(
+            (r.query_id, r.rnk, r.neighbor_id, r.adist)
+            for r in QUERIES["x100_pq_index_append"](spark, SF_DIR).collect()
+        )
+        b = sorted(
+            (r.query_id, r.rnk, r.neighbor_id, r.adist)
+            for r in QUERIES["x100_pq_index_append"](spark, SF_DIR).collect()
+        )
+        assert a == b and len(a) == 40  # 8 queries x top-5, no double-append
+
+    def test_x100_probe_scans_codes_only(self, spark):
+        # the lifecycle's point: after build+append, a probe never
+        # touches a raw embedding — only the small-int codes table
+        df = QUERIES["x100_pq_index_append"](spark, SF_DIR)
+        p = _plan(df)
+        assert "embedding" not in p
+        assert "CartesianProduct" not in p

@@ -1655,6 +1655,65 @@ def pq_index_topk(
     return _adc_rank(spark, codes, tab_rows, meta.n_subspaces, topk)
 
 
+def pq_index_append(
+    spark,
+    path: str,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """Append a batch of new vectors to a persisted PQ index WITHOUT
+    retraining: encode the batch with the index's FROZEN codebooks —
+    the in-row integer argmin against literal centroid arrays
+    (``_km_assign``, join-free and shuffle-free by construction) —
+    and append the resulting codes to ``{path}/codes``. Codebooks and
+    meta are never touched: appended rows probe through the identical
+    ADC tables as build-time rows, so append ≡ rebuild-encode under
+    the same codebooks (pytest-pinned), and codebook drift is an
+    explicit retrain decision, not an ingestion side-effect.
+
+    This is the index-freshness half of the 100 TB story
+    (write_pq_index is build-once; continuous ingestion needs
+    append-many): the cost per batch is a narrow quantize+slice+argmin
+    map per subspace, co-joined on the batch key (the delta batch is
+    the small side of ingestion by definition — the CORPUS is never
+    read, shuffled, or re-encoded), then a parquet append; the only
+    index state touched is the k*dim codebook scalars.
+    Quantization scale and shape come from the index's own meta, so a
+    batch can never be encoded on a different scale than the corpus;
+    a wrong-dimension vector fails the write loudly via an in-plan
+    assert (x66's budget-guard pattern) instead of silently encoding
+    garbage. Dedup of the batch against the corpus is upstream policy
+    (x70/x73's ingest_decisions family), not the encoder's.
+
+    Returns {"n_appended", "dim", "n_subspaces"}.
+    """
+    books, meta = _load_pq_index(spark, path)
+    sub = meta.dim // meta.n_subspaces
+    qdf = _pq_quantize(df, id_col, vec_col, meta.quantum).withColumn(
+        "qx",
+        F.expr(
+            f"CASE WHEN assert_true(size(qx) = {meta.dim}, "
+            f"'pq_index_append: vector dim != index dim {meta.dim}') IS NULL "
+            f"THEN qx END"
+        ),
+    )
+    codes: DataFrame | None = None
+    for s in range(meta.n_subspaces):
+        sdf = qdf.select(
+            "__id", F.slice(F.col("qx"), s * sub + 1, sub).alias("qx")
+        )
+        assigned = _km_assign(sdf, books[s], meta.k_codes).select(
+            "__id", F.col("cluster").alias(f"code_{s}")
+        )
+        codes = assigned if codes is None else codes.join(assigned, "__id")
+    codes.select(
+        "__id", *[f"code_{s}" for s in range(meta.n_subspaces)]
+    ).write.mode("append").parquet(f"{path}/codes")
+    n = df.count()  # batch-scan only; the encode ran once, in the write
+    return {"n_appended": n, "dim": meta.dim, "n_subspaces": meta.n_subspaces}
+
+
 def pq_stream_search(
     spark,
     path: str,

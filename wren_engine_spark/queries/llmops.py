@@ -20,6 +20,7 @@ from wren_engine_spark.operators.textnorm import WS_RE
 
 from wren_engine_spark.operators import dedup, multimodal, similarity, text
 from wren_engine_spark.queries.io import load_tables
+from wren_engine_spark.queries.memo import session_uid
 from wren_engine_spark.queries.registry import register
 
 _STOP = r"\b(the|a|an|and|of|to|in|is|it|that)\b"
@@ -409,7 +410,7 @@ def x63(spark: SparkSession, sf: str) -> DataFrame:
     import hashlib
 
     e = load_tables(spark, sf, "embeddings")["embeddings"]
-    key = (id(spark), sf)
+    key = (session_uid(spark), sf)
     # DETERMINISTIC name (md5 of the sf path, not Python hash() — which
     # is salted per process and would orphan a fresh warehouse table on
     # every run): same corpus -> same table, rebuilt only when absent

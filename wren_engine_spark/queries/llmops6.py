@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from wren_engine_spark.operators import dedup, text
 from wren_engine_spark.queries.io import load_tables
+from wren_engine_spark.queries.memo import session_uid
 from wren_engine_spark.queries.llmops import _PAIRS_CTES, _STOP
 from wren_engine_spark.queries.llmops3 import _PORTABLE_SIMHASH_CTES
 from wren_engine_spark.queries.registry import register
@@ -233,7 +234,7 @@ def x70(spark: SparkSession, sf: str) -> DataFrame:
     d = load_tables(spark, sf, "documents")["documents"]
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     delta = d.filter(F.col("doc_id") % 10 == 0)
-    key = (id(spark), sf)
+    key = (session_uid(spark), sf)
     table = f"simhash_idx_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
     if _SIMHASH_INDEX_MEMO.get(key) != table or not spark.catalog.tableExists(
         table
@@ -277,7 +278,7 @@ def t13(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_tables(spark, sf, "documents")["documents"]
     corpus = d.filter(F.col("doc_id") % 10 != 0)
-    key = (id(spark), sf)
+    key = (session_uid(spark), sf)
     table = f"simhash_idx_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
     if _SIMHASH_INDEX_MEMO.get(key) != table or not spark.catalog.tableExists(
         table
@@ -500,7 +501,7 @@ def x73(spark: SparkSession, sf: str) -> DataFrame:
     d = load_tables(spark, sf, "documents")["documents"]
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     delta = d.filter(F.col("doc_id") % 10 == 0)
-    key = (id(spark), sf)
+    key = (session_uid(spark), sf)
     table = f"simhash_idx_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
     if _SIMHASH_INDEX_MEMO.get(key) != table or not spark.catalog.tableExists(
         table

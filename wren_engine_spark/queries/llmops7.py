@@ -538,7 +538,12 @@ def x85(spark: SparkSession, sf: str) -> DataFrame:
 
 from wren_engine_spark.queries.llmops4 import _X55_D2, _X55_DOT  # noqa: E402
 
-_X14_NLIST = 8
+# nlist=4 (not 8): the in-row argmin trains against k x dim LITERAL
+# centroid arrays, so expression size — and Catalyst/codegen cost —
+# scales with k*dim; k=4 is x85's measured 2.4 s/2-iteration envelope
+# at sf0.1 while k=8 quadrupled the fold work for no added coverage
+# (nprobe=2 of 4 lists still scans ~50%, a genuine IVF trade)
+_X14_NLIST = 4
 _X14_NPROBE = 2
 _X14_K = 5
 _X14_ITERS = 2

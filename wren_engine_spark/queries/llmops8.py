@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from wren_engine_spark.operators import layout, metrics, similarity, text
 from wren_engine_spark.queries.io import load_tables
+from wren_engine_spark.queries.memo import session_uid
 from wren_engine_spark.queries.llmops import _NORM2
 from wren_engine_spark.queries.registry import register
 
@@ -955,7 +956,7 @@ def _ensure_pq_index(spark: SparkSession, sf: str) -> str:
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).removeprefix("file:")
     path = f"{wh}/pq_index_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
-    key = (id(spark), sf)
+    key = (session_uid(spark), sf)
     complete = os.path.isdir(f"{path}/codes") and os.path.isdir(f"{path}/meta")
     if _PQ_INDEX_MEMO.get(key) != path or not complete:
         e = load_tables(spark, sf, "embeddings")["embeddings"]

@@ -1,0 +1,204 @@
+"""Round-7 LLM-pipeline additions: PQ index lifecycle (append without
+retrain) — the index-freshness story a continuously-ingesting corpus
+needs on top of round 6's build-once/probe-many PQ family.
+
+Oracle convention unchanged (queries/registry.py docstring): exact
+integer arithmetic wherever a value feeds a comparison or a hash,
+IDENTICAL operation order for the few double expressions, identical
+aliases both sides. Discipline per the round-5 verdict: every entry
+lands with (a) a DuckDB oracle, (b) a plan assert for its scale story,
+(c) a brute-force property test (tests/test_llmops9.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wren_engine_spark.operators import similarity
+from wren_engine_spark.queries.io import load_tables
+from wren_engine_spark.queries.memo import session_uid
+from wren_engine_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# x100: append to the persisted PQ index with FROZEN codebooks, probe
+# across old + new rows. The oracle replays the full lifecycle: train
+# on the base corpus only (vec_id % 5 != 0), encode EVERYTHING with
+# those codebooks (append ≡ rebuild-encode under frozen codebooks, the
+# operator's contract), then ADC-rank the probes. Mirrors
+# queries/llmops8.py's _PQ_SUB template with the train/encode split.
+# ---------------------------------------------------------------------------
+
+# per-subspace chain: posb (base-only) feeds TRAINING (d1/a1/u1),
+# pos (all rows) feeds ENCODING (d2/code) and the query tables (qd)
+_PQA_SUB = """
+posb{s} AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+         qx[CAST({off} + i AS INTEGER)] AS qv
+  FROM (SELECT vec_id, qx, unnest(generate_series(1, {sub})) AS i FROM qb)
+),
+pos{s} AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+         qx[CAST({off} + i AS INTEGER)] AS qv
+  FROM (SELECT vec_id, qx, unnest(generate_series(1, {sub})) AS i FROM q)
+),
+c0_{s} AS (
+  SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
+         qx[CAST({off} + i AS INTEGER)] AS val
+  FROM (SELECT cluster, qx, unnest(generate_series(1, {sub})) AS i FROM init)
+),
+d1_{s} AS (
+  SELECT p.vec_id, c.cluster,
+         CAST(SUM((p.qv - c.val) * (p.qv - c.val)) AS BIGINT) AS dist
+  FROM posb{s} p JOIN c0_{s} c ON c.dim = p.dim
+  GROUP BY p.vec_id, c.cluster
+),
+a1_{s} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d1_{s}) WHERE rn = 1
+),
+u1_{s} AS (
+  SELECT a.cluster, p.dim,
+         CAST(floor(CAST(CAST(SUM(p.qv) AS BIGINT) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS val
+  FROM a1_{s} a JOIN posb{s} p ON p.vec_id = a.vec_id
+  GROUP BY a.cluster, p.dim
+),
+c1_{s} AS (
+  SELECT sp.cluster, dm.dim, COALESCE(u.val, c.val) AS val
+  FROM spine sp CROSS JOIN dims dm
+  LEFT JOIN u1_{s} u ON u.cluster = sp.cluster AND u.dim = dm.dim
+  JOIN c0_{s} c ON c.cluster = sp.cluster AND c.dim = dm.dim
+),
+d2_{s} AS (
+  SELECT p.vec_id, c.cluster,
+         CAST(SUM((p.qv - c.val) * (p.qv - c.val)) AS BIGINT) AS dist
+  FROM pos{s} p JOIN c1_{s} c ON c.dim = p.dim
+  GROUP BY p.vec_id, c.cluster
+),
+code_{s} AS (
+  SELECT vec_id, cluster AS code FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d2_{s}) WHERE rn = 1
+),
+qd_{s} AS (
+  SELECT p.vec_id AS query_id, c.cluster,
+         CAST(SUM((p.qv - c.val) * (p.qv - c.val)) AS BIGINT) AS d
+  FROM pos{s} p JOIN c1_{s} c ON c.dim = p.dim
+  WHERE p.vec_id < 8
+  GROUP BY 1, 2
+)"""
+
+_PQA_CTES = (
+    """
+    q AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+              FOR x IN embedding] AS qx
+      FROM embeddings
+    ),
+    qb AS (SELECT vec_id, qx FROM q WHERE vec_id % 5 <> 0),
+    init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, qx
+      FROM (SELECT vec_id, qx FROM qb ORDER BY vec_id LIMIT 4)
+    ),
+    spine AS (SELECT DISTINCT cluster FROM init),
+    dims AS (SELECT CAST(i - 1 AS INTEGER) AS dim
+             FROM (SELECT unnest(generate_series(1, 32)) AS i)),"""
+    + _PQA_SUB.format(s=0, off=0, sub=32)
+    + ","
+    + _PQA_SUB.format(s=1, off=32, sub=32)
+    + """,
+    ad AS (
+      SELECT qd0.query_id, k0.vec_id AS neighbor_id, qd0.d + qd1.d AS adist
+      FROM code_0 k0
+      JOIN code_1 k1 ON k1.vec_id = k0.vec_id
+      JOIN qd_0 qd0 ON qd0.cluster = k0.code
+      JOIN qd_1 qd1 ON qd1.query_id = qd0.query_id AND qd1.cluster = k1.code
+      WHERE k0.vec_id <> qd0.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist ASC, neighbor_id ASC) AS rnk
+      FROM ad
+    )"""
+)
+
+_PQ_APPEND_MEMO: dict = {}
+
+
+def _ensure_appended_pq_index(spark: SparkSession, sf: str) -> str:
+    """Build-once memo for the appended-PQ-index lifecycle: build the
+    index on the BASE corpus (vec_id % 5 != 0), append the delta
+    (vec_id % 5 == 0) with frozen codebooks, and mark completion. The
+    marker is removed before any rebuild and recreated only after the
+    append, so a partially-built index can never be mistaken for an
+    appended one (and re-running can never double-append)."""
+    import hashlib
+    import os
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = f"{wh}/pq_app_index_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    marker = f"{path}/_APPENDED"
+    key = (session_uid(spark), sf)
+    complete = (
+        os.path.isdir(f"{path}/codes")
+        and os.path.isdir(f"{path}/meta")
+        and os.path.isfile(marker)
+    )
+    if _PQ_APPEND_MEMO.get(key) != path or not complete:
+        e = load_tables(spark, sf, "embeddings")["embeddings"]
+        base = e.filter(F.col("vec_id") % 5 != 0)
+        delta = e.filter(F.col("vec_id") % 5 == 0)
+        if os.path.isfile(marker):
+            os.remove(marker)
+        # write_pq_index overwrites codes/codebooks/meta wholesale, so
+        # any previously-appended files are gone before the re-append
+        similarity.write_pq_index(
+            base, "vec_id", "embedding", path,
+            n_subspaces=2, k_codes=4, iters=1,
+        )
+        similarity.pq_index_append(spark, path, delta, "vec_id", "embedding")
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("appended\n")
+        _PQ_APPEND_MEMO[key] = path
+    return path
+
+
+@register(
+    "x100_pq_index_append",
+    f"""
+    WITH {_PQA_CTES}
+    SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def x100(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ index lifecycle — append without retrain: the index is built
+    on the base corpus only (vec_id % 5 != 0), the delta batch is
+    encoded with the FROZEN codebooks and appended
+    (similarity.pq_index_append — per-subspace narrow argmin maps over
+    the delta, corpus never re-read), and the probe ranks across old
+    AND new rows through the identical codes-only ADC scan
+    (similarity.pq_index_topk). The oracle replays train-on-base /
+    encode-everything / rank, which IS the operator's contract: under
+    frozen codebooks, append ≡ rebuild-encode, so appended rows probe
+    bit-identically to build-time rows. Composes with x70/x73/t13's
+    ingestion family (those decide WHAT to ingest; this keeps the ANN
+    index fresh for what was accepted)."""
+    path = _ensure_appended_pq_index(spark, sf)
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.pq_index_topk(spark, path, queries, topk=5)

@@ -285,6 +285,11 @@ def main() -> None:
     # (retired from rows-only) and the PQ index lifecycle
     R7 = [
         "x14_ivf_ann",
+        # PQ index lifecycle: append with frozen codebooks, then the
+        # compacted probe (memoized build — median amortizes to the
+        # steady-state probe, x70/x99's convention)
+        "x100_pq_index_append",
+        "x101_pq_index_compact",
     ]
     r7_timings, r7_total, r7_runs = run_suite(
         R7, "r7 operator sub-suite", freeze=True

@@ -215,3 +215,63 @@ class TestPQIndexAppend:
         p = _plan(df)
         assert "embedding" not in p
         assert "CartesianProduct" not in p
+
+
+class TestPQIndexCompact:
+    def _appended(self, spark, tmp_path):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        path = str(tmp_path / "pq_idx")
+        similarity.write_pq_index(
+            base, "vec_id", "embedding", path,
+            n_subspaces=2, k_codes=4, iters=1,
+        )
+        # several small appends — the small-file shape compaction fixes
+        for m in range(3):
+            delta = emb.filter(
+                (F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 3 == m)
+            )
+            similarity.pq_index_append(
+                spark, path, delta, "vec_id", "embedding"
+            )
+        return emb, path
+
+    def test_compact_shrinks_files_preserves_probe(self, spark, tmp_path):
+        emb, path = self._appended(spark, tmp_path)
+        queries = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        before = sorted(
+            (r.query_id, r.rnk, r.neighbor_id, r.adist)
+            for r in similarity.pq_index_topk(spark, path, queries).collect()
+        )
+        books_before, _ = similarity._load_pq_index(spark, path)
+        stats = similarity.pq_index_compact(spark, path)
+        assert stats["files_after"] < stats["files_before"]
+        assert stats["files_after"] == 1  # tiny corpus -> one 128MiB bin
+        assert stats["n_rows"] == emb.count()
+        after = sorted(
+            (r.query_id, r.rnk, r.neighbor_id, r.adist)
+            for r in similarity.pq_index_topk(spark, path, queries).collect()
+        )
+        assert after == before  # content-preserving by contract
+        books_after, _ = similarity._load_pq_index(spark, path)
+        assert books_after == books_before
+
+    def test_compact_is_idempotent(self, spark, tmp_path):
+        _emb, path = self._appended(spark, tmp_path)
+        similarity.pq_index_compact(spark, path)
+        again = similarity.pq_index_compact(spark, path)
+        assert again["files_before"] == again["files_after"] == 1
+
+    def test_x101_matches_x100_rows(self, spark):
+        # compaction must not change what the driver oracle sees
+        a = sorted(
+            (r.query_id, r.rnk, r.neighbor_id, r.adist)
+            for r in QUERIES["x100_pq_index_append"](spark, SF_DIR).collect()
+        )
+        b = sorted(
+            (r.query_id, r.rnk, r.neighbor_id, r.adist)
+            for r in QUERIES["x101_pq_index_compact"](spark, SF_DIR).collect()
+        )
+        assert a == b

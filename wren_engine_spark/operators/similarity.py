@@ -1714,6 +1714,61 @@ def pq_index_append(
     return {"n_appended": n, "dim": meta.dim, "n_subspaces": meta.n_subspaces}
 
 
+def pq_index_compact(
+    spark,
+    path: str,
+    target_files: int | None = None,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact the PQ index's codes table after many appends. Every
+    ``pq_index_append`` batch adds >= 1 parquet file; under continuous
+    ingestion the codes directory degrades into the classic small-file
+    problem (per-file open/footer cost dominates the narrow-int scan,
+    and listing slows every probe). Compaction coalesces the codes to
+    ``target_files`` (default: total bytes / 128 MiB, min 1) WITHOUT a
+    shuffle — ``coalesce`` merges input splits narrowly; row content,
+    codebooks, and meta are untouched, so probes are bit-identical
+    before and after (pytest-pinned, and x101 re-certifies through the
+    same driver oracle as x100).
+
+    The rewrite goes to ``{path}/codes.compacting`` and is swapped in
+    with directory renames (atomic on POSIX and HDFS; an object store
+    would swap a manifest instead — same protocol, different rename).
+
+    Returns {"files_before", "files_after", "n_rows"}.
+    """
+    import math
+    import os
+    import shutil
+
+    codes_dir = f"{path}/codes"
+    df = spark.read.parquet(codes_dir)
+    files_before = len(df.inputFiles())
+    n_rows = df.count()
+    if target_files is None:
+        total = 0
+        for dirpath, _dirs, files in os.walk(codes_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+        target_files = max(1, math.ceil(total / float(target_bytes_per_file)))
+    tmp = f"{path}/codes.compacting"
+    old = f"{path}/codes.old"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    for stale in (old,):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    os.rename(codes_dir, old)
+    os.rename(tmp, codes_dir)
+    shutil.rmtree(old)
+    files_after = len(spark.read.parquet(codes_dir).inputFiles())
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "n_rows": n_rows,
+    }
+
+
 def pq_stream_search(
     spark,
     path: str,

@@ -159,8 +159,9 @@ def _ensure_appended_pq_index(spark: SparkSession, sf: str) -> str:
         e = load_tables(spark, sf, "embeddings")["embeddings"]
         base = e.filter(F.col("vec_id") % 5 != 0)
         delta = e.filter(F.col("vec_id") % 5 == 0)
-        if os.path.isfile(marker):
-            os.remove(marker)
+        for m in (marker, f"{path}/_COMPACTED"):
+            if os.path.isfile(m):
+                os.remove(m)
         # write_pq_index overwrites codes/codebooks/meta wholesale, so
         # any previously-appended files are gone before the re-append
         similarity.write_pq_index(
@@ -171,6 +172,22 @@ def _ensure_appended_pq_index(spark: SparkSession, sf: str) -> str:
         with open(marker, "w", encoding="utf-8") as f:
             f.write("appended\n")
         _PQ_APPEND_MEMO[key] = path
+    return path
+
+
+def _ensure_compacted_pq_index(spark: SparkSession, sf: str) -> str:
+    """x101's half of the lifecycle: the appended index, compacted.
+    Compaction is content-preserving, so running it once per built
+    index is purely an I/O-shape change; the marker makes re-entry a
+    no-op instead of a redundant rewrite."""
+    import os
+
+    path = _ensure_appended_pq_index(spark, sf)
+    marker = f"{path}/_COMPACTED"
+    if not os.path.isfile(marker):
+        similarity.pq_index_compact(spark, path)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("compacted\n")
     return path
 
 
@@ -197,6 +214,34 @@ def x100(spark: SparkSession, sf: str) -> DataFrame:
     ingestion family (those decide WHAT to ingest; this keeps the ANN
     index fresh for what was accepted)."""
     path = _ensure_appended_pq_index(spark, sf)
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.pq_index_topk(spark, path, queries, topk=5)
+
+
+@register(
+    "x101_pq_index_compact",
+    f"""
+    WITH {_PQA_CTES}
+    SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def x101(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ index lifecycle, maintenance half — compact after append:
+    every ingestion batch appends >= 1 parquet file, so a
+    continuously-fed index degrades into small files whose per-file
+    open cost dominates the narrow codes scan. x101 compacts the
+    appended index (similarity.pq_index_compact — shuffle-free
+    coalesce rewrite, atomic directory swap, codebooks/meta untouched)
+    and probes it through the SAME oracle as x100: compaction is
+    content-preserving by contract, so the bit-identical driver row is
+    the certification. tests/test_llmops9.py pins the file-count drop
+    and before/after probe equality."""
+    path = _ensure_compacted_pq_index(spark, sf)
     e = load_tables(spark, sf, "embeddings")["embeddings"]
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")

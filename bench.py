@@ -290,6 +290,8 @@ def main() -> None:
         # steady-state probe, x70/x99's convention)
         "x100_pq_index_append",
         "x101_pq_index_compact",
+        # streaming ingestion into the same index family (foreachBatch)
+        "t16_stream_index_append",
     ]
     r7_timings, r7_total, r7_runs = run_suite(
         R7, "r7 operator sub-suite", freeze=True

@@ -264,6 +264,20 @@ class TestPQIndexCompact:
         again = similarity.pq_index_compact(spark, path)
         assert again["files_before"] == again["files_after"] == 1
 
+    def test_t16_stream_append_matches_batch_append(self, spark):
+        # per-row encoding is batching-invariant: however the stream
+        # slices the delta into microbatches, the probe must equal the
+        # batch-appended index's probe row-for-row
+        a = sorted(
+            (r.query_id, r.rnk, r.neighbor_id, r.adist)
+            for r in QUERIES["x100_pq_index_append"](spark, SF_DIR).collect()
+        )
+        t = sorted(
+            (r.query_id, r.rnk, r.neighbor_id, r.adist)
+            for r in QUERIES["t16_stream_index_append"](spark, SF_DIR).collect()
+        )
+        assert t == a
+
     def test_x101_matches_x100_rows(self, spark):
         # compaction must not change what the driver oracle sees
         a = sorted(

@@ -221,6 +221,103 @@ def x100(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.pq_index_topk(spark, path, queries, topk=5)
 
 
+_PQ_STREAM_APPEND_MEMO: dict = {}
+
+
+def _ensure_stream_appended_pq_index(spark: SparkSession, sf: str) -> str:
+    """t16's index: build on the base corpus, then the delta arrives
+    as a STREAM and every microbatch foreachBatch-appends through the
+    same frozen-codebook encoder (similarity.pq_index_append) —
+    Structured Streaming's canonical pattern for feeding a
+    non-streaming sink. availableNow-bounded with the run_available_now
+    timeout discipline; the checkpoint is wiped on rebuild so a
+    re-built index can never skip the delta as already-processed."""
+    import hashlib
+    import os
+    import shutil
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = f"{wh}/pq_sapp_index_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    marker = f"{path}/_STREAM_APPENDED"
+    key = (session_uid(spark), sf)
+    complete = (
+        os.path.isdir(f"{path}/codes")
+        and os.path.isdir(f"{path}/meta")
+        and os.path.isfile(marker)
+    )
+    if _PQ_STREAM_APPEND_MEMO.get(key) != path or not complete:
+        if os.path.isfile(marker):
+            os.remove(marker)
+        if os.path.isdir(f"{path}/_checkpoint"):
+            shutil.rmtree(f"{path}/_checkpoint")
+        e = load_tables(spark, sf, "embeddings")["embeddings"]
+        base = e.filter(F.col("vec_id") % 5 != 0)
+        similarity.write_pq_index(
+            base, "vec_id", "embedding", path,
+            n_subspaces=2, k_codes=4, iters=1,
+        )
+        schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf)
+            .filter(F.col("vec_id") % 5 == 0)
+        )
+
+        def _append(batch_df, _epoch_id):
+            similarity.pq_index_append(
+                spark, path, batch_df, "vec_id", "embedding"
+            )
+
+        q = (
+            src.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", f"{path}/_checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # run_available_now's bound: a wedged replay surfaces as a
+        # fast, attributable error, never a hung harness
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t16 stream append did not terminate")
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("stream-appended\n")
+        _PQ_STREAM_APPEND_MEMO[key] = path
+    return path
+
+
+@register(
+    "t16_stream_index_append",
+    f"""
+    WITH {_PQA_CTES}
+    SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def t16(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING ingestion into the persisted PQ index (x100's
+    lifecycle with the delta arriving as a stream): each microbatch
+    foreachBatch-appends through the frozen-codebook encoder —
+    per-row encoding is batching-invariant, so however availableNow
+    slices the delta, the index content is identical to the batch
+    append, and the SAME unrolled train-on-base/encode-all oracle
+    certifies the streamed path with its own driver row (t13's
+    batch/stream-agreement discipline, applied to index maintenance).
+    The probe itself is the codes-only ADC scan. 13th oracle-checked
+    streaming entry; first foreachBatch sink in the corpus — the
+    pattern a production pipeline uses to feed ANY non-streaming
+    store from a stream."""
+    path = _ensure_stream_appended_pq_index(spark, sf)
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.pq_index_topk(spark, path, queries, topk=5)
+
+
 @register(
     "x101_pq_index_compact",
     f"""

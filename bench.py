@@ -292,6 +292,8 @@ def main() -> None:
         "x101_pq_index_compact",
         # streaming ingestion into the same index family (foreachBatch)
         "t16_stream_index_append",
+        # constant-size bloom screen: join-free decontamination pre-pass
+        "x102_bloom_decontamination_screen",
     ]
     r7_timings, r7_total, r7_runs = run_suite(
         R7, "r7 operator sub-suite", freeze=True

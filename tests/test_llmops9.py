@@ -217,6 +217,113 @@ class TestPQIndexAppend:
         assert "CartesianProduct" not in p
 
 
+class TestBloomDecontaminationScreen:
+    M1, M2 = 2147483647, 2147483629
+    B1, B2 = 1000003, 999983
+    NBITS = 1024 * 63
+    MULTS = (48271, 69621, 16807)
+
+    def _tok_hash(self, tok):
+        acc = 0
+        for ch in tok:
+            acc = (acc * 31 + ord(ch)) % self.M1
+        return acc
+
+    def _windows(self, text, w=8):
+        import re
+
+        toks = re.split(r"[ \t\n\x0B\f\r]+", text.strip())
+        th = [self._tok_hash(t) for t in toks]
+        if len(th) < w:
+            return None
+        out = []
+        for i in range(len(th) - w + 1):
+            h1 = h2 = 0
+            for h in th[i:i + w]:
+                h1 = (h1 * self.B1 + h) % self.M1
+                h2 = (h2 * self.B2 + h) % self.M2
+            out.append(h1 * self.M2 + h2)
+        return out
+
+    def _positions(self, wh):
+        g = wh % self.M1
+        return [(g * a % self.M1) % self.NBITS for a in self.MULTS]
+
+    def test_matches_pure_python_bloom(self, spark):
+        import duckdb
+
+        raw = duckdb.sql(
+            f"SELECT doc_id, text FROM "
+            f"read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+        bits = set()
+        for doc_id, txt in raw:
+            if doc_id % 10 == 0:
+                for wh in (self._windows(txt) or []):
+                    bits.update(self._positions(wh))
+        want = {}
+        for doc_id, txt in raw:
+            if doc_id % 10 == 0:
+                continue
+            wins = self._windows(txt)
+            if wins is None:
+                continue
+            hits = sum(
+                1 for wh in wins
+                if all(p in bits for p in self._positions(wh))
+            )
+            want[doc_id] = (len(wins), hits, hits > 0)
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        from wren_engine_spark.operators import text as tx
+
+        got = {
+            r.doc_id: (r.n_windows, r.n_bloom_hits, r.maybe_contaminated)
+            for r in tx.bloom_decontamination_screen(
+                d.filter(F.col("doc_id") % 10 != 0),
+                d.filter(F.col("doc_id") % 10 == 0),
+                "text", "doc_id",
+            ).collect()
+        }
+        assert got == want
+
+    def test_no_false_negatives_vs_exact(self, spark):
+        # the screen's guarantee: every doc the EXACT window-membership
+        # pass finds contaminated must be flagged (FPs allowed, FNs not)
+        from wren_engine_spark.operators import text as tx
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        train = d.filter(F.col("doc_id") % 10 != 0)
+        test = d.filter(F.col("doc_id") % 10 == 0)
+        exact = {
+            r.doc_id
+            for r in tx.contamination_spans(
+                train, test, "text", "doc_id", window_tokens=8
+            ).select("doc_id").distinct().collect()
+        }
+        flagged = {
+            r.doc_id
+            for r in tx.bloom_decontamination_screen(
+                train, test, "text", "doc_id"
+            ).filter(F.col("maybe_contaminated")).collect()
+        }
+        assert exact <= flagged
+
+    def test_probe_plan_is_join_and_shuffle_free(self, spark):
+        # the operator's reason to exist: the probe is one narrow map
+        # over the corpus — the 8KB filter rides as a literal, so there
+        # is NO join, NO exchange, NO Python eval anywhere in the plan
+        df = QUERIES["x102_bloom_decontamination_screen"](spark, SF_DIR)
+        p = _plan(df)
+        for bad in ("Join", "Exchange hashpartitioning",
+                    "BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in p, bad
+        # the only exchange allowed is load_tables' deliberate
+        # round-robin scan fan-out — never a key shuffle
+        for line in p.splitlines():
+            if "Exchange" in line:
+                assert "RoundRobinPartitioning" in line, line
+
+
 class TestPQIndexCompact:
     def _appended(self, spark, tmp_path):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

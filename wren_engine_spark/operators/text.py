@@ -1565,3 +1565,115 @@ def vocab_coverage(
         )
         .orderBy("vocab_size")
     )
+
+
+def bloom_decontamination_screen(
+    train_df: DataFrame,
+    test_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 8,
+    n_words: int = 1024,
+) -> DataFrame:
+    """Bloom-filter contamination SCREEN: a constant-size membership
+    test that flags which training documents MIGHT contain a held-out
+    ``window_tokens``-token window — the cheap first pass a 100 TB
+    pipeline runs before the exact span localization
+    (``contamination_spans``). The filter is ``n_words`` 63-bit words
+    (8 KB at the default) REGARDLESS of held-out size, rides the plan
+    as a literal array, and the probe is one in-row HOF over each
+    training doc's window hashes: no join, no shuffle, no broadcast
+    that scales with the held-out corpus. False positives are possible
+    (that is the trade); false negatives are not — every genuinely
+    contaminated doc is flagged, so the exact pass only needs to read
+    the screened subset.
+
+    PORTABLE by construction, so a SQL oracle replays it bit-for-bit:
+    window hashes are the x44 two-plane 62-bit construction (same
+    arithmetic as contamination_spans), and each window sets k=3 bits
+    at pmod(pmod(wh, M1) * A_k, M1) % (n_words*63) with the reduce-
+    before-small-modulus rule (multiplying first and taking the small
+    modulus directly would leak the product's even factor — the r5
+    x65 parity postmortem). Bits pack 63 per word (bit 63 unused) so
+    shifts never touch the sign bit in any engine.
+
+    Returns (id, n_windows, n_bloom_hits, maybe_contaminated) for
+    every training doc with >= ``window_tokens`` tokens.
+
+    Build cost: the held-out windows explode map-side, 3 positions
+    each, then ONE bit_or groupBy with at most ``n_words`` reduce-side
+    groups; the collected filter is bounded driver state (n_words
+    longs — the x85 convergence-scalar pattern).
+    """
+    w = window_tokens
+    n_bits = n_words * 63
+    th = (
+        "transform(__t, tok -> aggregate(transform(sequence(1, length(tok)), "
+        "i -> cast(ascii(substring(tok, i, 1)) as bigint)), cast(0 as bigint), "
+        "(acc, c) -> pmod(acc * 31 + c, 2147483647)))"
+    )
+    fold = (
+        "aggregate(slice(__th, i, {w}), cast(0 as bigint), "
+        "(acc, h) -> pmod(acc * {b} + h, {m}))"
+    )
+    f1 = fold.format(w=w, b=_WH_BASE1, m=_WH_MOD1)
+    f2 = fold.format(w=w, b=_WH_BASE2, m=_WH_MOD2)
+    win_expr = (
+        f"transform(sequence(1, size(__th) - {w} + 1), "
+        f"i -> {f1} * cast({_WH_MOD2} as bigint) + {f2})"
+    )
+
+    def _wins(df: DataFrame) -> DataFrame:
+        toks = F.split(F.trim(F.col(text_col)), WS_RE)
+        return (
+            df.select(F.col(id_col), toks.alias("__t"))
+            .filter(F.size("__t") >= w)
+            .select(F.col(id_col), F.expr(th).alias("__th"))
+            .select(F.col(id_col), F.explode(F.expr(win_expr)).alias("__w"))
+        )
+
+    mults = (48271, 69621, 16807)
+    pos_exprs = [
+        f"pmod(pmod(__w, {_WH_MOD1}) * {a}, {_WH_MOD1}) % {n_bits}"
+        for a in mults
+    ]
+    # build: held-out windows -> 3 bit positions each -> one bit_or
+    # groupBy (<= n_words reduce groups) -> n_words driver longs
+    built = (
+        _wins(test_df)
+        .select(F.explode(F.array(*[F.expr(p) for p in pos_exprs])).alias("__p"))
+        .select(
+            F.expr("cast(__p div 63 as int)").alias("__word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(__p % 63 as int))").alias(
+                "__mask"
+            ),
+        )
+        .groupBy("__word")
+        .agg(F.expr("bit_or(__mask)").alias("__v"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in built:
+        words[r["__word"]] = r["__v"]
+    words_lit = F.array(*[F.lit(int(v)).cast("long") for v in words])
+
+    checks = " AND ".join(
+        f"(shiftright(element_at(__bf, cast(({p}) div 63 as int) + 1), "
+        f"cast(({p}) % 63 as int)) & 1) = 1"
+        for p in pos_exprs
+    )
+    hits_expr = f"size(filter(__ws, __w -> {checks}))"
+    toks = F.split(F.trim(F.col(text_col)), WS_RE)
+    return (
+        train_df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") >= w)
+        .select(F.col(id_col), F.expr(th).alias("__th"))
+        .select(F.col(id_col), F.expr(win_expr).alias("__ws"))
+        .withColumn("__bf", words_lit)
+        .select(
+            F.col(id_col),
+            F.size("__ws").cast("bigint").alias("n_windows"),
+            F.expr(hits_expr).cast("bigint").alias("n_bloom_hits"),
+            (F.expr(hits_expr) > 0).alias("maybe_contaminated"),
+        )
+    )

@@ -15,8 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from wren_engine_spark.operators import similarity
+from wren_engine_spark.operators import similarity, text
 from wren_engine_spark.queries.io import load_tables
+from wren_engine_spark.queries.llmops7 import _TOKHASH
 from wren_engine_spark.queries.memo import session_uid
 from wren_engine_spark.queries.registry import register
 
@@ -344,3 +345,92 @@ def x101(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return similarity.pq_index_topk(spark, path, queries, topk=5)
+
+
+# ---------------------------------------------------------------------------
+# x102: Bloom-filter decontamination screen — constant-size membership
+# test before the exact span pass (x86). The window-hash CTEs mirror
+# llmops7._SPAN_CTES (same two-plane construction); each window sets
+# k=3 bits with the reduce-before-small-modulus rule.
+# ---------------------------------------------------------------------------
+
+_X102_NBITS = 1024 * 63
+_X102_MULTS = (48271, 69621, 16807)
+
+
+def _x102_pos(mult: int) -> str:
+    return f"((wh % 2147483647) * {mult} % 2147483647) % {_X102_NBITS}"
+
+
+@register(
+    "x102_bloom_decontamination_screen",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+      FROM documents
+    ),
+    thall AS (SELECT doc_id, {_TOKHASH} AS th FROM toks),
+    ok AS (SELECT doc_id, th FROM thall WHERE len(th) >= 8),
+    wins AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
+                 (acc, h) -> (acc * 1000003 + h) % 2147483647) * 2147483629
+           + list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+7]),
+                 (acc, h) -> (acc * 999983 + h) % 2147483629) AS wh
+      FROM ok, LATERAL unnest(generate_series(1, len(th) - 7)) AS u(i)
+    ),
+    heldpos AS (
+      SELECT {_x102_pos(_X102_MULTS[0])} AS p FROM wins WHERE doc_id % 10 = 0
+      UNION
+      SELECT {_x102_pos(_X102_MULTS[1])} FROM wins WHERE doc_id % 10 = 0
+      UNION
+      SELECT {_x102_pos(_X102_MULTS[2])} FROM wins WHERE doc_id % 10 = 0
+    ),
+    words AS (
+      SELECT p // 63 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS v
+      FROM heldpos GROUP BY 1
+    ),
+    probe AS (
+      SELECT doc_id,
+             {_x102_pos(_X102_MULTS[0])} AS p1,
+             {_x102_pos(_X102_MULTS[1])} AS p2,
+             {_x102_pos(_X102_MULTS[2])} AS p3
+      FROM wins WHERE doc_id % 10 <> 0
+    ),
+    hitw AS (
+      SELECT pr.doc_id,
+             CASE WHEN ((w1.v >> CAST(pr.p1 % 63 AS INTEGER)) & 1) = 1
+                   AND ((w2.v >> CAST(pr.p2 % 63 AS INTEGER)) & 1) = 1
+                   AND ((w3.v >> CAST(pr.p3 % 63 AS INTEGER)) & 1) = 1
+                  THEN 1 ELSE 0 END AS hit
+      FROM probe pr
+      LEFT JOIN words w1 ON w1.w = pr.p1 // 63
+      LEFT JOIN words w2 ON w2.w = pr.p2 // 63
+      LEFT JOIN words w3 ON w3.w = pr.p3 // 63
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(hit) AS BIGINT) AS n_bloom_hits,
+           (SUM(hit) > 0) AS maybe_contaminated
+    FROM hitw GROUP BY doc_id
+    """,
+)
+def x102(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter contamination screen: flags which training docs
+    (doc_id % 10 != 0) MIGHT contain a held-out 8-token window using a
+    fixed 8 KB filter (1024 x 63-bit words) that rides the plan as a
+    literal — no join, no shuffle, no broadcast that scales with the
+    held-out corpus (operators/text.bloom_decontamination_screen).
+    False positives possible and deterministic (the oracle replays
+    every bit: the two-plane window hashes, the k=3
+    reduce-before-small-modulus positions, the bit_or packing); false
+    negatives impossible — the guarantee that lets the exact x86 span
+    pass read only the screened subset. Build side is one bit_or
+    groupBy with <= 1024 reduce groups; the filter is bounded driver
+    state (1024 longs)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    test = d.filter(F.col("doc_id") % 10 == 0)
+    return text.bloom_decontamination_screen(
+        train, test, "text", "doc_id", window_tokens=8, n_words=1024
+    )

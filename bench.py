@@ -135,11 +135,16 @@ def main() -> None:
     )
 
     def run_suite(names: list[str], label: str, freeze: bool = False):
+        # frozen records key on (sf_dir, entry): a one-off bench run at
+        # another SF adds records instead of clobbering the committed
+        # sf0.1 trend medians
+        def fkey(n: str) -> str:
+            return f"{sf_dir}|{n}"
+
         if freeze:
             stale = [
                 n for n in names
-                if frozen.get(n, {}).get("fp") != cur_fp[n]
-                or frozen.get(n, {}).get("sf_dir") != sf_dir
+                if frozen.get(fkey(n), {}).get("fp") != cur_fp[n]
             ]
         else:
             stale = list(names)
@@ -160,17 +165,19 @@ def main() -> None:
             if n in per:
                 meds[n] = round(med(per[n]), 3)
                 if freeze:
-                    frozen[n] = {"fp": cur_fp[n], "sf_dir": sf_dir,
-                                 "med_s": meds[n]}
+                    frozen[fkey(n)] = {"fp": cur_fp[n], "med_s": meds[n]}
             else:
-                meds[n] = frozen[n]["med_s"]
+                meds[n] = frozen[fkey(n)]["med_s"]
         total = round(sum(meds.values()), 3)
         print(
             f"# {label}: {total:.1f}s ({len(stale)}/{len(names)} measured,"
             f" runs: {totals})",
             file=sys.stderr,
         )
-        return meds, total, totals
+        # `totals` covers ONLY the re-measured subset; `stale` makes
+        # the artifact self-describing so a partial-run total is never
+        # misread as a whole-suite trend point
+        return meds, total, totals, stale
 
     # round-4 operator sub-suite: separate total so the HEADLINE stays
     # comparable round-over-round while new operators still get a
@@ -184,7 +191,7 @@ def main() -> None:
         "x54_curation_provenance",
         "x56_neardup_decontamination",
     ]
-    ext_timings, ext_total, ext_runs = run_suite(
+    ext_timings, ext_total, ext_runs, ext_measured = run_suite(
         EXT, "r4 operator sub-suite", freeze=True
     )
 
@@ -201,7 +208,7 @@ def main() -> None:
         "x65_shard_assignments",
         "t12_stream_point_in_time_join",
     ]
-    r5_timings, r5_total, r5_runs = run_suite(
+    r5_timings, r5_total, r5_runs, r5_measured = run_suite(
         R5, "r5 operator sub-suite", freeze=True
     )
 
@@ -277,7 +284,7 @@ def main() -> None:
         # (online-RAG shape; availableNow replay)
         "t15_stream_vector_search",
     ]
-    r6_timings, r6_total, r6_runs = run_suite(
+    r6_timings, r6_total, r6_runs, r6_measured = run_suite(
         R6, "r6 operator sub-suite", freeze=True
     )
 
@@ -295,7 +302,7 @@ def main() -> None:
         # constant-size bloom screen: join-free decontamination pre-pass
         "x102_bloom_decontamination_screen",
     ]
-    r7_timings, r7_total, r7_runs = run_suite(
+    r7_timings, r7_total, r7_runs, r7_measured = run_suite(
         R7, "r7 operator sub-suite", freeze=True
     )
 
@@ -309,7 +316,7 @@ def main() -> None:
     # metric — the reference's correctness corpus is TPC-H, so this is
     # the closest apples-to-apples execution number
     tpch = sorted(n for n in QUERIES if n[0] == "q" and n[1].isdigit())
-    tpch_timings, tpch_total, tpch_runs = run_suite(
+    tpch_timings, tpch_total, tpch_runs, _ = run_suite(
         tpch, f"tpch suite ({len(tpch)} queries)"
     )
 
@@ -390,12 +397,16 @@ def main() -> None:
         tpch_run_totals=tpch_runs,
         r4_ops=ext_timings,
         r4_ops_run_totals=ext_runs,
+        r4_ops_measured=ext_measured,
         r5_ops=r5_timings,
         r5_ops_run_totals=r5_runs,
+        r5_ops_measured=r5_measured,
         r6_ops=r6_timings,
         r6_ops_run_totals=r6_runs,
+        r6_ops_measured=r6_measured,
         r7_ops=r7_timings,
         r7_ops_run_totals=r7_runs,
+        r7_ops_measured=r7_measured,
         x63_probe_runs_ms=[round(x, 1) for x in probe_lat],
     )
     detail_path = os.path.join(

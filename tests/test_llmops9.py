@@ -185,6 +185,49 @@ class TestPQIndexAppend:
         got = {(r.query_id, r.rnk): (r.neighbor_id, r.adist) for r in res}
         assert got == want
 
+    def test_epoch_append_is_idempotent(self, spark, tmp_path):
+        import os
+
+        emb, _base, delta, path = self._built(spark, tmp_path)
+        similarity.pq_index_append(
+            spark, path, delta, "vec_id", "embedding", epoch_id=3
+        )
+        n_once = spark.read.parquet(f"{path}/codes").count()
+        # full replay of the same epoch (checkpoint lost its commit)
+        out = similarity.pq_index_append(
+            spark, path, delta, "vec_id", "embedding", epoch_id=3
+        )
+        assert out.get("skipped") is True
+        assert spark.read.parquet(f"{path}/codes").count() == n_once
+        # crash-sim: epoch marker lost AFTER the data landed — the
+        # deterministic epoch-file names still converge to one copy
+        os.remove(f"{path}/_epoch_3")
+        similarity.pq_index_append(
+            spark, path, delta, "vec_id", "embedding", epoch_id=3
+        )
+        assert spark.read.parquet(f"{path}/codes").count() == n_once
+        assert n_once == emb.count()
+
+    def test_rebuild_clears_epoch_markers(self, spark, tmp_path):
+        import os
+
+        emb, base, delta, path = self._built(spark, tmp_path)
+        similarity.pq_index_append(
+            spark, path, delta, "vec_id", "embedding", epoch_id=0
+        )
+        assert os.path.isfile(f"{path}/_epoch_0")
+        # rebuilding the index resets it wholesale: a replayed epoch 0
+        # must append into the NEW index, not skip on a stale marker
+        similarity.write_pq_index(
+            base, "vec_id", "embedding", path,
+            n_subspaces=2, k_codes=4, iters=1,
+        )
+        assert not os.path.isfile(f"{path}/_epoch_0")
+        similarity.pq_index_append(
+            spark, path, delta, "vec_id", "embedding", epoch_id=0
+        )
+        assert spark.read.parquet(f"{path}/codes").count() == emb.count()
+
     def test_append_dim_mismatch_fails_loudly(self, spark, tmp_path):
         import pytest
 

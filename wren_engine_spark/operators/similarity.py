@@ -1579,6 +1579,9 @@ def write_pq_index(
     Returns {"dim", "sub", "n_subspaces", "k_codes", "quantum",
     "n_vectors"}.
     """
+    import glob as _glob
+    import os as _os
+
     spark = df.sparkSession
     qdf = _pq_quantize(df, id_col, vec_col, quantum)
     codebooks, codes, dim, sub = _train_pq(qdf, n_subspaces, k_codes, iters)
@@ -1586,6 +1589,11 @@ def write_pq_index(
         "__id", *[F.col(f"__code_{s}").alias(f"code_{s}") for s in range(n_subspaces)]
     )
     out_codes.write.mode("overwrite").parquet(f"{path}/codes")
+    # a (re)build resets the index wholesale: stale idempotent-append
+    # epoch markers from a previous incarnation must not make a
+    # replayed epoch skip its append into the NEW index
+    for m in _glob.glob(f"{path}/_epoch_*"):
+        _os.remove(m)
     book_rows = [
         (s, c, d, int(codebooks[s][c][d]))
         for s in range(n_subspaces)
@@ -1661,6 +1669,7 @@ def pq_index_append(
     df: DataFrame,
     id_col: str,
     vec_col: str,
+    epoch_id: int | None = None,
 ) -> dict:
     """Append a batch of new vectors to a persisted PQ index WITHOUT
     retraining: encode the batch with the index's FROZEN codebooks —
@@ -1686,7 +1695,18 @@ def pq_index_append(
     garbage. Dedup of the batch against the corpus is upstream policy
     (x70/x73's ingest_decisions family), not the encoder's.
 
-    Returns {"n_appended", "dim", "n_subspaces"}.
+    Delivery semantics: a bare append is AT-LEAST-ONCE — a caller that
+    retries after a crash between the parquet append and its own
+    bookkeeping would double-append. Pass ``epoch_id`` (e.g. the
+    foreachBatch batch id) for an IDEMPOTENT append: the batch's codes
+    are staged, moved into the codes directory under deterministic
+    ``epoch-{id}-*`` names (any stragglers from a crashed earlier
+    attempt of the SAME epoch are deleted first), and the epoch is
+    marked done — a replayed microbatch converges to exactly one copy
+    no matter where the previous attempt died.
+
+    Returns {"n_appended", "dim", "n_subspaces"} (+"skipped": True
+    when the epoch was already fully applied).
     """
     books, meta = _load_pq_index(spark, path)
     sub = meta.dim // meta.n_subspaces
@@ -1707,9 +1727,42 @@ def pq_index_append(
             "__id", F.col("cluster").alias(f"code_{s}")
         )
         codes = assigned if codes is None else codes.join(assigned, "__id")
-    codes.select(
+    out = codes.select(
         "__id", *[f"code_{s}" for s in range(meta.n_subspaces)]
-    ).write.mode("append").parquet(f"{path}/codes")
+    )
+    if epoch_id is None:
+        out.write.mode("append").parquet(f"{path}/codes")
+    else:
+        import glob
+        import os
+        import shutil
+
+        marker = f"{path}/_epoch_{int(epoch_id)}"
+        if os.path.isfile(marker):
+            return {
+                "n_appended": 0,
+                "dim": meta.dim,
+                "n_subspaces": meta.n_subspaces,
+                "skipped": True,
+            }
+        staging = f"{path}/.staging-{int(epoch_id)}"
+        out.write.mode("overwrite").parquet(staging)
+        # delete any stragglers from a crashed earlier attempt of this
+        # epoch, then move the staged parts in under deterministic
+        # names; os.replace is idempotent, so a re-run converges
+        for stale in glob.glob(f"{path}/codes/epoch-{int(epoch_id)}-*.parquet"):
+            os.remove(stale)
+        parts = sorted(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        for i, f in enumerate(parts):
+            os.replace(
+                os.path.join(staging, f),
+                f"{path}/codes/epoch-{int(epoch_id)}-{i:05d}.parquet",
+            )
+        shutil.rmtree(staging)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("done\n")
     n = df.count()  # batch-scan only; the encode ran once, in the write
     return {"n_appended": n, "dim": meta.dim, "n_subspaces": meta.n_subspaces}
 
@@ -1732,8 +1785,12 @@ def pq_index_compact(
     same driver oracle as x100).
 
     The rewrite goes to ``{path}/codes.compacting`` and is swapped in
-    with directory renames (atomic on POSIX and HDFS; an object store
-    would swap a manifest instead — same protocol, different rename).
+    with two directory renames. Each rename is atomic (POSIX/HDFS),
+    but the PAIR is not: a crash between them leaves ``codes`` absent
+    with the previous data intact at ``codes.old`` — the next call
+    (or probe-side rebuild) restores it, and the recovery guard below
+    runs first thing. A production object store would swap a manifest
+    pointer instead, collapsing the window to one atomic write.
 
     Returns {"files_before", "files_after", "n_rows"}.
     """
@@ -1742,6 +1799,11 @@ def pq_index_compact(
     import shutil
 
     codes_dir = f"{path}/codes"
+    old = f"{path}/codes.old"
+    # crash recovery: a previous compaction that died between its two
+    # renames left the data at codes.old — restore before proceeding
+    if not os.path.isdir(codes_dir) and os.path.isdir(old):
+        os.rename(old, codes_dir)
     df = spark.read.parquet(codes_dir)
     files_before = len(df.inputFiles())
     n_rows = df.count()
@@ -1753,7 +1815,6 @@ def pq_index_compact(
                     total += os.path.getsize(os.path.join(dirpath, fn))
         target_files = max(1, math.ceil(total / float(target_bytes_per_file)))
     tmp = f"{path}/codes.compacting"
-    old = f"{path}/codes.old"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     for stale in (old,):
         if os.path.isdir(stale):

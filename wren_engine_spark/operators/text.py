@@ -1567,6 +1567,32 @@ def vocab_coverage(
     )
 
 
+def _window_hash_exprs(w: int) -> tuple[str, str]:
+    """(per-token portable-hash expr over ``__t``, per-window
+    two-plane 62-bit hash expr over ``__th``) — the x44 window-hash
+    construction as ONE implementation. New window-hash consumers must
+    build from here; the older inline copies (winnowing,
+    contamination_spans, remove_spans — written before this helper)
+    stay byte-identical under their recorded driver fingerprints and
+    migrate opportunistically at a round start."""
+    th = (
+        "transform(__t, tok -> aggregate(transform(sequence(1, length(tok)), "
+        "i -> cast(ascii(substring(tok, i, 1)) as bigint)), cast(0 as bigint), "
+        "(acc, c) -> pmod(acc * 31 + c, 2147483647)))"
+    )
+    fold = (
+        "aggregate(slice(__th, i, {w}), cast(0 as bigint), "
+        "(acc, h) -> pmod(acc * {b} + h, {m}))"
+    )
+    f1 = fold.format(w=w, b=_WH_BASE1, m=_WH_MOD1)
+    f2 = fold.format(w=w, b=_WH_BASE2, m=_WH_MOD2)
+    win_expr = (
+        f"transform(sequence(1, size(__th) - {w} + 1), "
+        f"i -> {f1} * cast({_WH_MOD2} as bigint) + {f2})"
+    )
+    return th, win_expr
+
+
 def bloom_decontamination_screen(
     train_df: DataFrame,
     test_df: DataFrame,
@@ -1607,21 +1633,7 @@ def bloom_decontamination_screen(
     """
     w = window_tokens
     n_bits = n_words * 63
-    th = (
-        "transform(__t, tok -> aggregate(transform(sequence(1, length(tok)), "
-        "i -> cast(ascii(substring(tok, i, 1)) as bigint)), cast(0 as bigint), "
-        "(acc, c) -> pmod(acc * 31 + c, 2147483647)))"
-    )
-    fold = (
-        "aggregate(slice(__th, i, {w}), cast(0 as bigint), "
-        "(acc, h) -> pmod(acc * {b} + h, {m}))"
-    )
-    f1 = fold.format(w=w, b=_WH_BASE1, m=_WH_MOD1)
-    f2 = fold.format(w=w, b=_WH_BASE2, m=_WH_MOD2)
-    win_expr = (
-        f"transform(sequence(1, size(__th) - {w} + 1), "
-        f"i -> {f1} * cast({_WH_MOD2} as bigint) + {f2})"
-    )
+    th, win_expr = _window_hash_exprs(w)
 
     def _wins(df: DataFrame) -> DataFrame:
         toks = F.split(F.trim(F.col(text_col)), WS_RE)
@@ -1664,6 +1676,9 @@ def bloom_decontamination_screen(
     )
     hits_expr = f"size(filter(__ws, __w -> {checks}))"
     toks = F.split(F.trim(F.col(text_col)), WS_RE)
+    # hits_expr is a lambda-bearing HOF, which Spark's subexpression
+    # elimination skips — evaluate it ONCE and derive the flag from
+    # the materialized count, not from a second pass over the windows
     return (
         train_df.select(F.col(id_col), toks.alias("__t"))
         .filter(F.size("__t") >= w)
@@ -1674,6 +1689,6 @@ def bloom_decontamination_screen(
             F.col(id_col),
             F.size("__ws").cast("bigint").alias("n_windows"),
             F.expr(hits_expr).cast("bigint").alias("n_bloom_hits"),
-            (F.expr(hits_expr) > 0).alias("maybe_contaminated"),
         )
+        .withColumn("maybe_contaminated", F.col("n_bloom_hits") > 0)
     )

@@ -267,9 +267,13 @@ def _ensure_stream_appended_pq_index(spark: SparkSession, sf: str) -> str:
             .filter(F.col("vec_id") % 5 == 0)
         )
 
-        def _append(batch_df, _epoch_id):
+        def _append(batch_df, epoch_id):
+            # epoch_id makes the append idempotent: a microbatch
+            # replayed after a crash between the data write and the
+            # checkpoint commit converges to exactly one copy
             similarity.pq_index_append(
-                spark, path, batch_df, "vec_id", "embedding"
+                spark, path, batch_df, "vec_id", "embedding",
+                epoch_id=epoch_id,
             )
 
         q = (

@@ -16,16 +16,21 @@ from pyspark.sql import SparkSession
 
 def session_uid(spark: SparkSession) -> str:
     """A memo key that is unique per live SparkSession and never
-    aliases across sessions (unlike ``id(spark)``)."""
-    try:
-        return str(spark._jsparkSession.sessionUUID())
-    except Exception:
-        # Spark Connect / API drift: the app id never aliases across
-        # JVM restarts (it embeds the start timestamp), and within one
-        # JVM the object id disambiguates concurrent live sessions.
-        app_id = ""
+    aliases across sessions (unlike ``id(spark)``). The uid is cached
+    ON the session object, so even the fallback path (Spark Connect /
+    API drift, where the JVM sessionUUID is unreachable) mints a fresh
+    uuid4 per session OBJECT — a recycled id() can never alias,
+    sequential or concurrent."""
+    uid = getattr(spark, "_wren_session_uid", None)
+    if uid is None:
         try:
-            app_id = spark.conf.get("spark.app.id", "") or ""
+            uid = str(spark._jsparkSession.sessionUUID())
         except Exception:
-            pass
-        return f"{app_id}:{id(spark)}"
+            import uuid
+
+            uid = f"py-{uuid.uuid4()}"
+        try:
+            spark._wren_session_uid = uid
+        except Exception:
+            pass  # frozen/slotted session object: fall through uncached
+    return uid

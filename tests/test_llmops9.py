@@ -260,6 +260,98 @@ class TestPQIndexAppend:
         assert "CartesianProduct" not in p
 
 
+class TestIndexAppendFamilies:
+    """append ≡ rebuild for the OTHER two persisted index families
+    (simhash bands, hyperplane-LSH buckets) — library surface, no
+    registry entry; the registered probes x70/t13/x63 stay build-once
+    while these give a continuously-ingesting pipeline the same
+    freshness path the PQ index got in x100."""
+
+    def test_simhash_append_equals_rebuild(self, spark):
+        from wren_engine_spark.operators import dedup
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        a = d.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 3 != 0))
+        b = d.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 3 == 0))
+        delta = d.filter(F.col("doc_id") % 10 == 0)
+        dedup.write_simhash_index(a, "text", "doc_id", "sia_t1")
+        n = dedup.simhash_index_append(spark, "sia_t1", b, "text", "doc_id")
+        assert n == b.count()
+        dedup.write_simhash_index(
+            a.unionByName(b), "text", "doc_id", "sia_t2"
+        )
+        probe1 = {
+            (r.delta_id, r.corpus_id, r.hamming)
+            for r in dedup.simhash_index_probe(
+                spark, "sia_t1", delta, "text", "doc_id", max_hamming=3
+            ).collect()
+        }
+        probe2 = {
+            (r.delta_id, r.corpus_id, r.hamming)
+            for r in dedup.simhash_index_probe(
+                spark, "sia_t2", delta, "text", "doc_id", max_hamming=3
+            ).collect()
+        }
+        assert probe1 == probe2 and probe1
+
+    def test_ann_append_equals_rebuild(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        a = emb.filter(F.col("vec_id") % 3 != 0)
+        b = emb.filter(F.col("vec_id") % 3 == 0)
+        queries = emb.filter(F.col("vec_id") < 6).select("vec_id", "embedding")
+        similarity.write_ann_index(
+            a, "vec_id", "embedding", "aia_t1", dim=64, nbits=8, tables=3
+        )
+        n = similarity.ann_index_append(
+            spark, "aia_t1", b, "vec_id", "embedding"
+        )
+        assert n == b.count()
+        similarity.write_ann_index(
+            emb, "vec_id", "embedding", "aia_t2", dim=64, nbits=8, tables=3
+        )
+        t1 = {
+            (r.query_id, r.rnk): r.neighbor_id
+            for r in similarity.ann_index_topk(
+                spark, "aia_t1", queries, "vec_id", "embedding",
+                dim=64, k=3, nbits=8, tables=3,
+            ).collect()
+        }
+        t2 = {
+            (r.query_id, r.rnk): r.neighbor_id
+            for r in similarity.ann_index_topk(
+                spark, "aia_t2", queries, "vec_id", "embedding",
+                dim=64, k=3, nbits=8, tables=3,
+            ).collect()
+        }
+        assert t1 == t2 and t1
+
+    def test_ann_append_uses_index_meta_not_caller_params(self, spark):
+        # meta sidecar carries the plane parameters: an append after a
+        # NON-default build must hash with the build's planes, not
+        # defaults — probe equality with a full rebuild proves it
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+        a = emb.filter(F.col("vec_id") % 2 == 0)
+        b = emb.filter(F.col("vec_id") % 2 == 1)
+        similarity.write_ann_index(
+            a, "vec_id", "embedding", "aia_t3",
+            dim=64, nbits=6, tables=2, seed=7,
+        )
+        similarity.ann_index_append(spark, "aia_t3", b, "vec_id", "embedding")
+        similarity.write_ann_index(
+            emb, "vec_id", "embedding", "aia_t4",
+            dim=64, nbits=6, tables=2, seed=7,
+        )
+        rows1 = {
+            (r.table_id, r.bucket, r.vec_id)
+            for r in spark.table("aia_t3").collect()
+        }
+        rows2 = {
+            (r.table_id, r.bucket, r.vec_id)
+            for r in spark.table("aia_t4").collect()
+        }
+        assert rows1 == rows2
+
+
 class TestBloomDecontaminationScreen:
     M1, M2 = 2147483647, 2147483629
     B1, B2 = 1000003, 999983

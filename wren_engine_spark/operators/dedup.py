@@ -1417,6 +1417,32 @@ def write_simhash_index(
     every subsequent ingestion batch probes it instead of re-reading
     the corpus text.
     """
+    banded = _banded_signatures(df, text_col, id_col, bands)
+    from wren_engine_spark.operators import layout
+
+    spark = df.sparkSession
+    out = layout.write_bucketed(
+        banded.repartition(buckets, F.col("val")), table, "val", buckets
+    )
+    # meta sidecar: appends must band and bucket EXACTLY like the
+    # build (the PQ-index lesson — parameters live with the index,
+    # never with the caller)
+    layout.write_small_table(
+        spark,
+        spark.createDataFrame(
+            [(int(bands), int(buckets))], "bands INT, buckets INT"
+        ),
+        f"{table}__meta",
+    )
+    return out
+
+
+def _banded_signatures(
+    df: DataFrame, text_col: str, id_col: str, bands: int
+) -> DataFrame:
+    """(corpus_id, corpus_simhash, band, val) rows — the ONE banding
+    implementation behind the index build and the ingestion append, so
+    the two can never band differently."""
     width = 32 // bands
     sig = simhash_portable(df, text_col, id_col)
     mask = (1 << width) - 1
@@ -1431,17 +1457,46 @@ def write_simhash_index(
             for i in range(bands)
         ]
     )
-    banded = sig.select(id_col, "simhash", F.explode(band_arr).alias("b")).select(
+    return sig.select(id_col, "simhash", F.explode(band_arr).alias("b")).select(
         F.col(id_col).alias("corpus_id"),
         F.col("simhash").alias("corpus_simhash"),
         F.col("b.band").alias("band"),
         F.col("b.val").alias("val"),
     )
+
+
+def simhash_index_append(
+    spark,
+    table: str,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> int:
+    """Append an ACCEPTED ingestion batch to the persisted simhash
+    index without re-reading or re-hashing the corpus — the
+    index-freshness step after ``ingest_decisions`` accepts a batch
+    (the dedup complement of ``similarity.pq_index_append``). Band
+    count and bucket count come from the index's own ``__meta``
+    sidecar, and the signatures are computed by the identical banding
+    kernel (``_banded_signatures``), so future probes treat appended
+    docs exactly like build-time docs; Spark additionally validates
+    the bucket spec on the append write. Cost: one narrow map over
+    the batch + a bucketed append — the corpus is never touched.
+
+    Returns the number of appended docs.
+    """
+    meta = spark.table(f"{table}__meta").collect()[0]
+    banded = _banded_signatures(df, text_col, id_col, int(meta.bands))
     from wren_engine_spark.operators import layout
 
-    return layout.write_bucketed(
-        banded.repartition(buckets, F.col("val")), table, "val", buckets
+    layout.write_bucketed(
+        banded.repartition(int(meta.buckets), F.col("val")),
+        table,
+        "val",
+        int(meta.buckets),
+        mode="append",
     )
+    return df.count()
 
 
 def simhash_index_probe(

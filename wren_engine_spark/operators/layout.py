@@ -36,15 +36,35 @@ def write_bucketed(
     count runs shuffle-free (bucketed scan -> SMJ)."""
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
+    if mode == "append":
+        # appending into an existing bucketed table: never drop or
+        # clean; Spark validates the bucket spec matches the catalog's
+        # (a mismatched bucketBy fails the write instead of silently
+        # breaking bucket pruning for every future probe)
+        w = df.write.mode(mode).bucketBy(buckets, *keys)
+        if sort:
+            w = w.sortBy(*keys)
+        w.saveAsTable(table)
+        return table
+    drop_managed_table(spark, table)
+    w = df.write.mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)
+    return table
+
+
+def drop_managed_table(spark, table: str) -> None:
+    """Drop a managed table AND its warehouse directory. The catalog
+    is per-session but the managed location is not: a previous process
+    can leave the directory behind, which saveAsTable refuses
+    (LOCATION_ALREADY_EXISTS). Clean through the Hadoop FS API so any
+    warehouse scheme (file://, s3a://) works. The managed path must be
+    resolved via the owning DATABASE's location (db-qualified tables
+    live under <warehouse>/<db>.db/), not naively as
+    <warehouse>/<table> — that guess is only right in the default
+    database and could delete another database's data."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # the catalog is per-session but the managed location is not: a
-    # previous process can leave the warehouse directory behind, which
-    # saveAsTable refuses (LOCATION_ALREADY_EXISTS). Clean it through
-    # the Hadoop FS API so any warehouse scheme (file://, s3a://) works.
-    # The managed path must be resolved via the owning DATABASE's
-    # location (db-qualified tables live under <warehouse>/<db>.db/),
-    # not naively as <warehouse>/<table> — that guess is only right in
-    # the default database and could delete another database's data.
     parts = [p.lower() for p in table.split(".")]
     db = parts[-2] if len(parts) >= 2 else spark.catalog.currentDatabase().lower()
     jvm = spark.sparkContext._jvm
@@ -56,10 +76,15 @@ def write_bucketed(
         fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         if fs.exists(loc):
             fs.delete(loc, True)
-    w = df.write.mode(mode).bucketBy(buckets, *keys)
-    if sort:
-        w = w.sortBy(*keys)
-    w.saveAsTable(table)
+
+
+def write_small_table(spark, df: DataFrame, table: str) -> str:
+    """Persist a tiny (metadata-sized) managed table with the same
+    stale-location hygiene as write_bucketed — used for the
+    ``{index}__meta`` sidecars that make persisted indexes carry their
+    own build parameters."""
+    drop_managed_table(spark, table)
+    df.write.mode("overwrite").saveAsTable(table)
     return table
 
 

@@ -1042,9 +1042,65 @@ def write_ann_index(
     # one shuffle on bucket before the bucketed write keeps file count at
     # `buckets` instead of tasks x buckets (write_bucketed handles stale
     # managed-location cleanup and the bucketBy+sortBy persistence)
-    return layout.write_bucketed(
+    spark = df.sparkSession
+    result = layout.write_bucketed(
         out.repartition(buckets, F.col("bucket")), table, "bucket", buckets
     )
+    # meta sidecar: an append must hash with the SAME planes (dim,
+    # nbits, tables, seed) and bucket layout as the build — parameters
+    # live with the index, never with the caller (the PQ-index lesson)
+    layout.write_small_table(
+        spark,
+        spark.createDataFrame(
+            [(int(dim), int(nbits), int(tables), int(seed), int(buckets),
+              id_col, vec_col)],
+            "dim INT, nbits INT, tables INT, seed INT, buckets INT, "
+            "id_col STRING, vec_col STRING",
+        ),
+        f"{table}__meta",
+    )
+    return result
+
+
+def ann_index_append(
+    spark,
+    table: str,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> int:
+    """Append a batch of new vectors to the persisted hyperplane-LSH
+    index: signatures are computed with the EXACT plane set the build
+    used (dim/nbits/tables/seed read from the index's ``__meta``
+    sidecar — a batch can never hash on different planes than the
+    corpus), then bucket-appended; Spark validates the bucket spec on
+    the write. Probes see appended vectors identically to build-time
+    vectors (pytest pins append ≡ rebuild). Cost: one narrow map over
+    the batch + a bucketed append — the index is never read, the
+    corpus never re-hashed (the LSH complement of
+    ``pq_index_append``).
+
+    Returns the number of appended vectors.
+    """
+    meta = spark.table(f"{table}__meta").collect()[0]
+    out = _all_table_signatures(
+        df.select(
+            F.col(id_col).alias(meta.id_col),
+            F.col(vec_col).alias(meta.vec_col),
+        ),
+        meta.id_col, meta.vec_col,
+        int(meta.dim), int(meta.nbits), int(meta.tables), int(meta.seed),
+    ).select("table_id", "bucket", F.col(meta.id_col), F.col(meta.vec_col))
+    from wren_engine_spark.operators import layout
+
+    layout.write_bucketed(
+        out.repartition(int(meta.buckets), F.col("bucket")),
+        table,
+        "bucket",
+        int(meta.buckets),
+        mode="append",
+    )
+    return df.count()
 
 
 def ann_index_topk(

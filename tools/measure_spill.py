@@ -77,6 +77,27 @@ def _run_robust_stats(spark, n: int) -> int:
     return metrics.robust_stats(ev, "event_type", "value").count()
 
 
+def _run_pq_lifecycle(spark, emb, d: str) -> int:
+    """Full PQ lifecycle at 10x: train+encode the base corpus, append
+    the delta with frozen codebooks, compact, probe codes-only."""
+    from pyspark.sql import functions as F
+
+    from wren_engine_spark.operators import similarity
+
+    path = f"{d}/pq_lifecycle_idx"
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    similarity.write_pq_index(
+        base, "vec_id", "embedding", path, n_subspaces=2, k_codes=4, iters=1
+    )
+    similarity.pq_index_append(spark, path, delta, "vec_id", "embedding")
+    similarity.pq_index_compact(spark, path)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.pq_index_topk(spark, path, queries, topk=5).count()
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     from wren_engine_spark.operators import similarity
@@ -185,6 +206,20 @@ def main() -> int:
             ).count(),
         ),
         ("t14_robust_stats_fact_sort", lambda: _run_robust_stats(spark, n)),
+        # round-7 widest additions: the full PQ index lifecycle
+        # (build-on-base + frozen-codebook append + compaction + the
+        # codes-only probe) on the 10x embeddings, and the bloom
+        # decontamination screen on the 80k-doc corpus
+        ("x100_pq_append_lifecycle", lambda: _run_pq_lifecycle(spark, emb, d)),
+        (
+            "x102_bloom_screen",
+            lambda: tx.bloom_decontamination_screen(
+                docs.filter(F.col("doc_id") % 10 != 0),
+                docs.filter(F.col("doc_id") % 10 == 0),
+                "text",
+                "doc_id",
+            ).count(),
+        ),
     ):
         sc.setJobGroup(name, name)
         t0 = time.perf_counter()

@@ -301,6 +301,8 @@ def main() -> None:
         "t16_stream_index_append",
         # constant-size bloom screen: join-free decontamination pre-pass
         "x102_bloom_decontamination_screen",
+        # perceptual image hash over real decoded BMP pixels
+        "x103_image_ahash",
     ]
     r7_timings, r7_total, r7_runs, r7_measured = run_suite(
         R7, "r7 operator sub-suite", freeze=True

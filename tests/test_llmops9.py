@@ -459,6 +459,94 @@ class TestBloomDecontaminationScreen:
                 assert "RoundRobinPartitioning" in line, line
 
 
+class TestImageAHash:
+    def _python_ahash(self, doc_id, n_payload_bytes, grid=8):
+        # replay multimodal._build_bmp's pattern + image_ahash's rule
+        stride, w3 = 96, 96
+        h = max((n_payload_bytes + stride - 1) // stride, 1)
+        px = [
+            [(doc_id * 31 + r * stride + k) % 251 for k in range(w3)]
+            for r in range(h)
+        ]
+        sums = [0] * (grid * grid)
+        counts = [0] * (grid * grid)
+        for r in range(h):
+            for k in range(w3):
+                c = (r * grid // h) * grid + (k * grid // w3)
+                sums[c] += px[r][k]
+                counts[c] += 1
+        ts = sum(map(sum, px))
+        tn = h * w3
+        h_lo = h_hi = 0
+        for i in range(grid * grid):
+            if counts[i] > 0 and sums[i] * tn >= ts * counts[i]:
+                if i < 32:
+                    h_lo |= 1 << i
+                else:
+                    h_hi |= 1 << (i - 32)
+        return h, h_lo, h_hi
+
+    def test_matches_pure_python_replay(self, spark):
+        from wren_engine_spark.operators import multimodal as mm
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+        payloads = mm.attach_binary_payload(d, "text", "doc_id")
+        got = {
+            r.doc_id: (r.height, r.h_lo, r.h_hi, r.status)
+            for r in mm.image_ahash(mm.encode_bmp(payloads)).collect()
+        }
+        for r in payloads.select(
+            "doc_id", F.octet_length("payload").alias("nb")
+        ).collect():
+            h, lo, hi = self._python_ahash(r.doc_id, r.nb)
+            assert got[r.doc_id] == (h, lo, hi, "bmp"), r.doc_id
+
+    def test_pairs_find_planted_visual_duplicates(self, spark):
+        from wren_engine_spark.operators import multimodal as mm
+
+        # doc_ids congruent mod 251 with equal payload length render
+        # BYTE-IDENTICAL pixel patterns (pattern byte = (id*31+j)%251,
+        # gcd(31,251)=1) -> hamming 0; unrelated ids differ widely
+        text = "x " * 300
+        rows = [(5, text), (256, text), (7, "y " * 300), (9, "z " * 10)]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        hashes = mm.image_ahash(
+            mm.encode_bmp(mm.attach_binary_payload(df, "text", "doc_id"))
+        )
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in mm.image_ahash_pairs(hashes, max_hamming=3).collect()
+        }
+        assert pairs.get((5, 256)) == 0
+
+    def test_pairs_verify_exact_hamming(self, spark):
+        from wren_engine_spark.operators import multimodal as mm
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+        hashes = mm.image_ahash(
+            mm.encode_bmp(mm.attach_binary_payload(d, "text", "doc_id"))
+        ).collect()
+        hs = {r.doc_id: (r.h_lo, r.h_hi) for r in hashes}
+        want = {}
+        ids = sorted(hs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                ham = bin(hs[a][0] ^ hs[b][0]).count("1") + bin(
+                    hs[a][1] ^ hs[b][1]
+                ).count("1")
+                if ham <= 3:
+                    want[(a, b)] = ham
+        hdf = spark.createDataFrame(
+            [(k, v[0], v[1], "bmp") for k, v in hs.items()],
+            "doc_id LONG, h_lo LONG, h_hi LONG, status STRING",
+        )
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in mm.image_ahash_pairs(hdf, max_hamming=3).collect()
+        }
+        assert got == want  # pigeonhole banding is lossless at ham<=3
+
+
 class TestPQIndexCompact:
     def _appended(self, spark, tmp_path):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

@@ -387,3 +387,157 @@ def decode_wav(payloads: DataFrame) -> DataFrame:
     return payloads.select("doc_id", "payload").mapInPandas(
         _batches, WAV_DECODE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing: average-hash over REAL decoded pixels —
+# multimodal near-dup moves past plumbing into an actual dedup signal
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "doc_id BIGINT, height BIGINT, h_lo BIGINT, h_hi BIGINT, status STRING"
+
+
+def image_ahash(payloads: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) over real decoded BMP pixels:
+    split the image into a ``grid`` x ``grid`` cell lattice (cell of
+    pixel (r, k) = ((r*grid)//H, (k*grid)//W3) — the direct formula
+    both engines can replay), set a cell's bit iff the cell is
+    non-empty and its mean is >= the global mean, compared by INTEGER
+    cross-multiplication (cell_sum * total_n >= total_sum * cell_n —
+    no float mean, no rounding ambiguity). The 64 bits pack into two
+    32-bit halves (h_lo = cells 0-31, h_hi = 32-63) so Hamming joins
+    and band extraction stay in positive-bigint territory in any
+    engine.
+
+    This is the image analog of the text simhash: near-identical
+    images (resizes, small overlays) agree on most block means, so a
+    banded Hamming join over (h_lo, h_hi) finds visual near-dups
+    without any pairwise pixel comparison. Arrow-batched mapInPandas,
+    narrow, no shuffle — identical plumbing to a PIL-based aHash.
+    """
+    import struct
+
+    import numpy as np
+
+    def _one(b: bytes):
+        try:
+            if len(b) < 54 or b[:2] != b"BM":
+                return None
+            _, _, _, _, offset = struct.unpack("<2sIHHI", b[:14])
+            dib_size, width, height = struct.unpack("<Iii", b[14:26])
+            _, bpp, compression = struct.unpack("<HHI", b[26:34])
+            if dib_size < 40 or bpp != 24 or compression != 0 or width <= 0:
+                return None
+            top_down = height < 0
+            height = abs(height)
+            stride = ((width * 3 + 3) // 4) * 4
+            if height == 0 or offset < 54 or offset + stride * height > len(b):
+                return None
+            pix = np.frombuffer(
+                b, dtype=np.uint8, count=stride * height, offset=offset
+            )
+            rows = pix.reshape(height, stride)[:, : width * 3]
+            if not top_down:
+                rows = rows[::-1]
+            rows = rows.astype(np.int64)
+            h, w3 = rows.shape
+            r_cell = (np.arange(h) * grid) // h
+            c_cell = (np.arange(w3) * grid) // w3
+            cell = (r_cell[:, None] * grid + c_cell[None, :]).ravel()
+            sums = np.bincount(
+                cell, weights=rows.ravel(), minlength=grid * grid
+            ).astype(np.int64)
+            counts = np.bincount(cell, minlength=grid * grid)
+            ts, tn = int(rows.sum()), int(rows.size)
+            h_lo = h_hi = 0
+            for i in range(grid * grid):
+                if counts[i] > 0 and int(sums[i]) * tn >= ts * int(counts[i]):
+                    if i < 32:
+                        h_lo |= 1 << i
+                    else:
+                        h_hi |= 1 << (i - 32)
+            return (h, h_lo, h_hi)
+        except Exception:
+            return None
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "height": [], "h_lo": [], "h_hi": [],
+                   "status": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = _one(bytes(payload))
+                out["doc_id"].append(doc_id)
+                if d is None:
+                    out["height"].append(0)
+                    out["h_lo"].append(-1)
+                    out["h_hi"].append(-1)
+                    out["status"].append("error")
+                else:
+                    out["height"].append(d[0])
+                    out["h_lo"].append(d[1])
+                    out["h_hi"].append(d[2])
+                    out["status"].append("bmp")
+            yield pd.DataFrame(out)
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        _batches, AHASH_SCHEMA
+    )
+
+
+def image_ahash_pairs(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Visual near-dup pairs from aHash halves: explode each image's
+    hash into ``bands`` 16-bit band keys (pigeonhole: two hashes
+    within ``max_hamming`` < bands share at least one exact band),
+    self-join on the band key, then verify the EXACT Hamming distance
+    with two 32-bit xors — the simhash banding discipline applied to
+    images. No pairwise pixel work anywhere; the join key is band
+    value, so cost scales with band-bucket occupancy, not corpus^2.
+
+    Returns (id_a, id_b, hamming), id_a < id_b, distinct.
+    """
+    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def _band(b: int):
+        # bands 0..(bands/2-1) come from h_lo, the rest from h_hi
+        half = F.col("h_lo") if (b * width) < 32 else F.col("h_hi")
+        off = (b * width) % 32
+        return F.shiftrightunsigned(half, off).bitwiseAND(F.lit(mask))
+
+    band_arr = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), _band(b).alias("val"))
+            for b in range(bands)
+        ]
+    )
+    ok = hashes.filter(F.col("status") == "bmp")
+    sig = ok.select(
+        "doc_id", "h_lo", "h_hi", F.explode(band_arr).alias("b")
+    ).select(
+        "doc_id", "h_lo", "h_hi",
+        F.col("b.band").alias("band"), F.col("b.val").alias("val"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = (
+        F.bit_count(
+            F.col("a.h_lo").bitwiseXOR(F.col("b.h_lo"))
+        ) + F.bit_count(F.col("a.h_hi").bitwiseXOR(F.col("b.h_hi")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

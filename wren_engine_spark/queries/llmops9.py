@@ -438,3 +438,71 @@ def x102(spark: SparkSession, sf: str) -> DataFrame:
     return text.bloom_decontamination_screen(
         train, test, "text", "doc_id", window_tokens=8, n_words=1024
     )
+
+
+# ---------------------------------------------------------------------------
+# x103: perceptual image hashing (aHash) over REAL decoded BMP pixels —
+# the multimodal analog of the text simhash. The deterministic pixel
+# pattern (multimodal._build_bmp: byte j of the top-down array is
+# (doc_id*31 + j) % 251, stride 96 = width 32 * 3 bytes, zero padding)
+# lets the oracle re-derive every pixel and replay the integer
+# cross-multiplied bit rule exactly.
+# ---------------------------------------------------------------------------
+
+from wren_engine_spark.operators import multimodal  # noqa: E402
+
+
+@register(
+    "x103_image_ahash",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             GREATEST(CAST(ceil(octet_length(encode(text)) / 96.0) AS BIGINT),
+                      1) AS h
+      FROM documents
+    ),
+    pix AS (
+      SELECT d.doc_id, d.h,
+             (((j // 96) * 8) // d.h) * 8 + ((j % 96) // 12) AS cell,
+             (d.doc_id * 31 + j) % 251 AS v
+      FROM dims d, LATERAL unnest(generate_series(0, d.h * 96 - 1)) AS u(j)
+    ),
+    tot AS (SELECT doc_id, SUM(v) AS ts, COUNT(*) AS tn FROM pix GROUP BY 1),
+    cl AS (SELECT doc_id, cell, SUM(v) AS cs, COUNT(*) AS cn
+           FROM pix GROUP BY 1, 2),
+    bits AS (
+      SELECT c.doc_id, c.cell,
+             CASE WHEN c.cs * t.tn >= t.ts * c.cn THEN 1 ELSE 0 END AS bit
+      FROM cl c JOIN tot t USING (doc_id)
+    ),
+    packed AS (
+      SELECT doc_id,
+             SUM(CASE WHEN cell < 32
+                 THEN bit * (CAST(1 AS BIGINT) << CAST(cell AS INTEGER))
+                 ELSE 0 END) AS h_lo,
+             SUM(CASE WHEN cell >= 32
+                 THEN bit * (CAST(1 AS BIGINT) << CAST(cell - 32 AS INTEGER))
+                 ELSE 0 END) AS h_hi
+      FROM bits GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.h AS height,
+           CAST(p.h_lo AS BIGINT) AS h_lo, CAST(p.h_hi AS BIGINT) AS h_hi,
+           'bmp' AS status
+    FROM dims d JOIN packed p USING (doc_id)
+    """,
+)
+def x103(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual average-hash over REAL decoded images: render each
+    document payload as a genuine 24-bpp BMP (multimodal.encode_bmp),
+    decode the pixel matrix, and hash the 8x8 block-mean lattice with
+    the integer cross-multiplied bit rule — packed into two 32-bit
+    halves for engine-portable Hamming joins
+    (multimodal.image_ahash). The image analog of the text simhash:
+    tests/test_llmops9.py pins the banded Hamming near-dup join
+    (image_ahash_pairs) on planted visually-identical images and a
+    pure-Python pixel replay. Arrow-batched mapInPandas end-to-end,
+    narrow, no shuffle; at 100 TB this is one codec-bound pass per
+    image, then all dedup happens on 8-byte hashes."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    payloads = multimodal.attach_binary_payload(d, "text", "doc_id")
+    return multimodal.image_ahash(multimodal.encode_bmp(payloads))

@@ -303,6 +303,8 @@ def main() -> None:
         "x102_bloom_decontamination_screen",
         # perceptual image hash over real decoded BMP pixels
         "x103_image_ahash",
+        # energy-delta audio fingerprint over real decoded PCM
+        "x104_audio_fingerprint",
     ]
     r7_timings, r7_total, r7_runs, r7_measured = run_suite(
         R7, "r7 operator sub-suite", freeze=True

@@ -547,6 +547,65 @@ class TestImageAHash:
         assert got == want  # pigeonhole banding is lossless at ham<=3
 
 
+class TestAudioFingerprint:
+    def _python_fp(self, doc_id, ns, frames=32):
+        samples = [
+            ((doc_id * 37 + j * 7919) % 65536) - 32768 for j in range(ns)
+        ]
+        e = [0] * frames
+        c = [0] * frames
+        for j, s in enumerate(samples):
+            f = (j * frames) // ns
+            e[f] += s * s
+            c[f] += 1
+        fp = 0
+        for f in range(frames - 1):
+            if c[f] > 0 and c[f + 1] > 0 and e[f + 1] * c[f] >= e[f] * c[f + 1]:
+                fp |= 1 << f
+        return fp
+
+    def test_matches_pure_python_replay(self, spark):
+        from wren_engine_spark.operators import multimodal as mm
+
+        # include short clips (n < frames) to pin the empty-frame rule
+        rows = [(d, n) for d, n in
+                ((1, 500), (2, 31), (3, 1), (4, 97), (5, 2000), (6, 32))]
+        df = spark.createDataFrame(rows, "doc_id LONG, n_samples INT")
+        got = {
+            r.doc_id: (r.n_samples, r.fingerprint, r.status)
+            for r in mm.audio_fingerprint(
+                mm.encode_wav(df, "doc_id", "n_samples")
+            ).collect()
+        }
+        for d, n in rows:
+            assert got[d] == (n, self._python_fp(d, n), "wav"), (d, n)
+
+    def test_identical_audio_same_fingerprint(self, spark):
+        from wren_engine_spark.operators import multimodal as mm
+
+        # ids 65536 apart render IDENTICAL int16 sample streams
+        # (Δid*37 ≡ 0 mod 65536), so the fingerprints must collide
+        rows = [(5, 400), (65541, 400), (9, 400)]
+        df = spark.createDataFrame(rows, "doc_id LONG, n_samples INT")
+        got = {
+            r.doc_id: r.fingerprint
+            for r in mm.audio_fingerprint(
+                mm.encode_wav(df, "doc_id", "n_samples")
+            ).collect()
+        }
+        assert got[5] == got[65541]
+
+    def test_malformed_payload_yields_error_row(self, spark):
+        from wren_engine_spark.operators import multimodal as mm
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not a wav at all"))],
+            "doc_id LONG, payload BINARY",
+        )
+        rows = mm.audio_fingerprint(df).collect()
+        assert rows[0].status == "error" and rows[0].fingerprint == -1
+
+
 class TestPQIndexCompact:
     def _appended(self, spark, tmp_path):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

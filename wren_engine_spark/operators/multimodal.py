@@ -304,6 +304,43 @@ def encode_wav(df: DataFrame, id_col: str = "doc_id", n_samples_col: str = "n_sa
     )
 
 
+def _parse_wav_samples(b: bytes):
+    """Parse a RIFF/PCM WAV payload to (sample_rate, int64 sample
+    vector), or None for anything malformed (bad magic, truncated
+    chunk, non-PCM, non-mono, non-16-bit) — the ONE parser behind
+    decode_wav and audio_fingerprint, so the stats and the fingerprint
+    can never read different sample vectors from the same bytes."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        pos, fmt_info, data = 12, None, None
+        while pos + 8 <= len(b):
+            cid, csize = struct.unpack("<4sI", b[pos : pos + 8])
+            body = b[pos + 8 : pos + 8 + csize]
+            if len(body) < csize:
+                return None  # truncated chunk
+            if cid == b"fmt " and csize >= 16:
+                fmt_info = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if fmt_info is None or data is None:
+            return None
+        audio_fmt, channels, rate, _, _, bits = fmt_info
+        if audio_fmt != 1 or channels != 1 or bits != 16 or rate <= 0:
+            return None
+        n = len(data) // 2
+        if n == 0:
+            return None
+        return rate, np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
+    except Exception:
+        return None
+
+
 WAV_DECODE_SCHEMA = (
     "doc_id BIGINT, n_bytes BIGINT, sample_rate BIGINT, n_samples BIGINT, "
     "duration_s DOUBLE, mean_amp DOUBLE, rms_amp DOUBLE, status STRING"
@@ -322,41 +359,19 @@ def decode_wav(payloads: DataFrame) -> DataFrame:
     Scale: Arrow-batched mapInPandas over a binary column; narrow map,
     no shuffle; swap the body for soundfile/ffmpeg in production with
     the same schema and batch shape."""
-    import struct
-
     import numpy as np
 
     def _decode_one(b: bytes):
-        try:
-            if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-                return None
-            pos, fmt_info, data = 12, None, None
-            while pos + 8 <= len(b):
-                cid, csize = struct.unpack("<4sI", b[pos : pos + 8])
-                body = b[pos + 8 : pos + 8 + csize]
-                if len(body) < csize:
-                    return None  # truncated chunk
-                if cid == b"fmt " and csize >= 16:
-                    fmt_info = struct.unpack("<HHIIHH", body[:16])
-                elif cid == b"data":
-                    data = body
-                pos += 8 + csize + (csize & 1)  # chunks are word-aligned
-            if fmt_info is None or data is None:
-                return None
-            audio_fmt, channels, rate, _, _, bits = fmt_info
-            if audio_fmt != 1 or channels != 1 or bits != 16 or rate <= 0:
-                return None
-            n = len(data) // 2
-            if n == 0:
-                return None
-            s = np.frombuffer(data, dtype="<i2", count=n).astype(np.int64)
-            total = int(s.sum())
-            sq = int((s * s).sum())
-            return (
-                len(b), rate, n, n / rate, total / n, float(np.sqrt(sq / n)),
-            )
-        except Exception:
+        parsed = _parse_wav_samples(b)
+        if parsed is None:
             return None
+        rate, s = parsed
+        n = s.size
+        total = int(s.sum())
+        sq = int((s * s).sum())
+        return (
+            len(b), rate, n, n / rate, total / n, float(np.sqrt(sq / n)),
+        )
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -540,4 +555,67 @@ def image_ahash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+AUDIO_FP_SCHEMA = "doc_id BIGINT, n_samples BIGINT, fingerprint BIGINT, status STRING"
+
+
+def audio_fingerprint(payloads: DataFrame, frames: int = 32) -> DataFrame:
+    """Energy-delta audio fingerprint over REAL decoded PCM — the
+    audio analog of image_ahash (and the shape of classic acoustic
+    fingerprints: frame energies compared to their neighbors): split
+    the sample vector into ``frames`` frames (frame of sample j =
+    (j*frames)//n, the direct formula any engine replays), compute
+    each frame's exact integer energy sum(s^2), and set bit f
+    (f < frames-1) iff frames f and f+1 are both non-empty and
+    E_{f+1} * n_f >= E_f * n_{f+1} — integer cross-multiplication, no
+    float means. The (frames-1)-bit fingerprint stays positive in any
+    engine; near-duplicate clips (re-encodes, trims) agree on most
+    energy deltas, so a banded Hamming join finds them without any
+    pairwise sample comparison.
+
+    Arrow-batched mapInPandas; narrow, no shuffle; swap the parser for
+    soundfile/ffmpeg in production with the same schema.
+    """
+    import numpy as np
+
+    def _one(b: bytes):
+        parsed = _parse_wav_samples(b)
+        if parsed is None:
+            return None
+        _rate, s = parsed
+        n = s.size
+        f_idx = (np.arange(n) * frames) // n
+        e = np.bincount(f_idx, weights=(s * s).astype(np.float64),
+                        minlength=frames)
+        c = np.bincount(f_idx, minlength=frames)
+        e = np.rint(e).astype(object)  # exact int energies (< 2^53 here)
+        fp = 0
+        for f in range(frames - 1):
+            if c[f] > 0 and c[f + 1] > 0 and int(e[f + 1]) * int(c[f]) >= int(
+                e[f]
+            ) * int(c[f + 1]):
+                fp |= 1 << f
+        return (n, fp)
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "fingerprint": [],
+                   "status": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = _one(bytes(payload))
+                out["doc_id"].append(doc_id)
+                if d is None:
+                    out["n_samples"].append(0)
+                    out["fingerprint"].append(-1)
+                    out["status"].append("error")
+                else:
+                    out["n_samples"].append(d[0])
+                    out["fingerprint"].append(d[1])
+                    out["status"].append("wav")
+            yield pd.DataFrame(out)
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        _batches, AUDIO_FP_SCHEMA
     )

@@ -506,3 +506,60 @@ def x103(spark: SparkSession, sf: str) -> DataFrame:
     d = load_tables(spark, sf, "documents")["documents"]
     payloads = multimodal.attach_binary_payload(d, "text", "doc_id")
     return multimodal.image_ahash(multimodal.encode_bmp(payloads))
+
+
+# ---------------------------------------------------------------------------
+# x104: energy-delta audio fingerprint over real decoded PCM — the
+# audio analog of x103's image aHash (sample j of doc d is
+# ((d*37 + j*7919) % 65536) - 32768, multimodal._build_wav).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x104_audio_fingerprint",
+    """
+    WITH n AS (
+      SELECT doc_id, GREATEST(n_chars, 1) AS ns FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, ns, (j * 32) // ns AS f,
+             CAST((doc_id * 37 + j * 7919) % 65536 - 32768 AS BIGINT) AS s
+      FROM n, LATERAL unnest(generate_series(0, ns - 1)) AS u(j)
+    ),
+    fe AS (
+      SELECT doc_id, f, SUM(s * s) AS e, COUNT(*) AS c
+      FROM fr GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT a.doc_id, a.f,
+             CASE WHEN b.e * a.c >= a.e * b.c THEN 1 ELSE 0 END AS bit
+      FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+    ),
+    packed AS (
+      SELECT doc_id,
+             SUM(bit * (CAST(1 AS BIGINT) << CAST(f AS INTEGER))) AS fp
+      FROM bits GROUP BY doc_id
+    )
+    SELECT n.doc_id, CAST(n.ns AS BIGINT) AS n_samples,
+           CAST(COALESCE(p.fp, 0) AS BIGINT) AS fingerprint,
+           'wav' AS status
+    FROM n LEFT JOIN packed p USING (doc_id)
+    """,
+)
+def x104(spark: SparkSession, sf: str) -> DataFrame:
+    """Energy-delta audio fingerprint over REAL decoded PCM (the x51
+    WAV path feeding multimodal.audio_fingerprint): 32 frames, exact
+    integer frame energies, bit f set iff frame f+1's mean energy >=
+    frame f's by integer cross-multiplication — the classic acoustic-
+    fingerprint shape, cross-engine exact. Frames absent from short
+    clips (n < 32 samples) contribute 0 bits identically on both
+    sides (missing-neighbor join vs the non-empty check). One
+    codec-bound Arrow pass per clip, then dedup happens on 4-byte
+    fingerprints."""
+    from wren_engine_spark.operators import multimodal as mm
+
+    d = load_tables(spark, sf, "documents")["documents"]
+    src = d.select(
+        "doc_id", F.greatest(F.col("n_chars"), F.lit(1)).alias("n_samples")
+    )
+    return mm.audio_fingerprint(mm.encode_wav(src, "doc_id", "n_samples"))

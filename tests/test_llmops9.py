@@ -329,7 +329,9 @@ class TestIndexAppendFamilies:
         # meta sidecar carries the plane parameters: an append after a
         # NON-default build must hash with the build's planes, not
         # defaults — probe equality with a full rebuild proves it
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+            F.col("vec_id") < 200
+        )
         a = emb.filter(F.col("vec_id") % 2 == 0)
         b = emb.filter(F.col("vec_id") % 2 == 1)
         similarity.write_ann_index(

@@ -1486,17 +1486,24 @@ def simhash_index_append(
     Returns the number of appended docs.
     """
     meta = spark.table(f"{table}__meta").collect()[0]
-    banded = _banded_signatures(df, text_col, id_col, int(meta.bands))
-    from wren_engine_spark.operators import layout
+    # cache the batch so the returned count does not re-run whatever
+    # upstream lineage produced it a second time after the write
+    df = df.persist()
+    try:
+        n = df.count()
+        banded = _banded_signatures(df, text_col, id_col, int(meta.bands))
+        from wren_engine_spark.operators import layout
 
-    layout.write_bucketed(
-        banded.repartition(int(meta.buckets), F.col("val")),
-        table,
-        "val",
-        int(meta.buckets),
-        mode="append",
-    )
-    return df.count()
+        layout.write_bucketed(
+            banded.repartition(int(meta.buckets), F.col("val")),
+            table,
+            "val",
+            int(meta.buckets),
+            mode="append",
+        )
+    finally:
+        df.unpersist()
+    return n
 
 
 def simhash_index_probe(
@@ -1521,28 +1528,21 @@ def simhash_index_probe(
 
     Returns (delta_id, corpus_id, hamming).
     """
+    # the index's __meta sidecar (write_simhash_index) is authoritative
+    # for the band count: probing with a different banding than the
+    # build silently loses recall, the exact failure the sidecar
+    # exists to prevent. The parameter remains the fallback for
+    # indexes written before meta persistence existed.
+    if spark.catalog.tableExists(f"{table}__meta"):
+        bands = int(spark.table(f"{table}__meta").collect()[0].bands)
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for exact recall")
-    width = 32 // bands
     idx = spark.table(table)
-    sig = simhash_portable(delta, text_col, id_col)
-    mask = (1 << width) - 1
-    band_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(F.col("simhash"), i * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
-            for i in range(bands)
-        ]
-    )
-    q = sig.select(id_col, "simhash", F.explode(band_arr).alias("b")).select(
-        F.col(id_col).alias("delta_id"),
-        F.col("simhash").alias("__ds"),
-        F.col("b.band").alias("band"),
-        F.col("b.val").alias("val"),
+    q = _banded_signatures(delta, text_col, id_col, bands).select(
+        F.col("corpus_id").alias("delta_id"),
+        F.col("corpus_simhash").alias("__ds"),
+        "band",
+        "val",
     )
     return (
         idx.join(F.broadcast(q), ["band", "val"])

@@ -36,17 +36,11 @@ def write_bucketed(
     count runs shuffle-free (bucketed scan -> SMJ)."""
     keys = [key] if isinstance(key, str) else list(key)
     spark = df.sparkSession
-    if mode == "append":
-        # appending into an existing bucketed table: never drop or
-        # clean; Spark validates the bucket spec matches the catalog's
-        # (a mismatched bucketBy fails the write instead of silently
-        # breaking bucket pruning for every future probe)
-        w = df.write.mode(mode).bucketBy(buckets, *keys)
-        if sort:
-            w = w.sortBy(*keys)
-        w.saveAsTable(table)
-        return table
-    drop_managed_table(spark, table)
+    if mode != "append":
+        drop_managed_table(spark, table)
+    # append never drops or cleans: Spark validates the bucket spec
+    # against the catalog's (a mismatched bucketBy fails the write
+    # instead of silently breaking bucket pruning for future probes)
     w = df.write.mode(mode).bucketBy(buckets, *keys)
     if sort:
         w = w.sortBy(*keys)

@@ -175,6 +175,44 @@ def encode_bmp(payloads: DataFrame) -> DataFrame:
     )
 
 
+def _parse_bmp_pixels(b: bytes):
+    """Parse a 24-bpp uncompressed BMP payload to (rows, width,
+    height), where ``rows`` is the TOP-DOWN H x (W*3) uint8 pixel
+    matrix (stride padding removed, bottom-up files flipped), or None
+    for anything malformed — the ONE parser behind decode_bmp and
+    image_ahash, so the stats and the perceptual hash can never read
+    different pixel matrices from the same bytes (same contract as
+    _parse_wav_samples for audio)."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if len(b) < 54 or b[:2] != b"BM":
+            return None
+        _, _file_size, _, _, offset = struct.unpack("<2sIHHI", b[:14])
+        dib_size, width, height = struct.unpack("<Iii", b[14:26])
+        _planes, bpp, compression = struct.unpack("<HHI", b[26:34])
+        if dib_size < 40 or bpp != 24 or compression != 0 or width <= 0:
+            return None
+        top_down = height < 0
+        height = abs(height)
+        stride = ((width * 3 + 3) // 4) * 4
+        # a zero-height image or a pixel array extending past the
+        # payload is malformed, not decodable — a 'BM' magic with a
+        # truncated pixel array must yield an error ROW, never an
+        # exception that fails the whole Spark task
+        if height == 0 or offset < 54 or offset + stride * height > len(b):
+            return None
+        pix = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=offset)
+        rows = pix.reshape(height, stride)[:, : width * 3]
+        if not top_down:
+            rows = rows[::-1]
+        return rows, width, height
+    except Exception:
+        return None
+
+
 BMP_DECODE_SCHEMA = (
     "doc_id BIGINT, n_bytes BIGINT, width BIGINT, height BIGINT, "
     "mean_pixel DOUBLE, status STRING"
@@ -193,38 +231,16 @@ def decode_bmp(payloads: DataFrame) -> DataFrame:
 
     Scale: identical plumbing to any PIL/ffmpeg decode — Arrow-batched
     mapInPandas, a narrow map over binary columns, no shuffle."""
-    import struct
-
     import numpy as np
 
     def _decode_one(b: bytes):
-        try:
-            if len(b) < 54 or b[:2] != b"BM":
-                return None
-            _, file_size, _, _, offset = struct.unpack("<2sIHHI", b[:14])
-            dib_size, width, height = struct.unpack("<Iii", b[14:26])
-            planes, bpp, compression = struct.unpack("<HHI", b[26:34])
-            if dib_size < 40 or bpp != 24 or compression != 0 or width <= 0:
-                return None
-            top_down = height < 0
-            height = abs(height)
-            stride = ((width * 3 + 3) // 4) * 4
-            # a zero-height image or a pixel array extending past the
-            # payload is malformed, not decodable — a 'BM' magic with a
-            # truncated pixel array must yield an error ROW, never an
-            # exception that fails the whole Spark task
-            if height == 0 or offset < 54 or offset + stride * height > len(b):
-                return None
-            pix = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=offset)
-            rows = pix.reshape(height, stride)[:, : width * 3]
-            if not top_down:
-                rows = rows[::-1]
-            # rows is now top-down H x (W*3) BGR; stats are channel-agnostic
-            total = int(rows.astype(np.int64).sum())
-            n = rows.size
-            return (len(b), width, height, total / n)
-        except Exception:
+        parsed = _parse_bmp_pixels(b)
+        if parsed is None:
             return None
+        rows, width, height = parsed
+        # rows is top-down H x (W*3) BGR; stats are channel-agnostic
+        total = int(rows.astype(np.int64).sum())
+        return (len(b), width, height, total / rows.size)
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -430,30 +446,14 @@ def image_ahash(payloads: DataFrame, grid: int = 8) -> DataFrame:
     without any pairwise pixel comparison. Arrow-batched mapInPandas,
     narrow, no shuffle — identical plumbing to a PIL-based aHash.
     """
-    import struct
-
     import numpy as np
 
     def _one(b: bytes):
         try:
-            if len(b) < 54 or b[:2] != b"BM":
+            parsed = _parse_bmp_pixels(b)
+            if parsed is None:
                 return None
-            _, _, _, _, offset = struct.unpack("<2sIHHI", b[:14])
-            dib_size, width, height = struct.unpack("<Iii", b[14:26])
-            _, bpp, compression = struct.unpack("<HHI", b[26:34])
-            if dib_size < 40 or bpp != 24 or compression != 0 or width <= 0:
-                return None
-            top_down = height < 0
-            height = abs(height)
-            stride = ((width * 3 + 3) // 4) * 4
-            if height == 0 or offset < 54 or offset + stride * height > len(b):
-                return None
-            pix = np.frombuffer(
-                b, dtype=np.uint8, count=stride * height, offset=offset
-            )
-            rows = pix.reshape(height, stride)[:, : width * 3]
-            if not top_down:
-                rows = rows[::-1]
+            rows, _width, _height = parsed
             rows = rows.astype(np.int64)
             h, w3 = rows.shape
             r_cell = (np.arange(h) * grid) // h

@@ -1083,24 +1083,31 @@ def ann_index_append(
     Returns the number of appended vectors.
     """
     meta = spark.table(f"{table}__meta").collect()[0]
-    out = _all_table_signatures(
-        df.select(
-            F.col(id_col).alias(meta.id_col),
-            F.col(vec_col).alias(meta.vec_col),
-        ),
-        meta.id_col, meta.vec_col,
-        int(meta.dim), int(meta.nbits), int(meta.tables), int(meta.seed),
-    ).select("table_id", "bucket", F.col(meta.id_col), F.col(meta.vec_col))
-    from wren_engine_spark.operators import layout
+    # cache the batch so the returned count does not re-run whatever
+    # upstream lineage produced it a second time after the write
+    df = df.persist()
+    try:
+        n = df.count()
+        out = _all_table_signatures(
+            df.select(
+                F.col(id_col).alias(meta.id_col),
+                F.col(vec_col).alias(meta.vec_col),
+            ),
+            meta.id_col, meta.vec_col,
+            int(meta.dim), int(meta.nbits), int(meta.tables), int(meta.seed),
+        ).select("table_id", "bucket", F.col(meta.id_col), F.col(meta.vec_col))
+        from wren_engine_spark.operators import layout
 
-    layout.write_bucketed(
-        out.repartition(int(meta.buckets), F.col("bucket")),
-        table,
-        "bucket",
-        int(meta.buckets),
-        mode="append",
-    )
-    return df.count()
+        layout.write_bucketed(
+            out.repartition(int(meta.buckets), F.col("bucket")),
+            table,
+            "bucket",
+            int(meta.buckets),
+            mode="append",
+        )
+    finally:
+        df.unpersist()
+    return n
 
 
 def ann_index_topk(
@@ -1124,6 +1131,16 @@ def ann_index_topk(
     Returns (query_id, neighbor_id, cosine_sim, rnk)."""
     from pyspark.sql import Window as W
 
+    # the index's __meta sidecar (write_ann_index) is authoritative for
+    # the plane parameters: probing with a different dim/nbits/tables/
+    # seed than the build hashes queries on planes the corpus was never
+    # indexed under and silently returns wrong/empty neighbors. The
+    # parameters remain the fallback for pre-meta indexes.
+    if spark.catalog.tableExists(f"{table}__meta"):
+        m = spark.table(f"{table}__meta").collect()[0]
+        dim, nbits, tables, seed = (
+            int(m.dim), int(m.nbits), int(m.tables), int(m.seed),
+        )
     idx = spark.table(table)
     qsigs = _all_table_signatures(
         query_df, id_col, vec_col, dim, nbits, tables, seed

@@ -556,10 +556,10 @@ def x104(spark: SparkSession, sf: str) -> DataFrame:
     sides (missing-neighbor join vs the non-empty check). One
     codec-bound Arrow pass per clip, then dedup happens on 4-byte
     fingerprints."""
-    from wren_engine_spark.operators import multimodal as mm
-
     d = load_tables(spark, sf, "documents")["documents"]
     src = d.select(
         "doc_id", F.greatest(F.col("n_chars"), F.lit(1)).alias("n_samples")
     )
-    return mm.audio_fingerprint(mm.encode_wav(src, "doc_id", "n_samples"))
+    return multimodal.audio_fingerprint(
+        multimodal.encode_wav(src, "doc_id", "n_samples")
+    )

@@ -1514,6 +1514,7 @@ def simhash_index_probe(
     id_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    allow_legacy: bool = False,
 ) -> DataFrame:
     """Probe a persisted simhash index with an ingestion batch: which
     corpus docs is each NEW doc a near-duplicate of (Hamming <=
@@ -1528,13 +1529,27 @@ def simhash_index_probe(
 
     Returns (delta_id, corpus_id, hamming).
     """
+    from wren_engine_spark.operators import index_meta
+
     # the index's __meta sidecar (write_simhash_index) is authoritative
     # for the band count: probing with a different banding than the
     # build silently loses recall, the exact failure the sidecar
-    # exists to prevent. The parameter remains the fallback for
-    # indexes written before meta persistence existed.
-    if spark.catalog.tableExists(f"{table}__meta"):
-        bands = int(spark.table(f"{table}__meta").collect()[0].bands)
+    # exists to prevent. The read is memoized per (session, index) —
+    # it only changes on rebuild, which rewrites the sidecar's files
+    # and busts the token — so a probe costs no extra Spark job after
+    # the first. A missing sidecar is an ERROR for indexes this
+    # package wrote; probing a pre-meta index with the caller's band
+    # count requires an explicit allow_legacy=True.
+    m = index_meta.table_meta_row(spark, table)
+    if m is not None:
+        bands = int(m.bands)
+    elif not allow_legacy:
+        raise ValueError(
+            f"simhash_index_probe: index '{table}' has no __meta sidecar; "
+            "rebuild it with write_simhash_index, or pass "
+            "allow_legacy=True to probe a pre-meta index with the "
+            "caller's band count"
+        )
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for exact recall")
     idx = spark.table(table)

@@ -514,6 +514,13 @@ def image_ahash_pairs(
     """
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
     width = 64 // bands
+    # each band is read from ONE 32-bit half (h_lo or h_hi); a band
+    # straddling the boundary would silently drop its h_hi bits and
+    # break the pigeonhole guarantee, so the band width must divide 32
+    assert 32 % width == 0, (
+        "bands must split the two 32-bit halves evenly "
+        "(64 // bands must divide 32; e.g. 4 or 8)"
+    )
     mask = (1 << width) - 1
 
     def _band(b: int):

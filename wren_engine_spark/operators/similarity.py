@@ -1121,6 +1121,7 @@ def ann_index_topk(
     nbits: int = 12,
     tables: int = 4,
     seed: int = 42,
+    allow_legacy: bool = False,
 ) -> DataFrame:
     """Probe a persisted ANN index (same nbits/tables/seed as the
     build): hash each query into its per-table bucket, join the
@@ -1131,15 +1132,29 @@ def ann_index_topk(
     Returns (query_id, neighbor_id, cosine_sim, rnk)."""
     from pyspark.sql import Window as W
 
+    from wren_engine_spark.operators import index_meta
+
     # the index's __meta sidecar (write_ann_index) is authoritative for
     # the plane parameters: probing with a different dim/nbits/tables/
     # seed than the build hashes queries on planes the corpus was never
     # indexed under and silently returns wrong/empty neighbors. The
-    # parameters remain the fallback for pre-meta indexes.
-    if spark.catalog.tableExists(f"{table}__meta"):
-        m = spark.table(f"{table}__meta").collect()[0]
+    # sidecar read is memoized per (session, index) — it only changes
+    # on rebuild, which rewrites its files and busts the token — so a
+    # probe costs zero extra Spark jobs after the first. A missing
+    # sidecar is an ERROR for indexes this package wrote (every
+    # builder has shipped one since the meta release); probing a
+    # pre-meta index with caller parameters requires an explicit
+    # allow_legacy=True.
+    m = index_meta.table_meta_row(spark, table)
+    if m is not None:
         dim, nbits, tables, seed = (
             int(m.dim), int(m.nbits), int(m.tables), int(m.seed),
+        )
+    elif not allow_legacy:
+        raise ValueError(
+            f"ann_index_topk: index '{table}' has no __meta sidecar; "
+            "rebuild it with write_ann_index, or pass allow_legacy=True "
+            "to probe a pre-meta index with caller parameters"
         )
     idx = spark.table(table)
     qsigs = _all_table_signatures(
@@ -1693,19 +1708,34 @@ def write_pq_index(
 
 def _load_pq_index(spark, path: str):
     """Load a persisted PQ index's codebooks + meta. Returns
-    (books: s -> cluster -> [vals by dim], meta row)."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    raw: dict[int, dict[int, dict[int, int]]] = {}
-    for r in spark.read.parquet(f"{path}/codebooks").collect():
-        raw.setdefault(r.subspace, {}).setdefault(r.cluster, {})[r.dim] = r.val
-    books = [
-        [
-            [raw[s][c][d] for d in range(len(raw[s][c]))]
-            for c in sorted(raw[s])
+    (books: s -> cluster -> [vals by dim], meta row).
+
+    Memoized per (session, path): meta + codebooks only change on a
+    full rebuild (appends/compactions freeze them by design), and an
+    uncached load costs two scheduled Spark jobs — on the probe-many
+    serving path (pq_index_topk / pq_stream_search) that overhead
+    dominated the probe itself. Invalidation is the sidecar files'
+    own (name, size, mtime) token, so a rebuild by ANY process misses
+    the cache (operators/index_meta.py)."""
+    from wren_engine_spark.operators import index_meta
+
+    def load():
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        raw: dict[int, dict[int, dict[int, int]]] = {}
+        for r in spark.read.parquet(f"{path}/codebooks").collect():
+            raw.setdefault(r.subspace, {}).setdefault(r.cluster, {})[r.dim] = r.val
+        books = [
+            [
+                [raw[s][c][d] for d in range(len(raw[s][c]))]
+                for c in sorted(raw[s])
+            ]
+            for s in sorted(raw)
         ]
-        for s in sorted(raw)
-    ]
-    return books, meta
+        return books, meta
+
+    return index_meta.cached_read(
+        spark, ("pq", path), [f"{path}/meta", f"{path}/codebooks"], load
+    )
 
 
 def pq_index_topk(
@@ -1736,6 +1766,47 @@ def pq_index_topk(
     return _adc_rank(spark, codes, tab_rows, meta.n_subspaces, topk)
 
 
+def _pq_argmin(vec, centroids: list[list[int]]):
+    """Integer squared-L2 argmin of the array column ``vec`` against
+    literal centroid arrays, ties to the lowest cluster id — the
+    ``_km_assign`` kernel as a bare Column, so ONE projection can
+    encode every subspace of a vector at once (``_km_assign`` stays
+    the training-loop entry, which assigns whole rows)."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(int(v)).cast("bigint") for v in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    best = F.struct(dists[0].alias("d"), F.lit(0).cast("int").alias("c"))
+    for i in range(1, len(dists)):
+        cand = F.struct(dists[i].alias("d"), F.lit(i).cast("int").alias("c"))
+        best = F.when(cand["d"] < best["d"], cand).otherwise(best)
+    return best["c"]
+
+
+def _pq_encode(qdf: DataFrame, books, sub: int, n_subspaces: int) -> DataFrame:
+    """Frozen-codebook encode of quantized vectors: every subspace's
+    integer argmin in ONE projection — join-free and shuffle-free by
+    construction (no per-subspace self-join chain on ``__id``;
+    pytest-pinned with a no-Join/no-Exchange plan assert)."""
+    return qdf.select(
+        "__id",
+        *[
+            _pq_argmin(
+                F.slice(F.col("qx"), s * sub + 1, sub), books[s]
+            ).alias(f"code_{s}")
+            for s in range(n_subspaces)
+        ],
+    )
+
+
 def pq_index_append(
     spark,
     path: str,
@@ -1756,11 +1827,11 @@ def pq_index_append(
 
     This is the index-freshness half of the 100 TB story
     (write_pq_index is build-once; continuous ingestion needs
-    append-many): the cost per batch is a narrow quantize+slice+argmin
-    map per subspace, co-joined on the batch key (the delta batch is
-    the small side of ingestion by definition — the CORPUS is never
-    read, shuffled, or re-encoded), then a parquet append; the only
-    index state touched is the k*dim codebook scalars.
+    append-many): the cost per batch is ONE narrow projection that
+    quantizes, slices, and argmins every subspace at once — no join
+    anywhere in the encode, and the CORPUS is never read, shuffled,
+    or re-encoded — then a parquet append; the only index state
+    touched is the k*dim codebook scalars.
     Quantization scale and shape come from the index's own meta, so a
     batch can never be encoded on a different scale than the corpus;
     a wrong-dimension vector fails the write loudly via an in-plan
@@ -1781,62 +1852,65 @@ def pq_index_append(
     Returns {"n_appended", "dim", "n_subspaces"} (+"skipped": True
     when the epoch was already fully applied).
     """
+    from wren_engine_spark.operators import index_meta
+
     books, meta = _load_pq_index(spark, path)
     sub = meta.dim // meta.n_subspaces
-    qdf = _pq_quantize(df, id_col, vec_col, meta.quantum).withColumn(
-        "qx",
-        F.expr(
-            f"CASE WHEN assert_true(size(qx) = {meta.dim}, "
-            f"'pq_index_append: vector dim != index dim {meta.dim}') IS NULL "
-            f"THEN qx END"
-        ),
-    )
-    codes: DataFrame | None = None
-    for s in range(meta.n_subspaces):
-        sdf = qdf.select(
-            "__id", F.slice(F.col("qx"), s * sub + 1, sub).alias("qx")
+    # cache the batch so the returned count does not re-run whatever
+    # upstream lineage produced it a second time after the write (and
+    # cannot disagree with what was written under a nondeterministic
+    # upstream) — the ann_index_append/simhash_index_append discipline
+    df = df.persist()
+    try:
+        n = df.count()
+        qdf = _pq_quantize(df, id_col, vec_col, meta.quantum).withColumn(
+            "qx",
+            F.expr(
+                f"CASE WHEN assert_true(size(qx) = {meta.dim}, "
+                f"'pq_index_append: vector dim != index dim {meta.dim}') IS NULL "
+                f"THEN qx END"
+            ),
         )
-        assigned = _km_assign(sdf, books[s], meta.k_codes).select(
-            "__id", F.col("cluster").alias(f"code_{s}")
-        )
-        codes = assigned if codes is None else codes.join(assigned, "__id")
-    out = codes.select(
-        "__id", *[f"code_{s}" for s in range(meta.n_subspaces)]
-    )
-    if epoch_id is None:
-        out.write.mode("append").parquet(f"{path}/codes")
-    else:
-        import glob
-        import os
-        import shutil
+        out = _pq_encode(qdf, books, sub, meta.n_subspaces)
+        if epoch_id is None:
+            out.write.mode("append").parquet(f"{path}/codes")
+        else:
+            import glob
+            import os
+            import shutil
 
-        marker = f"{path}/_epoch_{int(epoch_id)}"
-        if os.path.isfile(marker):
-            return {
-                "n_appended": 0,
-                "dim": meta.dim,
-                "n_subspaces": meta.n_subspaces,
-                "skipped": True,
-            }
-        staging = f"{path}/.staging-{int(epoch_id)}"
-        out.write.mode("overwrite").parquet(staging)
-        # delete any stragglers from a crashed earlier attempt of this
-        # epoch, then move the staged parts in under deterministic
-        # names; os.replace is idempotent, so a re-run converges
-        for stale in glob.glob(f"{path}/codes/epoch-{int(epoch_id)}-*.parquet"):
-            os.remove(stale)
-        parts = sorted(
-            f for f in os.listdir(staging) if f.endswith(".parquet")
-        )
-        for i, f in enumerate(parts):
-            os.replace(
-                os.path.join(staging, f),
-                f"{path}/codes/epoch-{int(epoch_id)}-{i:05d}.parquet",
+            # the staging/replace protocol below is only atomic on a
+            # local (POSIX/HDFS-style) filesystem — refuse loudly on
+            # object-store paths instead of silently losing atomicity
+            index_meta.require_local_index_path(path, "pq_index_append")
+            marker = f"{path}/_epoch_{int(epoch_id)}"
+            if os.path.isfile(marker):
+                return {
+                    "n_appended": 0,
+                    "dim": meta.dim,
+                    "n_subspaces": meta.n_subspaces,
+                    "skipped": True,
+                }
+            staging = f"{path}/.staging-{int(epoch_id)}"
+            out.write.mode("overwrite").parquet(staging)
+            # delete any stragglers from a crashed earlier attempt of this
+            # epoch, then move the staged parts in under deterministic
+            # names; os.replace is idempotent, so a re-run converges
+            for stale in glob.glob(f"{path}/codes/epoch-{int(epoch_id)}-*.parquet"):
+                os.remove(stale)
+            parts = sorted(
+                f for f in os.listdir(staging) if f.endswith(".parquet")
             )
-        shutil.rmtree(staging)
-        with open(marker, "w", encoding="utf-8") as fh:
-            fh.write("done\n")
-    n = df.count()  # batch-scan only; the encode ran once, in the write
+            for i, f in enumerate(parts):
+                os.replace(
+                    os.path.join(staging, f),
+                    f"{path}/codes/epoch-{int(epoch_id)}-{i:05d}.parquet",
+                )
+            shutil.rmtree(staging)
+            with open(marker, "w", encoding="utf-8") as fh:
+                fh.write("done\n")
+    finally:
+        df.unpersist()
     return {"n_appended": n, "dim": meta.dim, "n_subspaces": meta.n_subspaces}
 
 
@@ -1869,14 +1943,37 @@ def pq_index_compact(
     """
     import math
     import os
+    import re
     import shutil
 
+    from wren_engine_spark.operators import index_meta
+
+    # the two-rename swap below is only atomic on a local (POSIX/
+    # HDFS-style) filesystem — refuse loudly on object-store paths
+    index_meta.require_local_index_path(path, "pq_index_compact")
     codes_dir = f"{path}/codes"
     old = f"{path}/codes.old"
     # crash recovery: a previous compaction that died between its two
     # renames left the data at codes.old — restore before proceeding
     if not os.path.isdir(codes_dir) and os.path.isdir(old):
         os.rename(old, codes_dir)
+    # ingestion-crash hygiene: epoch-{id}-*.parquet files WITHOUT their
+    # _epoch_{id} marker are a partial append (the appender died
+    # between its file moves and its marker write). Folding them into
+    # generic part files would make the epoch's eventual replay append
+    # a full second copy — its straggler glob would match nothing — so
+    # delete them first, exactly what the replay itself would do.
+    # Single-writer discipline assumed (the lifecycle's ingestion is a
+    # sequential foreachBatch; see t16).
+    done = {
+        int(f[len("_epoch_"):])
+        for f in os.listdir(path)
+        if f.startswith("_epoch_") and f[len("_epoch_"):].isdigit()
+    }
+    for f in os.listdir(codes_dir):
+        m = re.match(r"epoch-(\d+)-\d+\.parquet$", f)
+        if m and int(m.group(1)) not in done:
+            os.remove(os.path.join(codes_dir, f))
     df = spark.read.parquet(codes_dir)
     files_before = len(df.inputFiles())
     n_rows = df.count()

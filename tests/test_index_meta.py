@@ -136,6 +136,21 @@ class TestMetaMemoization:
         assert probe0 <= probe1
 
 
+class TestProbeShape:
+    def test_x63_probe_runs_on_one_shuffle(self, spark):
+        # the serving-path contract: query side broadcast, index side
+        # bucket-local, candidates ranked and deduplicated on a SINGLE
+        # hash exchange (dense_rank over duplicated collisions equals
+        # row_number over distinct candidates because neighbor_id is in
+        # the ordering key; the final dedup aggregation reuses the
+        # window's partitioning)
+        from wren_engine_spark.operators.layout import shuffle_exchanges
+        from wren_engine_spark.queries.registry import QUERIES
+
+        df = QUERIES["x63_ann_index_probe"](spark, SF_DIR)
+        assert shuffle_exchanges(df) == 1
+
+
 class TestMissingMetaIsLoud:
     def test_ann_probe_without_meta_raises(self, spark):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(

@@ -953,6 +953,27 @@ def semantic_dedup(
     )
 
 
+def _sig_sql(vec_col: str, planes: list[list[float]]) -> str:
+    """One hash table's nbits-bit hyperplane signature as a single SQL
+    expression string with the plane constants inlined as double
+    literals. Building the same tree through Column operators costs
+    ~nbits x dim py4j round-trips (~190 ms of every x63 probe at
+    nbits=10, tables=4, dim=64); building a string is microseconds.
+    ``repr()`` round-trips IEEE doubles exactly and Spark parses
+    ``...D`` literals with Double.parseDouble, so the arithmetic is
+    bit-identical to the Column form it replaced (same
+    zip_with/aggregate left fold, same > 0 bit rule, long OR fold)."""
+    bits = []
+    for j, plane in enumerate(planes):
+        arr = ", ".join(f"{x!r}D" for x in plane)
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0D THEN {1 << j}L ELSE 0L END)")
+    return " | ".join(bits)
+
+
 def _all_table_signatures(
     df: DataFrame,
     id_col: str,
@@ -985,22 +1006,12 @@ def _all_table_signatures(
             v.alias(vec_col),
             F.posexplode(multi_sig(v)).alias("table_id", "bucket"),
         ).select(id_col, vec_col, "table_id", "bucket")
-    sig_cols = []
-    for t, planes in enumerate(all_planes):
-        sig = F.lit(0).cast("long")
-        for j, plane in enumerate(planes):
-            arr = F.array(*[F.lit(x) for x in plane])
-            dot = F.aggregate(
-                F.zip_with(v, arr, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sig = sig.bitwiseOR(
-                F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-        sig_cols.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
+    sig_cols = [
+        F.struct(
+            F.lit(t).alias("t"), F.expr(_sig_sql(vec_col, planes)).alias("b")
+        )
+        for t, planes in enumerate(all_planes)
+    ]
     return (
         df.select(F.col(id_col), v.alias(vec_col),
                   F.explode(F.array(*sig_cols)).alias("__tb"))
@@ -1165,6 +1176,16 @@ def ann_index_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__q"),
     )
+    # a candidate colliding in several hash tables appears once per
+    # collision; scoring is deterministic per (query, neighbor), so
+    # instead of a distinct() BEFORE the window (a second shuffle,
+    # carrying both vectors through the exchange) rank the duplicated
+    # rows with dense_rank — duplicates share an identical (sim,
+    # neighbor_id) ordering key, so dense_rank over duplicates equals
+    # row_number over deduplicated rows — and dedup AFTER the rank
+    # filter, where the window's own hash partitioning on query_id
+    # already satisfies the aggregation's distribution: the whole
+    # probe runs on ONE shuffle (pytest-pinned via shuffle_exchanges)
     cand = (
         idx.join(F.broadcast(qsigs), ["table_id", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
@@ -1174,7 +1195,6 @@ def ann_index_topk(
             "__q",
             F.col(vec_col).alias("__v"),
         )
-        .distinct()
     )
     scored = cand.select(
         "query_id",
@@ -1186,14 +1206,14 @@ def ann_index_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.dense_rank().over(w))
         .filter(F.col("rnk") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("__sim"), 6).alias("cosine_sim"),
-            F.col("rnk").cast("int").alias("rnk"),
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(F.first("__sim"), 6).alias("cosine_sim"),
+            F.first("rnk").cast("int").alias("rnk"),
         )
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
     )
 
 

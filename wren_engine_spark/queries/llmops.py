@@ -420,7 +420,14 @@ def x63(spark: SparkSession, sf: str) -> DataFrame:
             e, "vec_id", "embedding", table, dim=64, nbits=10, tables=4
         )
         _ANN_INDEX_MEMO[key] = table
-    queries = e.filter(F.col("vec_id") < 10)
+    # the probe's query side is a small explicit batch: read it WITHOUT
+    # load_tables' map-heavy scan fan-out (that 32-way repartition is
+    # for corpus-sized per-row work; on a 10-row broadcast side it adds
+    # a whole exchange + 32-task stage to every probe). The build above
+    # keeps the fanned-out frame — it IS the corpus pass.
+    queries = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
+        F.col("vec_id") < 10
+    )
     return similarity.ann_index_topk(
         spark, table, queries, "vec_id", "embedding", dim=64, k=3, nbits=10, tables=4
     )

@@ -310,6 +310,17 @@ def main() -> None:
         R7, "r7 operator sub-suite", freeze=True
     )
 
+    # round-8 additions: append lifecycles for the bucketed index
+    # families (memoized build+append — the median amortizes to the
+    # steady-state probe, x70/x99's convention)
+    R8 = [
+        "x105_ann_index_append",
+        "x106_simhash_index_append",
+    ]
+    r8_timings, r8_total, r8_runs, r8_measured = run_suite(
+        R8, "r8 operator sub-suite", freeze=True
+    )
+
     # persist the fingerprint-gated medians so the next bench run only
     # re-measures entries whose implementation actually changed
     with open(frozen_path, "w") as f:
@@ -392,6 +403,7 @@ def main() -> None:
         "r5_ops_total_s": r5_total,
         "r6_ops_total_s": r6_total,
         "r7_ops_total_s": r7_total,
+        "r8_ops_total_s": r8_total,
         "x63_probe_p50_ms": x63_probe_ms,
     }
     detail = dict(
@@ -411,6 +423,9 @@ def main() -> None:
         r7_ops=r7_timings,
         r7_ops_run_totals=r7_runs,
         r7_ops_measured=r7_measured,
+        r8_ops=r8_timings,
+        r8_ops_run_totals=r8_runs,
+        r8_ops_measured=r8_measured,
         x63_probe_runs_ms=[round(x, 1) for x in probe_lat],
     )
     detail_path = os.path.join(

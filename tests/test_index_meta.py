@@ -289,6 +289,53 @@ class TestLifecycleLocalFsGuard:
         assert spark.read.parquet(f"{path}/codes").count() == emb.count()
 
 
+class TestAppendLifecycleEntries:
+    def test_x105_equals_full_rebuild_probe(self, spark):
+        # the registered append-lifecycle entry must rank identically
+        # to a probe of a fresh full-corpus build: appends hash on the
+        # build's exact planes, so the index content is equal
+        from wren_engine_spark.operators.layout import shuffle_exchanges
+        from wren_engine_spark.queries.registry import QUERIES
+
+        df = QUERIES["x105_ann_index_append"](spark, SF_DIR)
+        assert shuffle_exchanges(df) == 1  # same serving shape as x63
+        got = {(r.query_id, r.rnk): (r.neighbor_id, r.cosine_sim)
+               for r in df.collect()}
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        similarity.write_ann_index(
+            emb, "vec_id", "embedding", "x105_full_t",
+            dim=64, nbits=10, tables=4,
+        )
+        queries = emb.filter(F.col("vec_id") < 6)
+        want = {
+            (r.query_id, r.rnk): (r.neighbor_id, r.cosine_sim)
+            for r in similarity.ann_index_topk(
+                spark, "x105_full_t", queries, "vec_id", "embedding",
+                dim=64, k=3,
+            ).collect()
+        }
+        assert got == want and got
+
+    def test_x106_equals_full_rebuild_probe(self, spark):
+        from wren_engine_spark.queries.registry import QUERIES
+
+        got = {
+            (r.delta_id, r.corpus_id, r.hamming)
+            for r in QUERIES["x106_simhash_index_append"](spark, SF_DIR).collect()
+        }
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        corpus = d.filter(F.col("doc_id") % 10 != 0)
+        delta = d.filter(F.col("doc_id") % 10 == 0)
+        dedup.write_simhash_index(corpus, "text", "doc_id", "x106_full_t")
+        want = {
+            (r.delta_id, r.corpus_id, r.hamming)
+            for r in dedup.simhash_index_probe(
+                spark, "x106_full_t", delta, "text", "doc_id", max_hamming=3
+            ).collect()
+        }
+        assert got == want and got
+
+
 class TestImageAHashBandsGuard:
     def test_straddling_band_count_rejected(self, spark):
         df = spark.createDataFrame(

@@ -98,8 +98,50 @@ def _run_pq_lifecycle(spark, emb, d: str) -> int:
     return similarity.pq_index_topk(spark, path, queries, topk=5).count()
 
 
+def _run_ann_lifecycle(spark, emb) -> int:
+    """LSH index append lifecycle at 10x: bucketed build on the base
+    split, sidecar-parameterized append of the delta, one-shuffle
+    probe across old + new rows (x105's shape)."""
+    from pyspark.sql import functions as F
+
+    from wren_engine_spark.operators import similarity
+
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    similarity.write_ann_index(
+        base, "vec_id", "embedding", "spill_ann_app", dim=64, nbits=10, tables=4
+    )
+    similarity.ann_index_append(
+        spark, "spill_ann_app", delta, "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.ann_index_topk(
+        spark, "spill_ann_app", q, "vec_id", "embedding", dim=64, k=3
+    ).count()
+
+
+def _run_simhash_lifecycle(spark, docs) -> int:
+    """Simhash index append lifecycle at 10x: banded build on the base
+    split, sidecar-parameterized append, broadcast-probe of the
+    ingestion batch (x106's shape)."""
+    from pyspark.sql import functions as F
+
+    from wren_engine_spark.operators import dedup as dd
+
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    a = corpus.filter(F.col("doc_id") % 3 != 0)
+    b = corpus.filter(F.col("doc_id") % 3 == 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    dd.write_simhash_index(a, "text", "doc_id", "spill_simhash_app")
+    dd.simhash_index_append(spark, "spill_simhash_app", b, "text", "doc_id")
+    return dd.simhash_index_probe(
+        spark, "spill_simhash_app", delta, "text", "doc_id", max_hamming=3
+    ).count()
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    only = set(sys.argv[2:])  # optional: measure just the named ops
     from wren_engine_spark.operators import similarity
     from wren_engine_spark.session import get_spark
 
@@ -220,7 +262,15 @@ def main() -> int:
                 "doc_id",
             ).count(),
         ),
+        # round-8 additions: the bucketed-index append lifecycles
+        ("x105_ann_append_lifecycle", lambda: _run_ann_lifecycle(spark, emb)),
+        (
+            "x106_simhash_append_lifecycle",
+            lambda: _run_simhash_lifecycle(spark, docs),
+        ),
     ):
+        if only and name not in only:
+            continue
         sc.setJobGroup(name, name)
         t0 = time.perf_counter()
         n_out = fn()

@@ -160,7 +160,9 @@ def require_local_index_path(path: str, op: str) -> None:
     p = str(path)
     if p.startswith("file:"):
         return
-    if _SCHEME_RE.match(p) and "://" in p:
+    # any other scheme prefix counts, single- or double-slash form
+    # (Hadoop accepts hdfs:/nn/x too)
+    if _SCHEME_RE.match(p):
         raise ValueError(
             f"{op}: index path {path!r} is not on a local filesystem; "
             "the epoch-staging/compaction rename protocol is only "

@@ -145,7 +145,9 @@ def table_meta_row(spark, table: str):
     d = managed_table_dir(spark, meta_tbl)
     if d is None or not os.path.isdir(d):
         return load()
-    return cached_read(spark, ("tblmeta", meta_tbl), [d], load)
+    # key on the RESOLVED directory, not the (possibly unqualified)
+    # table name: the same bare name in two databases is two sidecars
+    return cached_read(spark, ("tblmeta", d), [d], load)
 
 
 def require_local_index_path(path: str, op: str) -> None:

@@ -151,6 +151,45 @@ class TestProbeShape:
         assert shuffle_exchanges(df) == 1
 
 
+class TestCachedReadMechanics:
+    def test_local_dir_unwraps_file_uris(self, tmp_path):
+        d = str(tmp_path)
+        assert index_meta.local_dir(d) == d
+        assert index_meta.local_dir(f"file:{d}") == d
+        assert index_meta.local_dir(f"file://{d}") == d
+        assert index_meta.local_dir("s3a://bucket/x") is None
+        assert index_meta.local_dir(str(tmp_path / "missing")) is None
+
+    def test_non_local_paths_fall_through_uncached(self, spark):
+        calls = []
+
+        def loader():
+            calls.append(1)
+            return len(calls)
+
+        # object-store path: no token, loader runs every call
+        assert index_meta.cached_read(spark, ("t1",), ["s3a://b/x"], loader) == 1
+        assert index_meta.cached_read(spark, ("t1",), ["s3a://b/x"], loader) == 2
+
+    def test_token_change_reloads_and_stable_token_caches(
+        self, spark, tmp_path
+    ):
+        d = tmp_path / "side"
+        d.mkdir()
+        (d / "part-0").write_text("a")
+        calls = []
+
+        def loader():
+            calls.append(1)
+            return len(calls)
+
+        assert index_meta.cached_read(spark, ("t2",), [str(d)], loader) == 1
+        assert index_meta.cached_read(spark, ("t2",), [str(d)], loader) == 1
+        # rewriting a sidecar file changes the token -> reload
+        (d / "part-1").write_text("b")
+        assert index_meta.cached_read(spark, ("t2",), [str(d)], loader) == 2
+
+
 class TestMissingMetaIsLoud:
     def test_ann_probe_without_meta_raises(self, spark):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(

@@ -312,10 +312,14 @@ def main() -> None:
 
     # round-8 additions: append lifecycles for the bucketed index
     # families (memoized build+append — the median amortizes to the
-    # steady-state probe, x70/x99's convention)
+    # steady-state probe, x70/x99's convention) and the IVF-PQ
+    # composite (memoized training shared by x107/x108, the x94/x99
+    # convention)
     R8 = [
         "x105_ann_index_append",
         "x106_simhash_index_append",
+        "x107_ivfpq_ann",
+        "x108_ivfpq_recall",
     ]
     r8_timings, r8_total, r8_runs, r8_measured = run_suite(
         R8, "r8 operator sub-suite", freeze=True

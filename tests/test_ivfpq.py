@@ -1,0 +1,239 @@
+"""IVF-PQ composite ANN (similarity.ivfpq_topk, entries x107/x108).
+
+The round-5 discipline's brute-force leg: an INDEPENDENT pure-Python
+replica of the whole spec — quantize, coarse quantized-Lloyd, integer
+residuals, per-subspace PQ Lloyd, encode, nprobe pruning, ADC rank —
+compared row-for-row against the Spark operator, plus plan asserts
+pinning the probe's shuffle structure (one exchange, broadcast query
+side, no cartesian, no sort-merge join) with broadcast auto-detection
+disabled so a shuffle could not hide behind an automatic broadcast.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from wren_engine_spark.operators import similarity
+
+NLIST, NPROBE, NSUB, KCODES = 4, 2, 2, 4
+COARSE_ITERS, PQ_ITERS, TOPK, Q = 2, 1, 5, 1_000_000
+
+
+def _corpus(spark, n=150):
+    return (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") < n)
+        .select("vec_id", "embedding")
+    )
+
+
+def _queries(df):
+    return df.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pure-Python replica of the spec (exact integer arithmetic; the one
+# IEEE double op is floor(sum/n), same as the operator and the oracle)
+# ---------------------------------------------------------------------------
+
+
+def _quant(vec):
+    return [int(math.floor(float(x) * float(Q) + 0.5)) for x in vec]
+
+
+def _argmin(qx, cents):
+    best_d, best_c = None, None
+    for c, cent in enumerate(cents):
+        d = sum((a - b) * (a - b) for a, b in zip(qx, cent))
+        if best_d is None or d < best_d:
+            best_d, best_c = d, c
+    return best_c
+
+
+def _lloyd(vectors_by_id, k, iters):
+    """kmeans_quantized semantics: init = the k smallest ids' vectors,
+    update = floor(sum/n) via one double division, an emptied cluster
+    keeps its previous centroid, assignment ties to the lowest id."""
+    ids = sorted(vectors_by_id)
+    cents = [list(vectors_by_id[i]) for i in ids[:k]]
+    dim = len(cents[0])
+    for _ in range(iters):
+        sums = [[0] * dim for _ in range(k)]
+        ns = [0] * k
+        for i in ids:
+            c = _argmin(vectors_by_id[i], cents)
+            ns[c] += 1
+            for d, v in enumerate(vectors_by_id[i]):
+                sums[c][d] += v
+        for c in range(k):
+            if ns[c]:
+                cents[c] = [
+                    int(math.floor(float(sums[c][d]) / float(ns[c])))
+                    for d in range(dim)
+                ]
+    return cents
+
+
+def _replica(rows, qrows):
+    qx = {int(r.vec_id): _quant(r.embedding) for r in rows}
+    coarse = _lloyd(qx, NLIST, COARSE_ITERS)
+    assign = {i: _argmin(v, coarse) for i, v in qx.items()}
+    resid = {
+        i: [a - b for a, b in zip(v, coarse[assign[i]])] for i, v in qx.items()
+    }
+    dim = len(next(iter(qx.values())))
+    sub = dim // NSUB
+    books, codes = [], {i: [] for i in resid}
+    for s in range(NSUB):
+        sl = {i: v[s * sub : (s + 1) * sub] for i, v in resid.items()}
+        book = _lloyd(sl, KCODES, PQ_ITERS)
+        books.append(book)
+        for i, v in sl.items():
+            codes[i].append(_argmin(v, book))
+    out = {}
+    for r in qrows:
+        qid = int(r.query_id)
+        qq = _quant(r.qvec)
+        cd = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qq, c)), i)
+            for i, c in enumerate(coarse)
+        )
+        probed = [i for _d, i in cd[:NPROBE]]
+        cand = []
+        for nid, lst in assign.items():
+            if nid == qid or lst not in probed:
+                continue
+            qres = [a - b for a, b in zip(qq, coarse[lst])]
+            adist = 0
+            for s in range(NSUB):
+                qs = qres[s * sub : (s + 1) * sub]
+                c = books[s][codes[nid][s]]
+                adist += sum((a - b) * (a - b) for a, b in zip(qs, c))
+            cand.append((adist, nid))
+        cand.sort()
+        for rnk, (adist, nid) in enumerate(cand[:TOPK], start=1):
+            out[(qid, nid)] = (adist, rnk)
+    return out
+
+
+class TestIvfPqCorrectness:
+    def test_matches_pure_python_replica(self, spark):
+        df = _corpus(spark)
+        qdf = _queries(df)
+        got = {
+            (int(r.query_id), int(r.neighbor_id)): (int(r.adist), int(r.rnk))
+            for r in similarity.ivfpq_topk(
+                df, "vec_id", "embedding", qdf,
+                nlist=NLIST, nprobe=NPROBE, n_subspaces=NSUB, k_codes=KCODES,
+                coarse_iters=COARSE_ITERS, pq_iters=PQ_ITERS, topk=TOPK,
+            ).collect()
+        }
+        want = _replica(
+            df.collect(),
+            qdf.collect(),
+        )
+        assert got == want
+
+    def test_rank_contiguous_and_no_self(self, spark):
+        df = _corpus(spark)
+        rows = similarity.ivfpq_topk(
+            df, "vec_id", "embedding", _queries(df), topk=TOPK
+        ).collect()
+        per_q = {}
+        for r in rows:
+            assert r.neighbor_id != r.query_id
+            per_q.setdefault(r.query_id, []).append((r.rnk, r.adist, r.neighbor_id))
+        for q, lst in per_q.items():
+            lst.sort()
+            assert [t[0] for t in lst] == list(range(1, len(lst) + 1))
+            # adist non-decreasing with rank, ties broken by id
+            assert lst == sorted(lst, key=lambda t: (t[1], t[2]))
+
+    def test_cells_are_disjoint_no_duplicate_pairs(self, spark):
+        df = _corpus(spark)
+        rows = similarity.ivfpq_topk(
+            df, "vec_id", "embedding", _queries(df), topk=TOPK
+        ).collect()
+        pairs = [(r.query_id, r.neighbor_id) for r in rows]
+        assert len(pairs) == len(set(pairs))
+
+
+class TestIvfPqPlan:
+    def test_probe_plan_shape(self, spark):
+        # broadcast OFF: the probe's broadcast must be the operator's
+        # explicit hint, not an automatic size-based pick
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = _corpus(spark)
+            out = similarity.ivfpq_topk(
+                df, "vec_id", "embedding", _queries(df), topk=TOPK
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan
+            assert "SortMergeJoin" not in plan
+            assert plan.count("BroadcastHashJoin") == 1
+            from wren_engine_spark.operators.layout import shuffle_exchanges
+
+            # the one exchange is the per-query rank window; training
+            # barriers already ran (they are collect-time scalars)
+            assert shuffle_exchanges(out) == 1
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_registered_entries_agree_and_share_training(self, spark):
+        from wren_engine_spark.queries.llmops10 import _ivfpq_result
+
+        r1 = _ivfpq_result(spark, SF_DIR)
+        r2 = _ivfpq_result(spark, SF_DIR)
+        assert r2 is r1  # memoized: one training per (session, sf)
+        rows = r1.collect()
+        assert rows and all(r.rnk <= 5 for r in rows)
+
+
+class TestIvfPqRecallGate:
+    def test_unpruned_probe_is_full_adc_scan(self, spark):
+        # nprobe == nlist scans every cell: each query must return a
+        # full TOPK rows (no candidate lost to pruning), and recall
+        # against the exact quantized-L2 top-k stays a valid fraction.
+        # NOTE recall is NOT asserted monotone in nprobe — ADC
+        # distortion can reorder candidates, which is exactly why the
+        # x108 gate exists.
+        df = _corpus(spark, n=80)
+        qdf = _queries(df)
+        got = similarity.ivfpq_topk(
+            df, "vec_id", "embedding", qdf, nlist=NLIST, nprobe=NLIST,
+            topk=TOPK,
+        ).collect()
+        per_q = {}
+        for r in got:
+            per_q.setdefault(int(r.query_id), []).append(int(r.neighbor_id))
+        assert all(len(v) == TOPK for v in per_q.values())
+        qx = {int(r.vec_id): _quant(r.embedding) for r in df.collect()}
+        hits = 0
+        for q in qdf.collect():
+            qq = _quant(q.qvec)
+            ds = sorted(
+                (sum((a - b) * (a - b) for a, b in zip(qq, v)), i)
+                for i, v in qx.items()
+                if i != int(q.query_id)
+            )
+            exact = {i for _d, i in ds[:TOPK]}
+            hits += sum(1 for n in per_q[int(q.query_id)] if n in exact)
+        assert 0.0 <= hits / (len(per_q) * TOPK) <= 1.0
+
+
+class TestIvfPqValidation:
+    def test_dim_not_divisible_raises(self, spark):
+        df = _corpus(spark, n=30).select(
+            "vec_id", F.expr("slice(embedding, 1, 63)").alias("embedding")
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            similarity.ivfpq_topk(
+                df, "vec_id", "embedding", _queries(_corpus(spark, n=30)),
+                n_subspaces=2,
+            ).collect()

@@ -262,11 +262,31 @@ def main() -> int:
                 "doc_id",
             ).count(),
         ),
-        # round-8 additions: the bucketed-index append lifecycles
+        # round-8 additions: the bucketed-index append lifecycles and
+        # the IVF-PQ composite trainer+probe on the 10x embeddings
         ("x105_ann_append_lifecycle", lambda: _run_ann_lifecycle(spark, emb)),
         (
             "x106_simhash_append_lifecycle",
             lambda: _run_simhash_lifecycle(spark, docs),
+        ),
+        (
+            "x107_ivfpq_ann",
+            lambda: similarity.ivfpq_topk(
+                emb,
+                "vec_id",
+                "embedding",
+                emb.filter(F.col("vec_id") < 8).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qvec"),
+                ),
+                nlist=4,
+                nprobe=2,
+                n_subspaces=2,
+                k_codes=4,
+                coarse_iters=2,
+                pq_iters=1,
+                topk=5,
+            ).count(),
         ),
     ):
         if only and name not in only:

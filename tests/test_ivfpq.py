@@ -237,3 +237,107 @@ class TestIvfPqValidation:
                 df, "vec_id", "embedding", _queries(_corpus(spark, n=30)),
                 n_subspaces=2,
             ).collect()
+
+
+class TestIvfPqPersistedIndex:
+    def test_persisted_probe_bit_identical_to_inline(self, spark, tmp_path):
+        df = _corpus(spark)
+        qdf = _queries(df)
+        inline = similarity.ivfpq_topk(
+            df, "vec_id", "embedding", qdf,
+            nlist=NLIST, nprobe=NPROBE, n_subspaces=NSUB, k_codes=KCODES,
+            coarse_iters=COARSE_ITERS, pq_iters=PQ_ITERS, topk=TOPK,
+        ).collect()
+        path = str(tmp_path / "ivfpq_idx")
+        info = similarity.write_ivfpq_index(
+            df, "vec_id", "embedding", path,
+            nlist=NLIST, n_subspaces=NSUB, k_codes=KCODES,
+            coarse_iters=COARSE_ITERS, pq_iters=PQ_ITERS,
+        )
+        assert info["n_vectors"] == df.count()
+        got = similarity.ivfpq_index_topk(
+            spark, path, qdf, nprobe=NPROBE, topk=TOPK
+        ).collect()
+        key = lambda r: (r.query_id, r.rnk)  # noqa: E731
+        assert {key(r): (r.neighbor_id, r.adist) for r in got} == {
+            key(r): (r.neighbor_id, r.adist) for r in inline
+        }
+
+    def test_probe_plan_codes_only_no_embedding(self, spark, tmp_path):
+        df = _corpus(spark)
+        path = str(tmp_path / "ivfpq_idx2")
+        similarity.write_ivfpq_index(df, "vec_id", "embedding", path)
+        out = similarity.ivfpq_index_topk(spark, path, _queries(df))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "embedding" not in plan  # codes-only scan
+        assert "CartesianProduct" not in plan
+
+    def test_probe_meta_read_is_memoized(self, spark, tmp_path):
+        df = _corpus(spark, n=60)
+        path = str(tmp_path / "ivfpq_idx3")
+        similarity.write_ivfpq_index(df, "vec_id", "embedding", path)
+        m1 = similarity._load_ivfpq_index(spark, path)
+        m2 = similarity._load_ivfpq_index(spark, path)
+        assert m2 is m1  # cache hit: no Spark job on the second read
+        # a REBUILD rewrites the sidecar files -> token misses
+        similarity.write_ivfpq_index(
+            df, "vec_id", "embedding", path, nlist=2, k_codes=2
+        )
+        m3 = similarity._load_ivfpq_index(spark, path)
+        assert m3 is not m1 and int(m3[0].nlist) == 2
+
+    def test_append_equals_rebuild_encoding(self, spark, tmp_path):
+        # build on the base split, append the delta with the FROZEN
+        # geometry; the codes table must equal a single build-encode
+        # over base+delta using the same (base-trained) geometry
+        df = _corpus(spark)
+        base = df.filter(F.col("vec_id") % 4 != 0)
+        delta = df.filter(F.col("vec_id") % 4 == 0)
+        path = str(tmp_path / "ivfpq_app")
+        similarity.write_ivfpq_index(base, "vec_id", "embedding", path)
+        got = similarity.ivfpq_index_append(
+            spark, path, delta, "vec_id", "embedding"
+        )
+        assert got["n_appended"] == delta.count()
+        codes = spark.read.parquet(f"{path}/codes")
+        assert codes.count() == df.count()
+        # re-encode the delta manually against the frozen geometry
+        meta, coarse, books = similarity._load_ivfpq_index(spark, path)
+        sub = meta.dim // meta.n_subspaces
+        want = similarity._ivfpq_codes(
+            similarity._ivfpq_residuals(
+                similarity._pq_quantize(
+                    delta, "vec_id", "embedding", int(meta.quantum)
+                ),
+                coarse,
+            ),
+            books,
+            sub,
+            meta.n_subspaces,
+        ).collect()
+        appended = codes.join(
+            delta.select(F.col("vec_id").alias("__id")), "__id"
+        ).collect()
+        # index access: attribute access on __-prefixed fields gets
+        # Python-name-mangled inside a class body
+        row_key = lambda r: (r["__list"], r["code_0"], r["code_1"])  # noqa: E731
+        assert {int(r["__id"]): row_key(r) for r in appended} == {
+            int(r["__id"]): row_key(r) for r in want
+        }
+        # and a probe across old + new rows ranks appended vectors
+        got_probe = similarity.ivfpq_index_topk(
+            spark, path, _queries(df), nprobe=NLIST, topk=TOPK
+        )
+        assert got_probe.count() > 0
+
+    def test_append_wrong_dim_fails_loudly(self, spark, tmp_path):
+        df = _corpus(spark, n=60)
+        path = str(tmp_path / "ivfpq_dim")
+        similarity.write_ivfpq_index(df, "vec_id", "embedding", path)
+        bad = df.select(
+            "vec_id", F.expr("slice(embedding, 1, 32)").alias("embedding")
+        )
+        with pytest.raises(Exception, match="vector dim"):
+            similarity.ivfpq_index_append(
+                spark, path, bad, "vec_id", "embedding"
+            )

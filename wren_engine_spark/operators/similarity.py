@@ -2157,8 +2157,6 @@ def ivfpq_topk(
     Ties: lowest cluster id on every argmin, lowest neighbor id on
     rank. Returns (query_id, neighbor_id, adist, rnk), rnk <= topk.
     """
-    from pyspark.sql import Window as W
-
     spark = df.sparkSession
     # 1) coarse quantizer: bit-exact quantized Lloyd; k*dim scalars
     km = kmeans_quantized(
@@ -2168,13 +2166,35 @@ def ivfpq_topk(
     dim = 1 + max(d for _, d in got)
     coarse = [[got[(c, d)] for d in range(dim)] for c in range(nlist)]
 
-    # 2) assign + exact-integer residual in one narrow pass (the
-    # centroid matrix is an array-of-arrays literal; no join)
+    # 2) assign + exact-integer residual in one narrow pass
     qdf = _pq_quantize(df, id_col, vec_col, quantum)
+    rdf = _ivfpq_residuals(qdf, coarse)
+
+    # 3) PQ codebooks on the residuals (driver keeps only the
+    # k_codes x dim codebook scalars); encode WITH the list id in one
+    # join-free projection
+    books, _codes, _dimr, sub = _train_pq(rdf, n_subspaces, k_codes, pq_iters)
+    enc = _ivfpq_codes(rdf, books, sub, n_subspaces)
+
+    # 4) per-query probe plan + 5) broadcast ADC rank — the SAME
+    # kernels the persisted-index probe runs, so the inline and
+    # persisted paths cannot drift
+    tab_rows = _ivfpq_adc_rows(
+        _ivfpq_quantized_queries(query_df, quantum), coarse, books, sub, nprobe
+    )
+    return _ivfpq_rank(spark, enc, tab_rows, n_subspaces, topk)
+
+
+def _ivfpq_residuals(qdf: DataFrame, coarse: list[list[int]]) -> DataFrame:
+    """Coarse-assign + exact-integer residual in one narrow pass:
+    in-row argmin against the literal centroids (``_km_assign``), then
+    ``qx - centroid_q[cell]`` with the centroid matrix riding the plan
+    as an array-of-arrays literal — no join, no shuffle. Returns
+    (__id, __list, qx=residual)."""
     cent_arr = F.array(
         *[F.array(*[F.lit(int(v)).cast("bigint") for v in c]) for c in coarse]
     )
-    rdf = _km_assign(qdf, coarse, nlist).select(
+    return _km_assign(qdf, coarse, len(coarse)).select(
         "__id",
         F.col("cluster").alias("__list"),
         F.zip_with(
@@ -2184,11 +2204,13 @@ def ivfpq_topk(
         ).alias("qx"),
     )
 
-    # 3) PQ codebooks on the residuals (driver keeps only the
-    # k_codes x dim codebook scalars); encode WITH the list id in one
-    # join-free projection
-    books, _codes, _dimr, sub = _train_pq(rdf, n_subspaces, k_codes, pq_iters)
-    enc = rdf.select(
+
+def _ivfpq_codes(rdf: DataFrame, books, sub: int, n_subspaces: int) -> DataFrame:
+    """Encode residuals against frozen codebooks, keeping the cell id:
+    every subspace's integer argmin in ONE join-free projection
+    (``_pq_argmin`` — the ``_pq_encode`` kernel plus ``__list``).
+    Returns (__id, __list, code_0..)."""
+    return rdf.select(
         "__id",
         "__list",
         *[
@@ -2199,19 +2221,26 @@ def ivfpq_topk(
         ],
     )
 
-    # 4) per-query probe plan, driver-side on the bounded query set:
-    # quantize through the SAME Spark expression the corpus used, pick
-    # the nprobe nearest cells by exact integer L2^2 (ties to the
-    # lowest cell), and build one integer ADC table per (query, cell)
-    # from the query's residual against THAT cell's centroid
+
+def _ivfpq_quantized_queries(query_df: DataFrame, quantum: int):
+    """Collect the bounded query probe set, quantized through the SAME
+    Spark expression the corpus used (no Python-side float path)."""
     q = float(quantum)
-    qrows = query_df.select(
+    return query_df.select(
         "query_id",
         F.expr(
             f"transform(qvec, x -> cast(floor(cast(x as double) * {q!r} "
             f"+ 0.5) as bigint))"
         ).alias("qx"),
     ).collect()
+
+
+def _ivfpq_adc_rows(qrows, coarse, books, sub: int, nprobe: int):
+    """Driver-side probe plan for the bounded query set: nprobe
+    nearest cells by exact integer L2^2 (ties to the lowest cell), and
+    one integer ADC table per (query, cell) built from the query's
+    residual against THAT cell's centroid — the residual trick that
+    makes IVF-PQ more accurate than global PQ."""
     tab_rows = []
     for r in qrows:
         qx = [int(v) for v in r.qx]
@@ -2228,14 +2257,23 @@ def ivfpq_topk(
                     [sum((a - b) * (a - b) for a, b in zip(qs, c)) for c in book]
                 )
             tab_rows.append((r.query_id, list_id, *tabs))
+    return tab_rows
+
+
+def _ivfpq_rank(
+    spark, enc: DataFrame, tab_rows, n_subspaces: int, topk: int
+) -> DataFrame:
+    """Score only the probed cells: broadcast the (query, cell, ADC)
+    rows against the encoded corpus, sum the integer lookups, and take
+    the per-query top-k (adist asc, neighbor id tie-break). Cells are
+    disjoint — a vector lives in exactly one — so no dedup window is
+    needed."""
+    from pyspark.sql import Window as W
+
     schema = "query_id BIGINT, __list INT, " + ", ".join(
         f"__adt_{s} ARRAY<BIGINT>" for s in range(n_subspaces)
     )
     qtab = spark.createDataFrame(tab_rows, schema)
-
-    # 5) score only the probed cells: broadcast the (query, cell, ADC)
-    # rows, sum the lookups, per-query top-k (cells are disjoint, so
-    # no candidate dedup is needed)
     adist = None
     for s in range(n_subspaces):
         term = F.element_at(F.col(f"__adt_{s}"), F.col(f"code_{s}") + 1)
@@ -2257,3 +2295,190 @@ def ivfpq_topk(
             "query_id", "neighbor_id", "adist", F.col("rnk").cast("int").alias("rnk")
         )
     )
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    nlist: int = 4,
+    n_subspaces: int = 2,
+    k_codes: int = 4,
+    coarse_iters: int = 2,
+    pq_iters: int = 1,
+    quantum: int = 1_000_000,
+) -> dict:
+    """Persist an IVF-PQ composite index — the build-once/probe-many
+    deployment of ``ivfpq_topk`` (write_pq_index's sidecar pattern for
+    the composite): train the coarse quantizer + residual codebooks
+    once, then write ``{path}/codes`` ((__id, __list, code_s) — the
+    only thing a probe ever scans, ~one small int + n_subspaces codes
+    per vector, partitionable by cell), ``{path}/coarse`` (nlist*dim
+    centroid scalars), ``{path}/codebooks`` (k_codes*dim scalars per
+    subspace), and ``{path}/meta`` (nlist/n_subspaces/k_codes/quantum/
+    dim — so probes and appends can NEVER assign, quantize, or encode
+    on different parameters than the build; nprobe stays a query-time
+    knob, it changes no persisted state). Training and encoding are
+    the exact kernels the inline path runs, so a probe of this index
+    is bit-identical to ``ivfpq_topk`` on the same corpus
+    (pytest-pinned).
+
+    Returns {"dim", "sub", "nlist", "n_subspaces", "k_codes",
+    "quantum", "n_vectors"}.
+    """
+    spark = df.sparkSession
+    km = kmeans_quantized(
+        df, id_col, vec_col, k=nlist, iters=coarse_iters, quantum=quantum
+    )
+    got = {(r.cluster, r.dim): int(r.centroid_q) for r in km.collect()}
+    dim = 1 + max(d for _, d in got)
+    coarse = [[got[(c, d)] for d in range(dim)] for c in range(nlist)]
+    qdf = _pq_quantize(df, id_col, vec_col, quantum)
+    rdf = _ivfpq_residuals(qdf, coarse)
+    books, _codes, _dimr, sub = _train_pq(rdf, n_subspaces, k_codes, pq_iters)
+    _ivfpq_codes(rdf, books, sub, n_subspaces).write.mode("overwrite").parquet(
+        f"{path}/codes"
+    )
+    spark.createDataFrame(
+        [(c, d, coarse[c][d]) for c in range(nlist) for d in range(dim)],
+        "cluster INT, dim INT, val BIGINT",
+    ).write.mode("overwrite").parquet(f"{path}/coarse")
+    spark.createDataFrame(
+        [
+            (s, c, d, int(books[s][c][d]))
+            for s in range(n_subspaces)
+            for c in range(k_codes)
+            for d in range(sub)
+        ],
+        "subspace INT, cluster INT, dim INT, val BIGINT",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(nlist, n_subspaces, k_codes, int(quantum), dim)],
+        "nlist INT, n_subspaces INT, k_codes INT, quantum BIGINT, dim INT",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    n_vec = spark.read.parquet(f"{path}/codes").count()
+    return {
+        "dim": dim,
+        "sub": sub,
+        "nlist": nlist,
+        "n_subspaces": n_subspaces,
+        "k_codes": k_codes,
+        "quantum": quantum,
+        "n_vectors": n_vec,
+    }
+
+
+def _load_ivfpq_index(spark, path: str):
+    """Load a persisted IVF-PQ index's meta + coarse centroids +
+    codebooks, memoized per (session, path) and invalidated by the
+    sidecar files' own fs token (operators/index_meta.py) — they only
+    change on a full rebuild; appends encode with frozen parameters by
+    design and keep the cache warm. Returns (meta row, coarse, books)."""
+    from wren_engine_spark.operators import index_meta
+
+    def load():
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        got = {
+            (r.cluster, r.dim): int(r.val)
+            for r in spark.read.parquet(f"{path}/coarse").collect()
+        }
+        coarse = [
+            [got[(c, d)] for d in range(meta.dim)] for c in range(meta.nlist)
+        ]
+        raw: dict[int, dict[int, dict[int, int]]] = {}
+        for r in spark.read.parquet(f"{path}/codebooks").collect():
+            raw.setdefault(r.subspace, {}).setdefault(r.cluster, {})[r.dim] = r.val
+        books = [
+            [
+                [raw[s][c][d] for d in range(len(raw[s][c]))]
+                for c in sorted(raw[s])
+            ]
+            for s in sorted(raw)
+        ]
+        return meta, coarse, books
+
+    return index_meta.cached_read(
+        spark,
+        ("ivfpq", path),
+        [f"{path}/meta", f"{path}/coarse", f"{path}/codebooks"],
+        load,
+    )
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    query_df: DataFrame,
+    nprobe: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: nprobe nearest cells per query
+    (exact integer L2^2 against the index's own coarse centroids), one
+    integer ADC table per (query, cell) from the query's residual,
+    broadcast-joined against the codes-only scan. Quantization scale,
+    cell count, and codebooks come from the index's own sidecars
+    (memoized — zero extra Spark jobs per probe after the first), so a
+    probe can never hash a query onto geometry the corpus was not
+    encoded under. Bit-identical to the inline ``ivfpq_topk`` on the
+    same corpus/parameters (same kernels; pytest-pinned).
+
+    Returns (query_id, neighbor_id, adist, rnk)."""
+    meta, coarse, books = _load_ivfpq_index(spark, path)
+    sub = meta.dim // meta.n_subspaces
+    qrows = _ivfpq_quantized_queries(query_df, int(meta.quantum))
+    tab_rows = _ivfpq_adc_rows(qrows, coarse, books, sub, nprobe)
+    codes = spark.read.parquet(f"{path}/codes")
+    return _ivfpq_rank(spark, codes, tab_rows, meta.n_subspaces, topk)
+
+
+def ivfpq_index_append(
+    spark,
+    path: str,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """Append a batch to a persisted IVF-PQ index WITHOUT retraining:
+    assign each new vector to its cell and encode its residual against
+    the index's FROZEN coarse centroids + codebooks (one join-free
+    projection — assign, residual, and every subspace's argmin in a
+    single narrow pass), then parquet-append the codes. Because the
+    geometry is frozen in the index's own sidecars, an appended batch
+    encodes EXACTLY as a full re-encode with the same parameters would
+    (append ≡ rebuild, pytest-pinned) — x100's contract for the
+    composite family. The corpus is never read, shuffled, or
+    re-encoded; the batch persists before counting so a
+    nondeterministic upstream cannot make n_appended disagree with
+    what was written. Centroid drift under sustained appends is the
+    documented trade: ADC distances stay exact for the frozen
+    geometry, recall degrades only as the data distribution moves —
+    re-train via write_ivfpq_index when the x108-style gate says so.
+
+    Returns {"n_appended", "dim", "nlist", "n_subspaces"}.
+    """
+    meta, coarse, books = _load_ivfpq_index(spark, path)
+    sub = meta.dim // meta.n_subspaces
+    df = df.persist()
+    try:
+        n = df.count()
+        qdf = _pq_quantize(df, id_col, vec_col, int(meta.quantum)).withColumn(
+            "qx",
+            F.expr(
+                f"CASE WHEN assert_true(size(qx) = {meta.dim}, "
+                f"'ivfpq_index_append: vector dim != index dim {meta.dim}') "
+                f"IS NULL THEN qx END"
+            ),
+        )
+        enc = _ivfpq_codes(
+            _ivfpq_residuals(qdf, coarse), books, sub, meta.n_subspaces
+        )
+        enc.write.mode("append").parquet(f"{path}/codes")
+    finally:
+        df.unpersist()
+    return {
+        "n_appended": n,
+        "dim": meta.dim,
+        "nlist": meta.nlist,
+        "n_subspaces": meta.n_subspaces,
+    }

@@ -468,3 +468,65 @@ def x108(spark: SparkSession, sf: str) -> DataFrame:
             "recall_at_5"
         ),
     )
+
+
+_IVFPQ_INDEX_MEMO: dict = {}
+
+
+def _ensure_ivfpq_index(spark: SparkSession, sf: str) -> str:
+    """Build-once memo for the persisted IVF-PQ index (the x99
+    convention): corpus-keyed path under the session warehouse,
+    rebuilt when any sidecar is absent or on a new session."""
+    import hashlib
+    import os
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = f"{wh}/ivfpq_index_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    key = (session_uid(spark), sf)
+    complete = all(
+        os.path.isdir(f"{path}/{p}") for p in ("codes", "coarse", "codebooks", "meta")
+    )
+    if _IVFPQ_INDEX_MEMO.get(key) != path or not complete:
+        e = load_tables(spark, sf, "embeddings")["embeddings"]
+        similarity.write_ivfpq_index(
+            e, "vec_id", "embedding", path,
+            nlist=_IVFPQ_NLIST, n_subspaces=2, k_codes=_IVFPQ_K,
+            coarse_iters=2, pq_iters=1,
+        )
+        _IVFPQ_INDEX_MEMO[key] = path
+    return path
+
+
+@register(
+    "x109_ivfpq_index_probe",
+    f"""
+    WITH {_IVFPQ_CTES}
+    SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {_IVFPQ_TOPK}
+    """,
+)
+def x109(spark: SparkSession, sf: str) -> DataFrame:
+    """Build-once/probe-many IVF-PQ: persist the coarse centroids +
+    residual codebooks + per-vector (cell, codes) rows once
+    (similarity.write_ivfpq_index, memoized per (session, sf)) and
+    serve the 8-query probe through the codes-only scan
+    (similarity.ivfpq_index_topk — geometry comes from the index's own
+    memoized sidecars, never a caller parameter; no embedding column
+    anywhere in the probe plan). The probe runs the exact kernels the
+    inline x107 runs, so the SAME unrolled oracle certifies the
+    persisted path with its own driver row — x99's discipline applied
+    to the composite family. The library surface also ships
+    ivfpq_index_append (frozen-geometry batch encode, append ≡ rebuild
+    pytest-pinned), completing the 4th persisted index family's
+    ingestion story."""
+    path = _ensure_ivfpq_index(spark, sf)
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivfpq_index_topk(
+        spark, path, queries, nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK
+    )

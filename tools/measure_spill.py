@@ -139,6 +139,29 @@ def _run_simhash_lifecycle(spark, docs) -> int:
     ).count()
 
 
+def _run_ivfpq_lifecycle(spark, emb, d: str) -> int:
+    """Full IVF-PQ index lifecycle at 10x: train+encode the base
+    corpus, append the delta against the frozen geometry, probe the
+    codes-only scan across old + new rows (x109's shape)."""
+    from pyspark.sql import functions as F
+
+    from wren_engine_spark.operators import similarity
+
+    path = f"{d}/ivfpq_lifecycle_idx"
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    similarity.write_ivfpq_index(
+        base, "vec_id", "embedding", path, nlist=4, n_subspaces=2, k_codes=4
+    )
+    similarity.ivfpq_index_append(spark, path, delta, "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivfpq_index_topk(
+        spark, path, queries, nprobe=2, topk=5
+    ).count()
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     only = set(sys.argv[2:])  # optional: measure just the named ops
@@ -269,6 +292,7 @@ def main() -> int:
             "x106_simhash_append_lifecycle",
             lambda: _run_simhash_lifecycle(spark, docs),
         ),
+        ("x109_ivfpq_lifecycle", lambda: _run_ivfpq_lifecycle(spark, emb, d)),
         (
             "x107_ivfpq_ann",
             lambda: similarity.ivfpq_topk(

@@ -344,7 +344,12 @@ def _ivfpq_result(spark: SparkSession, sf: str) -> DataFrame:
     got = _IVFPQ_MEMO.get(key)
     if got is None:
         e = load_tables(spark, sf, "embeddings")["embeddings"]
-        queries = e.filter(F.col("vec_id") < 8).select(
+        # query side is an 8-row driver-side collect: read it WITHOUT
+        # load_tables' scan fan-out (x63's convention — the 32-way
+        # repartition is for corpus-sized work, not a tiny probe set)
+        queries = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
+            F.col("vec_id") < 8
+        ).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
         )
         got = similarity.ivfpq_topk(
@@ -435,9 +440,10 @@ def x108(spark: SparkSession, sf: str) -> DataFrame:
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"), qz("embedding").alias("__qx")
     )
-    qs = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), qz("embedding").alias("__qq")
-    )
+    # broadcast side: 8 rows, plain read (no scan fan-out)
+    qs = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
+        F.col("vec_id") < 8
+    ).select(F.col("vec_id").alias("query_id"), qz("embedding").alias("__qq"))
     dist = F.aggregate(
         F.zip_with(F.col("__qq"), F.col("__qx"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("bigint"),
@@ -523,8 +529,11 @@ def x109(spark: SparkSession, sf: str) -> DataFrame:
     pytest-pinned), completing the 4th persisted index family's
     ingestion story."""
     path = _ensure_ivfpq_index(spark, sf)
-    e = load_tables(spark, sf, "embeddings")["embeddings"]
-    queries = e.filter(F.col("vec_id") < 8).select(
+    # 8-row probe set: plain parquet read, no scan fan-out (x63's
+    # convention for broadcast/collected probe sides)
+    queries = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
+        F.col("vec_id") < 8
+    ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return similarity.ivfpq_index_topk(

@@ -321,6 +321,7 @@ def main() -> None:
         "x107_ivfpq_ann",
         "x108_ivfpq_recall",
         "x109_ivfpq_index_probe",
+        "x110_ivfpq_index_append",
     ]
     r8_timings, r8_total, r8_runs, r8_measured = run_suite(
         R8, "r8 operator sub-suite", freeze=True

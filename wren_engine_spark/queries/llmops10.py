@@ -177,7 +177,11 @@ _IVFPQ_Q = 1_000_000
 # one PQ subspace over the RESIDUALS: init from the k smallest ids'
 # residual slices -> one quantized-Lloyd iteration (d1/a1/u1/c1, the
 # x85 template on (vec_id, dim, rv) long form) -> encode vs c1 ->
-# per-(query, probed list) integer ADC table vs c1
+# per-(query, probed list) integer ADC table vs c1. ``tsrc`` is the
+# TRAINING assignment source (the full rp{s} for the full-corpus
+# build; a base-split view for the append lifecycle's train-on-base
+# oracle) — ru1 needs no filter because ra1 already holds only
+# training ids, and rids restricts the init the same way.
 _IVFPQ_PQ_SUB = """
 rp{s} AS (
   SELECT vec_id, CAST(dim - {off} AS INTEGER) AS dim, rv
@@ -190,7 +194,7 @@ rc0_{s} AS (
 rd1_{s} AS (
   SELECT p.vec_id, c.cluster,
          CAST(SUM((p.rv - c.val) * (p.rv - c.val)) AS BIGINT) AS dist
-  FROM rp{s} p JOIN rc0_{s} c ON c.dim = p.dim
+  FROM {tsrc} p JOIN rc0_{s} c ON c.dim = p.dim
   GROUP BY 1, 2
 ),
 ra1_{s} AS (
@@ -309,9 +313,9 @@ _IVFPQ_CTES = (
       JOIN c2 c ON c.cluster = qp.list_id AND c.dim = p.dim
     ),
     """
-    + _IVFPQ_PQ_SUB.format(s=0, off=0, end=_IVFPQ_SUB)
+    + _IVFPQ_PQ_SUB.format(s=0, off=0, end=_IVFPQ_SUB, tsrc="rp0")
     + ","
-    + _IVFPQ_PQ_SUB.format(s=1, off=_IVFPQ_SUB, end=2 * _IVFPQ_SUB)
+    + _IVFPQ_PQ_SUB.format(s=1, off=_IVFPQ_SUB, end=2 * _IVFPQ_SUB, tsrc="rp1")
     + """,
     ad AS (
       SELECT q0.query_id, k0.vec_id AS neighbor_id, q0.d + q1.d AS adist
@@ -531,6 +535,193 @@ def x109(spark: SparkSession, sf: str) -> DataFrame:
     path = _ensure_ivfpq_index(spark, sf)
     # 8-row probe set: plain parquet read, no scan fan-out (x63's
     # convention for broadcast/collected probe sides)
+    queries = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
+        F.col("vec_id") < 8
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivfpq_index_topk(
+        spark, path, queries, nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK
+    )
+
+
+# x110: the append lifecycle's train-on-base / encode-all oracle —
+# geometry (coarse centroids + PQ codebooks) trains on the BASE split
+# (vec_id % 5 <> 0, x100's convention) while assignment, residuals,
+# encoding, and the probe cover the WHOLE corpus, exactly what
+# write_ivfpq_index(base) + ivfpq_index_append(delta) produces.
+# Training reads: `pos` (base positions — _KM_ITER's hardcoded source),
+# `rids`/`rtp{s}` (base residuals). Encode/probe read: `apos`/`rp{s}`
+# (all rows).
+_IVFPQA_CTES = (
+    f"""
+    q AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * {float(_IVFPQ_Q)!r} + 0.5)
+                   AS BIGINT) FOR x IN embedding] AS qx
+      FROM embeddings
+    ),
+    init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster, qx
+      FROM (SELECT vec_id, qx FROM q WHERE vec_id % 5 <> 0
+            ORDER BY vec_id LIMIT {_IVFPQ_NLIST})
+    ),
+    pos AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+             qx[CAST(i AS INTEGER)] AS qv
+      FROM (SELECT vec_id, qx, unnest(generate_series(1, len(qx))) AS i
+            FROM q WHERE vec_id % 5 <> 0)
+    ),
+    apos AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+             qx[CAST(i AS INTEGER)] AS qv
+      FROM (SELECT vec_id, qx, unnest(generate_series(1, len(qx))) AS i
+            FROM q)
+    ),
+    c0 AS (
+      SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
+             qx[CAST(i AS INTEGER)] AS val
+      FROM (SELECT cluster, qx, unnest(generate_series(1, len(qx))) AS i
+            FROM init)
+    ),
+    spine AS (SELECT DISTINCT cluster FROM c0),
+    dims AS (SELECT DISTINCT dim FROM c0),
+    """
+    + _KM_ITER.format(i=1, prev=0)
+    + ","
+    + _KM_ITER.format(i=2, prev=1)
+    + f""",
+    ca AS (
+      SELECT p.vec_id, c.cluster,
+             CAST(SUM((p.qv - c.val) * (p.qv - c.val)) AS BIGINT) AS d
+      FROM apos p JOIN c2 c ON c.dim = p.dim
+      GROUP BY 1, 2
+    ),
+    al AS (
+      SELECT vec_id, cluster AS list_id FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cluster ASC) AS rn
+        FROM ca) WHERE rn = 1
+    ),
+    rpos AS (
+      SELECT p.vec_id, p.dim, p.qv - c.val AS rv
+      FROM apos p
+      JOIN al a ON a.vec_id = p.vec_id
+      JOIN c2 c ON c.cluster = a.list_id AND c.dim = p.dim
+    ),
+    rids AS (
+      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster
+      FROM (SELECT DISTINCT vec_id FROM rpos WHERE vec_id % 5 <> 0
+            ORDER BY vec_id LIMIT {_IVFPQ_K})
+    ),
+    pspine AS (SELECT cluster FROM rids),
+    sdims AS (SELECT CAST(i - 1 AS INTEGER) AS dim
+              FROM (SELECT unnest(generate_series(1, {_IVFPQ_SUB})) AS i)),
+    qp AS (
+      SELECT query_id, list_id FROM (
+        SELECT vec_id AS query_id, cluster AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cluster ASC) AS rn
+        FROM ca WHERE vec_id < 8) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    qres AS (
+      SELECT qp.query_id, qp.list_id, p.dim, p.qv - c.val AS rv
+      FROM qp
+      JOIN apos p ON p.vec_id = qp.query_id
+      JOIN c2 c ON c.cluster = qp.list_id AND c.dim = p.dim
+    ),
+    rtp0 AS (SELECT * FROM rp0 WHERE vec_id % 5 <> 0),
+    rtp1 AS (SELECT * FROM rp1 WHERE vec_id % 5 <> 0),
+    """
+    + _IVFPQ_PQ_SUB.format(s=0, off=0, end=_IVFPQ_SUB, tsrc="rtp0")
+    + ","
+    + _IVFPQ_PQ_SUB.format(s=1, off=_IVFPQ_SUB, end=2 * _IVFPQ_SUB, tsrc="rtp1")
+    + """,
+    ad AS (
+      SELECT q0.query_id, k0.vec_id AS neighbor_id, q0.d + q1.d AS adist
+      FROM rcode_0 k0
+      JOIN rcode_1 k1 ON k1.vec_id = k0.vec_id
+      JOIN al a ON a.vec_id = k0.vec_id
+      JOIN qd_0 q0 ON q0.list_id = a.list_id AND q0.cluster = k0.code
+      JOIN qd_1 q1 ON q1.query_id = q0.query_id AND q1.list_id = a.list_id
+                  AND q1.cluster = k1.code
+      WHERE k0.vec_id <> q0.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist ASC, neighbor_id ASC) AS rnk
+      FROM ad
+    )"""
+)
+
+_IVFPQ_APP_MEMO: dict = {}
+
+
+def _ensure_appended_ivfpq_index(spark: SparkSession, sf: str) -> str:
+    """x110's index: build on the base split (vec_id % 5 != 0), append
+    the delta against the FROZEN geometry, mark completion — the
+    x100-lifecycle discipline (marker removed before any rebuild, so a
+    partial build can never serve and a re-entry can never
+    double-append: write_ivfpq_index overwrites codes wholesale)."""
+    import hashlib
+    import os
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = f"{wh}/ivfpq_app_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    marker = f"{path}/_APPENDED"
+    key = (session_uid(spark), sf)
+    complete = (
+        os.path.isdir(f"{path}/codes")
+        and os.path.isdir(f"{path}/meta")
+        and os.path.isfile(marker)
+    )
+    if _IVFPQ_APP_MEMO.get(key) != path or not complete:
+        if os.path.isfile(marker):
+            os.remove(marker)
+        e = load_tables(spark, sf, "embeddings")["embeddings"]
+        base = e.filter(F.col("vec_id") % 5 != 0)
+        delta = e.filter(F.col("vec_id") % 5 == 0)
+        similarity.write_ivfpq_index(
+            base, "vec_id", "embedding", path,
+            nlist=_IVFPQ_NLIST, n_subspaces=2, k_codes=_IVFPQ_K,
+            coarse_iters=2, pq_iters=1,
+        )
+        similarity.ivfpq_index_append(spark, path, delta, "vec_id", "embedding")
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("appended\n")
+        _IVFPQ_APP_MEMO[key] = path
+    return path
+
+
+@register(
+    "x110_ivfpq_index_append",
+    f"""
+    WITH {_IVFPQA_CTES}
+    SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {_IVFPQ_TOPK}
+    """,
+)
+def x110(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ index lifecycle — append without retraining: the
+    composite index is built on the BASE corpus only (vec_id % 5 !=
+    0), the delta batch is assigned + residual-encoded against the
+    index's FROZEN coarse centroids and codebooks
+    (similarity.ivfpq_index_append — one join-free projection, the
+    corpus never re-read), and the probe ranks across old AND new
+    rows through the codes-only scan. The oracle trains geometry on
+    the base split but assigns/encodes/probes the whole corpus —
+    EXACTLY the frozen-geometry contract — so the lifecycle is
+    certified bit-for-bit (x100's discipline; with x100/x105/x106,
+    ALL FOUR persisted index families now have oracle-checked append
+    lifecycles)."""
+    path = _ensure_appended_ivfpq_index(spark, sf)
     queries = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
         F.col("vec_id") < 8
     ).select(

@@ -341,3 +341,76 @@ class TestIvfPqPersistedIndex:
             similarity.ivfpq_index_append(
                 spark, path, bad, "vec_id", "embedding"
             )
+
+
+class TestIvfPqEpochAppend:
+    def test_epoch_replay_is_idempotent(self, spark, tmp_path):
+        df = _corpus(spark)
+        base = df.filter(F.col("vec_id") % 5 != 0)
+        delta = df.filter(F.col("vec_id") % 5 == 0)
+        path = str(tmp_path / "ivfpq_epoch")
+        similarity.write_ivfpq_index(base, "vec_id", "embedding", path)
+        r1 = similarity.ivfpq_index_append(
+            spark, path, delta, "vec_id", "embedding", epoch_id=7
+        )
+        assert r1["n_appended"] == delta.count()
+        n_after = spark.read.parquet(f"{path}/codes").count()
+        assert n_after == df.count()
+        # replaying the SAME epoch is a no-op (crash-recovery replay)
+        r2 = similarity.ivfpq_index_append(
+            spark, path, delta, "vec_id", "embedding", epoch_id=7
+        )
+        assert r2.get("skipped") is True
+        assert spark.read.parquet(f"{path}/codes").count() == n_after
+
+    def test_stream_ingest_equals_batch_append(self, spark, tmp_path):
+        # epoch-sliced ingestion is batching-invariant: appending the
+        # delta in two epoch halves equals one batch append
+        df = _corpus(spark)
+        base = df.filter(F.col("vec_id") % 5 != 0)
+        delta = df.filter(F.col("vec_id") % 5 == 0)
+        p1 = str(tmp_path / "ivfpq_batch")
+        p2 = str(tmp_path / "ivfpq_epochs")
+        for p in (p1, p2):
+            similarity.write_ivfpq_index(base, "vec_id", "embedding", p)
+        similarity.ivfpq_index_append(spark, p1, delta, "vec_id", "embedding")
+        similarity.ivfpq_index_append(
+            spark, p2, delta.filter(F.col("vec_id") % 2 == 0),
+            "vec_id", "embedding", epoch_id=0,
+        )
+        similarity.ivfpq_index_append(
+            spark, p2, delta.filter(F.col("vec_id") % 2 != 0),
+            "vec_id", "embedding", epoch_id=1,
+        )
+        row_of = lambda r: (  # noqa: E731
+            int(r["__id"]), r["__list"], r["code_0"], r["code_1"]
+        )
+        c1 = sorted(row_of(r) for r in spark.read.parquet(f"{p1}/codes").collect())
+        c2 = sorted(row_of(r) for r in spark.read.parquet(f"{p2}/codes").collect())
+        assert c1 == c2
+        # and the probe over either index is identical
+        q = _queries(df)
+        g1 = similarity.ivfpq_index_topk(spark, p1, q).collect()
+        g2 = similarity.ivfpq_index_topk(spark, p2, q).collect()
+        assert sorted(map(str, g1)) == sorted(map(str, g2))
+
+    def test_compaction_preserves_ivfpq_codes(self, spark, tmp_path):
+        # pq_index_compact is schema-agnostic over the codes dir and
+        # honors the same epoch markers — it serves the composite too
+        df = _corpus(spark)
+        base = df.filter(F.col("vec_id") % 5 != 0)
+        delta = df.filter(F.col("vec_id") % 5 == 0)
+        path = str(tmp_path / "ivfpq_compact")
+        similarity.write_ivfpq_index(base, "vec_id", "embedding", path)
+        similarity.ivfpq_index_append(
+            spark, path, delta, "vec_id", "embedding", epoch_id=3
+        )
+        before = sorted(
+            str(r) for r in spark.read.parquet(f"{path}/codes").collect()
+        )
+        res = similarity.pq_index_compact(spark, path)
+        assert res["files_after"] <= res["files_before"]
+        after = sorted(
+            str(r) for r in spark.read.parquet(f"{path}/codes").collect()
+        )
+        assert after == before

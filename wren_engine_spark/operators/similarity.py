@@ -1872,8 +1872,6 @@ def pq_index_append(
     Returns {"n_appended", "dim", "n_subspaces"} (+"skipped": True
     when the epoch was already fully applied).
     """
-    from wren_engine_spark.operators import index_meta
-
     books, meta = _load_pq_index(spark, path)
     sub = meta.dim // meta.n_subspaces
     # cache the batch so the returned count does not re-run whatever
@@ -1894,44 +1892,53 @@ def pq_index_append(
         out = _pq_encode(qdf, books, sub, meta.n_subspaces)
         if epoch_id is None:
             out.write.mode("append").parquet(f"{path}/codes")
-        else:
-            import glob
-            import os
-            import shutil
-
-            # the staging/replace protocol below is only atomic on a
-            # local (POSIX/HDFS-style) filesystem — refuse loudly on
-            # object-store paths instead of silently losing atomicity
-            index_meta.require_local_index_path(path, "pq_index_append")
-            marker = f"{path}/_epoch_{int(epoch_id)}"
-            if os.path.isfile(marker):
-                return {
-                    "n_appended": 0,
-                    "dim": meta.dim,
-                    "n_subspaces": meta.n_subspaces,
-                    "skipped": True,
-                }
-            staging = f"{path}/.staging-{int(epoch_id)}"
-            out.write.mode("overwrite").parquet(staging)
-            # delete any stragglers from a crashed earlier attempt of this
-            # epoch, then move the staged parts in under deterministic
-            # names; os.replace is idempotent, so a re-run converges
-            for stale in glob.glob(f"{path}/codes/epoch-{int(epoch_id)}-*.parquet"):
-                os.remove(stale)
-            parts = sorted(
-                f for f in os.listdir(staging) if f.endswith(".parquet")
-            )
-            for i, f in enumerate(parts):
-                os.replace(
-                    os.path.join(staging, f),
-                    f"{path}/codes/epoch-{int(epoch_id)}-{i:05d}.parquet",
-                )
-            shutil.rmtree(staging)
-            with open(marker, "w", encoding="utf-8") as fh:
-                fh.write("done\n")
+        elif not _epoch_staged_append(path, out, epoch_id, "pq_index_append"):
+            return {
+                "n_appended": 0,
+                "dim": meta.dim,
+                "n_subspaces": meta.n_subspaces,
+                "skipped": True,
+            }
     finally:
         df.unpersist()
     return {"n_appended": n, "dim": meta.dim, "n_subspaces": meta.n_subspaces}
+
+
+def _epoch_staged_append(path: str, out: DataFrame, epoch_id, op: str) -> bool:
+    """Idempotent staged append of ``out`` into ``{path}/codes`` under
+    ``epoch_id`` — the exactly-once protocol every persisted index's
+    streaming ingestion shares (pq_index_append / ivfpq_index_append):
+    stage to a scratch directory, delete stragglers from a crashed
+    earlier attempt of this epoch, move the parts in under
+    deterministic epoch-qualified names (os.replace is idempotent, so
+    a re-run converges), then write the ``_epoch_{{id}}`` marker. Only
+    atomic on a local (POSIX/HDFS-style) filesystem — refuses
+    object-store paths loudly. Returns False (no write) when the
+    epoch's marker says it was already fully applied."""
+    import glob
+    import os
+    import shutil
+
+    from wren_engine_spark.operators import index_meta
+
+    index_meta.require_local_index_path(path, op)
+    marker = f"{path}/_epoch_{int(epoch_id)}"
+    if os.path.isfile(marker):
+        return False
+    staging = f"{path}/.staging-{int(epoch_id)}"
+    out.write.mode("overwrite").parquet(staging)
+    for stale in glob.glob(f"{path}/codes/epoch-{int(epoch_id)}-*.parquet"):
+        os.remove(stale)
+    parts = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    for i, f in enumerate(parts):
+        os.replace(
+            os.path.join(staging, f),
+            f"{path}/codes/epoch-{int(epoch_id)}-{i:05d}.parquet",
+        )
+    shutil.rmtree(staging)
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write("done\n")
+    return True
 
 
 def pq_index_compact(
@@ -2340,6 +2347,14 @@ def write_ivfpq_index(
     _ivfpq_codes(rdf, books, sub, n_subspaces).write.mode("overwrite").parquet(
         f"{path}/codes"
     )
+    # a (re)build resets the index wholesale: stale idempotent-append
+    # epoch markers from a previous incarnation must not make a
+    # replayed epoch skip its append into the NEW index
+    import glob as _glob
+    import os as _os
+
+    for m in _glob.glob(f"{path}/_epoch_*"):
+        _os.remove(m)
     spark.createDataFrame(
         [(c, d, coarse[c][d]) for c in range(nlist) for d in range(dim)],
         "cluster INT, dim INT, val BIGINT",
@@ -2438,6 +2453,7 @@ def ivfpq_index_append(
     df: DataFrame,
     id_col: str,
     vec_col: str,
+    epoch_id: int | None = None,
 ) -> dict:
     """Append a batch to a persisted IVF-PQ index WITHOUT retraining:
     assign each new vector to its cell and encode its residual against
@@ -2455,7 +2471,17 @@ def ivfpq_index_append(
     geometry, recall degrades only as the data distribution moves —
     re-train via write_ivfpq_index when the x108-style gate says so.
 
-    Returns {"n_appended", "dim", "nlist", "n_subspaces"}.
+    With ``epoch_id`` (streaming foreachBatch ingestion, t17), the
+    append runs the shared exactly-once staged-write protocol
+    (``_epoch_staged_append`` — the same machinery pq_index_append's
+    epoch mode runs): a microbatch replayed after a crash between the
+    data write and the checkpoint commit converges to exactly one
+    copy. ``pq_index_compact`` works on this index's codes directory
+    unchanged (it is schema-agnostic over codes and honors the same
+    epoch markers).
+
+    Returns {"n_appended", "dim", "nlist", "n_subspaces"}
+    (+"skipped": True when the epoch was already fully applied).
     """
     meta, coarse, books = _load_ivfpq_index(spark, path)
     sub = meta.dim // meta.n_subspaces
@@ -2473,7 +2499,18 @@ def ivfpq_index_append(
         enc = _ivfpq_codes(
             _ivfpq_residuals(qdf, coarse), books, sub, meta.n_subspaces
         )
-        enc.write.mode("append").parquet(f"{path}/codes")
+        if epoch_id is None:
+            enc.write.mode("append").parquet(f"{path}/codes")
+        elif not _epoch_staged_append(
+            path, enc, epoch_id, "ivfpq_index_append"
+        ):
+            return {
+                "n_appended": 0,
+                "dim": meta.dim,
+                "nlist": meta.nlist,
+                "n_subspaces": meta.n_subspaces,
+                "skipped": True,
+            }
     finally:
         df.unpersist()
     return {

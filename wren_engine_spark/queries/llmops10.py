@@ -730,3 +730,105 @@ def x110(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivfpq_index_topk(
         spark, path, queries, nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK
     )
+
+
+_IVFPQ_STREAM_MEMO: dict = {}
+
+
+def _ensure_stream_appended_ivfpq_index(spark: SparkSession, sf: str) -> str:
+    """t17's index: build the composite on the base corpus, then the
+    delta arrives as a STREAM and every microbatch foreachBatch-appends
+    through the frozen-geometry encoder (similarity.ivfpq_index_append
+    with epoch_id — the shared exactly-once staged-write protocol).
+    availableNow-bounded; the checkpoint is wiped on rebuild so a
+    rebuilt index can never skip the delta as already-processed
+    (t16's discipline for the composite family)."""
+    import hashlib
+    import os
+    import shutil
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = f"{wh}/ivfpq_sapp_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    marker = f"{path}/_STREAM_APPENDED"
+    key = (session_uid(spark), sf)
+    complete = (
+        os.path.isdir(f"{path}/codes")
+        and os.path.isdir(f"{path}/meta")
+        and os.path.isfile(marker)
+    )
+    if _IVFPQ_STREAM_MEMO.get(key) != path or not complete:
+        if os.path.isfile(marker):
+            os.remove(marker)
+        if os.path.isdir(f"{path}/_checkpoint"):
+            shutil.rmtree(f"{path}/_checkpoint")
+        e = load_tables(spark, sf, "embeddings")["embeddings"]
+        base = e.filter(F.col("vec_id") % 5 != 0)
+        similarity.write_ivfpq_index(
+            base, "vec_id", "embedding", path,
+            nlist=_IVFPQ_NLIST, n_subspaces=2, k_codes=_IVFPQ_K,
+            coarse_iters=2, pq_iters=1,
+        )
+        schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf)
+            .filter(F.col("vec_id") % 5 == 0)
+        )
+
+        def _append(batch_df, epoch_id):
+            # epoch_id makes the append idempotent: a microbatch
+            # replayed after a crash between the data write and the
+            # checkpoint commit converges to exactly one copy
+            similarity.ivfpq_index_append(
+                spark, path, batch_df, "vec_id", "embedding",
+                epoch_id=epoch_id,
+            )
+
+        q = (
+            src.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", f"{path}/_checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("t17 stream append did not terminate")
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("stream-appended\n")
+        _IVFPQ_STREAM_MEMO[key] = path
+    return path
+
+
+@register(
+    "t17_stream_ivfpq_ingest",
+    f"""
+    WITH {_IVFPQA_CTES}
+    SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {_IVFPQ_TOPK}
+    """,
+)
+def t17(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING ingestion into the persisted IVF-PQ index (x110's
+    lifecycle with the delta arriving as a stream): each microbatch
+    foreachBatch-appends through the frozen-geometry encoder —
+    per-row assignment + residual encoding is batching-invariant, so
+    however availableNow slices the delta, the index content is
+    identical to the batch append, and the SAME train-on-base/
+    encode-all oracle certifies the streamed path with its own driver
+    row (t16's discipline for the composite family). The epoch-staged
+    exactly-once write is the shared protocol
+    (similarity._epoch_staged_append); the probe is the codes-only ADC
+    scan across old + new rows. 14th oracle-checked streaming entry."""
+    path = _ensure_stream_appended_ivfpq_index(spark, sf)
+    queries = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
+        F.col("vec_id") < 8
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivfpq_index_topk(
+        spark, path, queries, nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK
+    )

@@ -323,6 +323,7 @@ def main() -> None:
         "x109_ivfpq_index_probe",
         "x110_ivfpq_index_append",
         "t17_stream_ivfpq_ingest",
+        "x111_ivfpq_index_compact",
     ]
     r8_timings, r8_total, r8_runs, r8_measured = run_suite(
         R8, "r8 operator sub-suite", freeze=True

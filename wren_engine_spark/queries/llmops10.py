@@ -682,8 +682,11 @@ def _ensure_appended_ivfpq_index(spark: SparkSession, sf: str) -> str:
         and os.path.isfile(marker)
     )
     if _IVFPQ_APP_MEMO.get(key) != path or not complete:
-        if os.path.isfile(marker):
-            os.remove(marker)
+        # a rebuild resets BOTH lifecycle markers: a stale _COMPACTED
+        # must not make x111 skip compacting the rebuilt index
+        for m in (marker, f"{path}/_COMPACTED"):
+            if os.path.isfile(m):
+                os.remove(m)
         e = load_tables(spark, sf, "embeddings")["embeddings"]
         base = e.filter(F.col("vec_id") % 5 != 0)
         delta = e.filter(F.col("vec_id") % 5 == 0)
@@ -824,6 +827,55 @@ def t17(spark: SparkSession, sf: str) -> DataFrame:
     (similarity._epoch_staged_append); the probe is the codes-only ADC
     scan across old + new rows. 14th oracle-checked streaming entry."""
     path = _ensure_stream_appended_ivfpq_index(spark, sf)
+    queries = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
+        F.col("vec_id") < 8
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivfpq_index_topk(
+        spark, path, queries, nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK
+    )
+
+
+def _ensure_compacted_ivfpq_index(spark: SparkSession, sf: str) -> str:
+    """x111's half of the composite lifecycle: the appended index,
+    compacted (x101's convention — compaction is content-preserving,
+    so one pass per built index; the marker makes re-entry a no-op)."""
+    import os
+
+    path = _ensure_appended_ivfpq_index(spark, sf)
+    marker = f"{path}/_COMPACTED"
+    if not os.path.isfile(marker):
+        similarity.pq_index_compact(spark, path)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("compacted\n")
+    return path
+
+
+@register(
+    "x111_ivfpq_index_compact",
+    f"""
+    WITH {_IVFPQA_CTES}
+    SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {_IVFPQ_TOPK}
+    """,
+)
+def x111(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ index lifecycle, maintenance half — compact after
+    append: every ingestion batch appends >= 1 parquet file, so a
+    continuously-fed composite index degrades into small files whose
+    per-file open cost dominates the narrow codes scan. x111 compacts
+    the appended index (similarity.pq_index_compact — schema-agnostic
+    over the codes directory, honors the epoch markers, shuffle-free
+    coalesce rewrite + atomic two-rename swap; coarse centroids,
+    codebooks, and meta untouched) and probes it through the SAME
+    train-on-base/encode-all oracle as x110: compaction is
+    content-preserving by contract, so the bit-identical driver row
+    is the certification — x101's discipline for the composite
+    family. tests/test_ivfpq.py pins content preservation across an
+    epoch append + compaction."""
+    path = _ensure_compacted_ivfpq_index(spark, sf)
     queries = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
         F.col("vec_id") < 8
     ).select(

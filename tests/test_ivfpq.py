@@ -414,3 +414,29 @@ class TestIvfPqEpochAppend:
             str(r) for r in spark.read.parquet(f"{path}/codes").collect()
         )
         assert after == before
+
+
+class TestIvfPqLoudValidation:
+    def test_probe_wrong_query_dim_fails_loudly(self, spark, tmp_path):
+        # without the guard the driver-side zips would silently
+        # truncate to the shorter vector and return plausible-but-
+        # wrong neighbors
+        df = _corpus(spark, n=60)
+        path = str(tmp_path / "ivfpq_qdim")
+        similarity.write_ivfpq_index(df, "vec_id", "embedding", path)
+        bad_q = df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.expr("slice(embedding, 1, 32)").alias("qvec"),
+        )
+        with pytest.raises(ValueError, match="dim 32, index dim is 64"):
+            similarity.ivfpq_index_topk(spark, path, bad_q)
+        with pytest.raises(ValueError, match="index dim"):
+            similarity.ivfpq_topk(df, "vec_id", "embedding", bad_q)
+
+    def test_nlist_exceeding_corpus_fails_loudly(self, spark):
+        tiny = _corpus(spark, n=3)
+        with pytest.raises(ValueError, match="at least nlist"):
+            similarity.ivfpq_topk(
+                tiny, "vec_id", "embedding", _queries(_corpus(spark)),
+                nlist=4,
+            )

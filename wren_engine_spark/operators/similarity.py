@@ -2165,31 +2165,54 @@ def ivfpq_topk(
     rank. Returns (query_id, neighbor_id, adist, rnk), rnk <= topk.
     """
     spark = df.sparkSession
-    # 1) coarse quantizer: bit-exact quantized Lloyd; k*dim scalars
+    coarse, books, sub, rdf = _ivfpq_train(
+        df, id_col, vec_col, nlist, n_subspaces, k_codes,
+        coarse_iters, pq_iters, quantum,
+    )
+    enc = _ivfpq_codes(rdf, books, sub, n_subspaces)
+    # per-query probe plan + broadcast ADC rank — the SAME kernels the
+    # persisted-index probe runs, so inline and persisted cannot drift
+    tab_rows = _ivfpq_adc_rows(
+        _ivfpq_quantized_queries(query_df, quantum, len(coarse[0])),
+        coarse, books, sub, nprobe,
+    )
+    return _ivfpq_rank(spark, enc, tab_rows, n_subspaces, topk)
+
+
+def _ivfpq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int,
+    n_subspaces: int,
+    k_codes: int,
+    coarse_iters: int,
+    pq_iters: int,
+    quantum: int,
+):
+    """The SINGLE IVF-PQ training implementation behind ivfpq_topk and
+    write_ivfpq_index (the ``_train_pq`` cannot-drift discipline):
+    1) coarse quantizer via the bit-exact quantized Lloyd (k*dim
+    driver scalars), 2) assign + exact-integer residual in one narrow
+    pass, 3) residual PQ codebooks per subspace. Returns
+    (coarse, books, sub, rdf) where rdf is the (__id, __list,
+    qx=residual) frame the encode consumes."""
+    n_seed = df.limit(nlist).count()
+    if n_seed < nlist:
+        raise ValueError(
+            f"IVF-PQ needs at least nlist={nlist} vectors to seed the "
+            f"coarse quantizer; corpus has {n_seed}"
+        )
     km = kmeans_quantized(
         df, id_col, vec_col, k=nlist, iters=coarse_iters, quantum=quantum
     )
     got = {(r.cluster, r.dim): int(r.centroid_q) for r in km.collect()}
     dim = 1 + max(d for _, d in got)
     coarse = [[got[(c, d)] for d in range(dim)] for c in range(nlist)]
-
-    # 2) assign + exact-integer residual in one narrow pass
     qdf = _pq_quantize(df, id_col, vec_col, quantum)
     rdf = _ivfpq_residuals(qdf, coarse)
-
-    # 3) PQ codebooks on the residuals (driver keeps only the
-    # k_codes x dim codebook scalars); encode WITH the list id in one
-    # join-free projection
     books, _codes, _dimr, sub = _train_pq(rdf, n_subspaces, k_codes, pq_iters)
-    enc = _ivfpq_codes(rdf, books, sub, n_subspaces)
-
-    # 4) per-query probe plan + 5) broadcast ADC rank — the SAME
-    # kernels the persisted-index probe runs, so the inline and
-    # persisted paths cannot drift
-    tab_rows = _ivfpq_adc_rows(
-        _ivfpq_quantized_queries(query_df, quantum), coarse, books, sub, nprobe
-    )
-    return _ivfpq_rank(spark, enc, tab_rows, n_subspaces, topk)
+    return coarse, books, sub, rdf
 
 
 def _ivfpq_residuals(qdf: DataFrame, coarse: list[list[int]]) -> DataFrame:
@@ -2229,17 +2252,28 @@ def _ivfpq_codes(rdf: DataFrame, books, sub: int, n_subspaces: int) -> DataFrame
     )
 
 
-def _ivfpq_quantized_queries(query_df: DataFrame, quantum: int):
+def _ivfpq_quantized_queries(query_df: DataFrame, quantum: int, dim: int):
     """Collect the bounded query probe set, quantized through the SAME
-    Spark expression the corpus used (no Python-side float path)."""
+    Spark expression the corpus used (no Python-side float path). A
+    query whose dimension differs from the index's fails LOUDLY —
+    without this the driver-side zips would silently truncate to the
+    shorter vector and return plausible-but-wrong neighbors (the same
+    hazard the appends guard with their in-plan dim assert)."""
     q = float(quantum)
-    return query_df.select(
+    rows = query_df.select(
         "query_id",
         F.expr(
             f"transform(qvec, x -> cast(floor(cast(x as double) * {q!r} "
             f"+ 0.5) as bigint))"
         ).alias("qx"),
     ).collect()
+    for r in rows:
+        if len(r.qx) != dim:
+            raise ValueError(
+                f"ivfpq probe: query {r.query_id!r} has dim {len(r.qx)}, "
+                f"index dim is {dim}"
+            )
+    return rows
 
 
 def _ivfpq_adc_rows(qrows, coarse, books, sub: int, nprobe: int):
@@ -2335,15 +2369,11 @@ def write_ivfpq_index(
     "quantum", "n_vectors"}.
     """
     spark = df.sparkSession
-    km = kmeans_quantized(
-        df, id_col, vec_col, k=nlist, iters=coarse_iters, quantum=quantum
+    coarse, books, sub, rdf = _ivfpq_train(
+        df, id_col, vec_col, nlist, n_subspaces, k_codes,
+        coarse_iters, pq_iters, quantum,
     )
-    got = {(r.cluster, r.dim): int(r.centroid_q) for r in km.collect()}
-    dim = 1 + max(d for _, d in got)
-    coarse = [[got[(c, d)] for d in range(dim)] for c in range(nlist)]
-    qdf = _pq_quantize(df, id_col, vec_col, quantum)
-    rdf = _ivfpq_residuals(qdf, coarse)
-    books, _codes, _dimr, sub = _train_pq(rdf, n_subspaces, k_codes, pq_iters)
+    dim = len(coarse[0])
     _ivfpq_codes(rdf, books, sub, n_subspaces).write.mode("overwrite").parquet(
         f"{path}/codes"
     )
@@ -2441,7 +2471,7 @@ def ivfpq_index_topk(
     Returns (query_id, neighbor_id, adist, rnk)."""
     meta, coarse, books = _load_ivfpq_index(spark, path)
     sub = meta.dim // meta.n_subspaces
-    qrows = _ivfpq_quantized_queries(query_df, int(meta.quantum))
+    qrows = _ivfpq_quantized_queries(query_df, int(meta.quantum), meta.dim)
     tab_rows = _ivfpq_adc_rows(qrows, coarse, books, sub, nprobe)
     codes = spark.read.parquet(f"{path}/codes")
     return _ivfpq_rank(spark, codes, tab_rows, meta.n_subspaces, topk)

@@ -239,8 +239,18 @@ qd_{s} AS (
   GROUP BY 1, 2, 3
 )"""
 
-_IVFPQ_CTES = (
-    f"""
+def _ivfpq_ctes(train_pred: str) -> str:
+    """Unrolled IVF-PQ oracle CTE chain, parameterized by the TRAINING
+    predicate: geometry (coarse centroids via _KM_ITER on ``pos``, PQ
+    codebooks via _IVFPQ_PQ_SUB on ``rtp{s}``/``rids``) trains on the
+    rows matching ``train_pred``, while assignment, residuals,
+    encoding, and the probe always cover the WHOLE corpus (``apos``/
+    ``rp{s}``). ``TRUE`` -> the full-corpus build (x107/x108/x109);
+    a base-split predicate -> the append/stream/compact lifecycle's
+    frozen-geometry contract (x110/t17/x111). ONE template for both,
+    so the two oracles cannot drift."""
+    return (
+        f"""
     q AS (
       SELECT vec_id,
              [CAST(floor(CAST(x AS DOUBLE) * {float(_IVFPQ_Q)!r} + 0.5)
@@ -250,9 +260,16 @@ _IVFPQ_CTES = (
     init AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cluster, qx
-      FROM (SELECT vec_id, qx FROM q ORDER BY vec_id LIMIT {_IVFPQ_NLIST})
+      FROM (SELECT vec_id, qx FROM q WHERE {train_pred}
+            ORDER BY vec_id LIMIT {_IVFPQ_NLIST})
     ),
     pos AS (
+      SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+             qx[CAST(i AS INTEGER)] AS qv
+      FROM (SELECT vec_id, qx, unnest(generate_series(1, len(qx))) AS i
+            FROM q WHERE {train_pred})
+    ),
+    apos AS (
       SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
              qx[CAST(i AS INTEGER)] AS qv
       FROM (SELECT vec_id, qx, unnest(generate_series(1, len(qx))) AS i
@@ -267,14 +284,14 @@ _IVFPQ_CTES = (
     spine AS (SELECT DISTINCT cluster FROM c0),
     dims AS (SELECT DISTINCT dim FROM c0),
     """
-    + _KM_ITER.format(i=1, prev=0)
-    + ","
-    + _KM_ITER.format(i=2, prev=1)
-    + f""",
+        + _KM_ITER.format(i=1, prev=0)
+        + ","
+        + _KM_ITER.format(i=2, prev=1)
+        + f""",
     ca AS (
       SELECT p.vec_id, c.cluster,
              CAST(SUM((p.qv - c.val) * (p.qv - c.val)) AS BIGINT) AS d
-      FROM pos p JOIN c2 c ON c.dim = p.dim
+      FROM apos p JOIN c2 c ON c.dim = p.dim
       GROUP BY 1, 2
     ),
     al AS (
@@ -286,15 +303,15 @@ _IVFPQ_CTES = (
     ),
     rpos AS (
       SELECT p.vec_id, p.dim, p.qv - c.val AS rv
-      FROM pos p
+      FROM apos p
       JOIN al a ON a.vec_id = p.vec_id
       JOIN c2 c ON c.cluster = a.list_id AND c.dim = p.dim
     ),
     rids AS (
       SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cluster
-      FROM (SELECT DISTINCT vec_id FROM rpos ORDER BY vec_id
-            LIMIT {_IVFPQ_K})
+      FROM (SELECT DISTINCT vec_id FROM rpos WHERE {train_pred}
+            ORDER BY vec_id LIMIT {_IVFPQ_K})
     ),
     pspine AS (SELECT cluster FROM rids),
     sdims AS (SELECT CAST(i - 1 AS INTEGER) AS dim
@@ -309,14 +326,18 @@ _IVFPQ_CTES = (
     qres AS (
       SELECT qp.query_id, qp.list_id, p.dim, p.qv - c.val AS rv
       FROM qp
-      JOIN pos p ON p.vec_id = qp.query_id
+      JOIN apos p ON p.vec_id = qp.query_id
       JOIN c2 c ON c.cluster = qp.list_id AND c.dim = p.dim
     ),
+    rtp0 AS (SELECT * FROM rp0 WHERE {train_pred}),
+    rtp1 AS (SELECT * FROM rp1 WHERE {train_pred}),
     """
-    + _IVFPQ_PQ_SUB.format(s=0, off=0, end=_IVFPQ_SUB, tsrc="rp0")
-    + ","
-    + _IVFPQ_PQ_SUB.format(s=1, off=_IVFPQ_SUB, end=2 * _IVFPQ_SUB, tsrc="rp1")
-    + """,
+        + _IVFPQ_PQ_SUB.format(s=0, off=0, end=_IVFPQ_SUB, tsrc="rtp0")
+        + ","
+        + _IVFPQ_PQ_SUB.format(
+            s=1, off=_IVFPQ_SUB, end=2 * _IVFPQ_SUB, tsrc="rtp1"
+        )
+        + """,
     ad AS (
       SELECT q0.query_id, k0.vec_id AS neighbor_id, q0.d + q1.d AS adist
       FROM rcode_0 k0
@@ -333,7 +354,31 @@ _IVFPQ_CTES = (
                                 ORDER BY adist ASC, neighbor_id ASC) AS rnk
       FROM ad
     )"""
-)
+    )
+
+
+_IVFPQ_CTES = _ivfpq_ctes("TRUE")
+
+# the append/stream/compact lifecycle's oracle: geometry trains on the
+# base split only, encode/probe cover the whole corpus — exactly the
+# frozen-geometry contract write_ivfpq_index(base) + append(delta)
+# executes (x100's convention, same % 5 split)
+_IVFPQA_CTES = _ivfpq_ctes("vec_id % 5 <> 0")
+
+
+def _probe_queries(spark: SparkSession, sf: str) -> DataFrame:
+    """The 8-row probe set as (query_id, qvec): plain parquet read, no
+    load_tables scan fan-out (x63's convention — the 32-way
+    repartition is for corpus-sized per-row work, not a tiny
+    collected/broadcast probe side)."""
+    return (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+    )
+
 
 _IVFPQ_MEMO: dict = {}
 
@@ -348,16 +393,8 @@ def _ivfpq_result(spark: SparkSession, sf: str) -> DataFrame:
     got = _IVFPQ_MEMO.get(key)
     if got is None:
         e = load_tables(spark, sf, "embeddings")["embeddings"]
-        # query side is an 8-row driver-side collect: read it WITHOUT
-        # load_tables' scan fan-out (x63's convention — the 32-way
-        # repartition is for corpus-sized work, not a tiny probe set)
-        queries = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
-            F.col("vec_id") < 8
-        ).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-        )
         got = similarity.ivfpq_topk(
-            e, "vec_id", "embedding", queries,
+            e, "vec_id", "embedding", _probe_queries(spark, sf),
             nlist=_IVFPQ_NLIST, nprobe=_IVFPQ_NPROBE,
             n_subspaces=2, k_codes=_IVFPQ_K,
             coarse_iters=2, pq_iters=1, topk=_IVFPQ_TOPK,
@@ -444,10 +481,8 @@ def x108(spark: SparkSession, sf: str) -> DataFrame:
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"), qz("embedding").alias("__qx")
     )
-    # broadcast side: 8 rows, plain read (no scan fan-out)
-    qs = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
-        F.col("vec_id") < 8
-    ).select(F.col("vec_id").alias("query_id"), qz("embedding").alias("__qq"))
+    # broadcast side: 8 rows (plain read via the shared probe helper)
+    qs = _probe_queries(spark, sf).select("query_id", qz("qvec").alias("__qq"))
     dist = F.aggregate(
         F.zip_with(F.col("__qq"), F.col("__qx"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("bigint"),
@@ -533,130 +568,11 @@ def x109(spark: SparkSession, sf: str) -> DataFrame:
     pytest-pinned), completing the 4th persisted index family's
     ingestion story."""
     path = _ensure_ivfpq_index(spark, sf)
-    # 8-row probe set: plain parquet read, no scan fan-out (x63's
-    # convention for broadcast/collected probe sides)
-    queries = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
-        F.col("vec_id") < 8
-    ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
     return similarity.ivfpq_index_topk(
-        spark, path, queries, nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK
+        spark, path, _probe_queries(spark, sf),
+        nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK,
     )
 
-
-# x110: the append lifecycle's train-on-base / encode-all oracle —
-# geometry (coarse centroids + PQ codebooks) trains on the BASE split
-# (vec_id % 5 <> 0, x100's convention) while assignment, residuals,
-# encoding, and the probe cover the WHOLE corpus, exactly what
-# write_ivfpq_index(base) + ivfpq_index_append(delta) produces.
-# Training reads: `pos` (base positions — _KM_ITER's hardcoded source),
-# `rids`/`rtp{s}` (base residuals). Encode/probe read: `apos`/`rp{s}`
-# (all rows).
-_IVFPQA_CTES = (
-    f"""
-    q AS (
-      SELECT vec_id,
-             [CAST(floor(CAST(x AS DOUBLE) * {float(_IVFPQ_Q)!r} + 0.5)
-                   AS BIGINT) FOR x IN embedding] AS qx
-      FROM embeddings
-    ),
-    init AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-               AS cluster, qx
-      FROM (SELECT vec_id, qx FROM q WHERE vec_id % 5 <> 0
-            ORDER BY vec_id LIMIT {_IVFPQ_NLIST})
-    ),
-    pos AS (
-      SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
-             qx[CAST(i AS INTEGER)] AS qv
-      FROM (SELECT vec_id, qx, unnest(generate_series(1, len(qx))) AS i
-            FROM q WHERE vec_id % 5 <> 0)
-    ),
-    apos AS (
-      SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
-             qx[CAST(i AS INTEGER)] AS qv
-      FROM (SELECT vec_id, qx, unnest(generate_series(1, len(qx))) AS i
-            FROM q)
-    ),
-    c0 AS (
-      SELECT cluster, CAST(i - 1 AS INTEGER) AS dim,
-             qx[CAST(i AS INTEGER)] AS val
-      FROM (SELECT cluster, qx, unnest(generate_series(1, len(qx))) AS i
-            FROM init)
-    ),
-    spine AS (SELECT DISTINCT cluster FROM c0),
-    dims AS (SELECT DISTINCT dim FROM c0),
-    """
-    + _KM_ITER.format(i=1, prev=0)
-    + ","
-    + _KM_ITER.format(i=2, prev=1)
-    + f""",
-    ca AS (
-      SELECT p.vec_id, c.cluster,
-             CAST(SUM((p.qv - c.val) * (p.qv - c.val)) AS BIGINT) AS d
-      FROM apos p JOIN c2 c ON c.dim = p.dim
-      GROUP BY 1, 2
-    ),
-    al AS (
-      SELECT vec_id, cluster AS list_id FROM (
-        SELECT vec_id, cluster,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY d ASC, cluster ASC) AS rn
-        FROM ca) WHERE rn = 1
-    ),
-    rpos AS (
-      SELECT p.vec_id, p.dim, p.qv - c.val AS rv
-      FROM apos p
-      JOIN al a ON a.vec_id = p.vec_id
-      JOIN c2 c ON c.cluster = a.list_id AND c.dim = p.dim
-    ),
-    rids AS (
-      SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-               AS cluster
-      FROM (SELECT DISTINCT vec_id FROM rpos WHERE vec_id % 5 <> 0
-            ORDER BY vec_id LIMIT {_IVFPQ_K})
-    ),
-    pspine AS (SELECT cluster FROM rids),
-    sdims AS (SELECT CAST(i - 1 AS INTEGER) AS dim
-              FROM (SELECT unnest(generate_series(1, {_IVFPQ_SUB})) AS i)),
-    qp AS (
-      SELECT query_id, list_id FROM (
-        SELECT vec_id AS query_id, cluster AS list_id,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY d ASC, cluster ASC) AS rn
-        FROM ca WHERE vec_id < 8) WHERE rn <= {_IVFPQ_NPROBE}
-    ),
-    qres AS (
-      SELECT qp.query_id, qp.list_id, p.dim, p.qv - c.val AS rv
-      FROM qp
-      JOIN apos p ON p.vec_id = qp.query_id
-      JOIN c2 c ON c.cluster = qp.list_id AND c.dim = p.dim
-    ),
-    rtp0 AS (SELECT * FROM rp0 WHERE vec_id % 5 <> 0),
-    rtp1 AS (SELECT * FROM rp1 WHERE vec_id % 5 <> 0),
-    """
-    + _IVFPQ_PQ_SUB.format(s=0, off=0, end=_IVFPQ_SUB, tsrc="rtp0")
-    + ","
-    + _IVFPQ_PQ_SUB.format(s=1, off=_IVFPQ_SUB, end=2 * _IVFPQ_SUB, tsrc="rtp1")
-    + """,
-    ad AS (
-      SELECT q0.query_id, k0.vec_id AS neighbor_id, q0.d + q1.d AS adist
-      FROM rcode_0 k0
-      JOIN rcode_1 k1 ON k1.vec_id = k0.vec_id
-      JOIN al a ON a.vec_id = k0.vec_id
-      JOIN qd_0 q0 ON q0.list_id = a.list_id AND q0.cluster = k0.code
-      JOIN qd_1 q1 ON q1.query_id = q0.query_id AND q1.list_id = a.list_id
-                  AND q1.cluster = k1.code
-      WHERE k0.vec_id <> q0.query_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, adist,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY adist ASC, neighbor_id ASC) AS rnk
-      FROM ad
-    )"""
-)
 
 _IVFPQ_APP_MEMO: dict = {}
 
@@ -725,13 +641,9 @@ def x110(spark: SparkSession, sf: str) -> DataFrame:
     ALL FOUR persisted index families now have oracle-checked append
     lifecycles)."""
     path = _ensure_appended_ivfpq_index(spark, sf)
-    queries = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
-        F.col("vec_id") < 8
-    ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
     return similarity.ivfpq_index_topk(
-        spark, path, queries, nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK
+        spark, path, _probe_queries(spark, sf),
+        nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK,
     )
 
 
@@ -827,13 +739,9 @@ def t17(spark: SparkSession, sf: str) -> DataFrame:
     (similarity._epoch_staged_append); the probe is the codes-only ADC
     scan across old + new rows. 14th oracle-checked streaming entry."""
     path = _ensure_stream_appended_ivfpq_index(spark, sf)
-    queries = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
-        F.col("vec_id") < 8
-    ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
     return similarity.ivfpq_index_topk(
-        spark, path, queries, nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK
+        spark, path, _probe_queries(spark, sf),
+        nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK,
     )
 
 
@@ -876,11 +784,7 @@ def x111(spark: SparkSession, sf: str) -> DataFrame:
     family. tests/test_ivfpq.py pins content preservation across an
     epoch append + compaction."""
     path = _ensure_compacted_ivfpq_index(spark, sf)
-    queries = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
-        F.col("vec_id") < 8
-    ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
-    )
     return similarity.ivfpq_index_topk(
-        spark, path, queries, nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK
+        spark, path, _probe_queries(spark, sf),
+        nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK,
     )

@@ -232,10 +232,14 @@ class TestIvfPqValidation:
         df = _corpus(spark, n=30).select(
             "vec_id", F.expr("slice(embedding, 1, 63)").alias("embedding")
         )
+        # queries must match the 63-dim corpus so the early probe-dim
+        # guard passes and the subspace-divisibility check is reached
+        qdf = df.filter(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
         with pytest.raises(ValueError, match="not divisible"):
             similarity.ivfpq_topk(
-                df, "vec_id", "embedding", _queries(_corpus(spark, n=30)),
-                n_subspaces=2,
+                df, "vec_id", "embedding", qdf, n_subspaces=2
             ).collect()
 
 
@@ -435,8 +439,21 @@ class TestIvfPqLoudValidation:
 
     def test_nlist_exceeding_corpus_fails_loudly(self, spark):
         tiny = _corpus(spark, n=3)
-        with pytest.raises(ValueError, match="at least nlist"):
+        with pytest.raises(ValueError, match="at least k=4"):
             similarity.ivfpq_topk(
                 tiny, "vec_id", "embedding", _queries(_corpus(spark)),
                 nlist=4,
             )
+
+    def test_null_query_vector_fails_loudly(self, spark, tmp_path):
+        df = _corpus(spark, n=60)
+        path = str(tmp_path / "ivfpq_nullq")
+        similarity.write_ivfpq_index(df, "vec_id", "embedding", path)
+        null_q = df.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"),
+            F.expr(
+                "CASE WHEN vec_id = 0 THEN NULL ELSE embedding END"
+            ).alias("qvec"),
+        )
+        with pytest.raises(ValueError, match="NULL vector"):
+            similarity.ivfpq_index_topk(spark, path, null_q)

@@ -1368,6 +1368,14 @@ def kmeans_quantized(
         ).alias("qx"),
     )
     cents = [list(r.qx) for r in qdf.orderBy("__id").limit(k).collect()]
+    if len(cents) < k:
+        # the init collect already materialized this information — a
+        # loud error here protects every caller (x85, IVF, IVF-PQ)
+        # from the cryptic downstream IndexError for free
+        raise ValueError(
+            f"kmeans_quantized needs at least k={k} vectors to seed "
+            f"the centroids; corpus has {len(cents)}"
+        )
     dim = len(cents[0])
     counts: list[int] = [0] * k
 
@@ -2165,6 +2173,14 @@ def ivfpq_topk(
     rank. Returns (query_id, neighbor_id, adist, rnk), rnk <= topk.
     """
     spark = df.sparkSession
+    # validate the probe set BEFORE paying for training: the corpus
+    # dim is one limit-1 peek, and a malformed query set (wrong dim,
+    # NULL vector) must not cost coarse_iters + pq_iters full corpus
+    # passes before failing
+    first = df.select(vec_col).limit(1).collect()
+    if not first:
+        raise ValueError("ivfpq_topk: corpus is empty")
+    qrows = _ivfpq_quantized_queries(query_df, quantum, len(first[0][0]))
     coarse, books, sub, rdf = _ivfpq_train(
         df, id_col, vec_col, nlist, n_subspaces, k_codes,
         coarse_iters, pq_iters, quantum,
@@ -2172,10 +2188,7 @@ def ivfpq_topk(
     enc = _ivfpq_codes(rdf, books, sub, n_subspaces)
     # per-query probe plan + broadcast ADC rank — the SAME kernels the
     # persisted-index probe runs, so inline and persisted cannot drift
-    tab_rows = _ivfpq_adc_rows(
-        _ivfpq_quantized_queries(query_df, quantum, len(coarse[0])),
-        coarse, books, sub, nprobe,
-    )
+    tab_rows = _ivfpq_adc_rows(qrows, coarse, books, sub, nprobe)
     return _ivfpq_rank(spark, enc, tab_rows, n_subspaces, topk)
 
 
@@ -2196,13 +2209,9 @@ def _ivfpq_train(
     driver scalars), 2) assign + exact-integer residual in one narrow
     pass, 3) residual PQ codebooks per subspace. Returns
     (coarse, books, sub, rdf) where rdf is the (__id, __list,
-    qx=residual) frame the encode consumes."""
-    n_seed = df.limit(nlist).count()
-    if n_seed < nlist:
-        raise ValueError(
-            f"IVF-PQ needs at least nlist={nlist} vectors to seed the "
-            f"coarse quantizer; corpus has {n_seed}"
-        )
+    qx=residual) frame the encode consumes. A corpus smaller than
+    nlist fails loudly inside kmeans_quantized's own seed collect —
+    no extra Spark job here."""
     km = kmeans_quantized(
         df, id_col, vec_col, k=nlist, iters=coarse_iters, quantum=quantum
     )
@@ -2268,6 +2277,10 @@ def _ivfpq_quantized_queries(query_df: DataFrame, quantum: int, dim: int):
         ).alias("qx"),
     ).collect()
     for r in rows:
+        if r.qx is None:
+            raise ValueError(
+                f"ivfpq probe: query {r.query_id!r} has a NULL vector"
+            )
         if len(r.qx) != dim:
             raise ValueError(
                 f"ivfpq probe: query {r.query_id!r} has dim {len(r.qx)}, "

@@ -2163,10 +2163,10 @@ def ivfpq_topk(
     (query, list, ADC-table) rows broadcast. Candidate lists are
     disjoint (a vector lives in exactly one cell), so the rank window
     needs no dedup. This inline trainer recomputes the
-    assign+residual projection once per training barrier — a
-    build-once deployment persists the encoded corpus instead
-    (write_pq_index's sidecar pattern applies verbatim: codes +
-    codebooks + coarse centroids + meta).
+    assign+residual projection once per training barrier — the
+    build-once deployment is ``write_ivfpq_index`` /
+    ``ivfpq_index_topk`` (codes + coarse centroids + codebooks + meta
+    sidecars, memoized geometry, frozen-geometry append).
 
     ``query_df`` columns: (query_id, qvec). Self-matches excluded.
     Ties: lowest cluster id on every argmin, lowest neighbor id on

@@ -1,0 +1,412 @@
+"""Round-8 late additions: tombstone deletes (x112), filtered probes
+(x113), hybrid RRF retrieval (x114).
+
+Pins, per the round-5 discipline:
+- delete ≡ filtered re-rank of the full-index probe (brute force, no
+  oracle shortcut: geometry is frozen so surviving ADC distances are
+  bit-identical);
+- a tombstone shadows later appends of the same id until compaction
+  folds it; compaction physically drops tombstoned rows, clears the
+  tombstone directory, and leaves probes bit-identical;
+- a rebuild clears stale tombstones;
+- the no-tombstone probe plan is UNCHANGED (zero overhead on the
+  common path) and the tombstoned plan adds no shuffle;
+- the filtered probe pushes its predicate into the bucketed parquet
+  scan (PushedFilters), keeps the one-shuffle serving shape, and
+  ranks k-deep within qualifying candidates;
+- hybrid RRF matches an independent pure-Python replay on a corpus
+  slice, including absent-from-one-list NULL ranks.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from wren_engine_spark.operators import retrieval, similarity
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+
+
+def _probe_rows(spark, path, queries, topk=5):
+    return sorted(
+        (r.query_id, r.rnk, r.neighbor_id, r.adist)
+        for r in similarity.pq_index_topk(spark, path, queries, topk=topk).collect()
+    )
+
+
+class TestTombstoneDelete:
+    def test_delete_equals_filtered_rerank(self, spark, emb, tmp_path):
+        path = str(tmp_path / "pq_del")
+        similarity.write_pq_index(
+            emb, "vec_id", "embedding", path, n_subspaces=2, k_codes=4
+        )
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        # expected: probe the FULL index for everything, drop deleted
+        # ids, re-rank — geometry is frozen so every surviving
+        # (query, neighbor, adist) is bit-identical
+        full = similarity.pq_index_topk(spark, path, queries, topk=10_000).collect()
+        deleted = {r.vec_id for r in emb.filter(F.col("vec_id") % 9 == 0).collect()}
+        expected = []
+        by_q: dict = {}
+        for r in sorted(full, key=lambda r: (r.query_id, r.rnk)):
+            if r.neighbor_id in deleted:
+                continue
+            nxt = by_q.get(r.query_id, 0) + 1
+            by_q[r.query_id] = nxt
+            if nxt <= 5:
+                expected.append((r.query_id, nxt, r.neighbor_id, r.adist))
+        similarity.pq_index_delete(
+            spark, path, emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+        )
+        assert _probe_rows(spark, path, queries) == sorted(expected)
+
+    def test_compact_folds_tombstones(self, spark, emb, tmp_path):
+        path = str(tmp_path / "pq_fold")
+        similarity.write_pq_index(
+            emb, "vec_id", "embedding", path, n_subspaces=2, k_codes=4
+        )
+        n_before = spark.read.parquet(f"{path}/codes").count()
+        n_del = emb.filter(F.col("vec_id") % 9 == 0).count()
+        similarity.pq_index_delete(
+            spark, path, emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+        )
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        before = _probe_rows(spark, path, queries)
+        stats = similarity.pq_index_compact(spark, path, target_files=1)
+        assert stats["n_rows"] == n_before - n_del
+        assert spark.read.parquet(f"{path}/codes").count() == n_before - n_del
+        assert not os.path.isdir(f"{path}/tombstones")
+        # probes — which already excluded tombstoned rows — unchanged
+        assert _probe_rows(spark, path, queries) == before
+        # re-running the delete of already-gone ids is harmless
+        similarity.pq_index_delete(spark, path, [int(i) for i in range(0, 27, 9)])
+        assert _probe_rows(spark, path, queries) == before
+
+    def test_tombstone_shadows_later_append_until_compact(self, spark, emb, tmp_path):
+        path = str(tmp_path / "pq_shadow")
+        base = emb.filter(F.col("vec_id") >= 10)
+        similarity.write_pq_index(
+            base, "vec_id", "embedding", path, n_subspaces=2, k_codes=4
+        )
+        similarity.pq_index_delete(spark, path, [3])
+        # append the deleted id AFTER the delete: still shadowed
+        similarity.pq_index_append(
+            spark, path, emb.filter(F.col("vec_id") == 3), "vec_id", "embedding"
+        )
+        queries = emb.filter(F.col("vec_id") == 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        codes = spark.read.parquet(f"{path}/codes")
+        assert codes.filter(F.col("__id") == 3).count() == 1  # row exists...
+        got = similarity.pq_index_topk(spark, path, queries, topk=10_000)
+        assert got.filter(F.col("neighbor_id") == 3).count() == 0  # ...shadowed
+        # compaction folds the tombstone away — the id stays deleted
+        # (its only row predated... was appended before the fold, so
+        # the fold removes it too), and a FRESH append is servable
+        similarity.pq_index_compact(spark, path, target_files=1)
+        assert spark.read.parquet(f"{path}/codes").filter(
+            F.col("__id") == 3
+        ).count() == 0
+        similarity.pq_index_append(
+            spark, path, emb.filter(F.col("vec_id") == 3), "vec_id", "embedding"
+        )
+        got2 = similarity.pq_index_topk(spark, path, queries, topk=10_000)
+        assert got2.filter(F.col("neighbor_id") == 3).count() == 0  # self-excluded?
+        # id 3 IS the query id, so exclude via a different query
+        q5 = emb.filter(F.col("vec_id") == 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        got3 = similarity.pq_index_topk(spark, path, q5, topk=10_000)
+        assert got3.filter(F.col("neighbor_id") == 3).count() == 1
+
+    def test_rebuild_clears_tombstones(self, spark, emb, tmp_path):
+        path = str(tmp_path / "pq_rebuild")
+        similarity.write_pq_index(
+            emb, "vec_id", "embedding", path, n_subspaces=2, k_codes=4
+        )
+        similarity.pq_index_delete(spark, path, [1, 2, 3])
+        assert os.path.isdir(f"{path}/tombstones")
+        similarity.write_pq_index(
+            emb, "vec_id", "embedding", path, n_subspaces=2, k_codes=4
+        )
+        assert not os.path.isdir(f"{path}/tombstones")
+        queries = emb.filter(F.col("vec_id") == 7).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        got = similarity.pq_index_topk(spark, path, queries, topk=10_000)
+        assert got.filter(F.col("neighbor_id").isin(1, 2, 3)).count() == 3
+
+    def test_no_tombstone_plan_unchanged_and_no_extra_shuffle(
+        self, spark, emb, tmp_path
+    ):
+        path = str(tmp_path / "pq_plan")
+        similarity.write_pq_index(
+            emb, "vec_id", "embedding", path, n_subspaces=2, k_codes=4
+        )
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        from wren_engine_spark.operators.layout import shuffle_exchanges
+
+        clean = similarity.pq_index_topk(spark, path, queries, topk=5)
+        clean_shuffles = shuffle_exchanges(clean)
+        assert "LeftAnti" not in _plan(clean)  # no anti-join w/o tombstones
+        similarity.pq_index_delete(spark, path, [0])
+        dirty = similarity.pq_index_topk(spark, path, queries, topk=5)
+        # the anti-join is broadcast: no NEW shuffle on the probe path
+        assert shuffle_exchanges(dirty) == clean_shuffles
+        assert "BroadcastHashJoin" in _plan(dirty) and "LeftAnti" in _plan(dirty)
+
+    def test_ivfpq_probe_respects_tombstones(self, spark, emb, tmp_path):
+        path = str(tmp_path / "ivfpq_del")
+        similarity.write_ivfpq_index(
+            emb, "vec_id", "embedding", path, nlist=4, n_subspaces=2, k_codes=4
+        )
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        full = similarity.ivfpq_index_topk(
+            spark, path, queries, nprobe=4, topk=10_000
+        ).collect()
+        deleted = {r.vec_id for r in emb.filter(F.col("vec_id") % 11 == 0).collect()}
+        expected = []
+        by_q: dict = {}
+        for r in sorted(full, key=lambda r: (r.query_id, r.rnk)):
+            if r.neighbor_id in deleted:
+                continue
+            nxt = by_q.get(r.query_id, 0) + 1
+            by_q[r.query_id] = nxt
+            if nxt <= 5:
+                expected.append((r.query_id, nxt, r.neighbor_id, r.adist))
+        similarity.pq_index_delete(
+            spark, path, emb.filter(F.col("vec_id") % 11 == 0).select("vec_id")
+        )
+        got = sorted(
+            (r.query_id, r.rnk, r.neighbor_id, r.adist)
+            for r in similarity.ivfpq_index_topk(
+                spark, path, queries, nprobe=4, topk=5
+            ).collect()
+        )
+        assert got == sorted(expected)
+
+
+class TestFilteredProbe:
+    def test_filter_pushes_into_scan_and_keeps_one_shuffle(self, spark, emb):
+        similarity.write_ann_index(
+            emb, "vec_id", "embedding", "filt_t1",
+            dim=64, nbits=6, tables=2, seed=7, attr_cols=["label"],
+        )
+        queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+        from wren_engine_spark.operators.layout import shuffle_exchanges
+
+        out = similarity.ann_index_topk(
+            spark, "filt_t1", queries, "vec_id", "embedding", dim=64, k=3,
+            where="label < 5",
+        )
+        plan = _plan(out)
+        assert "PushedFilters" in plan and "LessThan(label,5)" in plan
+        assert shuffle_exchanges(out) == 1  # the x63 serving shape holds
+        rows = out.collect()
+        labels = {
+            r.vec_id: r.label for r in emb.select("vec_id", "label").collect()
+        }
+        assert rows and all(labels[r.neighbor_id] < 5 for r in rows)
+
+    def test_prefilter_ranks_k_deep_not_postfilter(self, spark, emb):
+        # pre-filtering must surface qualifying candidates ranked
+        # BELOW unqualified ones in the unfiltered top-k: the filtered
+        # result set per query is >= the post-filtered unfiltered one
+        similarity.write_ann_index(
+            emb, "vec_id", "embedding", "filt_t2",
+            dim=64, nbits=4, tables=2, seed=3, attr_cols=["label"],
+        )
+        queries = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+        unfiltered = similarity.ann_index_topk(
+            spark, "filt_t2", queries, "vec_id", "embedding", dim=64, k=3
+        ).collect()
+        filtered = similarity.ann_index_topk(
+            spark, "filt_t2", queries, "vec_id", "embedding", dim=64, k=3,
+            where="label = 1",
+        ).collect()
+        labels = {
+            r.vec_id: r.label for r in emb.select("vec_id", "label").collect()
+        }
+        post = {}
+        for r in unfiltered:
+            if labels[r.neighbor_id] == 1:
+                post[r.query_id] = post.get(r.query_id, 0) + 1
+        pre = {}
+        for r in filtered:
+            assert labels[r.neighbor_id] == 1
+            pre[r.query_id] = pre.get(r.query_id, 0) + 1
+        assert sum(pre.values()) >= sum(post.values())
+        assert any(
+            pre.get(q, 0) > post.get(q, 0) for q in pre
+        ), "expected at least one query where pre-filtering found more"
+
+    def test_append_carries_attr_cols(self, spark, emb):
+        base = emb.filter(F.col("vec_id") % 4 != 0)
+        delta = emb.filter(F.col("vec_id") % 4 == 0)
+        similarity.write_ann_index(
+            base, "vec_id", "embedding", "filt_t3",
+            dim=64, nbits=6, tables=2, seed=7, attr_cols=["label"],
+        )
+        similarity.ann_index_append(
+            spark, "filt_t3", delta, "vec_id", "embedding"
+        )
+        full = spark.table("filt_t3")
+        assert "label" in full.columns
+        assert full.filter(F.col("label").isNull()).count() == 0
+        # filtered probe sees appended rows through the same predicate
+        queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+        out = similarity.ann_index_topk(
+            spark, "filt_t3", queries, "vec_id", "embedding", dim=64, k=3,
+            where="label < 5",
+        ).collect()
+        similarity.write_ann_index(
+            emb, "vec_id", "embedding", "filt_t4",
+            dim=64, nbits=6, tables=2, seed=7, attr_cols=["label"],
+        )
+        ref = similarity.ann_index_topk(
+            spark, "filt_t4", queries, "vec_id", "embedding", dim=64, k=3,
+            where="label < 5",
+        ).collect()
+        key = lambda r: (r.query_id, r.rnk, r.neighbor_id, r.cosine_sim)  # noqa: E731
+        assert sorted(map(key, out)) == sorted(map(key, ref))
+
+
+class TestHybridRRF:
+    def test_matches_pure_python_replay(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+            F.col("doc_id") < 120
+        )
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+            F.col("vec_id") < 120
+        )
+        qids = docs.filter(F.col("doc_id") < 3).select("doc_id")
+        got = {
+            (r.query_id, r.rnk): (r.doc_id, r.rrf_score, r.lex_rank, r.vec_rank)
+            for r in retrieval.hybrid_rrf_topk(
+                docs, "doc_id", "text", emb, "vec_id", "embedding", qids,
+                k_lex=5, k_vec=5, rrf_k=60, topk=4,
+            ).collect()
+        }
+
+        # independent replay: python tokenization + float cosine ranks
+        import re as _re
+
+        rows = docs.select("doc_id", "text").collect()
+        toks = {
+            r.doc_id: set(
+                t for t in _re.split(r"[ \t\n\x0B\f\r]+", r.text.strip()) if t
+            )
+            for r in rows
+        }
+        n = len(rows)
+        dfreq: dict = {}
+        for s in toks.values():
+            for t in s:
+                dfreq[t] = dfreq.get(t, 0) + 1
+        kept = {
+            d: {t for t in s if dfreq[t] <= 0.5 * n} for d, s in toks.items()
+        }
+        vecs = {
+            r.vec_id: r.embedding
+            for r in emb.select("vec_id", "embedding").collect()
+        }
+
+        def q8(v):
+            s = max(max(abs(float(x)) for x in v), 1e-12) / 127.0
+            import math
+
+            return [math.floor(float(x) / s + 0.5) for x in v]
+
+        qv = {i: q8(vecs[i]) for i in vecs}
+
+        def cos(a, b):
+            import math
+
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(float(sum(x * x for x in a)))
+            nb = math.sqrt(float(sum(x * x for x in b)))
+            return dot / (na * nb)
+
+        for q in (0, 1, 2):
+            lex = sorted(
+                (
+                    (-len(kept[q] & kept[d]), d)
+                    for d in kept
+                    if d != q and len(kept[q] & kept[d]) > 0
+                ),
+            )[:5]
+            lrank = {d: i + 1 for i, (_o, d) in enumerate(lex)}
+            vec = sorted(
+                ((-cos(qv[q], qv[d]), d) for d in qv if d != q),
+            )[:5]
+            vrank = {d: i + 1 for i, (_s, d) in enumerate(vec)}
+            cands = set(lrank) | set(vrank)
+            scored = sorted(
+                (
+                    -(
+                        (1.0 / (60.0 + lrank[d]) if d in lrank else 0.0)
+                        + (1.0 / (60.0 + vrank[d]) if d in vrank else 0.0)
+                    ),
+                    d,
+                )
+                for d in cands
+            )[:4]
+            for i, (negs, d) in enumerate(scored):
+                doc, score, lr, vr = got[(q, i + 1)]
+                assert doc == d
+                assert score == pytest.approx(-negs, abs=5e-7)
+                assert lr == lrank.get(d) and vr == vrank.get(d)
+
+    def test_rank_only_fusion_ignores_raw_scores(self, spark):
+        # scaling every embedding by a constant changes raw cosine
+        # magnitudes not at all and raw overlap counts not at all —
+        # but the point is structural: the fused output depends only
+        # on ranks, so fusing with k_lex > corpus candidates just
+        # pads nothing and the result stays stable
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+            F.col("doc_id") < 60
+        )
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+            F.col("vec_id") < 60
+        )
+        qids = docs.filter(F.col("doc_id") < 2).select("doc_id")
+        a = retrieval.hybrid_rrf_topk(
+            docs, "doc_id", "text", emb, "vec_id", "embedding", qids,
+            k_lex=7, k_vec=7, topk=3,
+        ).collect()
+        b = retrieval.hybrid_rrf_topk(
+            docs, "doc_id", "text", emb, "vec_id", "embedding", qids,
+            k_lex=7, k_vec=7, topk=3,
+        ).collect()
+        key = lambda r: (r.query_id, r.rnk, r.doc_id, r.rrf_score)  # noqa: E731
+        assert sorted(map(key, a)) == sorted(map(key, b))
+
+    def test_lexical_posting_join_never_doc_x_doc(self, spark):
+        # the lexical side's only join keys are tokens — assert no
+        # cartesian/broadcast-nested-loop anywhere in the plan
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        qids = docs.filter(F.col("doc_id") < 3).select("doc_id")
+        out = retrieval.lexical_overlap_topk(docs, "doc_id", "text", qids, k=5)
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        got = out.collect()
+        assert got and all(r.overlap >= 1 for r in got)

@@ -1,0 +1,185 @@
+"""Hybrid lexical + vector retrieval with reciprocal-rank fusion.
+
+The standard two-tower serving shape (Cormack/Clarke/Büttcher RRF,
+SIGIR 2009; the default fusion in every production hybrid-search
+stack): run a lexical ranking and a vector ranking independently,
+then fuse by summing ``1 / (k + rank)`` per candidate. Rank fusion
+needs only the two integer rank columns — never the incomparable raw
+scores — which is exactly what makes it deterministic and
+engine-portable here:
+
+- the LEXICAL rank orders by integer shared-token overlap through an
+  inverted-index (posting-list) join — the distributed BM25-family
+  shape: tokens explode once, the join is token-co-occurrence, never
+  doc x doc;
+- the VECTOR rank is the int8-quantized cosine
+  (:func:`wren_engine_spark.operators.similarity.quantized_cosine_topk`
+  — integer dot products, scales cancel);
+- the fused score is a TWO-term IEEE double sum of exact divisions,
+  bit-identical in any engine, with id tie-breaks.
+
+Scale notes (100 TB): the posting-list join's enemy is token skew —
+stopwords join every query against most of the corpus. ``max_df_frac``
+drops tokens whose document frequency exceeds that fraction of the
+corpus (the classic band-stop / stopword cut), bounding every posting
+list; the cut is computed in-plan (one tiny aggregate, broadcast), no
+driver scalar. Both top-k's bound their window partitions by query, so
+fusion state is O(queries x (k_lex + k_vec)).
+
+Reference parity: the reference engine has no hybrid retrieval; this
+is part of the LLM-data-pipeline surface (RAG serving) the brief asks
+for beyond reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wren_engine_spark.operators.similarity import quantized_cosine_topk
+from wren_engine_spark.operators.textnorm import WS_RE
+
+
+def lexical_overlap_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_ids: DataFrame,
+    k: int = 10,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Per-query lexical top-k by DISTINCT shared-token overlap,
+    through an inverted-index join: explode each document's distinct
+    whitespace tokens once, drop tokens whose document frequency
+    exceeds ``max_df_frac`` of the corpus (band-stop — bounds every
+    posting list under stopword skew), join query tokens to corpus
+    tokens ON TOKEN (co-occurrence, never doc x doc), and count rows
+    per (query, doc) pair — tokens are distinct per doc, so the row
+    count IS the overlap. Integer scores, ties to the lowest doc id.
+
+    ``query_ids``: one-column DataFrame of query doc ids (broadcast).
+    Returns (query_id, doc_id, overlap, lex_rank), lex_rank <= k.
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), WS_RE))
+        ).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    n_docs = docs.select(
+        F.count(F.col(id_col)).cast("double").alias("__n")
+    )
+    dfreq = (
+        toks.groupBy("__tok")
+        .agg(F.count("*").cast("double").alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") <= F.lit(float(max_df_frac)) * F.col("__n"))
+        .select("__tok")
+    )
+    kept = toks.join(dfreq, "__tok")
+    qtoks = kept.join(
+        F.broadcast(query_ids.select(F.col(query_ids.columns[0]).alias("doc_id"))),
+        "doc_id",
+    ).select(F.col("doc_id").alias("query_id"), "__tok")
+    pairs = (
+        qtoks.join(kept, "__tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("overlap"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("overlap").desc(), F.col("doc_id")
+    )
+    return (
+        pairs.withColumn("lex_rank", F.row_number().over(w))
+        .filter(F.col("lex_rank") <= k)
+        .select("query_id", "doc_id", "overlap",
+                F.col("lex_rank").cast("int").alias("lex_rank"))
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    doc_id_col: str,
+    text_col: str,
+    emb: DataFrame,
+    vec_id_col: str,
+    vec_col: str,
+    query_ids: DataFrame,
+    k_lex: int = 10,
+    k_vec: int = 10,
+    rrf_k: int = 60,
+    topk: int = 5,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a vector ranking over
+    the same id space (``doc_id == vec_id`` — the RAG corpus shape
+    where every chunk carries text AND an embedding).
+
+    score(q, d) = sum over the rankings that retrieved d of
+    ``1 / (rrf_k + rank)`` — a candidate missing from one list simply
+    contributes nothing for it (standard RRF). Each term is one exact
+    IEEE double division and the sum has two terms, so the score — and
+    therefore the fused order, with (score DESC, doc_id) tie-breaks —
+    is bit-identical across engines; no score normalization, no
+    incomparable-scale fudge factors, the whole reason RRF is the
+    production default.
+
+    Returns (query_id, doc_id, rrf_score, lex_rank, vec_rank, rnk)
+    with rnk <= topk; absent-from-one-list ranks are NULL.
+    """
+    from pyspark.sql import Window as W
+
+    lex = lexical_overlap_topk(
+        docs, doc_id_col, text_col, query_ids, k=k_lex,
+        max_df_frac=max_df_frac,
+    )
+    qvecs = emb.join(
+        F.broadcast(
+            query_ids.select(F.col(query_ids.columns[0]).alias("__qid"))
+        ),
+        F.col(vec_id_col) == F.col("__qid"),
+    ).select(
+        F.col(vec_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    vec = quantized_cosine_topk(
+        emb, vec_id_col, vec_col, qvecs, k=k_vec
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").alias("vec_rank"),
+    )
+    fused = lex.select("query_id", "doc_id", "lex_rank").join(
+        vec, ["query_id", "doc_id"], "full_outer"
+    )
+    contrib = (
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank").cast("double")),
+            F.lit(0.0),
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("vec_rank").cast("double")),
+            F.lit(0.0),
+        )
+    )
+    scored = fused.select(
+        "query_id", "doc_id", contrib.alias("__score"),
+        "lex_rank", "vec_rank",
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("__score"), 6).alias("rrf_score"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -983,16 +983,20 @@ def _all_table_signatures(
     tables: int,
     seed: int,
     impl: str = "auto",
+    carry_cols: tuple = (),
 ) -> DataFrame:
-    """(id, vec, table_id, bucket) for ALL hash tables in ONE pass —
-    one plan, one scan. A per-table loop of hyperplane_signatures
-    builds ``tables`` separate plans whose nbits x dim literal plane
-    matrices dominate ANALYSIS+CODEGEN time (measured: 3.3 s of x63's
-    4 s probe was four 10-row signature plans), and scans the input
-    ``tables`` times. Same arithmetic and left-fold order as
-    hyperplane_signatures — bit-identical buckets (the x63 oracle
-    reproduces them)."""
+    """(id, vec, table_id, bucket[, carry...]) for ALL hash tables in
+    ONE pass — one plan, one scan. A per-table loop of
+    hyperplane_signatures builds ``tables`` separate plans whose nbits
+    x dim literal plane matrices dominate ANALYSIS+CODEGEN time
+    (measured: 3.3 s of x63's 4 s probe was four 10-row signature
+    plans), and scans the input ``tables`` times. Same arithmetic and
+    left-fold order as hyperplane_signatures — bit-identical buckets
+    (the x63 oracle reproduces them). ``carry_cols`` pass through
+    untouched (attribute columns an index stores for filtered
+    probes)."""
     v = F.col(vec_col)
+    carry = [F.col(c) for c in carry_cols]
     all_planes = []
     for t in range(tables):
         rng = random.Random(seed + 1000 * t)
@@ -1004,8 +1008,9 @@ def _all_table_signatures(
         return df.select(
             F.col(id_col),
             v.alias(vec_col),
+            *carry,
             F.posexplode(multi_sig(v)).alias("table_id", "bucket"),
-        ).select(id_col, vec_col, "table_id", "bucket")
+        ).select(id_col, vec_col, "table_id", "bucket", *carry_cols)
     sig_cols = [
         F.struct(
             F.lit(t).alias("t"), F.expr(_sig_sql(vec_col, planes)).alias("b")
@@ -1013,11 +1018,12 @@ def _all_table_signatures(
         for t, planes in enumerate(all_planes)
     ]
     return (
-        df.select(F.col(id_col), v.alias(vec_col),
+        df.select(F.col(id_col), v.alias(vec_col), *carry,
                   F.explode(F.array(*sig_cols)).alias("__tb"))
         .select(
             id_col, vec_col,
             F.col("__tb.t").alias("table_id"), F.col("__tb.b").alias("bucket"),
+            *carry_cols,
         )
     )
 
@@ -1032,6 +1038,7 @@ def write_ann_index(
     tables: int = 4,
     seed: int = 42,
     buckets: int = 16,
+    attr_cols: list[str] | None = None,
 ) -> str:
     """Persist a hyperplane-LSH ANN index as a BUCKETED table: one row
     per (hash-table, bucket, id, vector), bucketed+sorted on the bucket
@@ -1044,10 +1051,23 @@ def write_ann_index(
     Spark prunes non-matching index buckets from the scan. At 100 TB
     the index is written once per corpus version and each probe reads
     ~tables x (occupancy of the probed buckets), not the corpus.
+
+    ``attr_cols`` stores extra metadata columns WITH the index rows so
+    probes can filter candidates by attribute (``ann_index_topk``'s
+    ``where``) — the predicate pushes into the bucketed parquet scan
+    itself (PushedFilters), so a filtered probe reads LESS than an
+    unfiltered one instead of post-filtering a result set. The column
+    list is recorded in the ``__meta`` sidecar so appends always carry
+    the same attributes.
     """
+    attr_cols = list(attr_cols or [])
     out = _all_table_signatures(
-        df, id_col, vec_col, dim, nbits, tables, seed
-    ).select("table_id", "bucket", F.col(id_col), F.col(vec_col))
+        df, id_col, vec_col, dim, nbits, tables, seed,
+        carry_cols=tuple(attr_cols),
+    ).select(
+        "table_id", "bucket", F.col(id_col), F.col(vec_col),
+        *[F.col(c) for c in attr_cols],
+    )
     from wren_engine_spark.operators import layout
 
     # one shuffle on bucket before the bucketed write keeps file count at
@@ -1064,9 +1084,9 @@ def write_ann_index(
         spark,
         spark.createDataFrame(
             [(int(dim), int(nbits), int(tables), int(seed), int(buckets),
-              id_col, vec_col)],
+              id_col, vec_col, ",".join(attr_cols))],
             "dim INT, nbits INT, tables INT, seed INT, buckets INT, "
-            "id_col STRING, vec_col STRING",
+            "id_col STRING, vec_col STRING, attr_cols STRING",
         ),
         f"{table}__meta",
     )
@@ -1094,6 +1114,10 @@ def ann_index_append(
     Returns the number of appended vectors.
     """
     meta = spark.table(f"{table}__meta").collect()[0]
+    # attribute columns recorded at build time must travel with every
+    # appended row too (same names; a missing column fails loudly in
+    # the select below) — a pre-attr_cols index has the empty string
+    attrs = [c for c in getattr(meta, "attr_cols", "").split(",") if c]
     # cache the batch so the returned count does not re-run whatever
     # upstream lineage produced it a second time after the write
     df = df.persist()
@@ -1103,10 +1127,15 @@ def ann_index_append(
             df.select(
                 F.col(id_col).alias(meta.id_col),
                 F.col(vec_col).alias(meta.vec_col),
+                *[F.col(c) for c in attrs],
             ),
             meta.id_col, meta.vec_col,
             int(meta.dim), int(meta.nbits), int(meta.tables), int(meta.seed),
-        ).select("table_id", "bucket", F.col(meta.id_col), F.col(meta.vec_col))
+            carry_cols=tuple(attrs),
+        ).select(
+            "table_id", "bucket", F.col(meta.id_col), F.col(meta.vec_col),
+            *[F.col(c) for c in attrs],
+        )
         from wren_engine_spark.operators import layout
 
         layout.write_bucketed(
@@ -1133,12 +1162,22 @@ def ann_index_topk(
     tables: int = 4,
     seed: int = 42,
     allow_legacy: bool = False,
+    where: str | F.Column | None = None,
 ) -> DataFrame:
     """Probe a persisted ANN index (same nbits/tables/seed as the
     build): hash each query into its per-table bucket, join the
     bucketed index on (table_id, bucket) — query side broadcast, index
     side scanned bucket-locally with no shuffle — then exact-cosine
     score the union of candidates and keep the top-k per query.
+
+    ``where`` is a FILTERED-search predicate over the index's stored
+    attribute columns (``write_ann_index(attr_cols=...)``): applied to
+    the index side BEFORE the bucket join, so it pushes into the
+    bucketed parquet scan (PushedFilters — a filtered probe reads
+    LESS than an unfiltered one) and the top-k ranks only qualifying
+    candidates — every returned neighbor satisfies the predicate,
+    k results deep (pre-filtering, not a post-filter that can return
+    fewer than k).
 
     Returns (query_id, neighbor_id, cosine_sim, rnk)."""
     from pyspark.sql import Window as W
@@ -1168,6 +1207,8 @@ def ann_index_topk(
             "to probe a pre-meta index with caller parameters"
         )
     idx = spark.table(table)
+    if where is not None:
+        idx = idx.filter(where)
     qsigs = _all_table_signatures(
         query_df, id_col, vec_col, dim, nbits, tables, seed
     ).select(
@@ -1707,9 +1748,14 @@ def write_pq_index(
     out_codes.write.mode("overwrite").parquet(f"{path}/codes")
     # a (re)build resets the index wholesale: stale idempotent-append
     # epoch markers from a previous incarnation must not make a
-    # replayed epoch skip its append into the NEW index
+    # replayed epoch skip its append into the NEW index, and stale
+    # tombstones must not delete freshly re-encoded rows
     for m in _glob.glob(f"{path}/_epoch_*"):
         _os.remove(m)
+    if _os.path.isdir(f"{path}/tombstones"):
+        import shutil as _shutil
+
+        _shutil.rmtree(f"{path}/tombstones")
     book_rows = [
         (s, c, d, int(codebooks[s][c][d]))
         for s in range(n_subspaces)
@@ -1766,6 +1812,90 @@ def _load_pq_index(spark, path: str):
     )
 
 
+def _tombstones(spark, path: str) -> DataFrame | None:
+    """Distinct tombstoned ``__id`` rows of a codes-layout index
+    (``{path}/tombstones``), or None when the index has none. For a
+    local index the existence check is a driver-side listdir — a probe
+    of an index with no tombstones pays NOTHING (no read, no job, no
+    plan change). A non-local path attempts the read and treats a
+    missing directory as empty."""
+    import os as _os
+
+    from wren_engine_spark.operators import index_meta
+
+    tdir = f"{path}/tombstones"
+    d = index_meta.local_dir(tdir)
+    if d is None and index_meta.local_dir(path) is not None:
+        return None  # local index, no tombstones directory
+    if d is not None and not any(
+        f.endswith(".parquet")
+        for _dp, _dn, fs in _os.walk(d)
+        for f in fs
+    ):
+        return None
+    # no distinct(): duplicate ids are harmless under left_anti and a
+    # distinct would put an exchange on the (broadcast) tombstone side
+    try:
+        return spark.read.parquet(tdir).select("__id")
+    except Exception:
+        return None  # non-local index without a tombstones directory
+
+
+def _apply_tombstones(spark, path: str, codes: DataFrame) -> DataFrame:
+    """Anti-join a codes scan against the index's tombstones. The
+    tombstone side is ids only and broadcast, so the anti-join adds no
+    shuffle to the probe plan; with no tombstones the scan is returned
+    untouched (zero overhead on the common path)."""
+    tomb = _tombstones(spark, path)
+    if tomb is None:
+        return codes
+    return codes.join(F.broadcast(tomb), "__id", "left_anti")
+
+
+def pq_index_delete(spark, path: str, ids, id_col: str | None = None) -> dict:
+    """Tombstone-delete vectors from a persisted codes-layout index
+    (PQ — and the IVF-PQ composite, which shares the layout and the
+    compactor): append the ids to ``{path}/tombstones`` and let every
+    probe (``pq_index_topk`` / ``pq_stream_search`` /
+    ``ivfpq_index_topk``) anti-join them out — tombstones broadcast,
+    no extra shuffle — until ``pq_index_compact`` folds them into its
+    codes rewrite and clears the directory. A delete never touches a
+    codes file: no read-modify-write of immutable parquet, no rewrite
+    amplification at 100 TB — the merge-on-read half of a
+    delete-vector design, with compaction as the merge-on-write half.
+    Geometry is untouched by design (the codebooks were trained on the
+    full corpus and keep serving — the same frozen-geometry contract
+    as append; re-train when the recall gate says the distribution
+    moved).
+
+    Semantics: a tombstone shadows its id — EVERY row with that id,
+    including rows appended later — until a compaction folds it.
+    Re-inserting a deleted id therefore requires a compact first;
+    append-only ingestion (the intended caller) never re-uses ids.
+
+    ``ids``: a DataFrame (``id_col`` defaults to its single column;
+    cast to the codes' BIGINT ``__id``) or an iterable of ints.
+    Returns {"n_tombstones": distinct ids appended by this call}.
+    """
+    if isinstance(ids, DataFrame):
+        col = id_col or ids.columns[0]
+        out = ids.select(F.col(col).cast("bigint").alias("__id")).distinct()
+    else:
+        out = spark.createDataFrame(
+            [(int(i),) for i in ids], "__id BIGINT"
+        ).distinct()
+    out = out.persist()
+    try:
+        n = out.count()
+        # one file per delete call: tombstone batches are tiny id
+        # lists, and probes list this directory — don't let it creep
+        # into the small-file problem compaction exists to fix
+        out.coalesce(1).write.mode("append").parquet(f"{path}/tombstones")
+    finally:
+        out.unpersist()
+    return {"n_tombstones": n}
+
+
 def pq_index_topk(
     spark,
     path: str,
@@ -1787,7 +1917,9 @@ def pq_index_topk(
     books, meta = _load_pq_index(spark, path)
     sub = meta.dim // meta.n_subspaces
     tab_rows = _adc_tables(query_df, books, sub, meta.quantum)
-    codes = spark.read.parquet(f"{path}/codes").select(
+    codes = _apply_tombstones(
+        spark, path, spark.read.parquet(f"{path}/codes")
+    ).select(
         "__id",
         *[F.col(f"code_{s}").alias(f"__code_{s}") for s in range(meta.n_subspaces)],
     )
@@ -1961,10 +2093,15 @@ def pq_index_compact(
     problem (per-file open/footer cost dominates the narrow-int scan,
     and listing slows every probe). Compaction coalesces the codes to
     ``target_files`` (default: total bytes / 128 MiB, min 1) WITHOUT a
-    shuffle — ``coalesce`` merges input splits narrowly; row content,
-    codebooks, and meta are untouched, so probes are bit-identical
-    before and after (pytest-pinned, and x101 re-certifies through the
-    same driver oracle as x100).
+    shuffle — ``coalesce`` merges input splits narrowly; codebooks and
+    meta are untouched. Tombstones (``pq_index_delete``) are folded
+    here: the rewrite anti-joins them out and clears the tombstone
+    directory once the swap lands, so probes — which already excluded
+    tombstoned rows — are bit-identical before and after
+    (pytest-pinned, and x101 re-certifies through the same driver
+    oracle as x100). A crash between the swap and the tombstone clear
+    is harmless: re-applying a tombstone to rows already gone removes
+    nothing, and the next compact clears it.
 
     The rewrite goes to ``{path}/codes.compacting`` and is swapped in
     with two directory renames. Each rename is atomic (POSIX/HDFS),
@@ -2011,6 +2148,9 @@ def pq_index_compact(
             os.remove(os.path.join(codes_dir, f))
     df = spark.read.parquet(codes_dir)
     files_before = len(df.inputFiles())
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        df = df.join(F.broadcast(tomb), "__id", "left_anti")
     n_rows = df.count()
     if target_files is None:
         total = 0
@@ -2027,6 +2167,11 @@ def pq_index_compact(
     os.rename(codes_dir, old)
     os.rename(tmp, codes_dir)
     shutil.rmtree(old)
+    # tombstones are folded into the rewrite that just landed; clear
+    # them so a later re-insert of a deleted id is servable again
+    tdir = f"{path}/tombstones"
+    if os.path.isdir(tdir):
+        shutil.rmtree(tdir)
     files_after = len(spark.read.parquet(codes_dir).inputFiles())
     return {
         "files_before": files_before,
@@ -2084,7 +2229,7 @@ def pq_stream_search(
     q2 = qdf.select(
         "query_id", *[F.expr(t).alias(f"__adt_{s}") for s, t in enumerate(tabs)]
     )
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/codes"))
     adist = None
     for s in range(n_sub):
         term = F.element_at(F.col(f"__adt_{s}"), F.col(f"__code_{s}") + 1)
@@ -2392,12 +2537,17 @@ def write_ivfpq_index(
     )
     # a (re)build resets the index wholesale: stale idempotent-append
     # epoch markers from a previous incarnation must not make a
-    # replayed epoch skip its append into the NEW index
+    # replayed epoch skip its append into the NEW index, and stale
+    # tombstones must not delete freshly re-encoded rows
     import glob as _glob
     import os as _os
 
     for m in _glob.glob(f"{path}/_epoch_*"):
         _os.remove(m)
+    if _os.path.isdir(f"{path}/tombstones"):
+        import shutil as _shutil
+
+        _shutil.rmtree(f"{path}/tombstones")
     spark.createDataFrame(
         [(c, d, coarse[c][d]) for c in range(nlist) for d in range(dim)],
         "cluster INT, dim INT, val BIGINT",
@@ -2486,7 +2636,7 @@ def ivfpq_index_topk(
     sub = meta.dim // meta.n_subspaces
     qrows = _ivfpq_quantized_queries(query_df, int(meta.quantum), meta.dim)
     tab_rows = _ivfpq_adc_rows(qrows, coarse, books, sub, nprobe)
-    codes = spark.read.parquet(f"{path}/codes")
+    codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/codes"))
     return _ivfpq_rank(spark, codes, tab_rows, meta.n_subspaces, topk)
 
 

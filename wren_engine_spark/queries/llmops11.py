@@ -1,0 +1,327 @@
+"""Round-8 late additions: vector-serving completeness — tombstone
+deletes, attribute-filtered probes, and hybrid lexical+vector fusion.
+
+The persisted-index story so far covered build / probe / append /
+compact / stream-ingest (x63/x99-x111, t15-t17). What a production
+vector-serving engine still needs on top:
+
+- **deletes** (x112): GDPR erasure and corpus-refresh pipelines must
+  remove vectors without retraining or rewriting a 100 TB codes
+  table. Tombstones are the merge-on-read half (an id-only sidecar,
+  anti-joined broadcast at probe time — no codes file is touched);
+  compaction is the merge-on-write half (folds tombstones into its
+  rewrite and clears them).
+- **filtered search** (x113): "nearest neighbors WHERE <metadata
+  predicate>" — the index stores attribute columns with its rows, the
+  predicate pushes into the bucketed parquet scan (PushedFilters:
+  a filtered probe reads LESS, not a post-filter that returns fewer
+  than k).
+- **hybrid retrieval** (x114): reciprocal-rank fusion of a lexical
+  posting-list ranking and the quantized-cosine vector ranking —
+  the standard RAG serving front-end (RRF, SIGIR 2009).
+
+Discipline (the r5 bar): DuckDB oracle per entry + plan asserts
+(tests/test_llmops11.py pins the tombstone anti-join's no-extra-
+shuffle shape and the filtered probe's PushedFilters) + brute-force
+pytest (delete ≡ filtered re-rank of the full probe; compact folds
+tombstones physically) + 10x spill receipt (SCALING.md round 8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wren_engine_spark.operators import retrieval, similarity
+from wren_engine_spark.queries.io import load_tables
+from wren_engine_spark.queries.llmops import _lsh_oracle
+from wren_engine_spark.queries.llmops8 import _PQ_CTES
+from wren_engine_spark.queries.memo import session_uid
+from wren_engine_spark.queries.registry import register
+
+# ---------------------------------------------------------------------------
+# x112: tombstone-deleted PQ index probe
+# ---------------------------------------------------------------------------
+
+_PQ_DEL_MEMO: dict = {}
+
+
+def _ensure_deleted_pq_index(spark: SparkSession, sf: str) -> str:
+    """x112's index: build the PQ index on the FULL corpus (geometry
+    is trained on everything — deletes freeze it by design, exactly
+    like appends), then tombstone every ``vec_id % 7 == 0``. Own path
+    (x99's shared index must never see these tombstones); marker file
+    outside the index directory; session-scoped rebuild discipline as
+    the other _ensure_* helpers. write_pq_index clears stale
+    tombstones wholesale, so a re-entry can never double-delete."""
+    import hashlib
+    import os
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = f"{wh}/pq_del_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    marker = f"{path}__TOMBSTONED"
+    key = (session_uid(spark), sf)
+    complete = (
+        os.path.isfile(marker)
+        and os.path.isdir(f"{path}/codes")
+        and os.path.isdir(f"{path}/tombstones")
+    )
+    if _PQ_DEL_MEMO.get(key) != path or not complete:
+        if os.path.isfile(marker):
+            os.remove(marker)
+        e = load_tables(spark, sf, "embeddings")["embeddings"]
+        similarity.write_pq_index(
+            e, "vec_id", "embedding", path, n_subspaces=2, k_codes=4, iters=1
+        )
+        similarity.pq_index_delete(
+            spark, path, e.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+        )
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("tombstoned\n")
+        _PQ_DEL_MEMO[key] = path
+    return path
+
+
+@register(
+    "x112_pq_index_delete",
+    f"""
+    WITH {_PQ_CTES},
+    dranked AS (
+      SELECT query_id, neighbor_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist ASC, neighbor_id ASC) AS rnk
+      FROM ad WHERE neighbor_id % 7 <> 0
+    )
+    SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM dranked WHERE rnk <= 5
+    """,
+)
+def x112(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ index lifecycle — tombstone delete without rewrite: the
+    index is built on the full corpus, every ``vec_id % 7 == 0`` is
+    deleted (similarity.pq_index_delete — an id-only tombstone
+    sidecar; NO codes file is read or rewritten), and the probe
+    anti-joins the tombstones out (broadcast, no extra shuffle) before
+    ranking — so deleted vectors vanish from results and survivors
+    re-rank upward, exactly what the oracle replays by excluding the
+    deleted ids from the candidate set of x93/x99's unrolled
+    train->encode->ADC chain and re-ranking. Geometry is frozen
+    (codebooks trained on the full corpus keep serving — the
+    delete-side twin of the append contract), so the ADC distances of
+    surviving rows are bit-identical to the undeleted index's.
+    pq_index_compact folds the tombstones physically (pytest-pinned:
+    probe bit-identical before/after, codes row count shrinks,
+    tombstone directory cleared)."""
+    path = _ensure_deleted_pq_index(spark, sf)
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.pq_index_topk(spark, path, queries, topk=5)
+
+
+# ---------------------------------------------------------------------------
+# x113: attribute-filtered ANN probe
+# ---------------------------------------------------------------------------
+
+
+def _lsh_filtered_oracle(query_pred: str, attr_pred: str) -> str:
+    """x63's exact LSH oracle with the candidate side restricted to
+    ids satisfying ``attr_pred`` (over the embeddings table) BEFORE
+    ranking — filtered search ranks only qualifying candidates, k
+    deep. Built by surgically narrowing `_lsh_oracle`'s candidate CTE
+    rather than editing the shared helper (whose byte-exact output
+    certifies x11/x63/x105)."""
+    sql = _lsh_oracle(nbits=10, tables=4, query_pred=query_pred)
+    anchor = "WHERE a.vec_id <> b.vec_id AND"
+    assert sql.count(anchor) == 1, "lsh oracle changed shape"
+    return sql.replace(
+        anchor,
+        "WHERE b.vec_id IN (SELECT vec_id FROM embeddings "
+        f"WHERE {attr_pred}) AND a.vec_id <> b.vec_id AND",
+        1,
+    )
+
+
+_ANN_FILT_MEMO: dict = {}
+
+
+def _ensure_attr_ann_index(spark: SparkSession, sf: str) -> str:
+    """x113's index: full corpus, hyperplane-LSH, with the ``label``
+    attribute column stored alongside each (bucket, id, vector) row
+    (write_ann_index attr_cols) so probes can filter on it inside the
+    bucketed scan."""
+    import hashlib
+    import os
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    table = f"ann_filt_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    marker = f"{wh}/{table}__BUILT"
+    key = (session_uid(spark), sf)
+    complete = os.path.isfile(marker) and spark.catalog.tableExists(table)
+    if _ANN_FILT_MEMO.get(key) != table or not complete:
+        if os.path.isfile(marker):
+            os.remove(marker)
+        e = load_tables(spark, sf, "embeddings")["embeddings"]
+        similarity.write_ann_index(
+            e, "vec_id", "embedding", table, dim=64, nbits=10, tables=4,
+            attr_cols=["label"],
+        )
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("built\n")
+        _ANN_FILT_MEMO[key] = table
+    return table
+
+
+@register(
+    "x113_filtered_ann_probe",
+    _lsh_filtered_oracle(query_pred="vec_id < 6", attr_pred="label < 5"),
+)
+def x113(spark: SparkSession, sf: str) -> DataFrame:
+    """Attribute-FILTERED vector search: the persisted LSH index
+    stores the ``label`` metadata column with every row
+    (write_ann_index attr_cols), and the probe's ``where`` predicate
+    is applied to the index side BEFORE the bucket join — it pushes
+    into the bucketed parquet scan (PushedFilters, pytest-pinned), so
+    the filtered probe reads LESS than an unfiltered one and the
+    top-k ranks only qualifying candidates: every neighbor satisfies
+    the predicate, k deep (pre-filtering semantics — a post-filter of
+    an unfiltered top-k would return < k rows and miss qualifying
+    neighbors ranked below unqualified ones). The oracle is x63's
+    exact plane-replay with the candidate set narrowed by the same
+    predicate."""
+    table = _ensure_attr_ann_index(spark, sf)
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 6)
+    return similarity.ann_index_topk(
+        spark, table, queries, "vec_id", "embedding", dim=64, k=3,
+        where="label < 5",
+    )
+
+
+# ---------------------------------------------------------------------------
+# x114: hybrid lexical + vector retrieval (reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+
+_X114_LEX = r"""
+    htoks AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))) AS tok
+      FROM documents
+    ),
+    htoks2 AS (SELECT doc_id, tok FROM htoks WHERE tok <> ''),
+    hnd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    hdf AS (
+      SELECT tok FROM htoks2, hnd
+      GROUP BY tok, n
+      HAVING CAST(COUNT(*) AS DOUBLE) <= 0.5 * n
+    ),
+    hkept AS (SELECT t.doc_id, t.tok FROM htoks2 t JOIN hdf USING (tok)),
+    hqt AS (SELECT doc_id AS query_id, tok FROM hkept WHERE doc_id < 4),
+    hlp AS (
+      SELECT q.query_id, k.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+      FROM hqt q JOIN hkept k USING (tok)
+      WHERE k.doc_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    hlex AS (
+      SELECT query_id, doc_id, lex_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY overlap DESC, doc_id) AS lex_rank
+        FROM hlp) WHERE lex_rank <= 10
+    )"""
+
+_X114_VEC = """
+    hq8 AS (
+      SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)
+              FOR x IN embedding] AS qv
+      FROM (
+        SELECT vec_id, embedding,
+               greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]),
+                        1e-12) / 127.0 AS s
+        FROM embeddings
+      )
+    ),
+    hqn AS (
+      SELECT vec_id, qv,
+             sqrt(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [x * x FOR x IN qv]), (acc, x) -> acc + x) AS DOUBLE)) AS nrm
+      FROM hq8
+    ),
+    hqs AS (SELECT vec_id AS query_id, qv AS qq, nrm AS qnrm FROM hqn
+            WHERE vec_id < 4),
+    hvp AS (
+      SELECT query_id, vec_id AS doc_id,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    [p[1] * p[2] FOR p IN list_zip(qq, qv)]),
+                    (acc, x) -> acc + x) AS DOUBLE) / (qnrm * nrm) AS sim
+      FROM hqs, hqn WHERE vec_id <> query_id
+    ),
+    hvec AS (
+      SELECT query_id, doc_id, vec_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, doc_id) AS vec_rank
+        FROM hvp) WHERE vec_rank <= 10
+    )"""
+
+
+@register(
+    "x114_hybrid_rrf",
+    f"""
+    WITH {_X114_LEX},
+    {_X114_VEC},
+    hfused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(CAST(1 AS DOUBLE)
+                        / (CAST(60 AS DOUBLE) + CAST(l.lex_rank AS DOUBLE)),
+                      CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE)
+                        / (CAST(60 AS DOUBLE) + CAST(v.vec_rank AS DOUBLE)),
+                      CAST(0 AS DOUBLE)) AS score,
+             l.lex_rank, v.vec_rank
+      FROM hlex l FULL OUTER JOIN hvec v
+        ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+    ),
+    hranked AS (
+      SELECT query_id, doc_id, score, lex_rank, vec_rank,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM hfused
+    )
+    SELECT query_id, doc_id, ROUND(score, 6) AS rrf_score,
+           CAST(lex_rank AS INTEGER) AS lex_rank,
+           CAST(vec_rank AS INTEGER) AS vec_rank,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM hranked WHERE rnk <= 5
+    """,
+)
+def x114(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (RRF, SIGIR 2009 —
+    the production-default fusion for RAG serving): a lexical top-10
+    by distinct shared-token overlap through a band-stop-capped
+    posting-list join (operators/retrieval.lexical_overlap_topk —
+    token-co-occurrence join, never doc x doc; stopword-skew bounded
+    by the in-plan max-df cut) fused with the int8-quantized cosine
+    top-10 (x45's integer kernel) by summing 1/(60+rank) per list.
+    Rank fusion uses ONLY the integer ranks — never the incomparable
+    raw scores — so the fused score is a two-term IEEE double sum,
+    bit-identical in any engine, certified end-to-end by the oracle's
+    replay of both rankings and the fusion. doc_id == vec_id is the
+    RAG corpus shape: every chunk carries text AND an embedding."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    qids = d.filter(F.col("doc_id") < 4).select("doc_id")
+    return retrieval.hybrid_rrf_topk(
+        d, "doc_id", "text", e, "vec_id", "embedding", qids,
+        k_lex=10, k_vec=10, rrf_k=60, topk=5,
+    )

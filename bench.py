@@ -324,6 +324,17 @@ def main() -> None:
         "x110_ivfpq_index_append",
         "t17_stream_ivfpq_ingest",
         "x111_ivfpq_index_compact",
+        # vector-serving completeness: tombstone-deleted probe,
+        # attribute-filtered probe (PushedFilters into the bucketed
+        # scan), hybrid lexical+vector RRF fusion
+        "x112_pq_index_delete",
+        "x113_filtered_ann_probe",
+        "x114_hybrid_rrf",
+        # bucketed-family delete + full lifecycle (build/append/
+        # delete/compact) — memoized builds, median amortizes to the
+        # steady-state probe
+        "x115_ann_index_delete",
+        "x116_ann_index_lifecycle",
     ]
     r8_timings, r8_total, r8_runs, r8_measured = run_suite(
         R8, "r8 operator sub-suite", freeze=True

@@ -290,6 +290,131 @@ class TestFilteredProbe:
         assert sorted(map(key, out)) == sorted(map(key, ref))
 
 
+class TestBucketedLifecycle:
+    def _probe(self, spark, table, queries, k=3):
+        return sorted(
+            (r.query_id, r.rnk, r.neighbor_id, r.cosine_sim)
+            for r in similarity.ann_index_topk(
+                spark, table, queries, "vec_id", "embedding", dim=64, k=k
+            ).collect()
+        )
+
+    def test_ann_delete_equals_filtered_rerank(self, spark, emb):
+        similarity.write_ann_index(
+            emb, "vec_id", "embedding", "lcann_t1",
+            dim=64, nbits=6, tables=2, seed=7,
+        )
+        queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+        full = similarity.ann_index_topk(
+            spark, "lcann_t1", queries, "vec_id", "embedding", dim=64, k=10_000
+        ).collect()
+        deleted = {r.vec_id for r in emb.filter(F.col("vec_id") % 9 == 0).collect()}
+        expected = []
+        by_q: dict = {}
+        for r in sorted(full, key=lambda r: (r.query_id, r.rnk, r.neighbor_id)):
+            if r.neighbor_id in deleted:
+                continue
+            nxt = by_q.get(r.query_id, 0) + 1
+            by_q[r.query_id] = nxt
+            if nxt <= 3:
+                expected.append((r.query_id, nxt, r.neighbor_id, r.cosine_sim))
+        similarity.ann_index_delete(
+            spark, "lcann_t1", emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+        )
+        assert self._probe(spark, "lcann_t1", queries) == sorted(expected)
+        # still the one-shuffle serving shape: the anti-join broadcasts
+        from wren_engine_spark.operators.layout import shuffle_exchanges
+
+        out = similarity.ann_index_topk(
+            spark, "lcann_t1", queries, "vec_id", "embedding", dim=64, k=3
+        )
+        assert shuffle_exchanges(out) == 1
+
+    def test_ann_compact_folds_and_preserves(self, spark, emb):
+        from wren_engine_spark.operators import layout
+
+        similarity.write_ann_index(
+            emb.filter(F.col("vec_id") % 3 != 0), "vec_id", "embedding",
+            "lcann_t2", dim=64, nbits=6, tables=2, seed=7, buckets=4,
+        )
+        similarity.ann_index_append(
+            spark, "lcann_t2", emb.filter(F.col("vec_id") % 3 == 0),
+            "vec_id", "embedding",
+        )
+        similarity.ann_index_delete(spark, "lcann_t2", [6, 12, 18])
+        queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+        before = self._probe(spark, "lcann_t2", queries)
+        n_merge_on_read = spark.table("lcann_t2").count()
+        stats = similarity.ann_index_compact(spark, "lcann_t2")
+        assert stats["files_after"] <= 4 < stats["files_before"]
+        # 3 deleted ids x 2 hash tables of rows folded away
+        assert stats["n_rows"] == n_merge_on_read - 3 * 2
+        assert spark.table("lcann_t2").count() == stats["n_rows"]
+        assert not spark.catalog.tableExists("lcann_t2__tombstones")
+        assert layout.bucketed_tombstones(spark, "lcann_t2") is None
+        # probes bit-identical across the swap, and bucket spec intact
+        # (the append below validates it)
+        assert self._probe(spark, "lcann_t2", queries) == before
+        similarity.ann_index_append(
+            spark, "lcann_t2", emb.filter(F.col("vec_id") == 6),
+            "vec_id", "embedding",
+        )
+        # the re-appended id is physically back (one row per hash
+        # table) and nothing anti-joins it away anymore
+        assert spark.table("lcann_t2").filter(F.col("vec_id") == 6).count() == 2
+        out2 = similarity.ann_index_topk(
+            spark, "lcann_t2", queries, "vec_id", "embedding", dim=64, k=3
+        )
+        assert "LeftAnti" not in _plan(out2)
+
+    def test_compact_recovery_guard(self, spark, emb):
+        similarity.write_ann_index(
+            emb, "vec_id", "embedding", "lcann_t3",
+            dim=64, nbits=4, tables=2, seed=3, buckets=4,
+        )
+        queries = emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+        before = self._probe(spark, "lcann_t3", queries)
+        # simulate a crash between the two renames: data parked at __old
+        spark.sql("ALTER TABLE lcann_t3 RENAME TO lcann_t3__old")
+        similarity.ann_index_compact(spark, "lcann_t3")
+        assert self._probe(spark, "lcann_t3", queries) == before
+
+    def test_simhash_delete_and_compact(self, spark):
+        from wren_engine_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        delta = docs.filter(F.col("doc_id") % 10 == 0)
+        dedup.write_simhash_index(corpus, "text", "doc_id", "lcsh_t1", buckets=4)
+        full = {
+            (r.delta_id, r.corpus_id, r.hamming)
+            for r in dedup.simhash_index_probe(
+                spark, "lcsh_t1", delta, "text", "doc_id", max_hamming=3
+            ).collect()
+        }
+        deleted = {r.doc_id for r in corpus.filter(F.col("doc_id") % 7 == 0).collect()}
+        expected = {t for t in full if t[1] not in deleted}
+        assert expected != full, "test needs at least one deleted match"
+        dedup.simhash_index_delete(spark, "lcsh_t1", sorted(deleted))
+        got = {
+            (r.delta_id, r.corpus_id, r.hamming)
+            for r in dedup.simhash_index_probe(
+                spark, "lcsh_t1", delta, "text", "doc_id", max_hamming=3
+            ).collect()
+        }
+        assert got == expected
+        stats = dedup.simhash_index_compact(spark, "lcsh_t1")
+        assert stats["files_after"] <= 4
+        assert not spark.catalog.tableExists("lcsh_t1__tombstones")
+        after = {
+            (r.delta_id, r.corpus_id, r.hamming)
+            for r in dedup.simhash_index_probe(
+                spark, "lcsh_t1", delta, "text", "doc_id", max_hamming=3
+            ).collect()
+        }
+        assert after == expected
+
+
 class TestHybridRRF:
     def test_matches_pure_python_replay(self, spark):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(

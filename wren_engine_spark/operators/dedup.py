@@ -1424,6 +1424,9 @@ def write_simhash_index(
     out = layout.write_bucketed(
         banded.repartition(buckets, F.col("val")), table, "val", buckets
     )
+    # a rebuild resets the index wholesale: stale tombstones from the
+    # previous incarnation must not delete freshly re-indexed docs
+    layout.drop_managed_table(spark, f"{table}__tombstones")
     # meta sidecar: appends must band and bucket EXACTLY like the
     # build (the PQ-index lesson — parameters live with the index,
     # never with the caller)
@@ -1506,6 +1509,36 @@ def simhash_index_append(
     return n
 
 
+def simhash_index_delete(spark, table: str, ids) -> dict:
+    """Tombstone-delete docs from the persisted simhash index — the
+    dedup-family twin of ``similarity.ann_index_delete``: ids append
+    to ``{table}__tombstones`` (column ``corpus_id``, the index's id
+    column) and every probe anti-joins them out until
+    ``simhash_index_compact`` folds them. Same merge-on-read contract
+    and shadowing rule as the other index families."""
+    from wren_engine_spark.operators import layout
+
+    return layout.bucketed_index_delete(spark, table, ids, "corpus_id")
+
+
+def simhash_index_compact(spark, table: str) -> dict:
+    """Compact the persisted simhash index after many appends: one
+    file per bucket, pending tombstones folded into the rewrite,
+    two-rename swap (``layout.compact_bucketed``). Content-preserving
+    by contract — probes bit-identical before and after."""
+    from wren_engine_spark.operators import index_meta, layout
+
+    m = index_meta.table_meta_row(spark, table)
+    if m is None:
+        raise ValueError(
+            f"simhash_index_compact: index '{table}' has no __meta "
+            "sidecar; rebuild it with write_simhash_index"
+        )
+    return layout.compact_bucketed(
+        spark, table, "val", int(m.buckets), tombstone_key="corpus_id"
+    )
+
+
 def simhash_index_probe(
     spark,
     table: str,
@@ -1553,6 +1586,15 @@ def simhash_index_probe(
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for exact recall")
     idx = spark.table(table)
+    # tombstoned ids (simhash_index_delete) anti-join out — broadcast,
+    # no extra shuffle; an index with no tombstones pays nothing
+    from wren_engine_spark.operators import layout
+
+    tomb = layout.bucketed_tombstones(spark, table)
+    if tomb is not None:
+        idx = idx.join(
+            F.broadcast(tomb.select("corpus_id")), "corpus_id", "left_anti"
+        )
     q = _banded_signatures(delta, text_col, id_col, bands).select(
         F.col("corpus_id").alias("delta_id"),
         F.col("corpus_simhash").alias("__ds"),

@@ -82,6 +82,148 @@ def write_small_table(spark, df: DataFrame, table: str) -> str:
     return table
 
 
+def bucketed_tombstones(spark, table: str):
+    """The ``{table}__tombstones`` DataFrame of a bucketed index, or
+    None when the index has no tombstones. Existence is a driver-side
+    check (a local-warehouse listdir, falling back to the in-memory
+    catalog) — a probe of an index with no tombstones pays nothing."""
+    import os as _os
+
+    from wren_engine_spark.operators import index_meta
+
+    tomb_tbl = f"{table}__tombstones"
+    d = index_meta.managed_table_dir(spark, tomb_tbl)
+    if d is not None and not _os.path.isdir(d):
+        return None  # local warehouse, no tombstone table
+    if not spark.catalog.tableExists(tomb_tbl):
+        return None
+    return spark.table(tomb_tbl)
+
+
+def bucketed_index_delete(spark, table: str, ids, id_col: str) -> dict:
+    """Tombstone-delete rows from a bucketed index table: append the
+    ids (column named ``id_col`` — the index's own id column, so
+    probes can anti-join by name) to ``{table}__tombstones``; probes
+    anti-join them out (tombstones broadcast, no extra shuffle) until
+    a ``compact_bucketed`` folds them into its rewrite and drops the
+    tombstone table. The bucketed index itself is never read or
+    rewritten by a delete — the same merge-on-read contract as the
+    codes-layout families' ``pq_index_delete``, including the
+    shadowing rule: a tombstone hides EVERY row with its id, appended
+    before or after, until compaction folds it.
+
+    ``ids``: a DataFrame (first/only column) or an iterable of ints.
+    Returns {"n_tombstones": distinct ids appended by this call}.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    if isinstance(ids, DataFrame):
+        out = ids.select(F.col(ids.columns[0]).cast("bigint").alias(id_col))
+    else:
+        out = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{id_col} BIGINT"
+        )
+    out = out.distinct().persist()
+    try:
+        n = out.count()
+        out.coalesce(1).write.mode("append").saveAsTable(f"{table}__tombstones")
+    finally:
+        out.unpersist()
+    return {"n_tombstones": n}
+
+
+def compact_bucketed(
+    spark,
+    table: str,
+    bucket_col: str,
+    buckets: int,
+    tombstone_key: str | None = None,
+) -> dict:
+    """Compact a bucketed index table after many appends. Every
+    bucketed append adds >= 1 file per occupied bucket; under
+    continuous ingestion the table degrades into the small-file
+    problem. The rewrite repartitions on the bucket column (one file
+    per bucket) into a staging table and swaps it in with two catalog
+    RENAMEs — each rename is an atomic managed-directory move on a
+    local/HDFS warehouse; a crash between them leaves the data intact
+    at ``{table}__old``, which the recovery guard below restores.
+    Object-store warehouses are refused loudly (rename is copy+delete
+    there — same rule as the codes-layout compactor).
+
+    With ``tombstone_key``, pending ``bucketed_index_delete``
+    tombstones are folded into the rewrite (anti-join on that column)
+    and the tombstone table is dropped once the swap lands — probes,
+    which already excluded tombstoned rows, are bit-identical before
+    and after.
+
+    Returns {"files_before", "files_after", "n_rows"}.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from wren_engine_spark.operators import index_meta
+
+    # the two-rename swap moves managed directories: local/HDFS only
+    if index_meta.managed_table_dir(spark, table) is None:
+        raise ValueError(
+            f"compact_bucketed: table {table!r} is not on a local "
+            "warehouse; the rename swap is only atomic on local/"
+            "HDFS-style storage — use a table format whose snapshot "
+            "commit replaces the rename (see SCALING.md)."
+        )
+    old = f"{table}__old"
+    # crash recovery: a previous compaction that died between its two
+    # renames left the data at {table}__old — restore it first
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(old):
+        spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
+    df = spark.table(table)
+    files_before = len(df.inputFiles())
+    if tombstone_key is not None:
+        tomb = bucketed_tombstones(spark, table)
+        if tomb is not None:
+            df = df.join(
+                F.broadcast(tomb.select(tombstone_key)), tombstone_key,
+                "left_anti",
+            )
+    n_rows = df.count()
+    tmp = f"{table}__compacting"
+    drop_managed_table(spark, tmp)
+    # force the BUCKETED scan for the rewrite: the planner elides the
+    # repartition (the table's bucket spec already satisfies it) but,
+    # left to itself, also disables bucketed reading ("no join/agg
+    # benefit") — the write would then inherit one task per input
+    # FILE and reproduce the small-file layout it was asked to fix.
+    # With the bucketed scan forced, the rewrite is one task per
+    # bucket reading that bucket's files — a SHUFFLE-FREE compaction
+    # (the bucketed twin of the codes-layout coalesce), one output
+    # file per bucket.
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(auto_key, "true")
+    spark.conf.set(auto_key, "false")
+    try:
+        write_bucketed(
+            df.repartition(int(buckets), F.col(bucket_col)), tmp,
+            bucket_col, int(buckets),
+        )
+    finally:
+        spark.conf.set(auto_key, prev)
+    drop_managed_table(spark, old)  # stale leftovers from a crash
+    spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    drop_managed_table(spark, old)
+    # tombstones are folded into the rewrite that just landed
+    if tombstone_key is not None:
+        drop_managed_table(spark, f"{table}__tombstones")
+    # catalog caches the OLD table's file listing under this name —
+    # the swap happened behind the catalog's back, so refresh
+    spark.catalog.refreshTable(table)
+    files_after = len(spark.table(table).inputFiles())
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "n_rows": n_rows,
+    }
+
+
 def shuffle_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the final physical plan
     (broadcast exchanges excluded) — 0 means fully co-located."""

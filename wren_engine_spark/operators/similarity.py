@@ -1077,6 +1077,9 @@ def write_ann_index(
     result = layout.write_bucketed(
         out.repartition(buckets, F.col("bucket")), table, "bucket", buckets
     )
+    # a rebuild resets the index wholesale: stale tombstones from the
+    # previous incarnation must not delete freshly re-indexed rows
+    layout.drop_managed_table(spark, f"{table}__tombstones")
     # meta sidecar: an append must hash with the SAME planes (dim,
     # nbits, tables, seed) and bucket layout as the build — parameters
     # live with the index, never with the caller (the PQ-index lesson)
@@ -1150,6 +1153,45 @@ def ann_index_append(
     return n
 
 
+def ann_index_delete(spark, table: str, ids) -> dict:
+    """Tombstone-delete vectors from the persisted LSH index: ids
+    append to the ``{table}__tombstones`` small table (named by the
+    index's own id column, read from its ``__meta``) and every probe
+    anti-joins them out until ``ann_index_compact`` folds them — the
+    bucketed-family twin of ``pq_index_delete``, same merge-on-read
+    contract and shadowing rule (a tombstone hides every row with its
+    id, appended before OR after, until a compaction folds it)."""
+    from wren_engine_spark.operators import index_meta, layout
+
+    m = index_meta.table_meta_row(spark, table)
+    if m is None:
+        raise ValueError(
+            f"ann_index_delete: index '{table}' has no __meta sidecar; "
+            "rebuild it with write_ann_index"
+        )
+    return layout.bucketed_index_delete(spark, table, ids, m.id_col)
+
+
+def ann_index_compact(spark, table: str) -> dict:
+    """Compact the persisted LSH index after many appends (each
+    bucketed append adds >= 1 file per occupied bucket): rewrite to
+    one file per bucket and swap via two catalog renames, folding any
+    pending tombstones into the rewrite (``layout.compact_bucketed``).
+    Content-preserving by contract: probes — which already excluded
+    tombstoned rows — are bit-identical before and after."""
+    from wren_engine_spark.operators import index_meta, layout
+
+    m = index_meta.table_meta_row(spark, table)
+    if m is None:
+        raise ValueError(
+            f"ann_index_compact: index '{table}' has no __meta sidecar; "
+            "rebuild it with write_ann_index"
+        )
+    return layout.compact_bucketed(
+        spark, table, "bucket", int(m.buckets), tombstone_key=m.id_col
+    )
+
+
 def ann_index_topk(
     spark,
     table: str,
@@ -1209,6 +1251,13 @@ def ann_index_topk(
     idx = spark.table(table)
     if where is not None:
         idx = idx.filter(where)
+    # tombstoned ids (ann_index_delete) anti-join out — broadcast, no
+    # extra shuffle; an index with no tombstones pays nothing
+    from wren_engine_spark.operators import layout
+
+    tomb = layout.bucketed_tombstones(spark, table)
+    if tomb is not None:
+        idx = idx.join(F.broadcast(tomb.select(id_col)), id_col, "left_anti")
     qsigs = _all_table_signatures(
         query_df, id_col, vec_col, dim, nbits, tables, seed
     ).select(

@@ -205,6 +205,133 @@ def x113(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x115/x116: bucketed-family delete + compaction lifecycle
+# ---------------------------------------------------------------------------
+
+_ANN_DEL_MEMO: dict = {}
+
+
+def _ensure_deleted_ann_index(spark: SparkSession, sf: str) -> str:
+    """x115's index: full-corpus LSH build, then tombstone every
+    ``vec_id % 6 == 0`` (similarity.ann_index_delete — id-only
+    sidecar table, the bucketed index itself is never rewritten)."""
+    import hashlib
+    import os
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    table = f"ann_del_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    marker = f"{wh}/{table}__TOMBSTONED"
+    key = (session_uid(spark), sf)
+    complete = os.path.isfile(marker) and spark.catalog.tableExists(table)
+    if _ANN_DEL_MEMO.get(key) != table or not complete:
+        if os.path.isfile(marker):
+            os.remove(marker)
+        e = load_tables(spark, sf, "embeddings")["embeddings"]
+        # write_ann_index drops stale tombstones wholesale, so a
+        # re-entry can never double-delete
+        similarity.write_ann_index(
+            e, "vec_id", "embedding", table, dim=64, nbits=10, tables=4
+        )
+        similarity.ann_index_delete(
+            spark, table, e.filter(F.col("vec_id") % 6 == 0).select("vec_id")
+        )
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("tombstoned\n")
+        _ANN_DEL_MEMO[key] = table
+    return table
+
+
+@register(
+    "x115_ann_index_delete",
+    _lsh_filtered_oracle(query_pred="vec_id < 6", attr_pred="vec_id % 6 <> 0"),
+)
+def x115(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH index lifecycle — tombstone delete without rewrite
+    (x112's contract, for the BUCKETED family): every ``vec_id % 6 ==
+    0`` is deleted via an id-only tombstone table and the probe
+    anti-joins it out (broadcast, still the one-shuffle serving
+    shape) before ranking, so deleted vectors vanish and survivors
+    re-rank upward. The oracle is x63's exact plane replay with the
+    deleted ids excluded from the candidate set — the same surgery as
+    x113's filtered probe, because a tombstone IS a filter the index
+    carries for you until compaction folds it."""
+    table = _ensure_deleted_ann_index(spark, sf)
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 6)
+    return similarity.ann_index_topk(
+        spark, table, queries, "vec_id", "embedding", dim=64, k=3
+    )
+
+
+_ANN_LC_MEMO: dict = {}
+
+
+def _ensure_full_lifecycle_ann_index(spark: SparkSession, sf: str) -> str:
+    """x116's index: the COMPLETE lifecycle composed — build on the
+    base split (vec_id % 4 != 0), append the delta through the
+    ``__meta`` planes, tombstone every ``vec_id % 6 == 0``, then
+    COMPACT (rewrite to one file per bucket, fold the tombstones,
+    two-rename swap). A probe of the compacted index must equal the
+    merge-on-read answer bit-for-bit, so the same oracle as x115
+    certifies append + delete + compact in one row."""
+    import hashlib
+    import os
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    table = f"ann_lc_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    marker = f"{wh}/{table}__COMPACTED"
+    key = (session_uid(spark), sf)
+    complete = os.path.isfile(marker) and spark.catalog.tableExists(table)
+    if _ANN_LC_MEMO.get(key) != table or not complete:
+        if os.path.isfile(marker):
+            os.remove(marker)
+        e = load_tables(spark, sf, "embeddings")["embeddings"]
+        similarity.write_ann_index(
+            e.filter(F.col("vec_id") % 4 != 0), "vec_id", "embedding",
+            table, dim=64, nbits=10, tables=4,
+        )
+        similarity.ann_index_append(
+            spark, table, e.filter(F.col("vec_id") % 4 == 0),
+            "vec_id", "embedding",
+        )
+        similarity.ann_index_delete(
+            spark, table, e.filter(F.col("vec_id") % 6 == 0).select("vec_id")
+        )
+        similarity.ann_index_compact(spark, table)
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("compacted\n")
+        _ANN_LC_MEMO[key] = table
+    return table
+
+
+@register(
+    "x116_ann_index_lifecycle",
+    _lsh_filtered_oracle(query_pred="vec_id < 6", attr_pred="vec_id % 6 <> 0"),
+)
+def x116(spark: SparkSession, sf: str) -> DataFrame:
+    """The complete bucketed-index lifecycle under ONE oracle row:
+    build on a base split, append the remainder (frozen ``__meta``
+    planes), tombstone-delete a slice, COMPACT — one file per bucket,
+    tombstones folded into the rewrite, atomic two-rename swap
+    (layout.compact_bucketed) — then probe. Compaction is
+    content-preserving by contract, so the bit-identical probe IS the
+    certification (x101/x111's discipline, for the bucketed family):
+    the result must equal x115's merge-on-read answer — append ≡
+    build, fold ≡ anti-join — which the x63 plane replay computes
+    independently."""
+    table = _ensure_full_lifecycle_ann_index(spark, sf)
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    queries = e.filter(F.col("vec_id") < 6)
+    return similarity.ann_index_topk(
+        spark, table, queries, "vec_id", "embedding", dim=64, k=3
+    )
+
+
+# ---------------------------------------------------------------------------
 # x114: hybrid lexical + vector retrieval (reciprocal-rank fusion)
 # ---------------------------------------------------------------------------
 

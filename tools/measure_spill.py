@@ -162,6 +162,56 @@ def _run_ivfpq_lifecycle(spark, emb, d: str) -> int:
     ).count()
 
 
+def _run_delete_lifecycle(spark, emb, d: str) -> int:
+    """Codes-layout delete lifecycle at 10x: build the PQ index on
+    the full corpus, tombstone 1/7th, probe the anti-joined scan,
+    compact (fold + clear), probe again (x112's shape)."""
+    from pyspark.sql import functions as F
+
+    from wren_engine_spark.operators import similarity
+
+    path = f"{d}/pq_delete_idx"
+    similarity.write_pq_index(
+        emb, "vec_id", "embedding", path, n_subspaces=2, k_codes=4, iters=1
+    )
+    similarity.pq_index_delete(
+        spark, path, emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    n1 = similarity.pq_index_topk(spark, path, queries, topk=5).count()
+    similarity.pq_index_compact(spark, path)
+    return n1 + similarity.pq_index_topk(spark, path, queries, topk=5).count()
+
+
+def _run_bucketed_full_lifecycle(spark, emb) -> int:
+    """Bucketed-family full lifecycle at 10x: build on the base
+    split, append, tombstone-delete 1/6th, shuffle-free compact (one
+    file per bucket, tombstones folded), probe (x116's shape)."""
+    from pyspark.sql import functions as F
+
+    from wren_engine_spark.operators import similarity
+
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    similarity.write_ann_index(
+        base, "vec_id", "embedding", "spill_ann_lc", dim=64, nbits=10, tables=4
+    )
+    similarity.ann_index_append(
+        spark, "spill_ann_lc", delta, "vec_id", "embedding"
+    )
+    similarity.ann_index_delete(
+        spark, "spill_ann_lc",
+        emb.filter(F.col("vec_id") % 6 == 0).select("vec_id"),
+    )
+    similarity.ann_index_compact(spark, "spill_ann_lc")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.ann_index_topk(
+        spark, "spill_ann_lc", q, "vec_id", "embedding", dim=64, k=3
+    ).count()
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     only = set(sys.argv[2:])  # optional: measure just the named ops
@@ -311,6 +361,41 @@ def main() -> int:
                 pq_iters=1,
                 topk=5,
             ).count(),
+        ),
+        # round-8 late additions: tombstone-delete lifecycles for the
+        # codes-layout and bucketed families, the attribute-filtered
+        # probe, and hybrid lexical+vector RRF on the 80k/20k corpora
+        (
+            "x112_delete_lifecycle",
+            lambda: _run_delete_lifecycle(spark, emb, d),
+        ),
+        (
+            "x113_filtered_probe",
+            lambda: (
+                similarity.write_ann_index(
+                    emb, "vec_id", "embedding", "spill_ann_filt",
+                    dim=64, nbits=10, tables=4, attr_cols=["label"],
+                ),
+                similarity.ann_index_topk(
+                    spark, "spill_ann_filt",
+                    emb.filter(F.col("vec_id") < 8),
+                    "vec_id", "embedding", dim=64, k=3, where="label < 10",
+                ).count(),
+            )[1],
+        ),
+        (
+            "x114_hybrid_rrf",
+            lambda: __import__(
+                "wren_engine_spark.operators.retrieval", fromlist=["x"]
+            ).hybrid_rrf_topk(
+                docs, "doc_id", "text", emb, "vec_id", "embedding",
+                docs.filter(F.col("doc_id") < 4).select("doc_id"),
+                k_lex=10, k_vec=10, topk=5,
+            ).count(),
+        ),
+        (
+            "x116_bucketed_full_lifecycle",
+            lambda: _run_bucketed_full_lifecycle(spark, emb),
         ),
     ):
         if only and name not in only:

@@ -415,6 +415,79 @@ class TestBucketedLifecycle:
         assert after == expected
 
 
+class TestDeleteGuards:
+    def test_uncastable_ids_raise_instead_of_silent_noop(self, spark, emb, tmp_path):
+        path = str(tmp_path / "pq_guard")
+        similarity.write_pq_index(
+            emb, "vec_id", "embedding", path, n_subspaces=2, k_codes=4
+        )
+        ids = spark.createDataFrame([("not-a-number",)], ["vec_id"])
+        # ANSI mode (Spark 4 default) throws on the invalid cast
+        # itself; non-ANSI sessions hit the explicit NULL guard — both
+        # paths are LOUD, neither reports a successful no-op delete
+        with pytest.raises(Exception, match="did not cast|CAST_INVALID_INPUT"):
+            similarity.pq_index_delete(spark, path, ids)
+        # nothing was written: the probe plan stays tombstone-free
+        queries = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        out = similarity.pq_index_topk(spark, path, queries, topk=3)
+        assert "LeftAnti" not in _plan(out)
+
+    def test_string_id_index_deletes_by_string(self, spark, emb):
+        # a blind BIGINT cast would NULL these ids and silently no-op
+        sdf = emb.select(
+            F.concat(F.lit("doc-"), F.col("vec_id")).alias("sid"), "embedding"
+        )
+        similarity.write_ann_index(
+            sdf, "sid", "embedding", "guard_t1",
+            dim=64, nbits=4, tables=2, seed=3,
+        )
+        similarity.ann_index_delete(spark, "guard_t1", ["doc-7", "doc-11"])
+        tomb = spark.table("guard_t1__tombstones").collect()
+        assert {r.sid for r in tomb} == {"doc-7", "doc-11"}
+        queries = sdf.filter(F.col("sid").isin("doc-0", "doc-1"))
+        got = similarity.ann_index_topk(
+            spark, "guard_t1", queries, "sid", "embedding", dim=64, k=10_000
+        )
+        assert got.filter(F.col("neighbor_id").isin("doc-7", "doc-11")).count() == 0
+
+    def test_delete_on_missing_index_raises(self, spark):
+        from wren_engine_spark.operators import dedup, layout
+
+        with pytest.raises(ValueError):
+            similarity.ann_index_delete(spark, "no_such_index_xyz", [1])
+        with pytest.raises(ValueError):
+            dedup.simhash_index_delete(spark, "no_such_index_xyz", [1])
+        with pytest.raises(ValueError):
+            layout.bucketed_index_delete(spark, "no_such_index_xyz", [1], "id")
+
+    def test_tombstone_read_failure_is_loud(self, spark, emb, tmp_path):
+        # a corrupt tombstone sidecar must surface, not silently serve
+        # deleted vectors
+        path = str(tmp_path / "pq_corrupt")
+        similarity.write_pq_index(
+            emb, "vec_id", "embedding", path, n_subspaces=2, k_codes=4
+        )
+        similarity.pq_index_delete(spark, path, [1])
+        import glob
+        import os
+
+        for f in glob.glob(f"{path}/tombstones/*.parquet"):
+            with open(f, "wb") as fh:
+                fh.write(b"not a parquet file at all")
+            os.utime(f)
+        with pytest.raises(Exception):
+            similarity.pq_index_topk(
+                spark, path,
+                emb.filter(F.col("vec_id") < 2).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qvec"),
+                ),
+                topk=3,
+            ).collect()
+
+
 class TestHybridRRF:
     def test_matches_pure_python_replay(self, spark):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
@@ -502,11 +575,15 @@ class TestHybridRRF:
                 assert lr == lrank.get(d) and vr == vrank.get(d)
 
     def test_rank_only_fusion_ignores_raw_scores(self, spark):
-        # scaling every embedding by a constant changes raw cosine
-        # magnitudes not at all and raw overlap counts not at all —
-        # but the point is structural: the fused output depends only
-        # on ranks, so fusing with k_lex > corpus candidates just
-        # pads nothing and the result stays stable
+        # the fused output must depend ONLY on the two rank columns —
+        # never on raw score magnitudes. Perturb both raw signals
+        # rank-preservingly and assert the fusion is bit-identical:
+        # (a) scale every embedding by a constant — the per-vector
+        # max-abs quantization cancels it, so int8 vectors and ranks
+        # are identical while raw float dot products all change;
+        # (b) double every document's text — the distinct-token
+        # overlap is unchanged, while any tf-weighted raw score would
+        # change (exactly the signal a rank-only fusion must not see).
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
             F.col("doc_id") < 60
         )
@@ -514,15 +591,26 @@ class TestHybridRRF:
             F.col("vec_id") < 60
         )
         qids = docs.filter(F.col("doc_id") < 2).select("doc_id")
+        key = lambda r: (  # noqa: E731
+            r.query_id, r.rnk, r.doc_id, r.rrf_score, r.lex_rank, r.vec_rank
+        )
         a = retrieval.hybrid_rrf_topk(
             docs, "doc_id", "text", emb, "vec_id", "embedding", qids,
             k_lex=7, k_vec=7, topk=3,
         ).collect()
+        # power-of-two scale: exact in float32, so the per-vector
+        # max-abs quantization provably cancels it bit-for-bit
+        emb_scaled = emb.withColumn(
+            "embedding",
+            F.expr("transform(embedding, x -> x * CAST(4.0 AS FLOAT))"),
+        )
+        docs_doubled = docs.withColumn(
+            "text", F.concat_ws(" ", F.col("text"), F.col("text"))
+        )
         b = retrieval.hybrid_rrf_topk(
-            docs, "doc_id", "text", emb, "vec_id", "embedding", qids,
-            k_lex=7, k_vec=7, topk=3,
+            docs_doubled, "doc_id", "text", emb_scaled, "vec_id",
+            "embedding", qids, k_lex=7, k_vec=7, topk=3,
         ).collect()
-        key = lambda r: (r.query_id, r.rnk, r.doc_id, r.rrf_score)  # noqa: E731
         assert sorted(map(key, a)) == sorted(map(key, b))
 
     def test_lexical_posting_join_never_doc_x_doc(self, spark):

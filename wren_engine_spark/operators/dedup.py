@@ -1516,8 +1516,13 @@ def simhash_index_delete(spark, table: str, ids) -> dict:
     column) and every probe anti-joins them out until
     ``simhash_index_compact`` folds them. Same merge-on-read contract
     and shadowing rule as the other index families."""
-    from wren_engine_spark.operators import layout
+    from wren_engine_spark.operators import index_meta, layout
 
+    if index_meta.table_meta_row(spark, table) is None:
+        raise ValueError(
+            f"simhash_index_delete: index '{table}' has no __meta "
+            "sidecar; rebuild it with write_simhash_index"
+        )
     return layout.bucketed_index_delete(spark, table, ids, "corpus_id")
 
 

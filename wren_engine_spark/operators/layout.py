@@ -112,20 +112,33 @@ def bucketed_index_delete(spark, table: str, ids, id_col: str) -> dict:
     shadowing rule: a tombstone hides EVERY row with its id, appended
     before or after, until compaction folds it.
 
-    ``ids``: a DataFrame (first/only column) or an iterable of ints.
+    ``ids``: a DataFrame (first/only column) or an iterable of plain
+    values. Ids are cast to the INDEX's own id-column type — a blind
+    BIGINT cast would turn string ids into NULLs that never match the
+    anti-join, silently un-deleting them — and a cast that produces
+    any NULL raises instead of reporting a successful delete.
     Returns {"n_tombstones": distinct ids appended by this call}.
     """
-    from pyspark.sql import functions as F  # noqa: F811
-
+    if not spark.catalog.tableExists(table):
+        raise ValueError(
+            f"bucketed_index_delete: index table {table!r} does not exist"
+        )
+    id_type = spark.table(table).schema[id_col].dataType
     if isinstance(ids, DataFrame):
-        out = ids.select(F.col(ids.columns[0]).cast("bigint").alias(id_col))
+        out = ids.select(F.col(ids.columns[0]).cast(id_type).alias(id_col))
     else:
         out = spark.createDataFrame(
-            [(int(i),) for i in ids], f"{id_col} BIGINT"
-        )
+            [(v,) for v in ids], [id_col]  # types inferred, then cast
+        ).select(F.col(id_col).cast(id_type).alias(id_col))
     out = out.distinct().persist()
     try:
         n = out.count()
+        if out.filter(F.col(id_col).isNull()).count() > 0:
+            raise ValueError(
+                f"bucketed_index_delete: some ids did not cast to the "
+                f"index id type {id_type.simpleString()} — refusing a "
+                "delete that could not match"
+            )
         out.coalesce(1).write.mode("append").saveAsTable(f"{table}__tombstones")
     finally:
         out.unpersist()
@@ -152,13 +165,15 @@ def compact_bucketed(
 
     With ``tombstone_key``, pending ``bucketed_index_delete``
     tombstones are folded into the rewrite (anti-join on that column)
-    and the tombstone table is dropped once the swap lands — probes,
-    which already excluded tombstoned rows, are bit-identical before
-    and after.
+    and exactly the tombstone FILES the fold read are removed once the
+    swap lands — a delete issued while the rewrite runs lands in a
+    newer file, survives, and stays pending for probes and the next
+    compact. Probes, which already excluded tombstoned rows, are
+    bit-identical before and after.
 
     Returns {"files_before", "files_after", "n_rows"}.
     """
-    from pyspark.sql import functions as F  # noqa: F811
+    import os as _os
 
     from wren_engine_spark.operators import index_meta
 
@@ -177,14 +192,19 @@ def compact_bucketed(
         spark.sql(f"ALTER TABLE {old} RENAME TO {table}")
     df = spark.table(table)
     files_before = len(df.inputFiles())
+    # snapshot the tombstone FILES being folded: a delete issued while
+    # the rewrite runs lands in a newer file, survives the fold, and
+    # stays pending for probes and the next compact — clearing the
+    # whole table here would silently resurrect that id
+    tomb_files: list[str] = []
     if tombstone_key is not None:
         tomb = bucketed_tombstones(spark, table)
         if tomb is not None:
+            tomb_files = list(tomb.inputFiles())
             df = df.join(
                 F.broadcast(tomb.select(tombstone_key)), tombstone_key,
                 "left_anti",
             )
-    n_rows = df.count()
     tmp = f"{table}__compacting"
     drop_managed_table(spark, tmp)
     # force the BUCKETED scan for the rewrite: the planner elides the
@@ -206,13 +226,24 @@ def compact_bucketed(
         )
     finally:
         spark.conf.set(auto_key, prev)
+    # count the COMPACTED output (one narrow scan of the few rewritten
+    # files), not the fragmented input + anti-join a second time
+    n_rows = spark.table(tmp).count()
     drop_managed_table(spark, old)  # stale leftovers from a crash
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
     drop_managed_table(spark, old)
-    # tombstones are folded into the rewrite that just landed
-    if tombstone_key is not None:
-        drop_managed_table(spark, f"{table}__tombstones")
+    # remove exactly the tombstone files the rewrite folded; a delete
+    # that raced in after the snapshot stays pending. Drop the table
+    # only when nothing newer arrived.
+    for f in tomb_files:
+        p = f.removeprefix("file:")
+        if _os.path.isfile(p):
+            _os.remove(p)
+    if tomb_files:
+        spark.catalog.refreshTable(f"{table}__tombstones")
+        if not spark.table(f"{table}__tombstones").inputFiles():
+            drop_managed_table(spark, f"{table}__tombstones")
     # catalog caches the OLD table's file listing under this name —
     # the swap happened behind the catalog's back, so refresh
     spark.catalog.refreshTable(table)

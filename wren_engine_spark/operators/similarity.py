@@ -1886,8 +1886,14 @@ def _tombstones(spark, path: str) -> DataFrame | None:
     # distinct would put an exchange on the (broadcast) tombstone side
     try:
         return spark.read.parquet(tdir).select("__id")
-    except Exception:
-        return None  # non-local index without a tombstones directory
+    except Exception as e:
+        # ONLY path-not-found means "no tombstones" — any other read
+        # failure (credentials, corrupt footer, transient IO) must
+        # surface loudly: swallowing it would silently serve deleted
+        # vectors
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None  # non-local index without a tombstones dir
+        raise
 
 
 def _apply_tombstones(spark, path: str, codes: DataFrame) -> DataFrame:
@@ -1922,20 +1928,33 @@ def pq_index_delete(spark, path: str, ids, id_col: str | None = None) -> dict:
     Re-inserting a deleted id therefore requires a compact first;
     append-only ingestion (the intended caller) never re-uses ids.
 
-    ``ids``: a DataFrame (``id_col`` defaults to its single column;
-    cast to the codes' BIGINT ``__id``) or an iterable of ints.
+    ``ids``: a DataFrame (``id_col`` defaults to its single column)
+    or an iterable of plain values. Ids are cast to the codes table's
+    OWN ``__id`` type — a blind BIGINT cast would turn string ids
+    into NULLs that never match the anti-join, silently un-deleting
+    them — and a cast that produces any NULL raises instead of
+    reporting a successful delete.
     Returns {"n_tombstones": distinct ids appended by this call}.
     """
+    id_type = spark.read.parquet(f"{path}/codes").schema["__id"].dataType
     if isinstance(ids, DataFrame):
         col = id_col or ids.columns[0]
-        out = ids.select(F.col(col).cast("bigint").alias("__id")).distinct()
+        out = ids.select(F.col(col).cast(id_type).alias("__id")).distinct()
     else:
-        out = spark.createDataFrame(
-            [(int(i),) for i in ids], "__id BIGINT"
-        ).distinct()
+        out = (
+            spark.createDataFrame([(v,) for v in ids], ["__id"])
+            .select(F.col("__id").cast(id_type).alias("__id"))
+            .distinct()
+        )
     out = out.persist()
     try:
         n = out.count()
+        if out.filter(F.col("__id").isNull()).count() > 0:
+            raise ValueError(
+                f"pq_index_delete: some ids did not cast to the codes "
+                f"__id type {id_type.simpleString()} — refusing a "
+                "delete that could not match"
+            )
         # one file per delete call: tombstone batches are tiny id
         # lists, and probes list this directory — don't let it creep
         # into the small-file problem compaction exists to fix
@@ -2197,10 +2216,15 @@ def pq_index_compact(
             os.remove(os.path.join(codes_dir, f))
     df = spark.read.parquet(codes_dir)
     files_before = len(df.inputFiles())
+    # snapshot the tombstone FILES being folded: a delete issued while
+    # the rewrite runs lands in a newer file, survives the fold, and
+    # stays pending — removing the whole directory here would silently
+    # resurrect that id
     tomb = _tombstones(spark, path)
+    tomb_files: list[str] = []
     if tomb is not None:
+        tomb_files = list(tomb.inputFiles())
         df = df.join(F.broadcast(tomb), "__id", "left_anti")
-    n_rows = df.count()
     if target_files is None:
         total = 0
         for dirpath, _dirs, files in os.walk(codes_dir):
@@ -2210,16 +2234,29 @@ def pq_index_compact(
         target_files = max(1, math.ceil(total / float(target_bytes_per_file)))
     tmp = f"{path}/codes.compacting"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    # count the COMPACTED output (one narrow scan of the few rewritten
+    # files), not the fragmented input + anti-join a second time
+    n_rows = spark.read.parquet(tmp).count()
     for stale in (old,):
         if os.path.isdir(stale):
             shutil.rmtree(stale)
     os.rename(codes_dir, old)
     os.rename(tmp, codes_dir)
     shutil.rmtree(old)
-    # tombstones are folded into the rewrite that just landed; clear
-    # them so a later re-insert of a deleted id is servable again
+    # remove exactly the tombstone files the rewrite folded (so a
+    # later re-insert of a deleted id is servable again); a delete
+    # that raced in after the snapshot stays pending for probes and
+    # the next compact
     tdir = f"{path}/tombstones"
-    if os.path.isdir(tdir):
+    for f in tomb_files:
+        p = f.removeprefix("file:")
+        if os.path.isfile(p):
+            os.remove(p)
+    if os.path.isdir(tdir) and not any(
+        fn.endswith(".parquet")
+        for _dp, _dn, fns in os.walk(tdir)
+        for fn in fns
+    ):
         shutil.rmtree(tdir)
     files_after = len(spark.read.parquet(codes_dir).inputFiles())
     return {

@@ -319,6 +319,16 @@ def t13(spark: SparkSession, sf: str) -> DataFrame:
         "delta_id", "__ds", F.col("b.band").alias("band"), F.col("b.val").alias("val")
     )
     idx = spark.table(table)
+    # honor the delete contract every batch probe honors: tombstoned
+    # corpus docs (dedup.simhash_index_delete) anti-join out of the
+    # static index side before the stream-static join
+    from wren_engine_spark.operators import layout
+
+    tomb = layout.bucketed_tombstones(spark, table)
+    if tomb is not None:
+        idx = idx.join(
+            F.broadcast(tomb.select("corpus_id")), "corpus_id", "left_anti"
+        )
     hits = (
         q.join(idx, ["band", "val"])
         .filter(F.col("corpus_id") != F.col("delta_id"))

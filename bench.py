@@ -335,6 +335,8 @@ def main() -> None:
         # steady-state probe
         "x115_ann_index_delete",
         "x116_ann_index_lifecycle",
+        # one-pass recall-targeted nprobe auto-tuner over x109's index
+        "x117_ivfpq_tune_nprobe",
     ]
     r8_timings, r8_total, r8_runs, r8_measured = run_suite(
         R8, "r8 operator sub-suite", freeze=True

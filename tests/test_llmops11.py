@@ -623,3 +623,112 @@ class TestHybridRRF:
         assert "CartesianProduct" not in plan
         got = out.collect()
         assert got and all(r.overlap >= 1 for r in got)
+
+
+class TestNprobeTuner:
+    def test_tuner_matches_per_nprobe_probes(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(3)
+        # 4 well-separated clusters so the coarse quantizer is sharp
+        # and recall actually varies with nprobe
+        rows = []
+        for i in range(80):
+            c = i % 4
+            base = [10.0 * (c == d) for d in range(8)]
+            rows.append(
+                (i, [b + rng.gauss(0.0, 0.3) for b in base])
+            )
+        df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+        path = str(tmp_path / "tune_idx")
+        similarity.write_ivfpq_index(
+            df, "vec_id", "embedding", path, nlist=4, n_subspaces=2, k_codes=8
+        )
+        queries = df.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        out = {
+            r.nprobe: r
+            for r in similarity.ivfpq_tune_nprobe(
+                spark, path, df, "vec_id", "embedding", queries,
+                topk=5, recall_target=0.5,
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3, 4}
+        # exact side: quantized-L2 top-5 (python replay of the oracle)
+        import math
+
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        q = float(meta.quantum)
+        vecs = {
+            r.vec_id: [
+                math.floor(float(x) * q + 0.5) for x in r.embedding
+            ]
+            for r in df.collect()
+        }
+        exact = {}
+        for qi in range(4):
+            d = sorted(
+                (sum((a - b) * (a - b) for a, b in zip(vecs[qi], v)), i)
+                for i, v in vecs.items() if i != qi
+            )[:5]
+            exact[qi] = {i for _d, i in d}
+        # per-nprobe: the tuner's n_hits must equal the hits of the
+        # REAL probe path at that nprobe
+        for np_ in (1, 2, 3, 4):
+            probed = similarity.ivfpq_index_topk(
+                spark, path, queries, nprobe=np_, topk=5
+            ).collect()
+            hits = sum(1 for r in probed if r.neighbor_id in exact[r.query_id])
+            assert out[np_].n_hits == hits, f"nprobe={np_}"
+            assert out[np_].mean_recall == round(hits / 20.0, 6)
+        # chosen = the minimal qualifying nprobe, exactly one (the
+        # separated clusters make nprobe=1 already near-perfect)
+        qualifying = [n for n in (1, 2, 3, 4) if out[n].meets_target]
+        chosen = [n for n in (1, 2, 3, 4) if out[n].chosen]
+        assert chosen == ([min(qualifying)] if qualifying else [])
+        # the full probe clears the 0.5 bar on these sharp clusters
+        # (2-bit-per-subspace PQ distortion caps recall well below
+        # 1.0 — the toy-parameter reality x108 documents), so the
+        # chosen-marking logic is exercised non-trivially
+        assert qualifying and len(chosen) == 1
+
+    def test_tuner_honors_tombstones(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(9)
+        rows = [
+            (i, [rng.gauss(0.0, 1.0) for _ in range(8)]) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+        path = str(tmp_path / "tune_tomb")
+        similarity.write_ivfpq_index(
+            df, "vec_id", "embedding", path, nlist=2, n_subspaces=2, k_codes=4
+        )
+        queries = df.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+        before = similarity.ivfpq_tune_nprobe(
+            spark, path, df, "vec_id", "embedding", queries, topk=5
+        ).collect()
+        # delete every corpus vector the full probe retrieved; the
+        # tuner's approx side must not see them afterwards
+        got = similarity.ivfpq_index_topk(
+            spark, path, queries, nprobe=2, topk=5
+        ).collect()
+        dels = sorted({r.neighbor_id for r in got})
+        similarity.pq_index_delete(spark, path, dels)
+        after = {
+            r.nprobe: r
+            for r in similarity.ivfpq_tune_nprobe(
+                spark, path, df, "vec_id", "embedding", queries, topk=5
+            ).collect()
+        }
+        probed = similarity.ivfpq_index_topk(
+            spark, path, queries, nprobe=2, topk=5
+        ).collect()
+        assert not {r.neighbor_id for r in probed} & set(dels)
+        # recall can only drop once the best candidates are deleted
+        # (exact side still ranks them, approx side cannot return them)
+        b2 = {r.nprobe: r for r in before}
+        assert after[2].n_hits <= b2[2].n_hits

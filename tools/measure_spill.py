@@ -397,6 +397,26 @@ def main() -> int:
             "x116_bucketed_full_lifecycle",
             lambda: _run_bucketed_full_lifecycle(spark, emb),
         ),
+        # one-pass nprobe tuner: all-cells ADC + np-spine replay over
+        # ONE codes scan, exact side = brute-force quantized L2 over
+        # the 10x corpus (the validation-set cost, not a serving path)
+        (
+            "x117_nprobe_tuner",
+            lambda: (
+                similarity.write_ivfpq_index(
+                    emb, "vec_id", "embedding", f"{d}/tuner_idx",
+                    nlist=4, n_subspaces=2, k_codes=4,
+                ),
+                similarity.ivfpq_tune_nprobe(
+                    spark, f"{d}/tuner_idx", emb, "vec_id", "embedding",
+                    emb.filter(F.col("vec_id") < 8).select(
+                        F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("qvec"),
+                    ),
+                    topk=5,
+                ).count(),
+            )[1],
+        ),
     ):
         if only and name not in only:
             continue

@@ -2798,3 +2798,161 @@ def ivfpq_index_append(
         "nlist": meta.nlist,
         "n_subspaces": meta.n_subspaces,
     }
+
+
+def ivfpq_tune_nprobe(
+    spark,
+    path: str,
+    corpus_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    topk: int = 5,
+    recall_target: float = 0.9,
+) -> DataFrame:
+    """Recall-targeted nprobe auto-tuning for the persisted IVF-PQ
+    index: measure recall@topk against the exact quantized-L2 answer
+    for EVERY nprobe in 1..nlist in ONE pass, and mark the smallest
+    nprobe that meets ``recall_target`` — the serving knob x108's
+    single-point gate exists to inform, automated. nprobe is a pure
+    query-time parameter (no persisted state), so the tuner reads the
+    index like any probe: geometry from the memoized sidecars,
+    candidates from the codes-only scan, tombstones honored.
+
+    One pass instead of nlist probes: the per-(query, cell) integer
+    ADC tables are built for ALL cells with each cell's distance RANK
+    attached; a broadcast nprobe spine (1..nlist) then replays every
+    "what if nprobe=np" hypothesis as a filter ``cellrank <= np`` over
+    the SAME scored scan — the codes are read once, not nlist times.
+    The exact side is the brute-force quantized-L2 top-k over the
+    corpus (bounded query set broadcast; ~|corpus| x |queries| integer
+    folds — the validation-set sizing knob, not a serving path). All
+    arithmetic is integer with id tie-breaks; mean recall is an exact
+    integer ratio — deterministic and engine-portable.
+
+    Centroid-drift workflow: run after appends accumulate; if even
+    nprobe=nlist misses the target, the geometry is stale — retrain
+    via write_ivfpq_index (the x108 contract).
+
+    Returns one row per nprobe: (nprobe, n_hits, mean_recall,
+    meets_target, chosen) — ``chosen`` marks the minimal qualifying
+    nprobe (all false when none qualifies).
+    """
+    from pyspark.sql import Window as W
+
+    meta, coarse, books = _load_ivfpq_index(spark, path)
+    sub = meta.dim // meta.n_subspaces
+    qrows = _ivfpq_quantized_queries(query_df, int(meta.quantum), meta.dim)
+    n_queries = len(qrows)
+    # all-cells ADC rows, each carrying its cell's distance rank
+    tab_rows = []
+    for r in qrows:
+        qx = [int(v) for v in r.qx]
+        cd = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qx, c)), i)
+            for i, c in enumerate(coarse)
+        )
+        for rank0, (_d, list_id) in enumerate(cd):
+            qres = [a - b for a, b in zip(qx, coarse[list_id])]
+            tabs = [
+                [
+                    sum(
+                        (a - b) * (a - b)
+                        for a, b in zip(qres[s * sub : (s + 1) * sub], c)
+                    )
+                    for c in books[s]
+                ]
+                for s in range(meta.n_subspaces)
+            ]
+            tab_rows.append((r.query_id, list_id, rank0 + 1, *tabs))
+    schema = "query_id BIGINT, __list INT, cellrank INT, " + ", ".join(
+        f"__adt_{s} ARRAY<BIGINT>" for s in range(meta.n_subspaces)
+    )
+    qtab = spark.createDataFrame(tab_rows, schema)
+    codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/codes"))
+    adist = None
+    for s in range(meta.n_subspaces):
+        term = F.element_at(F.col(f"__adt_{s}"), F.col(f"code_{s}") + 1)
+        adist = term if adist is None else adist + term
+    scored = (
+        codes.join(F.broadcast(qtab), "__list")
+        .filter(F.col("__id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("__id").alias("neighbor_id"),
+            "cellrank",
+            adist.cast("bigint").alias("__adist"),
+        )
+    )
+    nps = spark.range(1, int(meta.nlist) + 1).select(
+        F.col("id").cast("int").alias("nprobe")
+    )
+    w = W.partitionBy("nprobe", "query_id").orderBy(
+        F.col("__adist").asc(), F.col("neighbor_id")
+    )
+    approx_top = (
+        scored.join(F.broadcast(nps), F.col("cellrank") <= F.col("nprobe"))
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") <= topk)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    # exact side: brute-force quantized L2 over the corpus (the x108
+    # gate's formulation — same quantum as the index, id tie-breaks)
+    qn = float(meta.quantum)
+    qz_expr = (
+        f"transform({{c}}, x -> cast(floor(cast(x as double) * {qn!r} "
+        f"+ 0.5) as bigint))"
+    )
+    corpus = corpus_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(qz_expr.format(c=vec_col)).alias("__qx"),
+    )
+    qs = query_df.select(
+        "query_id", F.expr(qz_expr.format(c="qvec")).alias("__qq")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("__qq"), F.col("__qx"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    we = W.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("neighbor_id"))
+    ext = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dist.alias("__d"))
+        .withColumn("__rn", F.row_number().over(we))
+        .filter(F.col("__rn") <= topk)
+        .select("query_id", "neighbor_id")
+    )
+    rec = (
+        approx_top.join(ext, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    denom = float(n_queries * topk)
+    wall = W.partitionBy(F.lit(1))
+    out = (
+        nps.join(rec, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+        )
+        .withColumn(
+            "mean_recall",
+            F.round(F.col("n_hits").cast("double") / F.lit(denom), 6),
+        )
+        .withColumn(
+            "meets_target", F.col("mean_recall") >= F.lit(float(recall_target))
+        )
+        .withColumn(
+            "chosen",
+            F.col("meets_target")
+            & (
+                F.col("nprobe")
+                == F.min(F.when(F.col("meets_target"), F.col("nprobe"))).over(
+                    wall
+                )
+            ),
+        )
+    )
+    return out.select("nprobe", "n_hits", "mean_recall", "meets_target", "chosen")

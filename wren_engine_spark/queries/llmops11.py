@@ -452,3 +452,125 @@ def x114(spark: SparkSession, sf: str) -> DataFrame:
         d, "doc_id", "text", e, "vec_id", "embedding", qids,
         k_lex=10, k_vec=10, rrf_k=60, topk=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# x117: recall-targeted nprobe auto-tuning over the persisted IVF-PQ index
+# ---------------------------------------------------------------------------
+
+from wren_engine_spark.queries.llmops10 import (  # noqa: E402
+    _IVFPQ_NLIST,
+    _IVFPQ_NPROBE,
+    _IVFPQ_TOPK,
+    _ensure_ivfpq_index,
+    _ivfpq_ctes,
+    _probe_queries,
+)
+
+_X117_TARGET = 0.8
+
+
+def _ivfpq_tuner_oracle() -> str:
+    """x107's unrolled IVF-PQ replay, widened to ALL cells with each
+    cell's distance rank exposed, then every nprobe hypothesis
+    (1..nlist) replayed as a ``cellrank <= np`` filter over the same
+    scored candidates — exactly the one-pass plan the Spark tuner
+    runs. Built by surgery on the shared `_ivfpq_ctes` template (the
+    x113 convention: the byte-exact template output keeps certifying
+    x107-x111)."""
+    base = _ivfpq_ctes("TRUE")
+    a1 = "SELECT query_id, list_id FROM ("
+    assert base.count(a1) == 1, "ivfpq oracle changed shape (qp select)"
+    base = base.replace(
+        a1, "SELECT query_id, list_id, rn AS cellrank FROM (", 1
+    )
+    a2 = f"FROM ca WHERE vec_id < 8) WHERE rn <= {_IVFPQ_NPROBE}"
+    assert base.count(a2) == 1, "ivfpq oracle changed shape (qp filter)"
+    base = base.replace(
+        a2, f"FROM ca WHERE vec_id < 8) WHERE rn <= {_IVFPQ_NLIST}", 1
+    )
+    denom = float(8 * _IVFPQ_TOPK)
+    return f"""
+    WITH {base},
+    nps AS (SELECT CAST(unnest(generate_series(1, {_IVFPQ_NLIST})) AS INTEGER)
+              AS nprobe),
+    adn AS (
+      SELECT n.nprobe, q0.query_id, k0.vec_id AS neighbor_id,
+             q0.d + q1.d AS adist
+      FROM rcode_0 k0
+      JOIN rcode_1 k1 ON k1.vec_id = k0.vec_id
+      JOIN al a ON a.vec_id = k0.vec_id
+      JOIN qp p ON p.list_id = a.list_id
+      JOIN nps n ON p.cellrank <= n.nprobe
+      JOIN qd_0 q0 ON q0.query_id = p.query_id AND q0.list_id = a.list_id
+                  AND q0.cluster = k0.code
+      JOIN qd_1 q1 ON q1.query_id = q0.query_id AND q1.list_id = a.list_id
+                  AND q1.cluster = k1.code
+      WHERE k0.vec_id <> q0.query_id
+    ),
+    ptop AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT nprobe, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                                  ORDER BY adist ASC, neighbor_id ASC) AS rnk
+        FROM adn) WHERE rnk <= {_IVFPQ_TOPK}
+    ),
+    exd AS (
+      SELECT qq.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 [(s[1] - s[2]) * (s[1] - s[2])
+                  FOR s IN list_zip(qq.qx, b.qx)]),
+                 (acc, v) -> acc + v) AS d
+      FROM (SELECT vec_id, qx FROM q WHERE vec_id < 8) qq, q b
+      WHERE b.vec_id <> qq.vec_id
+    ),
+    ext AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d ASC, neighbor_id ASC) AS rn
+        FROM exd) WHERE rn <= {_IVFPQ_TOPK}
+    ),
+    rec AS (
+      SELECT n.nprobe, CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_hits
+      FROM nps n
+      LEFT JOIN ptop p ON p.nprobe = n.nprobe
+      LEFT JOIN ext e ON e.query_id = p.query_id
+                     AND e.neighbor_id = p.neighbor_id
+      GROUP BY n.nprobe
+    ),
+    fin AS (
+      SELECT nprobe, n_hits,
+             ROUND(CAST(n_hits AS DOUBLE) / {denom!r}, 6) AS mean_recall
+      FROM rec
+    )
+    SELECT nprobe, n_hits, mean_recall,
+           mean_recall >= {_X117_TARGET!r} AS meets_target,
+           (mean_recall >= {_X117_TARGET!r}) AND nprobe =
+             MIN(CASE WHEN mean_recall >= {_X117_TARGET!r} THEN nprobe END)
+               OVER () AS chosen
+    FROM fin
+    """
+
+
+@register("x117_ivfpq_tune_nprobe", _ivfpq_tuner_oracle())
+def x117(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall-targeted nprobe auto-tuning
+    (similarity.ivfpq_tune_nprobe): recall@5 vs the exact quantized-L2
+    answer for EVERY nprobe 1..nlist in ONE codes scan — the
+    per-(query, cell) integer ADC tables are built for all cells with
+    each cell's distance rank attached, and a broadcast nprobe spine
+    replays each "what if nprobe=np" hypothesis as a cellrank filter
+    over the same scored candidates. Marks the smallest nprobe meeting
+    the 0.8 target — the automated form of x108's single-point gate,
+    and the drift alarm for the append lifecycle (if nprobe=nlist
+    misses the target, the frozen geometry is stale: retrain). Runs
+    against x109's persisted index (shared memoized build), so the
+    tuner exercises the true serving path: memoized sidecar geometry,
+    codes-only scan, tombstones honored."""
+    path = _ensure_ivfpq_index(spark, sf)
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    return similarity.ivfpq_tune_nprobe(
+        spark, path, e, "vec_id", "embedding", _probe_queries(spark, sf),
+        topk=_IVFPQ_TOPK, recall_target=_X117_TARGET,
+    )

@@ -462,6 +462,30 @@ class TestDeleteGuards:
         with pytest.raises(ValueError):
             layout.bucketed_index_delete(spark, "no_such_index_xyz", [1], "id")
 
+    def test_empty_ids_delete_is_clean_noop(self, spark, emb, tmp_path):
+        # an empty ids iterable used to die in createDataFrame schema
+        # inference; it must be a clean no-op that writes no tombstone
+        from wren_engine_spark.operators import layout
+
+        path = str(tmp_path / "pq_emptydel")
+        similarity.write_pq_index(
+            emb.filter(F.col("vec_id") < 40), "vec_id", "embedding",
+            path, n_subspaces=2, k_codes=4,
+        )
+        assert similarity.pq_index_delete(spark, path, []) == {
+            "n_tombstones": 0
+        }
+        assert similarity._tombstones(spark, path) is None
+        sdf = emb.filter(F.col("vec_id") < 40)
+        similarity.write_ann_index(
+            sdf, "vec_id", "embedding", "emptydel_t1",
+            dim=64, nbits=4, tables=2, seed=3,
+        )
+        assert layout.bucketed_index_delete(
+            spark, "emptydel_t1", [], "vec_id"
+        ) == {"n_tombstones": 0}
+        assert layout.bucketed_tombstones(spark, "emptydel_t1") is None
+
     def test_tombstone_read_failure_is_loud(self, spark, emb, tmp_path):
         # a corrupt tombstone sidecar must surface, not silently serve
         # deleted vectors

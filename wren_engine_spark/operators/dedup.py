@@ -1488,7 +1488,15 @@ def simhash_index_append(
 
     Returns the number of appended docs.
     """
-    meta = spark.table(f"{table}__meta").collect()[0]
+    from wren_engine_spark.operators import index_meta
+
+    meta = index_meta.table_meta_row(spark, table)
+    if meta is None:
+        raise ValueError(
+            f"simhash_index_append: index '{table}' has no __meta "
+            "sidecar; rebuild it with write_simhash_index before "
+            "appending"
+        )
     # cache the batch so the returned count does not re-run whatever
     # upstream lineage produced it a second time after the write
     df = df.persist()

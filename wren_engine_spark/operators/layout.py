@@ -127,8 +127,13 @@ def bucketed_index_delete(spark, table: str, ids, id_col: str) -> dict:
     if isinstance(ids, DataFrame):
         out = ids.select(F.col(ids.columns[0]).cast(id_type).alias(id_col))
     else:
+        rows = [(v,) for v in ids]
+        if not rows:
+            # clean no-op: createDataFrame cannot infer a schema from
+            # an empty dataset, and an empty delete has nothing to do
+            return {"n_tombstones": 0}
         out = spark.createDataFrame(
-            [(v,) for v in ids], [id_col]  # types inferred, then cast
+            rows, [id_col]  # types inferred, then cast
         ).select(F.col(id_col).cast(id_type).alias(id_col))
     out = out.distinct().persist()
     try:
@@ -143,6 +148,18 @@ def bucketed_index_delete(spark, table: str, ids, id_col: str) -> dict:
     finally:
         out.unpersist()
     return {"n_tombstones": n}
+
+
+def _uri_to_local_path(uri: str) -> str:
+    """Local filesystem path of a ``file:`` URI from ``inputFiles()``.
+    Spark percent-encodes special characters (a space becomes ``%20``)
+    — a bare prefix strip would miss such files in os.path checks and
+    silently leave folded tombstone files pending forever."""
+    from urllib.parse import unquote, urlparse
+
+    if uri.startswith("file:"):
+        return unquote(urlparse(uri).path)
+    return unquote(uri)
 
 
 def compact_bucketed(
@@ -237,7 +254,7 @@ def compact_bucketed(
     # that raced in after the snapshot stays pending. Drop the table
     # only when nothing newer arrived.
     for f in tomb_files:
-        p = f.removeprefix("file:")
+        p = _uri_to_local_path(f)
         if _os.path.isfile(p):
             _os.remove(p)
     if tomb_files:

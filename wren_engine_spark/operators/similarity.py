@@ -1116,7 +1116,14 @@ def ann_index_append(
 
     Returns the number of appended vectors.
     """
-    meta = spark.table(f"{table}__meta").collect()[0]
+    from wren_engine_spark.operators import index_meta
+
+    meta = index_meta.table_meta_row(spark, table)
+    if meta is None:
+        raise ValueError(
+            f"ann_index_append: index '{table}' has no __meta sidecar; "
+            "rebuild it with write_ann_index before appending"
+        )
     # attribute columns recorded at build time must travel with every
     # appended row too (same names; a missing column fails loudly in
     # the select below) — a pre-attr_cols index has the empty string
@@ -1941,8 +1948,13 @@ def pq_index_delete(spark, path: str, ids, id_col: str | None = None) -> dict:
         col = id_col or ids.columns[0]
         out = ids.select(F.col(col).cast(id_type).alias("__id")).distinct()
     else:
+        rows = [(v,) for v in ids]
+        if not rows:
+            # clean no-op: createDataFrame cannot infer a schema from
+            # an empty dataset, and an empty delete has nothing to do
+            return {"n_tombstones": 0}
         out = (
-            spark.createDataFrame([(v,) for v in ids], ["__id"])
+            spark.createDataFrame(rows, ["__id"])
             .select(F.col("__id").cast(id_type).alias("__id"))
             .distinct()
         )
@@ -2248,8 +2260,10 @@ def pq_index_compact(
     # that raced in after the snapshot stays pending for probes and
     # the next compact
     tdir = f"{path}/tombstones"
+    from wren_engine_spark.operators.layout import _uri_to_local_path
+
     for f in tomb_files:
-        p = f.removeprefix("file:")
+        p = _uri_to_local_path(f)
         if os.path.isfile(p):
             os.remove(p)
     if os.path.isdir(tdir) and not any(
@@ -2907,6 +2921,16 @@ def ivfpq_tune_nprobe(
         F.col(id_col).alias("neighbor_id"),
         F.expr(qz_expr.format(c=vec_col)).alias("__qx"),
     )
+    # ground truth must see the same live id set as the approx side:
+    # without this, pending deletes cap measured recall below 1.0 even
+    # at nprobe=nlist and the stale-geometry alarm false-fires
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        corpus = corpus.join(
+            F.broadcast(tomb.select(F.col("__id").alias("neighbor_id"))),
+            "neighbor_id",
+            "left_anti",
+        )
     qs = query_df.select(
         "query_id", F.expr(qz_expr.format(c="qvec")).alias("__qq")
     )
@@ -2930,8 +2954,7 @@ def ivfpq_tune_nprobe(
         .agg(F.count("*").cast("bigint").alias("n_hits"))
     )
     denom = float(n_queries * topk)
-    wall = W.partitionBy(F.lit(1))
-    out = (
+    base = (
         nps.join(rec, "nprobe", "left")
         .select(
             "nprobe",
@@ -2944,15 +2967,16 @@ def ivfpq_tune_nprobe(
         .withColumn(
             "meets_target", F.col("mean_recall") >= F.lit(float(recall_target))
         )
-        .withColumn(
-            "chosen",
-            F.col("meets_target")
-            & (
-                F.col("nprobe")
-                == F.min(F.when(F.col("meets_target"), F.col("nprobe"))).over(
-                    wall
-                )
-            ),
-        )
+    )
+    # chosen = minimal qualifying nprobe, via a one-row aggregate
+    # broadcast back over the <=nlist-row spine — an unpartitioned
+    # window here would be harmless at this size but trains users to
+    # ignore the "No Partition Defined" warning that matters elsewhere
+    mn = base.filter(F.col("meets_target")).agg(
+        F.min("nprobe").alias("__chosen_np")
+    )
+    out = base.crossJoin(F.broadcast(mn)).withColumn(
+        "chosen",
+        F.coalesce(F.col("nprobe") == F.col("__chosen_np"), F.lit(False)),
     )
     return out.select("nprobe", "n_hits", "mean_recall", "meets_target", "chosen")

@@ -273,7 +273,17 @@ def t13(spark: SparkSession, sf: str) -> DataFrame:
     dropDuplicates collapse multi-band collisions; availableNow
     bounded replay (state is the emitted pair set, batch-bounded).
     Same oracle as x70 — the batch and streaming paths must agree
-    bit-for-bit."""
+    bit-for-bit.
+
+    Delete-visibility contract: whether the index HAS tombstones is
+    decided once, when this query is DEFINED — a long-running stream
+    started against a tombstone-free index will not anti-join deletes
+    issued mid-stream until the query is redefined/restarted (an
+    availableNow drain, like this entry and any scheduled ingestion,
+    re-resolves on every invocation, so it always sees the current
+    tombstone set). For a 24/7 stream that must honor mid-stream
+    deletes, wrap the probe in foreachBatch and re-resolve
+    ``layout.bucketed_tombstones`` inside the batch function."""
     import hashlib
 
     d = load_tables(spark, sf, "documents")["documents"]

@@ -376,6 +376,16 @@ def main() -> None:
         R8, "r8 operator sub-suite", freeze=True
     )
 
+    # round-9 addition: the tuner->retrain loop closer (build + append
+    # + tune + retrain all pay on the first run; the median amortizes
+    # to the steady-state probe, the lifecycle suites' convention)
+    R9 = [
+        "x118_ivfpq_index_retrain",
+    ]
+    r9_timings, r9_total, r9_runs, r9_measured, _ = run_suite(
+        R9, "r9 operator sub-suite", freeze=True
+    )
+
     # persist the fingerprint-gated medians so the next bench run only
     # re-measures entries whose implementation actually changed
     with open(frozen_path, "w") as f:
@@ -461,6 +471,7 @@ def main() -> None:
         "r6_ops_total_s": r6_total,
         "r7_ops_total_s": r7_total,
         "r8_ops_total_s": r8_total,
+        "r9_ops_total_s": r9_total,
         "x63_probe_p50_ms": x63_probe_ms,
     }
     detail = dict(
@@ -483,6 +494,9 @@ def main() -> None:
         r8_ops=r8_timings,
         r8_ops_run_totals=r8_runs,
         r8_ops_measured=r8_measured,
+        r9_ops=r9_timings,
+        r9_ops_run_totals=r9_runs,
+        r9_ops_measured=r9_measured,
         x63_probe_runs_ms=[round(x, 1) for x in probe_lat],
     )
     detail_path = os.path.join(

@@ -2980,3 +2980,106 @@ def ivfpq_tune_nprobe(
         F.coalesce(F.col("nprobe") == F.col("__chosen_np"), F.lit(False)),
     )
     return out.select("nprobe", "n_hits", "mean_recall", "meets_target", "chosen")
+
+
+def ivfpq_index_retrain(
+    spark,
+    path: str,
+    corpus_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nlist: int | None = None,
+    n_subspaces: int | None = None,
+    k_codes: int | None = None,
+    coarse_iters: int = 2,
+    pq_iters: int = 1,
+    quantum: int | None = None,
+) -> dict:
+    """Retrain a persisted IVF-PQ index on the CURRENT corpus — the
+    lifecycle stage ``ivfpq_tune_nprobe``'s drift alarm exists to
+    trigger: when sustained frozen-geometry appends move the data
+    distribution far enough that even nprobe=nlist misses the recall
+    target, the coarse centroids and residual codebooks are stale and
+    the fix is a retrain, not a bigger nprobe. (Reference analogy:
+    the ``cached`` + ``refresh_time`` materialization hint —
+    manifest-macro/src/lib.rs:141-168 — where a staleness signal
+    triggers a rebuild of the materialized artifact.)
+
+    Protocol: train coarse + PQ on ``corpus_df`` (the exact
+    ``write_ivfpq_index`` kernels — x85's bit-exact quantized Lloyd),
+    re-encode every vector, stage the complete new index tree at
+    ``{path}__retraining``, then swap it in with two renames (the
+    ``pq_index_compact`` crash contract: a crash between the renames
+    leaves the old index intact at ``{path}__old``, which the
+    recovery guard here — and in ``_load_ivfpq_index`` callers that
+    retrain again — restores). Probes never see a half-trained
+    index: the swap is the only mutation of ``path``, and the
+    memoized sidecar readers invalidate on the swapped files' fs
+    token, so the first post-retrain probe reloads the new geometry
+    with zero API change.
+
+    State reset (the ``write_ivfpq_index`` rebuild contract):
+    pending tombstones are FOLDED — ``corpus_df`` is anti-joined
+    against them before training, so a deleted id is neither trained
+    on nor re-encoded (deletes never resurrect) — and the swap
+    discards the old incarnation's tombstone directory and
+    idempotent-append epoch markers wholesale. Anything else living
+    under ``path`` (e.g. a streaming ingestion's ``_checkpoint``) is
+    discarded too: STOP streaming ingestion before a retrain and
+    restart it afterwards against post-retrain data only — replaying
+    a pre-retrain delta into an index whose geometry was trained on
+    that delta would duplicate its rows.
+
+    Parameters default to the index's own ``meta`` sidecar (same
+    nlist/n_subspaces/k_codes/quantum as the original build); pass
+    overrides to re-shape the index while retraining.
+
+    Returns ``write_ivfpq_index``'s stats dict plus
+    ``n_tombstones_folded``.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from wren_engine_spark.operators import index_meta
+
+    index_meta.require_local_index_path(path, "ivfpq_index_retrain")
+    old = f"{path}__old"
+    # crash recovery: a previous retrain/compact that died between its
+    # two renames left the live index at {path}__old — restore first
+    if not _os.path.isdir(f"{path}/meta") and _os.path.isdir(f"{old}/meta"):
+        _os.rename(old, path)
+    meta, _coarse, _books = _load_ivfpq_index(spark, path)
+    nlist = int(meta.nlist) if nlist is None else int(nlist)
+    n_subspaces = (
+        int(meta.n_subspaces) if n_subspaces is None else int(n_subspaces)
+    )
+    k_codes = int(meta.k_codes) if k_codes is None else int(k_codes)
+    quantum = int(meta.quantum) if quantum is None else int(quantum)
+    # fold pending deletes: a tombstoned id must be neither trained on
+    # nor re-encoded — the retrain IS the compaction of its tombstone
+    live = corpus_df
+    n_tomb = 0
+    tomb = _tombstones(spark, path)
+    if tomb is not None:
+        n_tomb = tomb.select("__id").distinct().count()
+        live = live.join(
+            F.broadcast(tomb.select(F.col("__id").alias(id_col))),
+            id_col,
+            "left_anti",
+        )
+    new = f"{path}__retraining"
+    if _os.path.isdir(new):
+        _shutil.rmtree(new)
+    stats = write_ivfpq_index(
+        live, id_col, vec_col, new,
+        nlist=nlist, n_subspaces=n_subspaces, k_codes=k_codes,
+        coarse_iters=coarse_iters, pq_iters=pq_iters, quantum=quantum,
+    )
+    # two-rename swap; a crash after the first rename is recovered by
+    # the guard above (old holds the last-good index until the end)
+    if _os.path.isdir(old):
+        _shutil.rmtree(old)
+    _os.rename(path, old)
+    _os.rename(new, path)
+    _shutil.rmtree(old)
+    return dict(stats, n_tombstones_folded=n_tomb)

@@ -788,3 +788,103 @@ def x111(spark: SparkSession, sf: str) -> DataFrame:
         spark, path, _probe_queries(spark, sf),
         nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK,
     )
+
+
+_IVFPQ_RT_MEMO: dict = {}
+
+
+def _ensure_retrained_ivfpq_index(spark: SparkSession, sf: str) -> str:
+    """x118's index — the full drift loop, ending in a retrain:
+
+    1. BUILD on the base split (vec_id % 5 != 0);
+    2. APPEND the delta past the frozen geometry (x110's stage — the
+       drift source: the delta was never trained on);
+    3. TUNE: ``ivfpq_tune_nprobe`` measures recall across every
+       nprobe — the drift signal the retrain decision reads (recorded
+       here by running it; this entry then retrains unconditionally
+       so its content is deterministic rather than
+       data-threshold-dependent);
+    4. RETRAIN on the CURRENT corpus (``ivfpq_index_retrain`` — the
+       exact write_ivfpq_index kernels, atomic two-rename swap,
+       tombstones folded, epoch markers cleared).
+
+    Completion marker discipline is x110's: the marker is removed
+    before any rebuild, so a partial lifecycle can never serve."""
+    import hashlib
+    import os
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    path = f"{wh}/ivfpq_rt_{hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    marker = f"{path}/_RETRAINED"
+    key = (session_uid(spark), sf)
+    complete = (
+        os.path.isdir(f"{path}/codes")
+        and os.path.isdir(f"{path}/meta")
+        and os.path.isfile(marker)
+    )
+    if _IVFPQ_RT_MEMO.get(key) != path or not complete:
+        if os.path.isfile(marker):
+            os.remove(marker)
+        e = load_tables(spark, sf, "embeddings")["embeddings"]
+        base = e.filter(F.col("vec_id") % 5 != 0)
+        delta = e.filter(F.col("vec_id") % 5 == 0)
+        similarity.write_ivfpq_index(
+            base, "vec_id", "embedding", path,
+            nlist=_IVFPQ_NLIST, n_subspaces=2, k_codes=_IVFPQ_K,
+            coarse_iters=2, pq_iters=1,
+        )
+        similarity.ivfpq_index_append(spark, path, delta, "vec_id", "embedding")
+        # the drift signal: one-pass recall sweep over every nprobe
+        similarity.ivfpq_tune_nprobe(
+            spark, path, e, "vec_id", "embedding",
+            _probe_queries(spark, sf),
+            topk=_IVFPQ_TOPK, recall_target=0.9,
+        ).collect()
+        # the action: retrain on the current corpus (params default to
+        # the index's own meta sidecar)
+        similarity.ivfpq_index_retrain(spark, path, e, "vec_id", "embedding")
+        with open(marker, "w", encoding="utf-8") as f:
+            f.write("retrained\n")
+        _IVFPQ_RT_MEMO[key] = path
+    return path
+
+
+@register(
+    "x118_ivfpq_index_retrain",
+    f"""
+    WITH {_IVFPQ_CTES}
+    SELECT query_id, neighbor_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {_IVFPQ_TOPK}
+    """,
+)
+def x118(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ lifecycle, the retrain closer (r8 verdict item 4 — the
+    tuner->retrain loop's action half): build on the base split,
+    append the drift delta past the frozen geometry, run the
+    ``ivfpq_tune_nprobe`` recall sweep (the drift signal), then
+    RETRAIN coarse centroids + residual codebooks on the CURRENT
+    corpus via ``similarity.ivfpq_index_retrain`` — the exact
+    write_ivfpq_index training kernels, staged at a sibling path and
+    swapped in with two renames (crash leaves the old index
+    recoverable), pending tombstones folded (deletes never
+    resurrect), epoch markers cleared — and probe through the
+    unchanged codes-only API. The oracle TRAINS ON THE FULL CORPUS
+    (the retrain contract: retrained-on-current-corpus == a fresh
+    full-corpus build, pytest-pinned bit-identical in
+    tests/test_ivfpq.py), so this row certifies the whole loop:
+    geometry that x110's train-on-base oracle would describe has been
+    provably replaced. Reference analogy: the ``cached`` +
+    ``refresh_time`` materialization hint
+    (manifest-macro/src/lib.rs:141-168). At 100 TB: retrain cost is
+    one training pass + full re-encode (the two Lloyd barriers carry
+    k*dim driver scalars) — amortized over the probe-many serving
+    life, and the swap keeps probes on the last-good index until the
+    new one is complete."""
+    path = _ensure_retrained_ivfpq_index(spark, sf)
+    return similarity.ivfpq_index_topk(
+        spark, path, _probe_queries(spark, sf),
+        nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK,
+    )

@@ -381,6 +381,9 @@ def main() -> None:
     # to the steady-state probe, the lifecycle suites' convention)
     R9 = [
         "x118_ivfpq_index_retrain",
+        # two-stage serving: ADC shortlist -> exact re-rank over the
+        # embedding store (shares x109's persisted index)
+        "x119_ivfpq_refined_probe",
     ]
     r9_timings, r9_total, r9_runs, r9_measured, _ = run_suite(
         R9, "r9 operator sub-suite", freeze=True

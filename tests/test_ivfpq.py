@@ -602,3 +602,123 @@ class TestIvfPqRetrain:
             similarity.ivfpq_index_retrain(
                 spark, "s3a://bucket/idx", df, "vec_id", "embedding"
             )
+
+
+class TestIvfPqRefinedProbe:
+    """ivfpq_index_topk_refined — ADC shortlist + exact re-rank."""
+
+    def _recall(self, got, exact):
+        hits = sum(
+            1 for (q, n) in got if (q, n) in exact
+        )
+        return hits / max(len(exact), 1)
+
+    def test_refine_recall_at_least_adc_and_exact_order(
+        self, spark, tmp_path
+    ):
+        df = _corpus(spark)
+        path = str(tmp_path / "refine_idx")
+        similarity.write_ivfpq_index(
+            df=df, id_col="vec_id", vec_col="embedding", path=path,
+            nlist=NLIST, n_subspaces=NSUB, k_codes=KCODES,
+        )
+        qdf = _queries(df)
+        # exact ground truth: brute-force quantized L2 top-5
+        vecs = {
+            r.vec_id: _quant(r.embedding)
+            for r in df.select("vec_id", "embedding").collect()
+        }
+        exact = set()
+        per_query_exact = {}
+        for r in qdf.collect():
+            qx = _quant(r.qvec)
+            d = sorted(
+                (
+                    sum((a - b) * (a - b) for a, b in zip(qx, vecs[i])),
+                    i,
+                )
+                for i in vecs
+                if i != r.query_id
+            )[:TOPK]
+            per_query_exact[r.query_id] = [(dist, i) for dist, i in d]
+            exact |= {(r.query_id, i) for _d, i in d}
+        raw = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivfpq_index_topk(
+                spark, path, qdf, nprobe=NPROBE, topk=TOPK
+            ).collect()
+        }
+        refined_rows = similarity.ivfpq_index_topk_refined(
+            spark, path, df, "vec_id", "embedding", qdf,
+            nprobe=NPROBE, shortlist=20, topk=TOPK,
+        ).collect()
+        refined = {(r.query_id, r.neighbor_id) for r in refined_rows}
+        # the refine contract: exact ordering over the shortlist can
+        # only improve recall vs cutting the ADC ranking directly
+        assert self._recall(refined, exact) >= self._recall(raw, exact)
+        # dist is the EXACT quantized L2 and ranks are exact-ordered
+        qxs = {r.query_id: _quant(r.qvec) for r in qdf.collect()}
+        for r in refined_rows:
+            want = sum(
+                (a - b) * (a - b)
+                for a, b in zip(qxs[r.query_id], vecs[r.neighbor_id])
+            )
+            assert r.dist == want
+        by_q = {}
+        for r in refined_rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for rows in by_q.values():
+            rows.sort(key=lambda r: r.rnk)
+            ds = [(r.dist, r.neighbor_id) for r in rows]
+            assert ds == sorted(ds)
+
+    def test_refine_stage2_broadcasts_shortlist_no_corpus_shuffle(
+        self, spark, tmp_path
+    ):
+        df = _corpus(spark)
+        path = str(tmp_path / "refine_plan_idx")
+        similarity.write_ivfpq_index(
+            df=df, id_col="vec_id", vec_col="embedding", path=path,
+            nlist=NLIST, n_subspaces=NSUB, k_codes=KCODES,
+        )
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            out = similarity.ivfpq_index_topk_refined(
+                spark, path, df, "vec_id", "embedding", _queries(df),
+                nprobe=NPROBE, shortlist=20, topk=TOPK,
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+        finally:
+            if saved is None:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", saved
+                )
+        # the embedding scan joins the shortlist/query sides only via
+        # broadcast: no sort-merge/shuffled-hash join anywhere
+        assert "SortMergeJoin" not in plan
+        assert "ShuffledHashJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+
+    def test_refine_honors_tombstones(self, spark, tmp_path):
+        df = _corpus(spark)
+        path = str(tmp_path / "refine_tomb_idx")
+        similarity.write_ivfpq_index(
+            df=df, id_col="vec_id", vec_col="embedding", path=path,
+            nlist=NLIST, n_subspaces=NSUB, k_codes=KCODES,
+        )
+        qdf = _queries(df)
+        before = similarity.ivfpq_index_topk_refined(
+            spark, path, df, "vec_id", "embedding", qdf,
+            nprobe=NPROBE, shortlist=20, topk=TOPK,
+        ).collect()
+        victim = before[0].neighbor_id
+        similarity.pq_index_delete(spark, path, [int(victim)])
+        after = similarity.ivfpq_index_topk_refined(
+            spark, path, df, "vec_id", "embedding", qdf,
+            nprobe=NPROBE, shortlist=20, topk=TOPK,
+        )
+        assert after.filter(F.col("neighbor_id") == victim).count() == 0

@@ -162,6 +162,30 @@ def _run_ivfpq_lifecycle(spark, emb, d: str) -> int:
     ).count()
 
 
+def _run_retrain_lifecycle(spark, emb, d: str) -> int:
+    """x118's shape at 10x: build on the base split, append the delta
+    past the frozen geometry, retrain on the current corpus (staged
+    sibling tree + two-rename swap), probe the retrained index."""
+    from pyspark.sql import functions as F
+
+    from wren_engine_spark.operators import similarity
+
+    path = f"{d}/retrain_lifecycle_idx"
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    similarity.write_ivfpq_index(
+        base, "vec_id", "embedding", path, nlist=4, n_subspaces=2, k_codes=4
+    )
+    similarity.ivfpq_index_append(spark, path, delta, "vec_id", "embedding")
+    similarity.ivfpq_index_retrain(spark, path, emb, "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return similarity.ivfpq_index_topk(
+        spark, path, queries, nprobe=2, topk=5
+    ).count()
+
+
 def _run_delete_lifecycle(spark, emb, d: str) -> int:
     """Codes-layout delete lifecycle at 10x: build the PQ index on
     the full corpus, tombstone 1/7th, probe the anti-joined scan,
@@ -414,6 +438,31 @@ def main() -> int:
                         F.col("embedding").alias("qvec"),
                     ),
                     topk=5,
+                ).count(),
+            )[1],
+        ),
+        # round-9 additions: the retrain lifecycle (build-on-base +
+        # frozen-geometry append + retrain-on-current-corpus with the
+        # staged swap) and the two-stage refined probe (ADC shortlist
+        # broadcast into one narrow embedding-store scan)
+        (
+            "x118_retrain_lifecycle",
+            lambda: _run_retrain_lifecycle(spark, emb, d),
+        ),
+        (
+            "x119_refined_probe",
+            lambda: (
+                similarity.write_ivfpq_index(
+                    emb, "vec_id", "embedding", f"{d}/refine_idx",
+                    nlist=4, n_subspaces=2, k_codes=4,
+                ),
+                similarity.ivfpq_index_topk_refined(
+                    spark, f"{d}/refine_idx", emb, "vec_id", "embedding",
+                    emb.filter(F.col("vec_id") < 8).select(
+                        F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("qvec"),
+                    ),
+                    nprobe=2, shortlist=20, topk=5,
                 ).count(),
             )[1],
         ),

@@ -3083,3 +3083,82 @@ def ivfpq_index_retrain(
     _os.rename(new, path)
     _shutil.rmtree(old)
     return dict(stats, n_tombstones_folded=n_tomb)
+
+
+def ivfpq_index_topk_refined(
+    spark,
+    path: str,
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    topk: int = 5,
+) -> DataFrame:
+    """Two-stage IVF-PQ serving — ADC shortlist, exact re-rank (the
+    FAISS ``IndexRefine`` / DiskANN-style production shape): the
+    persisted index's codes-only scan produces a ``shortlist``-deep
+    approximate candidate set per query (``ivfpq_index_topk`` — all
+    integer ADC arithmetic, tombstones honored), then ONLY those
+    shortlist rows are re-scored by the EXACT quantized L2 against
+    the full vectors from ``emb_df`` (the embedding store of record —
+    codes-layout indexes deliberately persist codes, not vectors) and
+    re-ranked to the final ``topk``. Refinement repairs PQ distortion
+    inside the shortlist: the final ordering is exact over whatever
+    the shortlist retrieved, so recall@topk can only improve versus
+    cutting the ADC ranking at ``topk`` directly (pytest-pinned on a
+    recall gate; equality holds when PQ ordering was already right).
+
+    Scale shape (100 TB): stage 1 is the unchanged codes-only probe
+    (no embedding column in its plan); stage 2 joins the BOUNDED
+    shortlist — |queries| x shortlist rows, broadcast — into one
+    narrow scan of the embedding store by id, so full vectors are
+    touched only for shortlist candidates: never a corpus-wide
+    distance pass, never a shuffle of ``emb_df``. All arithmetic is
+    the index's own integer quantization (scales from the ``meta``
+    sidecar), id tie-breaks — deterministic and engine-portable.
+
+    Returns (query_id, neighbor_id, dist, rnk), rnk <= topk, ``dist``
+    the exact quantized L2^2.
+    """
+    from pyspark.sql import Window as W
+
+    meta, _coarse, _books = _load_ivfpq_index(spark, path)
+    short = ivfpq_index_topk(
+        spark, path, query_df, nprobe=nprobe, topk=shortlist
+    ).select("query_id", "neighbor_id")
+    qn = float(int(meta.quantum))
+    qz_expr = (
+        f"transform({{c}}, x -> cast(floor(cast(x as double) * {qn!r} "
+        f"+ 0.5) as bigint))"
+    )
+    corpus = emb_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(qz_expr.format(c=vec_col)).alias("__qx"),
+    )
+    qs = query_df.select(
+        "query_id", F.expr(qz_expr.format(c="qvec")).alias("__qq")
+    )
+    # shortlist (bounded) broadcast into the embedding scan: the scan
+    # side never shuffles, and only shortlist ids pay the exact fold
+    cand = corpus.join(F.broadcast(short), "neighbor_id").join(
+        F.broadcast(qs), "query_id"
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("__qq"), F.col("__qx"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", dist.alias("dist"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            "query_id", "neighbor_id", "dist",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

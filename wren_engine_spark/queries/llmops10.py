@@ -888,3 +888,57 @@ def x118(spark: SparkSession, sf: str) -> DataFrame:
         spark, path, _probe_queries(spark, sf),
         nprobe=_IVFPQ_NPROBE, topk=_IVFPQ_TOPK,
     )
+
+
+_IVFPQ_SHORT = 20  # ADC shortlist depth for the refined probe
+
+
+@register(
+    "x119_ivfpq_refined_probe",
+    f"""
+    WITH {_IVFPQ_CTES},
+    short AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rnk <= {_IVFPQ_SHORT}
+    ),
+    ex AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 [(z[1] - z[2]) * (z[1] - z[2])
+                  FOR z IN list_zip(qq.qx, b.qx)]),
+                 (acc, v) -> acc + v) AS dist
+      FROM short s
+      JOIN q qq ON qq.vec_id = s.query_id
+      JOIN q b ON b.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(dist AS BIGINT) AS dist,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT query_id, neighbor_id, dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dist ASC, neighbor_id ASC)
+                   AS rnk
+          FROM ex)
+    WHERE rnk <= {_IVFPQ_TOPK}
+    """,
+)
+def x119(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage IVF-PQ serving — ADC shortlist, exact re-rank
+    (similarity.ivfpq_index_topk_refined; the FAISS IndexRefine /
+    DiskANN production shape): the persisted composite index's
+    codes-only scan retrieves a {_IVFPQ_SHORT}-deep approximate
+    shortlist per query, then ONLY those rows are re-scored by the
+    EXACT quantized L2 against the full vectors from the embedding
+    store and cut to the final top-{_IVFPQ_TOPK}. Refinement repairs
+    PQ distortion inside the shortlist — final ordering is exact over
+    whatever the shortlist retrieved, so recall@k >= the raw ADC
+    cut's (pytest recall gate). At 100 TB: stage 1 unchanged
+    (codes-only, no embedding column in the plan), stage 2 broadcasts
+    the bounded |queries| x {_IVFPQ_SHORT} shortlist into ONE narrow
+    id-join scan of the embedding store — full vectors touched only
+    for shortlist candidates, never a corpus-wide distance pass.
+    Shares x109's persisted index (one build pays for both rows)."""
+    path = _ensure_ivfpq_index(spark, sf)
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    return similarity.ivfpq_index_topk_refined(
+        spark, path, e, "vec_id", "embedding", _probe_queries(spark, sf),
+        nprobe=_IVFPQ_NPROBE, shortlist=_IVFPQ_SHORT, topk=_IVFPQ_TOPK,
+    )

@@ -22,6 +22,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _literal_df(spark, rows, schema):
+    """True-LocalRelation literal frame for a BOUNDED driver-side row
+    set (probe signatures, ADC tables). ``spark.createDataFrame(list)``
+    parallelizes local data into default-parallelism RDD slices, and
+    every ACTION on a plan containing that scan then spins one Python
+    worker per slice just to re-pickle the same handful of rows —
+    measured ~200 ms x 32 tasks per probe on the bench box, more
+    wall-clock than the probe's real work. The Arrow pandas path
+    materializes a driver-side LocalTableScan instead: no job, no
+    Python workers, and the broadcast build is driver-local. Values
+    are bit-identical (both routes cast the collected doubles through
+    the same target schema). Falls back to plain createDataFrame when
+    pandas/Arrow is unavailable."""
+    rows = [tuple(r) for r in rows]
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=[str(i) for i in range(len(rows[0]))])
+        out = spark.createDataFrame(pdf, schema)
+        # the Arrow path must yield a LocalRelation (no RDD scan); if
+        # the conf routed it elsewhere, the fallback is still correct
+        if "LocalRelation" not in out._jdf.queryExecution().analyzed().toString():
+            return spark.createDataFrame(rows, schema)
+        return out
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def _dot_dec(a, b) -> F.Column:
     """Dot product of two float arrays as a deterministic double left
     fold (bit-identical to DuckDB list_reduce over the same products)."""
@@ -1265,7 +1295,17 @@ def ann_index_topk(
     tomb = layout.bucketed_tombstones(spark, table)
     if tomb is not None:
         idx = idx.join(F.broadcast(tomb.select(id_col)), id_col, "left_anti")
-    qsigs = _all_table_signatures(
+    # materialize the BOUNDED query side's signatures driver-side (the
+    # codes-layout families' _ivfpq_quantized_queries convention): the
+    # in-plan plane kernel is tables x nbits dot products of dim terms
+    # each — thousands of expression nodes that Catalyst re-analyzes,
+    # re-optimizes, and re-codegens on EVERY action against the probe
+    # DataFrame (measured: more driver time than the probe's executed
+    # jobs). One tiny job runs the exact same kernel over the query
+    # batch once; the probe plan then carries the signatures as a
+    # literal local relation — same values (the kernel is identical),
+    # same broadcast join, a fraction of the planning surface.
+    qsig_df = _all_table_signatures(
         query_df, id_col, vec_col, dim, nbits, tables, seed
     ).select(
         "table_id",
@@ -1273,6 +1313,7 @@ def ann_index_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__q"),
     )
+    qsigs = _literal_df(spark, qsig_df.collect(), qsig_df.schema)
     # a candidate colliding in several hash tables appears once per
     # collision; scoring is deterministic per (query, neighbor), so
     # instead of a distinct() BEFORE the window (a second shuffle,
@@ -1695,7 +1736,7 @@ def _adc_rank(spark, codes: DataFrame, tab_rows, n_subspaces: int, topk: int) ->
     schema = "query_id BIGINT, " + ", ".join(
         f"__adt_{s} ARRAY<BIGINT>" for s in range(n_subspaces)
     )
-    qtab = spark.createDataFrame(tab_rows, schema)
+    qtab = _literal_df(spark, tab_rows, schema)
     adist = None
     for s in range(n_subspaces):
         term = F.element_at(F.col(f"__adt_{s}"), F.col(f"__code_{s}") + 1)
@@ -2572,7 +2613,7 @@ def _ivfpq_rank(
     schema = "query_id BIGINT, __list INT, " + ", ".join(
         f"__adt_{s} ARRAY<BIGINT>" for s in range(n_subspaces)
     )
-    qtab = spark.createDataFrame(tab_rows, schema)
+    qtab = _literal_df(spark, tab_rows, schema)
     adist = None
     for s in range(n_subspaces):
         term = F.element_at(F.col(f"__adt_{s}"), F.col(f"code_{s}") + 1)
@@ -2882,7 +2923,7 @@ def ivfpq_tune_nprobe(
     schema = "query_id BIGINT, __list INT, cellrank INT, " + ", ".join(
         f"__adt_{s} ARRAY<BIGINT>" for s in range(meta.n_subspaces)
     )
-    qtab = spark.createDataFrame(tab_rows, schema)
+    qtab = _literal_df(spark, tab_rows, schema)
     codes = _apply_tombstones(spark, path, spark.read.parquet(f"{path}/codes"))
     adist = None
     for s in range(meta.n_subspaces):

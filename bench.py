@@ -384,6 +384,8 @@ def main() -> None:
         # two-stage serving: ADC shortlist -> exact re-rank over the
         # embedding store (shares x109's persisted index)
         "x119_ivfpq_refined_probe",
+        # deterministic BM25 (quantized micro-unit contributions)
+        "x120_bm25_topk",
     ]
     r9_timings, r9_total, r9_runs, r9_measured, _ = run_suite(
         R9, "r9 operator sub-suite", freeze=True

@@ -844,3 +844,112 @@ class TestNprobeTuner:
         # (exact side still ranks them, approx side cannot return them)
         b2 = {r.nprobe: r for r in before}
         assert after[2].n_hits <= b2[2].n_hits
+
+
+class TestBM25:
+    def test_matches_pure_python_replay(self, spark):
+        import math
+        import re as _re
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+            F.col("doc_id") < 150
+        )
+        qids = docs.filter(F.col("doc_id") < 3).select("doc_id")
+        got = {
+            (r.query_id, r.rnk): (r.doc_id, r.bm25)
+            for r in retrieval.bm25_topk(
+                docs, "doc_id", "text", qids, k=5
+            ).collect()
+        }
+        rows = docs.select("doc_id", "text").collect()
+        toks = {
+            r.doc_id: [
+                t for t in _re.split(r"[ \t\n\x0B\f\r]+", r.text.strip()) if t
+            ]
+            for r in rows
+        }
+        n = float(len(rows))
+        sumdl = float(sum(len(t) for t in toks.values()))
+        dfreq: dict = {}
+        for ts in toks.values():
+            for t in set(ts):
+                dfreq[t] = dfreq.get(t, 0) + 1
+        k1, b, qn = 1.2, 0.75, 1_000_000.0
+
+        def qscore(q, d):
+            tf = {}
+            for t in toks[d]:
+                tf[t] = tf.get(t, 0) + 1
+            s = 0
+            for t in set(toks[q]):
+                if t not in tf:
+                    continue
+                idf = math.log(
+                    1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+                )
+                c = (
+                    qn
+                    * (
+                        idf
+                        * (tf[t] * (k1 + 1.0))
+                        / (
+                            tf[t]
+                            + k1 * ((1.0 - b) + b * (len(toks[d]) * n / sumdl))
+                        )
+                    )
+                )
+                # round-half-away-from-zero, the Spark/DuckDB ROUND
+                s += int(math.floor(c + 0.5))
+            return s
+
+        for q in (0, 1, 2):
+            want = sorted(
+                ((-qscore(q, d), d) for d in toks if d != q and qscore(q, d) > 0),
+            )[:5]
+            for i, (negs, d) in enumerate(want):
+                doc, sc = got[(q, i + 1)]
+                assert doc == d, (q, i, doc, d)
+                assert sc == pytest.approx(-negs / 1_000_000.0, abs=1e-9)
+
+    def test_corpus_tokens_never_shuffle_on_token_key(self, spark):
+        # same discipline as the overlap ranking: with auto-broadcast
+        # off, every __tok join is an explicit BroadcastHashJoin and
+        # every __tok-keyed exchange is combinable-agg-fed; the tf
+        # aggregate keys on (doc, term) so a hot term cannot pile up
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            qids = docs.filter(F.col("doc_id") < 3).select("doc_id")
+            out = retrieval.bm25_topk(docs, "doc_id", "text", qids, k=5)
+            plan = _plan(out)
+        finally:
+            if saved is None:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        assert "BroadcastHashJoin [__tok" in plan
+        assert "SortMergeJoin [__tok" not in plan
+        assert "ShuffledHashJoin [__tok" not in plan
+        assert "CartesianProduct" not in plan
+        lines = plan.splitlines()
+        for i, l in enumerate(lines):
+            if "Exchange hashpartitioning(__tok" in l:
+                tail = "\n".join(lines[i + 1 : i + 4])
+                assert (
+                    "partial_count" in tail
+                    or "HashAggregate(keys=[__tok" in tail
+                ), l.strip()[:120]
+
+    def test_band_stop_guard_still_available(self, spark):
+        # max_df_frac < 1 cuts ultra-common terms (the posting-length
+        # guard); on this tiny-vocab corpus 0.5 removes everything
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        qids = docs.filter(F.col("doc_id") < 3).select("doc_id")
+        n_full = retrieval.bm25_topk(
+            docs, "doc_id", "text", qids, k=5, max_df_frac=1.0
+        ).count()
+        n_cut = retrieval.bm25_topk(
+            docs, "doc_id", "text", qids, k=5, max_df_frac=0.002
+        ).count()
+        assert n_full > 0 and n_cut < n_full

@@ -211,3 +211,144 @@ def hybrid_rrf_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_ids: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 1.0,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Per-query BM25 top-k (Robertson/Zaragoza) through the same
+    broadcast posting-list discipline as :func:`lexical_overlap_topk`
+    — the production lexical scorer the overlap ranking approximates:
+
+        score(q, d) = sum over shared terms t of
+            idf(t) * tf(d,t) * (k1 + 1)
+                   / (tf(d,t) + k1 * (1 - b + b * dl(d)/avgdl))
+        idf(t) = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+
+    Determinism (the x52 quantized micro-nat convention): every
+    per-(query, doc, term) contribution is quantized to
+    ``ROUND(quantum * contrib)`` as a BIGINT, so the per-pair score is
+    an ORDER-INDEPENDENT integer sum — bit-identical across engines
+    and partial-aggregation orders — and the ranking orders by that
+    integer (ties to the lowest doc id). The published ``bm25`` column
+    is the exact integer divided by ``quantum``. All inputs to the
+    one transcendental (ln) are exact integer-derived doubles with
+    the identical expression text in the DuckDB oracle.
+
+    Shuffle discipline (the x3/x47 standard): the exploded corpus
+    token set never exchanges on the token key. Term frequency groups
+    by (doc, term) — the doc id in the key spreads any hot term across
+    the corpus — document frequency is computed only for the bounded
+    query-term set (broadcast into a partial-agg groupBy), and the
+    posting join broadcasts the per-(query, term) idf table into the
+    tf table. ``max_df_frac`` band-stops ultra-common terms exactly as
+    the overlap ranking does. Query docs use their DISTINCT terms
+    (standard bag-of-words probe).
+
+    Returns (query_id, doc_id, bm25, rnk), rnk <= k.
+    """
+    from pyspark.sql import Window as W
+
+    qn = float(int(quantum))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), WS_RE).alias("__ts"),
+    ).select(
+        "doc_id",
+        F.size(F.filter(F.col("__ts"), lambda t: t != "")).alias("__dl"),
+        F.explode("__ts").alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    # corpus constants: one row, broadcast (N and avgdl's numerator)
+    totals = docs.select(
+        F.count(F.col(id_col)).cast("double").alias("__n")
+    ).crossJoin(
+        F.broadcast(
+            toks.groupBy("doc_id", "__dl").agg(F.first(F.lit(1))).select(
+                F.sum("__dl").cast("double").alias("__sumdl")
+            )
+        )
+    )
+    # query terms: distinct tokens of the query docs (bounded)
+    qtoks = (
+        toks.join(
+            F.broadcast(
+                query_ids.select(F.col(query_ids.columns[0]).alias("doc_id"))
+            ),
+            "doc_id",
+        )
+        .select(F.col("doc_id").alias("query_id"), "__tok")
+        .distinct()
+    )
+    # document frequency for query terms only: distinct (doc, term)
+    # restricted via broadcast, then a combinable groupBy on the term
+    dfreq = (
+        toks.select("doc_id", "__tok")
+        .distinct()
+        .join(F.broadcast(qtoks.select("__tok").distinct()), "__tok")
+        .groupBy("__tok")
+        .agg(F.count("*").cast("double").alias("__df"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("__df") <= F.lit(float(max_df_frac)) * F.col("__n"))
+        .select(
+            "__tok",
+            "__n",
+            "__sumdl",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+            ).alias("__idf"),
+        )
+    )
+    qterms = qtoks.join(F.broadcast(dfreq), "__tok")
+    # term frequency: (doc, term) keyed — the doc id in the grouping
+    # key spreads hot terms, so this shuffle cannot pile up on a
+    # stopword; __dl rides the key (constant per doc)
+    tf = toks.groupBy("doc_id", "__dl", "__tok").agg(
+        F.count("*").cast("double").alias("__tf")
+    )
+    contrib = (
+        F.col("__idf")
+        * (F.col("__tf") * F.lit(float(k1) + 1.0))
+        / (
+            F.col("__tf")
+            + F.lit(float(k1))
+            * (
+                F.lit(1.0 - float(b))
+                + F.lit(float(b))
+                * (F.col("__dl").cast("double") * F.col("__n") / F.col("__sumdl"))
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "__tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.lit(qn) * contrib).cast("bigint").alias("__qc"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__qc").cast("bigint").alias("__qscore"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("__qscore").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("__qscore").cast("double") / F.lit(qn)).alias("bm25"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -940,6 +940,105 @@ class TestBM25:
                     "partial_count" in tail
                     or "HashAggregate(keys=[__tok" in tail
                 ), l.strip()[:120]
+        # r10 (r9 verdict `weak` fix): NO exchange may carry the
+        # unrestricted corpus explode — every Exchange whose input
+        # subtree contains the token explode must restrict it through
+        # a broadcast join FIRST (query-term set into the explode, or
+        # query ids into the explode for the bounded qtoks leg). Scan
+        # each exchange's span (up to the next Exchange): if a
+        # Generate explode feeds it, a BroadcastHashJoin must appear
+        # between the exchange and that explode.
+        exch_idx = [
+            i for i, l in enumerate(lines) if "Exchange " in l
+        ] + [len(lines)]
+        for a, b in zip(exch_idx, exch_idx[1:]):
+            span = lines[a + 1 : b]
+            gen = next(
+                (j for j, l in enumerate(span) if "Generate explode" in l),
+                None,
+            )
+            if gen is not None:
+                assert any(
+                    "BroadcastHashJoin" in l for l in span[:gen]
+                ), lines[a].strip()[:120]
+
+    def test_restricted_rewrite_bit_identical_to_naive(self, spark):
+        """The r10 restrict-then-aggregate rewrite must be
+        result-identical to the naive full-corpus order: compare
+        against a literal re-derivation that aggregates tf/df over the
+        UNRESTRICTED explode (the pre-r10 shape), bit-for-bit on the
+        quantized scores."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        qids = docs.filter(F.col("doc_id") < 4).select("doc_id")
+        got = retrieval.bm25_topk(docs, "doc_id", "text", qids, k=7)
+        toks = docs.select(
+            F.col("doc_id"),
+            F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+").alias("__ts"),
+        ).select(
+            "doc_id",
+            F.size(F.filter(F.col("__ts"), lambda t: t != "")).alias("__dl"),
+            F.explode("__ts").alias("__tok"),
+        ).filter(F.col("__tok") != "")
+        totals = docs.select(
+            F.count("doc_id").cast("double").alias("__n")
+        ).crossJoin(
+            toks.groupBy("doc_id", "__dl").agg(F.first(F.lit(1))).select(
+                F.sum("__dl").cast("double").alias("__sumdl")
+            )
+        )
+        qtoks = (
+            toks.join(qids, "doc_id")
+            .select(F.col("doc_id").alias("query_id"), "__tok")
+            .distinct()
+        )
+        dfreq = (
+            toks.select("doc_id", "__tok").distinct()
+            .groupBy("__tok")
+            .agg(F.count("*").cast("double").alias("__df"))
+            .crossJoin(totals)
+            .select(
+                "__tok", "__n", "__sumdl",
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__n") - F.col("__df") + F.lit(0.5))
+                    / (F.col("__df") + F.lit(0.5))
+                ).alias("__idf"),
+            )
+        )
+        tf = toks.groupBy("doc_id", "__dl", "__tok").agg(
+            F.count("*").cast("double").alias("__tf")
+        )
+        k1, b = 1.2, 0.75
+        contrib = (
+            F.col("__idf") * (F.col("__tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("__tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * (F.col("__dl").cast("double") * F.col("__n") / F.col("__sumdl"))
+                )
+            )
+        )
+        naive = (
+            tf.join(qtoks.join(dfreq, "__tok"), "__tok")
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .select(
+                "query_id", "doc_id",
+                F.round(F.lit(1e6) * contrib).cast("bigint").alias("__qc"),
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("__qc").alias("__qscore"))
+        )
+        want = {
+            (r["query_id"], r["doc_id"]): r["__qscore"]
+            for r in naive.collect()
+        }
+        for r in got.collect():
+            assert int(round(r.bm25 * 1e6)) == want[(r.query_id, r.doc_id)]
 
     def test_band_stop_guard_still_available(self, spark):
         # max_df_frac < 1 cuts ultra-common terms (the posting-length

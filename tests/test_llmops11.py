@@ -1040,6 +1040,62 @@ class TestBM25:
         for r in got.collect():
             assert int(round(r.bm25 * 1e6)) == want[(r.query_id, r.doc_id)]
 
+    def test_hybrid_bm25_leg_matches_bm25_topk(self, spark):
+        """hybrid_rrf_topk(lexical='bm25') must carry EXACTLY the
+        bm25_topk ranks as lex_rank, and its fused order must equal a
+        pure-Python RRF over the two legs' ranks."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+            F.col("doc_id") < 250
+        )
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+            F.col("vec_id") < 250
+        )
+        qids = docs.filter(F.col("doc_id") < 3).select("doc_id")
+        fused = retrieval.hybrid_rrf_topk(
+            docs, "doc_id", "text", emb, "vec_id", "embedding", qids,
+            k_lex=8, k_vec=8, rrf_k=60, topk=4,
+            max_df_frac=1.0, lexical="bm25",
+        ).collect()
+        lex = {
+            (r.query_id, r.doc_id): r.rnk
+            for r in retrieval.bm25_topk(
+                docs, "doc_id", "text", qids, k=8, max_df_frac=1.0
+            ).collect()
+        }
+        qvecs = emb.join(qids, F.col("vec_id") == F.col("doc_id")).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        vec = {
+            (r.query_id, r.neighbor_id): r.rnk
+            for r in similarity.quantized_cosine_topk(
+                emb, "vec_id", "embedding", qvecs, k=8
+            ).collect()
+        }
+        # every fused row's lex_rank is the bm25 rank (or NULL if the
+        # candidate came only from the vector leg)
+        for r in fused:
+            want = lex.get((r.query_id, r.doc_id))
+            assert r.lex_rank == want, (r, want)
+            assert r.vec_rank == vec.get((r.query_id, r.doc_id))
+        # pure-Python RRF over the two rank dicts reproduces the
+        # fused top-k order and scores exactly
+        cands: dict = {}
+        for (q, d), rk in lex.items():
+            cands.setdefault(q, {}).setdefault(d, 0.0)
+            cands[q][d] += 1.0 / (60.0 + rk)
+        for (q, d), rk in vec.items():
+            cands.setdefault(q, {}).setdefault(d, 0.0)
+            cands[q][d] += 1.0 / (60.0 + rk)
+        for q, byd in cands.items():
+            want_order = sorted(byd.items(), key=lambda t: (-t[1], t[0]))[:4]
+            got_rows = sorted(
+                (r for r in fused if r.query_id == q), key=lambda r: r.rnk
+            )
+            assert [r.doc_id for r in got_rows] == [d for d, _ in want_order]
+            for r, (_, s) in zip(got_rows, want_order):
+                assert r.rrf_score == pytest.approx(round(s, 6), abs=1e-12)
+
     def test_band_stop_guard_still_available(self, spark):
         # max_df_frac < 1 cuts ultra-common terms (the posting-length
         # guard); on this tiny-vocab corpus 0.5 removes everything

@@ -141,6 +141,10 @@ def hybrid_rrf_topk(
     rrf_k: int = 60,
     topk: int = 5,
     max_df_frac: float = 0.5,
+    lexical: str = "overlap",
+    k1: float = 1.2,
+    b: float = 0.75,
+    quantum: int = 1_000_000,
 ) -> DataFrame:
     """Reciprocal-rank fusion of a lexical and a vector ranking over
     the same id space (``doc_id == vec_id`` — the RAG corpus shape
@@ -155,15 +159,32 @@ def hybrid_rrf_topk(
     incomparable-scale fudge factors, the whole reason RRF is the
     production default.
 
+    ``lexical`` picks the lexical leg: ``"overlap"`` (distinct
+    shared-token count — the rank-fusion-friendly baseline) or
+    ``"bm25"`` (:func:`bm25_topk`, the production scorer; ``k1`` /
+    ``b`` / ``quantum`` apply only there). Both produce integer-keyed
+    deterministic ranks, so the fusion arithmetic — and its
+    bit-identity guarantee — is unchanged by the choice.
+
     Returns (query_id, doc_id, rrf_score, lex_rank, vec_rank, rnk)
     with rnk <= topk; absent-from-one-list ranks are NULL.
     """
     from pyspark.sql import Window as W
 
-    lex = lexical_overlap_topk(
-        docs, doc_id_col, text_col, query_ids, k=k_lex,
-        max_df_frac=max_df_frac,
-    )
+    if lexical == "overlap":
+        lex = lexical_overlap_topk(
+            docs, doc_id_col, text_col, query_ids, k=k_lex,
+            max_df_frac=max_df_frac,
+        ).select("query_id", "doc_id", "lex_rank")
+    elif lexical == "bm25":
+        lex = bm25_topk(
+            docs, doc_id_col, text_col, query_ids, k=k_lex,
+            k1=k1, b=b, max_df_frac=max_df_frac, quantum=quantum,
+        ).select(
+            "query_id", "doc_id", F.col("rnk").alias("lex_rank")
+        )
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown lexical ranking: {lexical!r}")
     qvecs = emb.join(
         F.broadcast(
             query_ids.select(F.col(query_ids.columns[0]).alias("__qid"))
@@ -179,9 +200,7 @@ def hybrid_rrf_topk(
         F.col("neighbor_id").alias("doc_id"),
         F.col("rnk").alias("vec_rank"),
     )
-    fused = lex.select("query_id", "doc_id", "lex_rank").join(
-        vec, ["query_id", "doc_id"], "full_outer"
-    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer")
     contrib = (
         F.coalesce(
             F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("lex_rank").cast("double")),

@@ -97,3 +97,119 @@ def x120(spark: SparkSession, sf: str) -> DataFrame:
         d, "doc_id", "text", qids,
         k=_K, k1=_K1, b=_B, max_df_frac=_MAXDF, quantum=_QN,
     )
+
+
+# ---------------------------------------------------------------------------
+# x121: hybrid RRF with BM25 as the lexical leg (the production RAG stack)
+# ---------------------------------------------------------------------------
+
+# BM25 lexical CTE chain producing `hlex` (query docs < 4, rank <= 10)
+# — the x120 scoring replayed verbatim, feeding x114's fusion CTE.
+_X121_BM25_LEX = f"""
+    bt AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '{_WS}'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    btl AS (SELECT doc_id, len(t) AS dl, t FROM bt),
+    bocc AS (SELECT doc_id, dl, unnest(t) AS tok FROM btl),
+    btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    bsdl AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sumdl FROM btl),
+    bqt AS (
+      SELECT DISTINCT doc_id AS query_id, tok FROM bocc WHERE doc_id < 4
+    ),
+    bdf AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM bocc WHERE tok IN (SELECT tok FROM bqt) GROUP BY tok
+    ),
+    bidf AS (
+      SELECT tok,
+             ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf, n, sumdl
+      FROM bdf, btot, bsdl
+      WHERE df <= {_MAXDF!r} * n
+    ),
+    btf AS (
+      SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM bocc GROUP BY 1, 2, 3
+    ),
+    bsc AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(ROUND({float(_QN)!r} * (i.idf * (t.tf * {_K1 + 1.0!r})
+                  / (t.tf + {_K1!r} * ({1.0 - _B!r}
+                       + {_B!r} * (CAST(t.dl AS DOUBLE) * i.n / i.sumdl)))))
+                  AS BIGINT) AS qc
+      FROM btf t
+      JOIN bqt q ON q.tok = t.tok
+      JOIN bidf i ON i.tok = t.tok
+      WHERE t.doc_id <> q.query_id
+    ),
+    bagg AS (
+      SELECT query_id, doc_id, CAST(SUM(qc) AS BIGINT) AS qscore
+      FROM bsc GROUP BY 1, 2
+    ),
+    hlex AS (
+      SELECT query_id, doc_id, lex_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY qscore DESC, doc_id) AS lex_rank
+        FROM bagg) WHERE lex_rank <= 10
+    )"""
+
+
+def _x121_oracle() -> str:
+    from wren_engine_spark.queries.llmops11 import _X114_VEC
+
+    return f"""
+    WITH {_X121_BM25_LEX},
+    {_X114_VEC},
+    hfused AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(CAST(1 AS DOUBLE)
+                        / (CAST(60 AS DOUBLE) + CAST(l.lex_rank AS DOUBLE)),
+                      CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE)
+                        / (CAST(60 AS DOUBLE) + CAST(v.vec_rank AS DOUBLE)),
+                      CAST(0 AS DOUBLE)) AS score,
+             l.lex_rank, v.vec_rank
+      FROM hlex l FULL OUTER JOIN hvec v
+        ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+    ),
+    hranked AS (
+      SELECT query_id, doc_id, score, lex_rank, vec_rank,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM hfused
+    )
+    SELECT query_id, doc_id, ROUND(score, 6) AS rrf_score,
+           CAST(lex_rank AS INTEGER) AS lex_rank,
+           CAST(vec_rank AS INTEGER) AS vec_rank,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM hranked WHERE rnk <= 5
+    """
+
+
+@register("x121_hybrid_rrf_bm25", _x121_oracle())
+def x121(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval with BM25 as the lexical leg — the production
+    RAG serving stack: x120's deterministic BM25 ranks (quantized
+    micro-nat integer scores, restrict-then-aggregate posting plan)
+    fused with the int8-quantized cosine ranks (x45 kernel) by RRF
+    (sum of 1/(60+rank)). The fusion consumes ONLY the two integer
+    rank columns, so swapping the overlap approximation (x114) for
+    BM25 changes candidate ordering, never the fusion arithmetic —
+    the fused score stays a two-term IEEE double sum, bit-identical
+    in any engine, certified end-to-end by the oracle's replay of
+    BOTH rankings and the fusion. Same plan discipline both legs: no
+    exchange of the unrestricted corpus explode (lexical), broadcast
+    query side into one corpus scan (vector)."""
+    d = load_tables(spark, sf, "documents")["documents"]
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    qids = d.filter(F.col("doc_id") < 4).select("doc_id")
+    return retrieval.hybrid_rrf_topk(
+        d, "doc_id", "text", e, "vec_id", "embedding", qids,
+        k_lex=10, k_vec=10, rrf_k=60, topk=5,
+        max_df_frac=_MAXDF, lexical="bm25",
+        k1=_K1, b=_B, quantum=_QN,
+    )

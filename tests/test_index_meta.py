@@ -150,6 +150,56 @@ class TestProbeShape:
         df = QUERIES["x63_ann_index_probe"](spark, SF_DIR)
         assert shuffle_exchanges(df) == 1
 
+    def test_x63_probe_memo_invalidated_by_index_rebuild(self, spark):
+        """r10 (r9 verdict item 6): the x63 prepared-probe memo embeds
+        collected query SIGNATURES as a LocalRelation — a same-session
+        index rebuild (different seed => different planes/buckets) must
+        bust it, or the probe joins old-geometry signatures against the
+        new index. The memo is keyed by index_meta.fs_token of the
+        managed table dir; after an in-session reseed the registered
+        entry must return exactly what a fresh probe of the rebuilt
+        index returns."""
+        import hashlib
+
+        from wren_engine_spark.queries.io import load_tables
+        from wren_engine_spark.queries.registry import QUERIES
+
+        q = QUERIES["x63_ann_index_probe"]
+        q(spark, SF_DIR).collect()  # prime build + probe memos
+        table = f"ann_idx_{hashlib.md5(SF_DIR.encode()).hexdigest()[:10]}"
+        e = load_tables(spark, SF_DIR, "embeddings")["embeddings"]
+
+        def probe_fresh():
+            queries = spark.read.parquet(
+                f"{SF_DIR}/embeddings.parquet"
+            ).filter(F.col("vec_id") < 10)
+            return similarity.ann_index_topk(
+                spark, table, queries, "vec_id", "embedding",
+                dim=64, k=3, nbits=10, tables=4,
+            ).collect()
+
+        def key(rows):
+            return sorted(
+                (r.query_id, r.rnk, r.neighbor_id, r.cosine_sim)
+                for r in rows
+            )
+
+        try:
+            similarity.write_ann_index(
+                e, "vec_id", "embedding", table,
+                dim=64, nbits=10, tables=4, seed=7,
+            )
+            got = q(spark, SF_DIR).collect()
+            assert key(got) == key(probe_fresh())
+        finally:
+            # restore the seed-42 geometry the registered entry's
+            # oracle (and any later test/bench run) expects
+            similarity.write_ann_index(
+                e, "vec_id", "embedding", table,
+                dim=64, nbits=10, tables=4, seed=42,
+            )
+        assert key(q(spark, SF_DIR).collect()) == key(probe_fresh())
+
 
 class TestCachedReadMechanics:
     def test_local_dir_unwraps_file_uris(self, tmp_path):

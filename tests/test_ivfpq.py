@@ -532,6 +532,45 @@ class TestIvfPqRetrain:
             spark, fresh, queries, nprobe=2, topk=5).collect()))
         assert a == b
 
+    def test_retrain_defaults_to_recorded_iteration_counts(
+        self, spark, tmp_path
+    ):
+        """r10 (r9 advisor item 3): the meta sidecar now carries
+        coarse_iters/pq_iters, and a default retrain reuses THEM —
+        an index built with non-default iteration counts retrains to
+        the same geometry a fresh build with those counts produces,
+        honoring the retrained==fresh-build contract."""
+        df = self._clustered(spark)
+        path = str(tmp_path / "iters_idx")
+        similarity.write_ivfpq_index(
+            df=df, id_col="vec_id", vec_col="embedding", path=path,
+            nlist=4, n_subspaces=2, k_codes=4,
+            coarse_iters=3, pq_iters=2,
+        )
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        assert (meta.coarse_iters, meta.pq_iters) == (3, 2)
+        similarity.ivfpq_index_retrain(
+            spark, path, df, "vec_id", "embedding"  # all-default retrain
+        )
+        meta2 = spark.read.parquet(f"{path}/meta").collect()[0]
+        assert (meta2.coarse_iters, meta2.pq_iters) == (3, 2)
+        fresh = str(tmp_path / "iters_fresh")
+        similarity.write_ivfpq_index(
+            df=df, id_col="vec_id", vec_col="embedding", path=fresh,
+            nlist=4, n_subspaces=2, k_codes=4,
+            coarse_iters=3, pq_iters=2,
+        )
+        queries = df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        key = lambda r: (r.query_id, r.rnk, r.neighbor_id, r.adist)  # noqa: E731
+        a = sorted(map(key, similarity.ivfpq_index_topk(
+            spark, path, queries, nprobe=2, topk=5).collect()))
+        b = sorted(map(key, similarity.ivfpq_index_topk(
+            spark, fresh, queries, nprobe=2, topk=5).collect()))
+        assert a == b
+
     def test_retrain_folds_tombstones_and_clears_state(
         self, spark, tmp_path
     ):

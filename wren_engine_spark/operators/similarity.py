@@ -34,9 +34,16 @@ def _literal_df(spark, rows, schema):
     Python workers, and the broadcast build is driver-local. Values
     are bit-identical (both routes cast the collected doubles through
     the same target schema). Falls back to plain createDataFrame when
-    pandas/Arrow is unavailable."""
+    pandas/Arrow is unavailable — or when any cell is None: pandas
+    coerces object columns containing None to float64 NaN, which the
+    Arrow path would then ship as NaN where the plain path keeps a
+    true NULL, breaking the bit-identical claim. (Current call sites
+    are non-null by construction; the guard keeps the helper honest
+    for general rows.)"""
     rows = [tuple(r) for r in rows]
     if not rows:
+        return spark.createDataFrame(rows, schema)
+    if any(c is None for r in rows for c in r):
         return spark.createDataFrame(rows, schema)
     try:
         import pandas as pd
@@ -1242,6 +1249,7 @@ def ann_index_topk(
     seed: int = 42,
     allow_legacy: bool = False,
     where: str | F.Column | None = None,
+    max_literal_queries: int = 4096,
 ) -> DataFrame:
     """Probe a persisted ANN index (same nbits/tables/seed as the
     build): hash each query into its per-table bucket, join the
@@ -1313,7 +1321,22 @@ def ann_index_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__q"),
     )
-    qsigs = _literal_df(spark, qsig_df.collect(), qsig_df.schema)
+    # BOUNDED-batch guard (round-10, advisor ask): the literal
+    # materialization collects |queries| x tables signature rows — each
+    # carrying the full query vector — to the driver at CONSTRUCTION
+    # time. The public API cannot assume callers honor the "query side
+    # is a probe batch" convention, so the collect is capped: fetch at
+    # most the cap + 1 rows (one bounded job, bounded driver memory —
+    # never an unbounded collect), and when the batch exceeds
+    # ``max_literal_queries`` keep the signature kernel IN-PLAN
+    # (lazy, distributed, broadcast at execution) instead. Below the
+    # cap the behavior is the prepared-plan LocalRelation fast path.
+    cap_rows = int(max_literal_queries) * max(int(tables), 1)
+    head = qsig_df.limit(cap_rows + 1).collect()
+    if len(head) > cap_rows:
+        qsigs = qsig_df
+    else:
+        qsigs = _literal_df(spark, head, qsig_df.schema)
     # a candidate colliding in several hash tables appears once per
     # collision; scoring is deterministic per (query, neighbor), so
     # instead of a distinct() BEFORE the window (a second shuffle,
@@ -2703,8 +2726,10 @@ def write_ivfpq_index(
         "subspace INT, cluster INT, dim INT, val BIGINT",
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
     spark.createDataFrame(
-        [(nlist, n_subspaces, k_codes, int(quantum), dim)],
-        "nlist INT, n_subspaces INT, k_codes INT, quantum BIGINT, dim INT",
+        [(nlist, n_subspaces, k_codes, int(quantum), dim,
+          int(coarse_iters), int(pq_iters))],
+        "nlist INT, n_subspaces INT, k_codes INT, quantum BIGINT, dim INT, "
+        "coarse_iters INT, pq_iters INT",
     ).write.mode("overwrite").parquet(f"{path}/meta")
     n_vec = spark.read.parquet(f"{path}/codes").count()
     return {
@@ -3032,8 +3057,8 @@ def ivfpq_index_retrain(
     nlist: int | None = None,
     n_subspaces: int | None = None,
     k_codes: int | None = None,
-    coarse_iters: int = 2,
-    pq_iters: int = 1,
+    coarse_iters: int | None = None,
+    pq_iters: int | None = None,
     quantum: int | None = None,
 ) -> dict:
     """Retrain a persisted IVF-PQ index on the CURRENT corpus — the
@@ -3072,8 +3097,12 @@ def ivfpq_index_retrain(
     that delta would duplicate its rows.
 
     Parameters default to the index's own ``meta`` sidecar (same
-    nlist/n_subspaces/k_codes/quantum as the original build); pass
-    overrides to re-shape the index while retraining.
+    nlist/n_subspaces/k_codes/quantum — and, since the sidecar gained
+    them, coarse_iters/pq_iters — as the original build, so
+    retrained == fresh-build on the same corpus holds for ALL
+    geometry parameters); pass overrides to re-shape the index while
+    retraining. Pre-upgrade indexes whose sidecar lacks the iteration
+    columns fall back to the historical defaults (2/1).
 
     Returns ``write_ivfpq_index``'s stats dict plus
     ``n_tombstones_folded``.
@@ -3096,6 +3125,11 @@ def ivfpq_index_retrain(
     )
     k_codes = int(meta.k_codes) if k_codes is None else int(k_codes)
     quantum = int(meta.quantum) if quantum is None else int(quantum)
+    md = meta.asDict()
+    if coarse_iters is None:
+        coarse_iters = int(md.get("coarse_iters") or 2)
+    if pq_iters is None:
+        pq_iters = int(md.get("pq_iters") or 1)
     # fold pending deletes: a tombstoned id must be neither trained on
     # nor re-encoded — the retrain IS the compaction of its tombstone
     live = corpus_df

@@ -1629,6 +1629,53 @@ def simhash_index_probe(
     )
 
 
+def simhash_index_probe_stream(
+    spark,
+    table: str,
+    delta_stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    qname: str = "simhash_probe_stream",
+    available_now: bool = True,
+    processing_time: str | None = None,
+    checkpoint: str | None = None,
+    timeout_sec: int = 300,
+):
+    """24/7 delete-visible streaming probe of a persisted simhash
+    index: each microbatch of the document stream runs the BATCH
+    :func:`simhash_index_probe` inside ``foreachBatch``, so the
+    tombstone set (and the ``__meta`` sidecar after a rebuild) is
+    re-resolved on EVERY batch — a ``simhash_index_delete`` issued
+    between microbatches is honored by the next batch without a query
+    restart. This is the operator the t13 docstring's
+    delete-visibility contract points long-running deployments at: a
+    plain stream-static join (t13's availableNow shape) freezes the
+    tombstone resolution at definition time, which is correct for
+    scheduled bounded drains but not for continuous ingestion.
+
+    Results (delta_id, corpus_id, hamming) append to the managed
+    table ``qname``. With ``available_now`` (default) returns that
+    table's DataFrame after the bounded drain; with
+    ``processing_time`` returns the live query handle (caller stops
+    it). At 100 TB the per-batch plan is the probe's own: delta
+    signatures broadcast, index side scanned in place, never
+    shuffled."""
+    from wren_engine_spark.streaming.ops import run_foreach_batch
+
+    def _fn(bspark, batch_df, _batch_id):
+        return simhash_index_probe(
+            bspark, table, batch_df, text_col, id_col,
+            max_hamming=max_hamming,
+        )
+
+    return run_foreach_batch(
+        spark, delta_stream, _fn, qname,
+        available_now=available_now, processing_time=processing_time,
+        checkpoint=checkpoint, timeout_sec=timeout_sec,
+    )
+
+
 def simhash_portable_expr(text_col: str):
     """The PORTABLE 31-bit simhash as ONE per-row nested
     higher-order-function expression — no explode, no aggregation, so

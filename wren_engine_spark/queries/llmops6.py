@@ -282,8 +282,10 @@ def t13(spark: SparkSession, sf: str) -> DataFrame:
     availableNow drain, like this entry and any scheduled ingestion,
     re-resolves on every invocation, so it always sees the current
     tombstone set). For a 24/7 stream that must honor mid-stream
-    deletes, wrap the probe in foreachBatch and re-resolve
-    ``layout.bucketed_tombstones`` inside the batch function."""
+    deletes, use ``dedup.simhash_index_probe_stream`` — the
+    foreachBatch deployment that re-resolves the tombstone set on
+    every microbatch (pytest: a delete issued between microbatches is
+    honored by the next batch without restart)."""
     import hashlib
 
     d = load_tables(spark, sf, "documents")["documents"]

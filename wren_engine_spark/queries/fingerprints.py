@@ -130,13 +130,23 @@ def _direct_deps(src: str, mods: dict[str, str]) -> set[str]:
             base = node.module
             if not base.startswith(PKG):
                 continue
-            if base in mods:
-                deps.add(base)
+            # `from pkg.a import b` where pkg.a.b is a module depends
+            # on pkg.a.b, NOT on everything pkg.a's __init__ imports —
+            # the package __init__ only binds names (the granular
+            # analyzer already resolves it this way; the coarse walker
+            # must match, else one `from operators import layout` in a
+            # streaming module makes every streaming query re-window
+            # on any dedup/similarity edit). The base package is a dep
+            # only when some imported name is a real symbol of it.
+            non_module = False
             for a in node.names:
-                # `from pkg.a import b` where pkg.a.b is a module
                 cand = f"{base}.{a.name}"
                 if cand in mods:
                     deps.add(cand)
+                else:
+                    non_module = True
+            if non_module and base in mods:
+                deps.add(base)
     return deps
 
 
@@ -332,6 +342,17 @@ class _SymbolGraph:
             elif isinstance(node, ast.Assign) and len(node.targets) == 1 and \
                     isinstance(node.targets[0], ast.Name):
                 names = [node.targets[0].id]
+            elif isinstance(node, ast.Assign) and len(node.targets) == 1 and \
+                    isinstance(node.targets[0], (ast.Tuple, ast.List)) and \
+                    all(isinstance(e, ast.Name)
+                        for e in node.targets[0].elts):
+                # tuple-unpack constants (`_K1, _B = 1.2, 0.75`): bind
+                # every name to the shared segment — leaving them
+                # unbound made any importer's reference resolve to the
+                # WHOLE module, whose coarse closure (via a registry
+                # import) is the entire repo: one tuple-assign constant
+                # re-windowed its consumers on every edit anywhere
+                names = [e.id for e in node.targets[0].elts]
             elif isinstance(node, ast.AnnAssign) and \
                     isinstance(node.target, ast.Name):
                 names = [node.target.id]

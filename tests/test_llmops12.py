@@ -1,0 +1,347 @@
+"""Round-10 additions: the persisted BM25 inverted-index lifecycle
+(operators/retrieval.write_bm25_index / probe / append / delete /
+compact).
+
+Pins, per the round-5 discipline:
+- probe ≡ bm25_topk BIT-FOR-BIT when the index content equals the
+  corpus (shared ``_bm25_rank`` tail — the two can never diverge);
+- append ≡ rebuild on posting content AND the __docs sidecar;
+- a delete changes the MODEL, not just the candidate list: N / avgdl
+  / df shrink, certified by probe-after-delete ≡ fresh build on the
+  filtered corpus (bit-for-bit);
+- compaction folds tombstones, drops both tombstone tables, bounds
+  file counts, and leaves probes bit-identical;
+- plan: with autoBroadcastJoinThreshold=-1 the probe never exchanges
+  on the token key (no ``Exchange hashpartitioning(tok``/``__tok``) —
+  the bucketed posting scan feeds the per-term df aggregate
+  shuffle-free, and the posting join broadcasts the query side;
+- the probe reads only the posting columns it needs (ReadSchema
+  pruning) and never touches the corpus text.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from wren_engine_spark.operators import layout, retrieval
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 400
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(docs):
+    return docs.filter(F.col("doc_id") < 4).select("doc_id", "text")
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.rnk, r.doc_id, r.bm25) for r in df.collect()
+    )
+
+
+class TestBm25IndexProbe:
+    def test_probe_bit_identical_to_bm25_topk(self, spark, docs, queries):
+        retrieval.write_bm25_index(docs, "text", "doc_id", "bm25_t_full")
+        got = retrieval.bm25_index_probe(
+            spark, "bm25_t_full", queries, "text", "doc_id", k=7
+        )
+        want = retrieval.bm25_topk(
+            docs, "doc_id", "text", queries.select("doc_id"), k=7
+        )
+        assert _rows(got) == _rows(want)
+
+    def test_probe_external_query_text(self, spark, docs):
+        # a query that is NOT a corpus doc ranks normally (no
+        # self-exclusion applies — its id matches nothing)
+        q = docs.limit(1).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        got = retrieval.bm25_index_probe(
+            spark, "bm25_t_full", q, "text", "doc_id", k=3
+        )
+        assert got.count() == 3
+
+    def test_probe_requires_meta(self, spark, docs):
+        layout.write_bucketed(
+            retrieval._bm25_postings(docs, "text", "doc_id"),
+            "bm25_t_nometa", "tok", 4,
+        )
+        with pytest.raises(ValueError, match="no __meta sidecar"):
+            retrieval.bm25_index_probe(
+                spark, "bm25_t_nometa", docs.limit(1), "text", "doc_id"
+            )
+
+    def test_probe_plan_no_token_exchange_and_pruned_scan(
+        self, spark, queries
+    ):
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = retrieval.bm25_index_probe(
+                spark, "bm25_t_full", queries, "text", "doc_id", k=7
+            )
+            plan = _plan(df)
+        finally:
+            if saved is None:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        # the POSTING side must never shuffle on the token key: the
+        # per-term df aggregate rides the bucketed scan's distribution
+        # and the posting join broadcasts the bounded query-term set.
+        # Token-keyed exchanges are legal only on the query side
+        # (distinct of the exploded query text — bounded at
+        # |queries| x tokens/doc): scan each token-keyed exchange's
+        # span (to the next Exchange) and assert no index-table scan
+        # feeds it.
+        lines = plan.splitlines()
+        exch_idx = [i for i, l in enumerate(lines) if "Exchange " in l]
+        tok_exch = [
+            i for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(tok" in l
+            or "Exchange hashpartitioning(__tok" in l
+        ]
+        for i in tok_exch:
+            nxt = next((j for j in exch_idx if j > i), len(lines))
+            span = lines[i:nxt]
+            assert not any(
+                "FileScan" in l and "default.bm25_" in l for l in span
+            ), lines[i].strip()[:120]
+        assert "BroadcastHashJoin" in plan
+        # bucketed posting scan feeds the probe (df agg shuffle-free)
+        assert any(
+            "default.bm25_t_full" in l and "Bucketed: true" in l
+            for l in lines
+        ), "posting scan not bucketed"
+        # column pruning: the df leg reads ONLY the token column
+        assert any(
+            "default.bm25_t_full[tok#" in l for l in lines
+        ), "df aggregate leg not pruned to the token column"
+
+
+class TestBm25IndexAppend:
+    def test_append_equals_rebuild(self, spark, docs):
+        base = docs.filter(F.col("doc_id") % 3 != 0)
+        delta = docs.filter(F.col("doc_id") % 3 == 0)
+        retrieval.write_bm25_index(base, "text", "doc_id", "bm25_t_app")
+        n = retrieval.bm25_index_append(
+            spark, "bm25_t_app", delta, "text", "doc_id"
+        )
+        assert n == delta.count()
+        post = sorted(
+            (r.doc_id, r.tok, r.tf, r.dl)
+            for r in spark.table("bm25_t_app").collect()
+        )
+        want = sorted(
+            (r.doc_id, r.tok, r.tf, r.dl)
+            for r in retrieval._bm25_postings(docs, "text", "doc_id").collect()
+        )
+        assert post == want
+        side = sorted(
+            (r.doc_id, r.dl)
+            for r in spark.table("bm25_t_app__docs").collect()
+        )
+        want_side = sorted(
+            (r.doc_id, r.dl)
+            for r in retrieval._bm25_doc_lengths(
+                docs, "text", "doc_id"
+            ).collect()
+        )
+        assert side == want_side
+
+    def test_append_requires_meta(self, spark, docs):
+        with pytest.raises(ValueError, match="no __meta sidecar"):
+            retrieval.bm25_index_append(
+                spark, "bm25_t_nometa", docs.limit(1), "text", "doc_id"
+            )
+
+
+class TestBm25IndexDelete:
+    def test_delete_changes_model_not_just_candidates(
+        self, spark, docs, queries
+    ):
+        retrieval.write_bm25_index(docs, "text", "doc_id", "bm25_t_del")
+        dropped = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+        retrieval.bm25_index_delete(spark, "bm25_t_del", dropped)
+        got = retrieval.bm25_index_probe(
+            spark, "bm25_t_del", queries, "text", "doc_id", k=7
+        )
+        # expected = FRESH build over the filtered corpus: identical
+        # scores require N / avgdl / df to have shrunk, not merely the
+        # candidate list
+        retrieval.write_bm25_index(
+            docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id",
+            "bm25_t_del_want",
+        )
+        want = retrieval.bm25_index_probe(
+            spark, "bm25_t_del_want", queries, "text", "doc_id", k=7
+        )
+        assert _rows(got) == _rows(want)
+        ids = {r.doc_id for r in got.collect()}
+        assert not any(i % 5 == 0 for i in ids)
+
+    def test_empty_delete_noop(self, spark):
+        r = retrieval.bm25_index_delete(spark, "bm25_t_del", [])
+        assert r == {"n_tombstones": 0}
+
+    def test_rebuild_clears_tombstones(self, spark, docs, queries):
+        retrieval.write_bm25_index(docs, "text", "doc_id", "bm25_t_del")
+        got = retrieval.bm25_index_probe(
+            spark, "bm25_t_del", queries, "text", "doc_id", k=7
+        )
+        want = retrieval.bm25_topk(
+            docs, "doc_id", "text", queries.select("doc_id"), k=7
+        )
+        assert _rows(got) == _rows(want)
+
+
+class TestBm25IndexCompact:
+    def test_compact_preserves_probe_and_bounds_files(
+        self, spark, docs, queries
+    ):
+        base = docs.filter(F.col("doc_id") % 3 != 0)
+        delta = docs.filter(F.col("doc_id") % 3 == 0)
+        retrieval.write_bm25_index(
+            base, "text", "doc_id", "bm25_t_life", buckets=4, doc_buckets=4
+        )
+        retrieval.bm25_index_append(
+            spark, "bm25_t_life", delta, "text", "doc_id"
+        )
+        retrieval.bm25_index_delete(
+            spark, "bm25_t_life",
+            docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+        )
+        before = _rows(
+            retrieval.bm25_index_probe(
+                spark, "bm25_t_life", queries, "text", "doc_id", k=7
+            )
+        )
+        rec = retrieval.bm25_index_compact(spark, "bm25_t_life")
+        after = _rows(
+            retrieval.bm25_index_probe(
+                spark, "bm25_t_life", queries, "text", "doc_id", k=7
+            )
+        )
+        assert before == after
+        assert rec["postings"]["files_after"] <= 4
+        assert rec["docs"]["files_after"] <= 4
+        assert rec["postings"]["files_after"] < rec["postings"]["files_before"]
+        # folded tombstones are gone from BOTH physical tables
+        assert layout.bucketed_tombstones(spark, "bm25_t_life") is None
+        assert layout.bucketed_tombstones(spark, "bm25_t_life__docs") is None
+        # and the compacted state equals a fresh filtered build
+        retrieval.write_bm25_index(
+            docs.filter(F.col("doc_id") % 5 != 0), "text", "doc_id",
+            "bm25_t_life_want",
+        )
+        want = _rows(
+            retrieval.bm25_index_probe(
+                spark, "bm25_t_life_want", queries, "text", "doc_id", k=7
+            )
+        )
+        assert after == want
+
+
+class TestHybridIndexRrf:
+    def test_legs_match_standalone_probes_and_python_rrf(
+        self, spark, docs, queries
+    ):
+        """hybrid_index_rrf_topk must carry EXACTLY the persisted-index
+        probes' ranks as lex_rank/vec_rank, and its fused order must
+        equal a pure-Python RRF over the two legs' ranks."""
+        from wren_engine_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").filter(
+            F.col("vec_id") < 400
+        )
+        retrieval.write_bm25_index(docs, "text", "doc_id", "bm25_t_hyb")
+        similarity.write_ann_index(
+            emb, "vec_id", "embedding", "ann_t_hyb",
+            dim=64, nbits=10, tables=4,
+        )
+        qv = emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding")
+        fused = retrieval.hybrid_index_rrf_topk(
+            spark, "bm25_t_hyb", "ann_t_hyb", queries, qv,
+            dim=64, k_lex=8, k_vec=8, rrf_k=60, topk=4,
+        ).collect()
+        lex = {
+            (r.query_id, r.doc_id): r.rnk
+            for r in retrieval.bm25_index_probe(
+                spark, "bm25_t_hyb", queries, "text", "doc_id", k=8
+            ).collect()
+        }
+        vec = {
+            (r.query_id, r.neighbor_id): r.rnk
+            for r in similarity.ann_index_topk(
+                spark, "ann_t_hyb", qv, "vec_id", "embedding", dim=64, k=8
+            ).collect()
+        }
+        for r in fused:
+            assert r.lex_rank == lex.get((r.query_id, r.doc_id))
+            assert r.vec_rank == vec.get((r.query_id, r.doc_id))
+        cands: dict = {}
+        for (q, d), rk in lex.items():
+            cands.setdefault(q, {}).setdefault(d, 0.0)
+            cands[q][d] += 1.0 / (60.0 + rk)
+        for (q, d), rk in vec.items():
+            cands.setdefault(q, {}).setdefault(d, 0.0)
+            cands[q][d] += 1.0 / (60.0 + rk)
+        for q, byd in cands.items():
+            want_order = sorted(byd.items(), key=lambda t: (-t[1], t[0]))[:4]
+            got_rows = sorted(
+                (r for r in fused if r.query_id == q), key=lambda r: r.rnk
+            )
+            assert [r.doc_id for r in got_rows] == [d for d, _ in want_order]
+            for r, (_, s) in zip(got_rows, want_order):
+                assert r.rrf_score == pytest.approx(round(s, 6), abs=1e-12)
+
+
+class TestDocLengths:
+    def test_tokenless_docs_counted(self, spark):
+        d = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "   "), (3, "")],
+            "doc_id BIGINT, text STRING",
+        )
+        side = {r.doc_id: r.dl for r in
+                retrieval._bm25_doc_lengths(d, "text", "doc_id").collect()}
+        assert side == {1: 2, 2: 0, 3: 0}
+        # postings skip token-less docs entirely
+        post = retrieval._bm25_postings(d, "text", "doc_id")
+        assert {r.doc_id for r in post.collect()} == {1}
+        # but N / avgdl include them: index 3 docs, probe sees n=3
+        retrieval.write_bm25_index(d, "text", "doc_id", "bm25_t_tiny")
+        got = retrieval.bm25_index_probe(
+            spark, "bm25_t_tiny",
+            spark.createDataFrame([(9, "alpha")], "doc_id BIGINT, text STRING"),
+            "text", "doc_id", k=3,
+        )
+        want = retrieval.bm25_topk(
+            d, "doc_id", "text",
+            spark.createDataFrame([(9, "alpha")], "doc_id BIGINT, text STRING")
+            .select("doc_id"),
+            k=3,
+        )
+        # bm25_topk's query side joins on corpus ids, so id 9 yields
+        # nothing there — instead pin the probe's absolute result:
+        # idf = ln(1 + (3 - 1 + 0.5) / (1 + 0.5)), tf=1, dl=2,
+        # avgdl = (2+0+0)/3
+        import math
+
+        idf = math.log(1.0 + (3.0 - 1.0 + 0.5) / (1.0 + 0.5))
+        contrib = idf * (1.0 * 2.2) / (
+            1.0 + 1.2 * (0.25 + 0.75 * (2.0 * 3.0 / 2.0))
+        )
+        want_score = round(1_000_000 * contrib) / 1_000_000
+        [(qid, rnk, did, score)] = _rows(got)
+        assert (qid, rnk, did) == (9, 1, 1)
+        assert score == pytest.approx(want_score, abs=1e-9)
+        assert want is not None

@@ -1,0 +1,288 @@
+"""Round-10 serving additions: late-interaction MaxSim scoring
+(retrieval.maxsim_topk), RM3-style pseudo-relevance feedback over the
+persisted BM25 index (retrieval.bm25_index_prf_probe), and best-window
+snippet extraction (retrieval.best_snippet).
+
+Pins, per the round-5 discipline:
+- MaxSim ≡ a pure-Python replay of the exact arithmetic (left-fold
+  dots, round-half-away-from-zero micro-units, integer max + sum),
+  incl. ColBERT bag semantics (duplicate query vectors at different
+  positions both contribute) and self-exclusion;
+- PRF pass 2 retrieves a document sharing NO original query term (the
+  recall lever the two-pass expansion exists for), expansion terms
+  exclude original query terms and respect fb_terms with lexical
+  tie-breaks, and the posting store still never exchanges on the
+  token key (same plan law as the plain probe);
+- snippets pick the max-occurrence window with ties to the EARLIEST
+  start, count occurrences (not distinct terms), score suffix windows,
+  and skip token-less docs.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from wren_engine_spark.operators import retrieval
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _round_away(v: float) -> int:
+    """round-half-away-from-zero — Spark/DuckDB ROUND."""
+    if v >= 0:
+        return int(math.floor(v + 0.5))
+    return -int(math.floor(-v + 0.5))
+
+
+def _assert_no_index_token_exchange(plan: str, table_prefix: str) -> None:
+    """The posting side must never shuffle on the token key: every
+    token-keyed Exchange's span may contain only query-side (bounded)
+    inputs, never a scan of the persisted index."""
+    lines = plan.splitlines()
+    exch_idx = [i for i, l in enumerate(lines) if "Exchange " in l]
+    tok_exch = [
+        i for i, l in enumerate(lines)
+        if "Exchange hashpartitioning(tok" in l
+        or "Exchange hashpartitioning(__tok" in l
+    ]
+    for i in tok_exch:
+        nxt = next((j for j in exch_idx if j > i), len(lines))
+        span = lines[i:nxt]
+        assert not any(
+            "FileScan" in l and f"default.{table_prefix}" in l for l in span
+        ), lines[i].strip()[:120]
+
+
+class TestMaxSim:
+    VECS = {
+        # doc_id -> token vectors (2-D for hand-checkable cosines)
+        1: [[1.0, 0.0], [0.0, 1.0]],
+        2: [[1.0, 1.0], [2.0, 0.0]],
+        3: [[-1.0, 0.0], [0.5, 0.5]],
+    }
+    QUERY = [[1.0, 0.0], [1.0, 0.0], [0.0, 2.0]]  # bag: dup vec counts twice
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        docs = spark.createDataFrame(
+            [(d, v) for d, vs in self.VECS.items() for v in vs],
+            "doc_id BIGINT, vec ARRAY<DOUBLE>",
+        )
+        qv = spark.createDataFrame(
+            [(0, i, v) for i, v in enumerate(self.QUERY)],
+            "query_id BIGINT, tok_pos BIGINT, vec ARRAY<DOUBLE>",
+        )
+        return docs, qv
+
+    def _python_maxsim(self):
+        def fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + float(x) * float(y)
+            return acc
+
+        scores = {}
+        for d, vs in self.VECS.items():
+            s = 0
+            for q in self.QUERY:
+                qn = math.sqrt(fold_dot(q, q))
+                best = max(
+                    _round_away(
+                        1_000_000.0
+                        * fold_dot(q, v)
+                        / (qn * math.sqrt(fold_dot(v, v)))
+                    )
+                    for v in vs
+                )
+                s += best
+            scores[d] = s
+        return scores
+
+    def test_replay_bit_for_bit(self, frames):
+        docs, qv = frames
+        got = {
+            (r.doc_id, r.rnk): r.maxsim
+            for r in retrieval.maxsim_topk(docs, qv, k=3).collect()
+        }
+        want = self._python_maxsim()
+        order = sorted(want, key=lambda d: (-want[d], d))
+        assert set(got) == {(d, i + 1) for i, d in enumerate(order)}
+        for i, d in enumerate(order):
+            assert got[(d, i + 1)] == want[d] / 1_000_000.0
+
+    def test_bag_semantics_duplicate_query_vector(self, spark, frames):
+        docs, qv = frames
+        # dropping ONE of the duplicated [1,0] query vectors must
+        # change the score by exactly that token's best match
+        qv1 = qv.filter(F.col("tok_pos") != 1)
+        full = {
+            r.doc_id: r.maxsim
+            for r in retrieval.maxsim_topk(docs, qv, k=3).collect()
+        }
+        less = {
+            r.doc_id: r.maxsim
+            for r in retrieval.maxsim_topk(docs, qv1, k=3).collect()
+        }
+        for d in full:
+            assert full[d] > less[d]
+
+    def test_self_exclusion(self, spark, frames):
+        docs, qv = frames
+        q1 = qv.withColumn("query_id", F.lit(1))  # query IS doc 1
+        got = retrieval.maxsim_topk(docs, q1, k=10).collect()
+        assert 1 not in {r.doc_id for r in got}
+
+    def test_k_bound_and_tie_break(self, spark):
+        docs = spark.createDataFrame(
+            [(d, [1.0, 0.0]) for d in (5, 6, 7)],
+            "doc_id BIGINT, vec ARRAY<DOUBLE>",
+        )
+        qv = spark.createDataFrame(
+            [(0, 0, [1.0, 0.0])],
+            "query_id BIGINT, tok_pos BIGINT, vec ARRAY<DOUBLE>",
+        )
+        got = retrieval.maxsim_topk(docs, qv, k=2).collect()
+        # identical scores: ties resolve to the lower doc ids
+        assert [(r.doc_id, r.rnk) for r in sorted(got, key=lambda r: r.rnk)] \
+            == [(5, 1), (6, 2)]
+
+
+class TestPrfProbe:
+    CORPUS = [
+        (0, "alpha beta"),
+        (1, "alpha beta gamma gamma"),
+        (2, "alpha delta"),
+        (3, "gamma gamma gamma"),
+        (4, "zeta"),
+    ]
+
+    @pytest.fixture(scope="class")
+    def table(self, spark):
+        docs = spark.createDataFrame(self.CORPUS, "doc_id BIGINT, text STRING")
+        retrieval.write_bm25_index(docs, "text", "doc_id", "bm25_t_prf")
+        return "bm25_t_prf"
+
+    @pytest.fixture(scope="class")
+    def queries(self, spark):
+        return spark.createDataFrame(
+            [(0, "alpha beta")], "doc_id BIGINT, text STRING"
+        )
+
+    def test_expansion_recalls_disjoint_doc(self, spark, table, queries):
+        # doc 3 shares NO term with the query — only the gamma
+        # expansion (summed tf 4 across feedback docs 1, 2 beats
+        # delta's 1) can retrieve it
+        plain = retrieval.bm25_index_probe(
+            spark, table, queries, "text", "doc_id", k=10
+        )
+        assert 3 not in {r.doc_id for r in plain.collect()}
+        prf = retrieval.bm25_index_prf_probe(
+            spark, table, queries, "text", "doc_id",
+            k=10, fb_docs=2, fb_terms=1,
+        )
+        got = {r.doc_id for r in prf.collect()}
+        assert 3 in got
+        assert 4 not in got  # zeta shares nothing, expansion or not
+
+    def test_fb_terms_bound(self, spark, queries):
+        # with a delta-only doc in the corpus: fb_terms=1 expands with
+        # gamma only (summed tf 4 beats delta's 1 across feedback docs
+        # 1, 2), so the delta-only doc stays unretrieved; fb_terms=2
+        # adds delta and retrieves it
+        docs = spark.createDataFrame(
+            self.CORPUS + [(9, "delta delta")],
+            "doc_id BIGINT, text STRING",
+        )
+        retrieval.write_bm25_index(docs, "text", "doc_id", "bm25_t_prf2")
+        one = retrieval.bm25_index_prf_probe(
+            spark, "bm25_t_prf2", queries, "text", "doc_id",
+            k=10, fb_docs=2, fb_terms=1,
+        )
+        assert 9 not in {r.doc_id for r in one.collect()}
+        two = retrieval.bm25_index_prf_probe(
+            spark, "bm25_t_prf2", queries, "text", "doc_id",
+            k=10, fb_docs=2, fb_terms=2,
+        )
+        assert 9 in {r.doc_id for r in two.collect()}
+
+    def test_self_and_meta_laws(self, spark, table, queries):
+        prf = retrieval.bm25_index_prf_probe(
+            spark, table, queries, "text", "doc_id", k=10,
+            fb_docs=2, fb_terms=1,
+        )
+        assert 0 not in {r.doc_id for r in prf.collect()}  # self excluded
+        with pytest.raises(ValueError, match="no __meta sidecar"):
+            retrieval.bm25_index_prf_probe(
+                spark, "bm25_t_prf_missing", queries, "text", "doc_id"
+            )
+
+    def test_plan_no_index_token_exchange(self, spark, table, queries):
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            df = retrieval.bm25_index_prf_probe(
+                spark, table, queries, "text", "doc_id",
+                k=5, fb_docs=2, fb_terms=1,
+            )
+            plan = _plan(df)
+        finally:
+            if saved is None:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        _assert_no_index_token_exchange(plan, "bm25_t_prf")
+        assert "BroadcastHashJoin" in plan
+
+
+class TestBestSnippet:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "a q1 b q1 q2 c d"),
+                (2, "x q1"),
+                (3, "q1 q1 q1"),
+                (9, "   "),
+            ],
+            "doc_id BIGINT, text STRING",
+        )
+
+    @pytest.fixture(scope="class")
+    def queries(self, spark):
+        return spark.createDataFrame(
+            [(0, "q1 q2")], "doc_id BIGINT, text STRING"
+        )
+
+    def _snip(self, spark, corpus, queries, doc_ids, window=3):
+        hits = spark.createDataFrame(
+            [(0, d) for d in doc_ids], "query_id BIGINT, doc_id BIGINT"
+        )
+        return {
+            r.doc_id: (r.snippet_start, r.matched_terms, r.snippet)
+            for r in retrieval.best_snippet(
+                corpus, "text", "doc_id", hits, queries,
+                "text", "doc_id", window=window,
+            ).collect()
+        }
+
+    def test_max_window_tie_earliest(self, spark, corpus, queries):
+        # doc 1 windows of 3: starts 1, 2, 3 all match 2 — earliest wins
+        got = self._snip(spark, corpus, queries, [1])
+        assert got[1] == (1, 2, "q1 b q1")
+
+    def test_suffix_window_counts(self, spark, corpus, queries):
+        # doc 2: start 0 covers both tokens (1 match); the suffix
+        # window at start 1 also has 1 — earliest start wins
+        got = self._snip(spark, corpus, queries, [2])
+        assert got[2] == (0, 1, "x q1")
+
+    def test_occurrences_not_distinct(self, spark, corpus, queries):
+        got = self._snip(spark, corpus, queries, [3])
+        assert got[3] == (0, 3, "q1 q1 q1")
+
+    def test_tokenless_doc_absent(self, spark, corpus, queries):
+        got = self._snip(spark, corpus, queries, [9, 1])
+        assert 9 not in got and 1 in got

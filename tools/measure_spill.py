@@ -236,10 +236,36 @@ def _run_bucketed_full_lifecycle(spark, emb) -> int:
     ).count()
 
 
+def _run_bm25_lifecycle(spark, docs) -> int:
+    """Full BM25 index maintenance loop at 10x: build on a base split,
+    append the rest, tombstone a seventh, compact both physical
+    tables, probe — the x125 sequence on the Zipfian hot-term corpus."""
+    from pyspark.sql import functions as F
+
+    from wren_engine_spark.operators import retrieval
+
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    retrieval.write_bm25_index(base, "text", "doc_id", "spill_bm25_life")
+    retrieval.bm25_index_append(
+        spark, "spill_bm25_life", delta, "text", "doc_id"
+    )
+    retrieval.bm25_index_delete(
+        spark, "spill_bm25_life",
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"),
+    )
+    retrieval.bm25_index_compact(spark, "spill_bm25_life")
+    return retrieval.bm25_index_probe(
+        spark, "spill_bm25_life",
+        docs.filter(F.col("doc_id") < 4).select("doc_id", "text"),
+        "text", "doc_id", k=10,
+    ).count()
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     only = set(sys.argv[2:])  # optional: measure just the named ops
-    from wren_engine_spark.operators import similarity
+    from wren_engine_spark.operators import retrieval, similarity
     from wren_engine_spark.session import get_spark
 
     spark = get_spark(
@@ -463,6 +489,54 @@ def main() -> int:
                         F.col("embedding").alias("qvec"),
                     ),
                     nprobe=2, shortlist=20, topk=5,
+                ).count(),
+            )[1],
+        ),
+        # round-10 additions: the persisted BM25 inverted index on the
+        # 80k-doc Zipfian corpus WITH the 50%-frequency planted trigram
+        # (hot posting lists; max_df_frac left at 1.0 so the hot terms
+        # stay — worst case for the probe). Build and probe measured in
+        # SEPARATE job groups: the build pays the one deliberate
+        # token-keyed exchange (bucketed write), the probe must show
+        # ~zero shuffle (broadcast query terms into the bucketed scan,
+        # df aggregate shuffle-free on the bucket distribution).
+        (
+            "x122_bm25_index_build",
+            lambda: (
+                retrieval.write_bm25_index(
+                    docs, "text", "doc_id", "spill_bm25"
+                ),
+                spark.table("spill_bm25").count(),
+            )[1],
+        ),
+        (
+            "x122_bm25_index_probe",
+            lambda: retrieval.bm25_index_probe(
+                spark, "spill_bm25",
+                docs.filter(F.col("doc_id") < 4).select("doc_id", "text"),
+                "text", "doc_id", k=10,
+            ).count(),
+        ),
+        (
+            "x125_bm25_lifecycle",
+            lambda: _run_bm25_lifecycle(spark, docs),
+        ),
+        (
+            "x126_hybrid_index_probe",
+            lambda: (
+                similarity.write_ann_index(
+                    emb, "vec_id", "embedding", "spill_ann_hyb",
+                    dim=64, nbits=10, tables=4,
+                ),
+                retrieval.hybrid_index_rrf_topk(
+                    spark, "spill_bm25", "spill_ann_hyb",
+                    docs.filter(F.col("doc_id") < 4).select(
+                        "doc_id", "text"
+                    ),
+                    emb.filter(F.col("vec_id") < 4).select(
+                        "vec_id", "embedding"
+                    ),
+                    dim=64, topk=5,
                 ).count(),
             )[1],
         ),

@@ -169,8 +169,6 @@ def hybrid_rrf_topk(
     Returns (query_id, doc_id, rrf_score, lex_rank, vec_rank, rnk)
     with rnk <= topk; absent-from-one-list ranks are NULL.
     """
-    from pyspark.sql import Window as W
-
     if lexical == "overlap":
         lex = lexical_overlap_topk(
             docs, doc_id_col, text_col, query_ids, k=k_lex,
@@ -200,6 +198,19 @@ def hybrid_rrf_topk(
         F.col("neighbor_id").alias("doc_id"),
         F.col("rnk").alias("vec_rank"),
     )
+    return _rrf_fuse(lex, vec, rrf_k, topk)
+
+
+def _rrf_fuse(
+    lex: DataFrame, vec: DataFrame, rrf_k: int, topk: int
+) -> DataFrame:
+    """The ONE RRF fusion kernel behind :func:`hybrid_rrf_topk` and
+    the index-served :func:`hybrid_index_rrf_topk` (the shared-tail
+    rule again): full-outer join of (query_id, doc_id, lex_rank) and
+    (query_id, doc_id, vec_rank), two-term exact-division score,
+    (score DESC, doc_id) tie-break — bit-identical in any engine."""
+    from pyspark.sql import Window as W
+
     fused = lex.join(vec, ["query_id", "doc_id"], "full_outer")
     contrib = (
         F.coalesce(
@@ -282,9 +293,6 @@ def bm25_topk(
 
     Returns (query_id, doc_id, bm25, rnk), rnk <= k.
     """
-    from pyspark.sql import Window as W
-
-    qn = float(int(quantum))
     nonempty = F.filter(
         F.split(F.trim(F.col(text_col)), WS_RE), lambda t: t != ""
     )
@@ -324,9 +332,40 @@ def bm25_topk(
     tf = rtoks.groupBy("doc_id", "__dl", "__tok").agg(
         F.count("*").cast("double").alias("__tf")
     )
-    # document frequency derived from tf (one row per (doc, term), so
-    # count-per-term IS df) — a tiny combinable groupBy, never the
-    # raw explode
+    return _bm25_rank(tf, qtoks, totals, k, k1, b, max_df_frac, quantum)
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    qtoks: DataFrame,
+    totals: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    max_df_frac: float,
+    quantum: int,
+) -> DataFrame:
+    """The ONE BM25 scoring tail behind :func:`bm25_topk` and the
+    persisted-index :func:`bm25_index_probe`, so the two can never
+    score differently (the ``_banded_signatures`` rule, applied to
+    lexical scoring — a probe of an index whose content equals the
+    corpus is bit-identical to the direct ranking, pytest-pinned).
+
+    Inputs: ``tf`` (doc_id, __dl, __tok, __tf) — one row per
+    (document, term) already RESTRICTED to the query-term set;
+    ``qtoks`` distinct (query_id, __tok), bounded at
+    |queries| x tokens/doc; ``totals`` one row (__n, __sumdl).
+
+    Document frequency derives from ``tf`` (one row per (doc, term),
+    so count-per-term IS df) — a tiny combinable groupBy, never a raw
+    explode; the posting join broadcasts the per-(query, term) idf
+    table into ``tf``. Every per-(query, doc, term) contribution is
+    quantized to ROUND(quantum * contrib) as a BIGINT (the x52
+    micro-unit convention), so the per-pair score is an
+    order-independent integer sum, bit-identical across engines."""
+    from pyspark.sql import Window as W
+
+    qn = float(int(quantum))
     dfreq = (
         tf.groupBy("__tok")
         .agg(F.count("*").cast("double").alias("__df"))
@@ -380,4 +419,617 @@ def bm25_topk(
             (F.col("__qscore").cast("double") / F.lit(qn)).alias("bm25"),
             F.col("rnk").cast("int").alias("rnk"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted lexical (BM25) inverted index — the build-once/probe-many
+# home of the posting lists bm25_topk recomputes per call. The corpus
+# text is tokenized ONCE at build; every probe is a broadcast join of
+# the bounded query-term set into the persisted postings, never a
+# re-read of the corpus text. Same lifecycle contract as the
+# simhash/ANN/PQ index families: __meta sidecar freezes the build
+# parameters, appends reuse the identical tokenization kernel,
+# deletes are merge-on-read tombstones, compaction is
+# content-preserving.
+# ---------------------------------------------------------------------------
+
+
+def _bm25_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, tok, tf, dl) — one row per (document, DISTINCT term),
+    exact integer term frequency and document length. The ONE
+    tokenization kernel behind the index build and the append, so the
+    two can never tokenize differently (whitespace split, empties
+    dropped — bm25_topk's exact token law). The tf groupBy keys on the
+    doc id, spreading hot terms; token-less documents produce no
+    posting rows (they still count in the __docs sidecar)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), WS_RE).alias("__ts"),
+    ).select(
+        "doc_id",
+        F.size(F.filter(F.col("__ts"), lambda t: t != "")).alias("__dl"),
+        F.explode("__ts").alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    return toks.groupBy("doc_id", "__dl", "__tok").agg(
+        F.count("*").cast("bigint").alias("tf")
+    ).select(
+        "doc_id",
+        F.col("__tok").alias("tok"),
+        "tf",
+        F.col("__dl").cast("bigint").alias("dl"),
+    )
+
+
+def _bm25_doc_lengths(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, dl) for EVERY document — including token-less ones
+    (dl = 0), which carry no postings but still count toward N and
+    avgdl exactly as bm25_topk's map-side totals do."""
+    nonempty = F.filter(
+        F.split(F.trim(F.col(text_col)), WS_RE), lambda t: t != ""
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(nonempty).cast("bigint").alias("dl"),
+    )
+
+
+def write_bm25_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table: str,
+    buckets: int = 16,
+    doc_buckets: int = 16,
+) -> str:
+    """Persist the corpus's BM25 posting lists as a bucketed table —
+    the lexical complement of ``similarity.write_ann_index``: postings
+    ``{table}`` (doc_id, tok, tf, dl) bucketed+sorted on ``tok``, and a
+    ``{table}__docs`` sidecar (doc_id, dl) bucketed on ``doc_id``
+    holding one row per document (token-less docs included) so probes
+    compute N / avgdl without touching the corpus.
+
+    At 100 TB the postings table is a fraction of the corpus bytes
+    (fixed-width rows, no text) and is written once per corpus
+    version; every probe after that is a broadcast of the bounded
+    query-term set into the bucketed scan — the corpus text is never
+    re-read. Bucketing on ``tok`` makes the probe's per-term document
+    frequency a SHUFFLE-FREE aggregate (the bucketed scan already
+    hash-distributes by term), plan-pinned in tests. The build's one
+    token-keyed exchange (the bucketed write) is the deliberate
+    build-once cost — probes never repeat it.
+    """
+    from wren_engine_spark.operators import layout
+
+    spark = df.sparkSession
+    layout.write_bucketed(
+        _bm25_postings(df, text_col, id_col).repartition(
+            buckets, F.col("tok")
+        ),
+        table,
+        "tok",
+        buckets,
+    )
+    layout.write_bucketed(
+        _bm25_doc_lengths(df, text_col, id_col).repartition(
+            doc_buckets, F.col("doc_id")
+        ),
+        f"{table}__docs",
+        "doc_id",
+        doc_buckets,
+    )
+    # a rebuild resets the index wholesale: stale tombstones from the
+    # previous incarnation must not delete freshly re-indexed docs
+    layout.drop_managed_table(spark, f"{table}__tombstones")
+    layout.drop_managed_table(spark, f"{table}__docs__tombstones")
+    layout.write_small_table(
+        spark,
+        spark.createDataFrame(
+            [(int(buckets), int(doc_buckets))],
+            "buckets INT, doc_buckets INT",
+        ),
+        f"{table}__meta",
+    )
+    return table
+
+
+def bm25_index_append(
+    spark,
+    table: str,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> int:
+    """Append an ingestion batch to the persisted BM25 index without
+    re-reading or re-tokenizing the corpus: the batch's postings come
+    from the identical ``_bm25_postings`` kernel, bucket counts from
+    the index's own ``__meta`` sidecar (Spark additionally validates
+    the bucket spec on the append write), and the ``__docs`` sidecar
+    gains the batch's (doc_id, dl) rows so N / avgdl stay exact. Cost:
+    one narrow map + groupBy over the batch + two bucketed appends.
+    Returns the number of appended docs."""
+    from wren_engine_spark.operators import index_meta, layout
+
+    meta = index_meta.table_meta_row(spark, table)
+    if meta is None:
+        raise ValueError(
+            f"bm25_index_append: index '{table}' has no __meta sidecar; "
+            "rebuild it with write_bm25_index before appending"
+        )
+    df = df.persist()
+    try:
+        n = df.count()
+        layout.write_bucketed(
+            _bm25_postings(df, text_col, id_col).repartition(
+                int(meta.buckets), F.col("tok")
+            ),
+            table,
+            "tok",
+            int(meta.buckets),
+            mode="append",
+        )
+        layout.write_bucketed(
+            _bm25_doc_lengths(df, text_col, id_col).repartition(
+                int(meta.doc_buckets), F.col("doc_id")
+            ),
+            f"{table}__docs",
+            "doc_id",
+            int(meta.doc_buckets),
+            mode="append",
+        )
+    finally:
+        df.unpersist()
+    return n
+
+
+def bm25_index_delete(spark, table: str, ids) -> dict:
+    """Tombstone-delete docs from the persisted BM25 index: ids append
+    to ``{table}__tombstones`` AND ``{table}__docs__tombstones`` (the
+    postings and the docs sidecar are separate physical tables, and
+    compaction folds each table's tombstones independently — one
+    shared tombstone table would be deleted by whichever compact ran
+    first, silently resurrecting the ids for the other). Probes
+    anti-join both out, so a deleted doc vanishes from the ranking AND
+    from N / avgdl / df in the same call — merge-on-read, same
+    shadowing rule as the other index families. The docs-sidecar
+    tombstone is appended FIRST: if the call dies between the two
+    appends, the index under-counts N (scores slightly conservative)
+    instead of ranking a deleted doc."""
+    from wren_engine_spark.operators import index_meta, layout
+
+    if index_meta.table_meta_row(spark, table) is None:
+        raise ValueError(
+            f"bm25_index_delete: index '{table}' has no __meta sidecar; "
+            "rebuild it with write_bm25_index"
+        )
+    layout.bucketed_index_delete(spark, f"{table}__docs", ids, "doc_id")
+    return layout.bucketed_index_delete(spark, table, ids, "doc_id")
+
+
+def bm25_index_compact(spark, table: str) -> dict:
+    """Compact the persisted BM25 index after many appends: one file
+    per bucket for the postings AND the docs sidecar, each folding its
+    own pending tombstones into the rewrite (``layout.compact_bucketed``
+    — two-rename swap, content-preserving by contract; probes are
+    bit-identical before and after, pytest-pinned). Returns both
+    receipts: {"postings": {...}, "docs": {...}}."""
+    from wren_engine_spark.operators import index_meta, layout
+
+    m = index_meta.table_meta_row(spark, table)
+    if m is None:
+        raise ValueError(
+            f"bm25_index_compact: index '{table}' has no __meta sidecar; "
+            "rebuild it with write_bm25_index"
+        )
+    postings = layout.compact_bucketed(
+        spark, table, "tok", int(m.buckets), tombstone_key="doc_id"
+    )
+    docs = layout.compact_bucketed(
+        spark, f"{table}__docs", "doc_id", int(m.doc_buckets),
+        tombstone_key="doc_id",
+    )
+    return {"postings": postings, "docs": docs}
+
+
+def bm25_index_probe(
+    spark,
+    table: str,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 1.0,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Probe the persisted BM25 index with a query batch: per-query
+    top-k over the CURRENT index state (build + appends − tombstones)
+    without ever re-reading the corpus text. Scoring is
+    :func:`_bm25_rank` — the exact tail :func:`bm25_topk` uses — so a
+    probe of an index whose content equals a corpus is bit-identical
+    to ``bm25_topk`` over that corpus (pytest-pinned), and the same
+    quantized micro-unit determinism carries to the DuckDB oracles.
+
+    ``queries``: (id, text) rows — the query batch tokenizes itself
+    with the index's kernel; it need not be part of the corpus (rows
+    whose id matches a corpus doc id exclude the self-match, exactly
+    like ``bm25_topk``).
+
+    Plan shape (the probe-many serving path at 100 TB): tombstones
+    broadcast anti-join, query-term set broadcast into the bucketed
+    postings scan, per-term document frequency aggregated SHUFFLE-FREE
+    on the bucket distribution, N / sum(dl) one map-side aggregate
+    over the narrow docs sidecar. The only exchanges carry
+    query-restricted rows — bounded by |query terms| x posting-list
+    length, with ``max_df_frac`` band-stopping the stopword lists.
+
+    Returns (query_id, doc_id, bm25, rnk), rnk <= k.
+    """
+    postings, totals = _bm25_index_state(spark, table)
+    qtoks = _query_token_set(queries, text_col, id_col)
+    tf = _postings_tf(postings, qtoks)
+    return _bm25_rank(tf, qtoks, totals, k, k1, b, max_df_frac, quantum)
+
+
+def _bm25_index_state(spark, table: str):
+    """(postings, totals) for the CURRENT logical content of the
+    persisted index — build + appends − tombstones: both physical
+    tables get their tombstones anti-joined out BEFORE any statistic,
+    and ``totals`` is the one-row (__n, __sumdl) map-side aggregate
+    over the narrow docs sidecar. The shared entry gate for every
+    index-served read path (plain probe, PRF probe, hybrid legs)."""
+    from wren_engine_spark.operators import index_meta, layout
+
+    if index_meta.table_meta_row(spark, table) is None:
+        raise ValueError(
+            f"bm25 index '{table}' has no __meta sidecar; "
+            "rebuild it with write_bm25_index"
+        )
+    postings = spark.table(table)
+    docs = spark.table(f"{table}__docs")
+    tomb = layout.bucketed_tombstones(spark, table)
+    if tomb is not None:
+        postings = postings.join(
+            F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+        )
+    dtomb = layout.bucketed_tombstones(spark, f"{table}__docs")
+    if dtomb is not None:
+        docs = docs.join(
+            F.broadcast(dtomb.select("doc_id")), "doc_id", "left_anti"
+        )
+    totals = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("double").alias("__sumdl"),
+    )
+    return postings, totals
+
+
+def _query_token_set(queries: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Distinct (query_id, __tok) from the query batch — the index's
+    exact tokenization law (whitespace split, empties dropped)."""
+    nonempty = F.filter(
+        F.split(F.trim(F.col(text_col)), WS_RE), lambda t: t != ""
+    )
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.array_distinct(nonempty)).alias("__tok"),
+    )
+
+
+def _postings_tf(postings: DataFrame, qtoks: DataFrame) -> DataFrame:
+    """Postings restricted by the broadcast (bounded) token set of
+    ``qtoks``, in ``_bm25_rank``'s input shape — the probe-side join
+    that keeps the posting store a narrow scan-side probe."""
+    return postings.join(
+        F.broadcast(qtoks.select("__tok").distinct()),
+        F.col("tok") == F.col("__tok"),
+    ).select(
+        "doc_id",
+        F.col("dl").alias("__dl"),
+        "__tok",
+        F.col("tf").cast("double").alias("__tf"),
+    )
+
+
+def bm25_index_prf_probe(
+    spark,
+    table: str,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 2,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 1.0,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Pseudo-relevance-feedback probe (RM3-style two-pass query
+    expansion, Lavrenko & Croft relevance models): pass 1 ranks the
+    original query against the persisted index and takes its top
+    ``fb_docs`` as the feedback set; the ``fb_terms`` strongest terms
+    of that set (by summed integer term frequency, original query
+    terms excluded, ties by term) expand the query; pass 2 re-ranks
+    with the expanded term set. The classic recall lever for short
+    queries — documents sharing the feedback set's vocabulary surface
+    even when they share no original query term.
+
+    Determinism: expansion weights are integer tf sums with lexical
+    tie-breaks, and both passes score through the shared
+    :func:`_bm25_rank` quantized kernel — the whole two-pass pipeline
+    replays bit-for-bit in any engine.
+
+    Scale shape: everything bounded stays broadcast — the query-term
+    set (pass 1), the |queries| x fb_docs feedback set (its posting
+    join is a broadcast probe into the bucketed scan), and the
+    expanded term set (pass 2). The expansion aggregate's output is
+    bounded by |queries| x |feedback-doc vocabulary|; the posting
+    store is scanned, never shuffled on the token key.
+
+    Returns (query_id, doc_id, bm25, rnk), rnk <= k — scores are the
+    EXPANDED query's scores (uniform term weights, RM3's interpolation
+    left to the caller: fused variants belong in RRF-land, not here).
+    """
+    from pyspark.sql import Window as W
+
+    postings, totals = _bm25_index_state(spark, table)
+    qtoks = _query_token_set(queries, text_col, id_col)
+    r1 = _bm25_rank(
+        _postings_tf(postings, qtoks), qtoks, totals,
+        fb_docs, k1, b, max_df_frac, quantum,
+    )
+    fb = r1.select("query_id", "doc_id")
+    cand = (
+        postings.join(F.broadcast(fb), "doc_id")
+        .groupBy("query_id", F.col("tok").alias("__tok"))
+        .agg(F.sum("tf").cast("bigint").alias("__w"))
+        .join(qtoks, ["query_id", "__tok"], "left_anti")
+    )
+    wexp = W.partitionBy("query_id").orderBy(
+        F.col("__w").desc(), F.col("__tok")
+    )
+    exp = (
+        cand.withColumn("__r", F.row_number().over(wexp))
+        .filter(F.col("__r") <= fb_terms)
+        .select("query_id", "__tok")
+    )
+    qtoks2 = qtoks.unionByName(exp)
+    return _bm25_rank(
+        _postings_tf(postings, qtoks2), qtoks2, totals,
+        k, k1, b, max_df_frac, quantum,
+    )
+
+
+def hybrid_index_rrf_topk(
+    spark,
+    bm25_table: str,
+    ann_table: str,
+    query_texts: DataFrame,
+    query_vecs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k_lex: int = 10,
+    k_vec: int = 10,
+    rrf_k: int = 60,
+    topk: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 1.0,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Hybrid RRF served ENTIRELY from persisted state — the
+    production RAG serving stack at rest: the lexical ranks come from
+    the persisted BM25 posting store (:func:`bm25_index_probe`), the
+    vector ranks from the persisted bucketed LSH index
+    (``similarity.ann_index_topk``), and the fusion is the shared
+    integer-rank :func:`_rrf_fuse` kernel. Neither leg re-reads the
+    corpus (text or embeddings): the lexical probe scans postings
+    restricted by the broadcast query-term set, the vector probe scans
+    only the colliding buckets, and both ranks are engine-portable
+    (quantized-integer BM25; seeded-plane LSH with exact-cosine
+    re-rank), so the fused order is bit-identical in any engine.
+
+    ``query_texts``: (id, text) for the lexical leg; ``query_vecs``:
+    (id, vector) for the vector leg — the same id space as the corpus
+    (the RAG chunk shape where doc_id == vec_id).
+
+    Returns (query_id, doc_id, rrf_score, lex_rank, vec_rank, rnk),
+    rnk <= topk; absent-from-one-list ranks are NULL.
+    """
+    from wren_engine_spark.operators import similarity as _sim
+
+    lex = bm25_index_probe(
+        spark, bm25_table, query_texts, text_col, id_col,
+        k=k_lex, k1=k1, b=b, max_df_frac=max_df_frac, quantum=quantum,
+    ).select("query_id", "doc_id", F.col("rnk").alias("lex_rank"))
+    vec = _sim.ann_index_topk(
+        spark, ann_table, query_vecs, vec_id_col, vec_col, dim=dim, k=k_vec
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").alias("vec_rank"),
+    )
+    return _rrf_fuse(lex, vec, rrf_k, topk)
+
+
+def maxsim_topk(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    doc_id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_tok_col: str = "tok_pos",
+    vec_col: str = "vec",
+    k: int = 5,
+    quantum: int = 1_000_000,
+) -> DataFrame:
+    """Late-interaction MaxSim top-k (the ColBERT scoring rule,
+    Khattab & Zaharia, SIGIR 2020): documents and queries are BAGS of
+    token vectors, and score(q, d) = sum over q's tokens of the MAX
+    cosine against any of d's tokens — finer-grained than a single
+    pooled embedding (a query term matches its best-aligned document
+    span) at the cost of a multi-vector corpus.
+
+    ``doc_vecs``: (doc_id, vec) one row per document token vector;
+    ``query_vecs``: (query_id, tok_pos, vec) one row per QUERY token
+    vector — the bounded probe side (|queries| x tokens/query rows).
+    ``tok_pos`` distinguishes the query's tokens (duplicate vectors at
+    different positions each contribute their own max, exact ColBERT
+    bag semantics) and must be data-derived so replays are stable.
+
+    Determinism (the quantized-integer rule the ANN family uses):
+    per-pair cosines come from the decimal-exact left-fold dot
+    (``similarity._dot_dec``) and quantize to integer micro-units
+    (round-half-away-from-zero x ``quantum``) BEFORE aggregation —
+    integer MAX then integer SUM are order-independent, so the score
+    is bit-identical in any engine; ties break by doc id.
+
+    Scale shape (100 TB): the query bag broadcasts into the corpus
+    token-vector scan (never the reverse); the pairwise stage is
+    map-side over |corpus tokens| x |query tokens| rows; both
+    aggregates are combinable (partial max / partial sum map-side)
+    keyed by (query, doc) — no corpus-keyed wide shuffle, no driver
+    collect. This is the exact brute-force baseline an IVF/PQ-pruned
+    late-interaction stack re-ranks with; the candidate-pruned variant
+    composes by filtering ``doc_vecs`` to ANN survivors first.
+
+    Returns (query_id, doc_id, maxsim, rnk), rnk <= k.
+    """
+    from pyspark.sql import Window as W
+
+    from wren_engine_spark.operators.similarity import _dot_dec, with_norm
+
+    qn = float(int(quantum))
+    corpus = with_norm(doc_vecs, vec_col, "__dn").select(
+        F.col(doc_id_col).alias("__doc"),
+        F.col(vec_col).alias("__dv"),
+        "__dn",
+    )
+    queries = with_norm(query_vecs, vec_col, "__qn2").select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_tok_col).alias("__qtok"),
+        F.col(vec_col).alias("__qv"),
+        "__qn2",
+    )
+    pair_qc = F.round(
+        qn
+        * _dot_dec(F.col("__qv"), F.col("__dv"))
+        / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__dn")))
+    ).cast("bigint")
+    best = (
+        corpus.join(F.broadcast(queries), F.col("__doc") != F.col("query_id"))
+        .select(
+            "query_id",
+            "__qtok",
+            F.col("__doc").alias("doc_id"),
+            pair_qc.alias("__qc"),
+        )
+        .groupBy("query_id", "__qtok", "doc_id")
+        .agg(F.max("__qc").alias("__best"))
+    )
+    scored = best.groupBy("query_id", "doc_id").agg(
+        F.sum("__best").alias("__qscore")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("__qscore").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("__qscore").cast("double") / F.lit(qn)).alias("maxsim"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def best_snippet(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    hits: DataFrame,
+    queries: DataFrame,
+    qtext_col: str,
+    qid_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Best-window snippet extraction — the serving last-mile after a
+    lexical/hybrid ranking: for every (query, doc) hit, find the
+    ``window``-token span of the document with the most query-term
+    occurrences (ties to the EARLIEST start) and return it with its
+    match count. Integer counts with positional tie-breaks make the
+    chosen span bit-stable in any engine.
+
+    ``hits``: (query_id, doc_id) — the BOUNDED ranked pairs a top-k
+    probe produced (|queries| x k rows); ``queries``: (id, text) for
+    the query-term sets, tokenized by the index's exact token law.
+
+    Scale shape: hits and the query-term set broadcast into the corpus
+    scan (the corpus is never shuffled); per-doc token positions only
+    materialize for hit docs, and every window aggregate partitions by
+    (query, doc) — state bounded by |hits| x doc length. Suffix
+    windows shorter than ``window`` compete too (a short doc's best
+    span is still defined); token-less docs produce no snippet row.
+
+    Returns (query_id, doc_id, snippet_start, matched_terms, snippet).
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), WS_RE), lambda t: t != ""
+    )
+    dt = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__t"))
+    pos = (
+        dt.join(
+            F.broadcast(hits.select("query_id", "doc_id").distinct()),
+            "doc_id",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.posexplode("__t").alias("__pos", "__tok"),
+        )
+    )
+    qt = _query_token_set(queries, qtext_col, qid_col).withColumn(
+        "__m", F.lit(1)
+    )
+    flagged = pos.join(F.broadcast(qt), ["query_id", "__tok"], "left").select(
+        "query_id",
+        "doc_id",
+        "__pos",
+        F.coalesce(F.col("__m"), F.lit(0)).alias("__m"),
+    )
+    wspan = (
+        W.partitionBy("query_id", "doc_id")
+        .orderBy("__pos")
+        .rangeBetween(0, int(window) - 1)
+    )
+    wins = flagged.select(
+        "query_id",
+        "doc_id",
+        F.col("__pos").alias("__start"),
+        F.sum("__m").over(wspan).alias("__matched"),
+    )
+    wbest = W.partitionBy("query_id", "doc_id").orderBy(
+        F.col("__matched").desc(), F.col("__start")
+    )
+    best = (
+        wins.withColumn("__rr", F.row_number().over(wbest))
+        .filter(F.col("__rr") == 1)
+        .select("query_id", "doc_id", "__start", "__matched")
+    )
+    return dt.join(F.broadcast(best), "doc_id").select(
+        "query_id",
+        "doc_id",
+        F.col("__start").cast("int").alias("snippet_start"),
+        F.col("__matched").cast("int").alias("matched_terms"),
+        F.array_join(
+            F.slice(F.col("__t"), F.col("__start") + 1, int(window)), " "
+        ).alias("snippet"),
     )

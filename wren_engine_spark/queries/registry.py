@@ -50,6 +50,7 @@ from wren_engine_spark.queries import llmops9  # noqa: E402,F401
 from wren_engine_spark.queries import llmops10  # noqa: E402,F401
 from wren_engine_spark.queries import llmops11  # noqa: E402,F401
 from wren_engine_spark.queries import llmops12  # noqa: E402,F401
+from wren_engine_spark.queries import llmops13  # noqa: E402,F401
 
 # The external correctness harness verifies the FIRST 50 registered queries
 # per round. Rotate every query that already has a passing driver row (in any

@@ -414,6 +414,10 @@ def main() -> None:
         "x127_maxsim_topk",
         "x128_bm25_prf_probe",
         "x129_snippets",
+        # two-stage late interaction (ANN candidates -> MaxSim rescore)
+        # and the MMR diversity re-rank (applyInPandas sequential pick)
+        "x130_pruned_maxsim",
+        "x131_mmr_diversify",
     ]
     r10_timings, r10_total, r10_runs, r10_measured, _ = run_suite(
         R10, "r10 operator sub-suite", freeze=True

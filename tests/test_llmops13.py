@@ -135,6 +135,28 @@ class TestMaxSim:
         got = retrieval.maxsim_topk(docs, q1, k=10).collect()
         assert 1 not in {r.doc_id for r in got}
 
+    def test_candidates_restrict_and_preserve_scores(self, spark, frames):
+        # the pruned path must (a) score ONLY the candidate pairs and
+        # (b) give each surviving pair EXACTLY its brute-force score
+        # (shared kernel — retrieve-then-rescore can prune, never warp)
+        docs, qv = frames
+        cand = spark.createDataFrame(
+            [(0, 1), (0, 3)], "query_id BIGINT, doc_id BIGINT"
+        )
+        pruned = {
+            r.doc_id: (r.maxsim, r.rnk)
+            for r in retrieval.maxsim_topk(
+                docs, qv, k=3, candidates=cand
+            ).collect()
+        }
+        brute = {
+            r.doc_id: r.maxsim
+            for r in retrieval.maxsim_topk(docs, qv, k=3).collect()
+        }
+        assert set(pruned) == {1, 3}
+        for d, (score, _) in pruned.items():
+            assert score == brute[d]
+
     def test_k_bound_and_tie_break(self, spark):
         docs = spark.createDataFrame(
             [(d, [1.0, 0.0]) for d in (5, 6, 7)],
@@ -286,3 +308,77 @@ class TestBestSnippet:
     def test_tokenless_doc_absent(self, spark, corpus, queries):
         got = self._snip(spark, corpus, queries, [9, 1])
         assert 9 not in got and 1 in got
+
+
+class TestMmrDiversify:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "query_id BIGINT, doc_id BIGINT, rel BIGINT, "
+            "other_id BIGINT, sim BIGINT",
+        )
+
+    def test_redundant_candidate_deferred(self, spark):
+        # doc 2 is nearly as relevant as doc 1 but almost identical to
+        # it; doc 3 is less relevant but diverse — MMR (lam=1/2) picks
+        # 1, then 3 (obj 70-10=60 beats 90-95=-5), then 2
+        sims = {(1, 2): 95, (2, 1): 95, (1, 3): 10, (3, 1): 10,
+                (2, 3): 20, (3, 2): 20}
+        rel = {1: 100, 2: 90, 3: 70}
+        rows = [
+            (0, a, rel[a], b, sims[(a, b)])
+            for a in rel for b in rel if a != b
+        ]
+        got = [
+            (r.doc_id, r.mmr_rank)
+            for r in sorted(
+                retrieval.mmr_diversify(
+                    self._pairs(spark, rows), n=3
+                ).collect(),
+                key=lambda r: r.mmr_rank,
+            )
+        ]
+        assert got == [(1, 1), (3, 2), (2, 3)]
+
+    def test_pure_relevance_first_pick_and_ties(self, spark):
+        # equal relevance: first pick ties to the LOWER doc id
+        rows = [
+            (0, 5, 80, 6, 0), (0, 6, 80, 5, 0),
+        ]
+        got = sorted(
+            (r.mmr_rank, r.doc_id)
+            for r in retrieval.mmr_diversify(
+                self._pairs(spark, rows), n=2
+            ).collect()
+        )
+        assert got == [(1, 5), (2, 6)]
+
+    def test_single_candidate_null_pair(self, spark):
+        rows = [(0, 7, 50, None, None)]
+        got = retrieval.mmr_diversify(
+            self._pairs(spark, rows), n=4
+        ).collect()
+        assert [(r.doc_id, r.mmr_rank) for r in got] == [(7, 1)]
+
+    def test_n_exceeds_candidates(self, spark):
+        rows = [
+            (0, 1, 10, 2, 5), (0, 2, 9, 1, 5),
+        ]
+        got = retrieval.mmr_diversify(
+            self._pairs(spark, rows), n=10
+        ).collect()
+        assert len(got) == 2
+
+    def test_independent_queries_distributed(self, spark):
+        # two queries select independently (the applyInPandas group law)
+        rows = [
+            (0, 1, 10, 2, 0), (0, 2, 5, 1, 0),
+            (1, 3, 7, 4, 0), (1, 4, 9, 3, 0),
+        ]
+        got = {
+            (r.query_id, r.mmr_rank): r.doc_id
+            for r in retrieval.mmr_diversify(
+                self._pairs(spark, rows), n=1
+            ).collect()
+        }
+        assert got == {(0, 1): 1, (1, 1): 4}

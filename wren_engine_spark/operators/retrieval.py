@@ -866,6 +866,7 @@ def maxsim_topk(
     vec_col: str = "vec",
     k: int = 5,
     quantum: int = 1_000_000,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Late-interaction MaxSim top-k (the ColBERT scoring rule,
     Khattab & Zaharia, SIGIR 2020): documents and queries are BAGS of
@@ -894,8 +895,18 @@ def maxsim_topk(
     aggregates are combinable (partial max / partial sum map-side)
     keyed by (query, doc) — no corpus-keyed wide shuffle, no driver
     collect. This is the exact brute-force baseline an IVF/PQ-pruned
-    late-interaction stack re-ranks with; the candidate-pruned variant
-    composes by filtering ``doc_vecs`` to ANN survivors first.
+    late-interaction stack re-ranks with.
+
+    ``candidates`` (optional): bounded (query_id, doc_id) pairs — the
+    two-stage production shape (ColBERT's retrieve-then-rescore):
+    stage 1 probes a token-level ANN index for each query token and
+    unions the hit docs; stage 2 MaxSim-scores ONLY those pairs. The
+    pair restriction broadcasts into the corpus token scan, so the
+    pairwise stage materializes |candidate pairs| x tokens instead of
+    |corpus| x tokens — the difference between a re-rank and a full
+    corpus pass at 100 TB. Scoring arithmetic is IDENTICAL to the
+    unrestricted path (same kernel below), so a pruned score equals
+    the brute-force score for every surviving pair.
 
     Returns (query_id, doc_id, maxsim, rnk), rnk <= k.
     """
@@ -920,8 +931,20 @@ def maxsim_topk(
         * _dot_dec(F.col("__qv"), F.col("__dv"))
         / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__dn")))
     ).cast("bigint")
+    if candidates is not None:
+        cand = candidates.select(
+            F.col(candidates.columns[0]).alias("query_id"),
+            F.col(candidates.columns[1]).alias("__doc"),
+        )
+        paired = corpus.join(F.broadcast(cand), "__doc").join(
+            F.broadcast(queries), "query_id"
+        )
+    else:
+        paired = corpus.join(
+            F.broadcast(queries), F.col("__doc") != F.col("query_id")
+        )
     best = (
-        corpus.join(F.broadcast(queries), F.col("__doc") != F.col("query_id"))
+        paired.filter(F.col("__doc") != F.col("query_id"))
         .select(
             "query_id",
             "__qtok",
@@ -1032,4 +1055,76 @@ def best_snippet(
         F.array_join(
             F.slice(F.col("__t"), F.col("__start") + 1, int(window)), " "
         ).alias("snippet"),
+    )
+
+
+def mmr_diversify(
+    pairs: DataFrame,
+    n: int,
+    lam_num: int = 1,
+    lam_den: int = 2,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
+    SIGIR 1998) — the diversity pass a RAG serving stack runs over its
+    top-k before filling the context window: greedily select ``n``
+    candidates per query, each step picking the one maximizing
+    ``lam * relevance - (1 - lam) * max-similarity-to-already-selected``
+    (first pick: pure relevance).
+
+    ``pairs``: one row per ORDERED candidate pair within a query —
+    (query_id, doc_id, rel, other_id, sim) with integer micro-unit
+    ``rel``/``sim`` (the quantized-cosine convention); a
+    single-candidate query passes other_id/sim NULL. ``lam`` enters as
+    the rational lam_num/lam_den, so the objective stays an exact
+    integer: obj = lam_num*rel - (lam_den - lam_num)*maxsim. Integer
+    arithmetic + (obj DESC, doc_id) tie-breaks make the selection
+    bit-stable in any engine.
+
+    Greedy MMR is inherently SEQUENTIAL within a query (step i+1's
+    objective depends on picks 1..i) — the one shape the repo's
+    declarative operators can't express — but queries are independent
+    and each group is BOUNDED (k candidates from an upstream top-k, so
+    k^2 pair rows), which is exactly the applyInPandas contract:
+    Arrow-batched per-query groups, pure-integer Python selection
+    inside, distributed across queries. At 100 TB the group key is the
+    query id, never a corpus key — state per task is O(k^2).
+
+    Returns (query_id, doc_id, mmr_rank), mmr_rank <= n.
+    """
+    import pandas as pd
+
+    ln, ld = int(lam_num), int(lam_den)
+    nn = int(n)
+
+    def _select(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["query_id"].iloc[0]
+        rel = {}
+        sim = {}
+        for r in g.itertuples(index=False):
+            rel[int(r.doc_id)] = int(r.rel)
+            if r.other_id is not None and not pd.isna(r.other_id):
+                sim[(int(r.doc_id), int(r.other_id))] = int(r.sim)
+        remaining = set(rel)
+        selected: list[int] = []
+        while remaining and len(selected) < nn:
+            if not selected:
+                pick = min(remaining, key=lambda d: (-rel[d], d))
+            else:
+                def obj(d: int) -> int:
+                    worst = max(sim.get((d, s), 0) for s in selected)
+                    return ln * rel[d] - (ld - ln) * worst
+
+                pick = min(remaining, key=lambda d: (-obj(d), d))
+            selected.append(pick)
+            remaining.discard(pick)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(selected),
+                "doc_id": selected,
+                "mmr_rank": range(1, len(selected) + 1),
+            }
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(
+        _select, "query_id long, doc_id long, mmr_rank int"
     )

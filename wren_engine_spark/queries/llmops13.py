@@ -714,3 +714,287 @@ def x129(spark: SparkSession, sf: str) -> DataFrame:
         d, "text", "doc_id", hits, _queries_df(spark, sf),
         "text", "doc_id", window=_SNIP_W,
     )
+
+
+# ---------------------------------------------------------------------------
+# x130: two-stage late interaction — token-level ANN candidate
+# generation (the persisted LSH index) + MaxSim re-scoring of the
+# surviving pairs only (ColBERT's retrieve-then-rescore topology).
+# ---------------------------------------------------------------------------
+
+
+def _x130_oracle() -> str:
+    from wren_engine_spark.queries.llmops import _NORM2, _lsh_oracle
+
+    lsh = _lsh_oracle(query_pred="vec_id < 16", k=5)
+    return f"""
+    WITH lshq AS (
+      SELECT query_id, neighbor_id FROM ({lsh}) l
+    ),
+    cand AS (
+      SELECT DISTINCT query_id // 8 AS query_id,
+                      neighbor_id // 8 AS doc_id
+      FROM lshq WHERE neighbor_id // 8 <> query_id // 8
+    ),
+    base AS (
+      SELECT vec_id // 8 AS doc_id, vec_id % 8 AS tok_pos, embedding,
+             {_NORM2.format(v='embedding')} AS norm2
+      FROM embeddings
+    ),
+    q AS (SELECT doc_id AS query_id, tok_pos, embedding AS qe,
+                 norm2 AS qn FROM base WHERE doc_id < 2),
+    pairs AS (
+      SELECT q.query_id, q.tok_pos, d.doc_id,
+             CAST(ROUND(1000000.0 *
+               list_reduce(list_prepend(0.0,
+                   [CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)
+                    FOR s IN list_zip(q.qe, d.embedding)]),
+                   (acc, v) -> acc + v)
+               / (sqrt(q.qn) * sqrt(d.norm2))) AS BIGINT) AS qc
+      FROM q
+      JOIN cand c ON c.query_id = q.query_id
+      JOIN base d ON d.doc_id = c.doc_id
+      WHERE d.doc_id <> q.query_id
+    ),
+    best AS (
+      SELECT query_id, tok_pos, doc_id, MAX(qc) AS best
+      FROM pairs GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT query_id, doc_id, CAST(SUM(best) AS BIGINT) AS qscore
+      FROM best GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id,
+           CAST(qscore AS DOUBLE) / 1000000.0 AS maxsim,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT query_id, doc_id, qscore,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY qscore DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """
+
+
+@register("x130_pruned_maxsim", _x130_oracle())
+def x130(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage late interaction (ColBERT's retrieve-then-rescore,
+    served from persisted state): stage 1 probes the persisted
+    hyperplane-LSH index (x63's) with EVERY query token vector and
+    unions the hit docs into bounded (query, doc) candidate pairs;
+    stage 2 re-scores only those pairs with the exact MaxSim kernel
+    (retrieval.maxsim_topk(candidates=...)). The pairwise stage
+    materializes |candidate pairs| x tokens instead of |corpus| x
+    tokens — the re-rank topology a 100 TB late-interaction deployment
+    runs — and a pruned score equals the brute-force x127 score for
+    every surviving pair (shared kernel). The oracle replays the full
+    seeded-plane LSH probe per token, the candidate union, and the
+    restricted MaxSim — bit-for-bit."""
+    import hashlib as _hashlib
+
+    from wren_engine_spark.operators import similarity
+
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    ann_table = f"ann_idx_{_hashlib.md5(sf.encode()).hexdigest()[:10]}"
+    if not spark.catalog.tableExists(ann_table):
+        similarity.write_ann_index(
+            e, "vec_id", "embedding", ann_table, dim=64, nbits=10, tables=4
+        )
+    probe = e.filter(F.col("vec_id") < 16).select("vec_id", "embedding")
+    hits = similarity.ann_index_topk(
+        spark, ann_table, probe, "vec_id", "embedding", dim=64, k=5
+    )
+    cand = (
+        hits.select(
+            F.expr("query_id div 8").alias("query_id"),
+            F.expr("neighbor_id div 8").alias("doc_id"),
+        )
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .distinct()
+    )
+    docs = e.select(
+        F.expr("vec_id div 8").alias("doc_id"),
+        F.col("embedding").alias("vec"),
+    )
+    qv = e.filter(F.expr("vec_id div 8") < 2).select(
+        F.expr("vec_id div 8").alias("query_id"),
+        (F.col("vec_id") % 8).alias("tok_pos"),
+        F.col("embedding").alias("vec"),
+    )
+    return retrieval.maxsim_topk(
+        docs, qv, doc_id_col="doc_id", query_id_col="query_id",
+        query_tok_col="tok_pos", vec_col="vec", k=5, candidates=cand,
+    )
+
+
+# ---------------------------------------------------------------------------
+# x131: MMR diversification — the greedy diversity re-rank over a
+# query's top-k, the one genuinely SEQUENTIAL serving operator
+# (applyInPandas on Spark; the oracle unrolls the selection loop as
+# chained CTEs — no recursion, plain ANSI).
+# ---------------------------------------------------------------------------
+
+_MMR_K, _MMR_N, _MMR_LN, _MMR_LD = 8, 4, 1, 2
+
+
+def _x131_oracle() -> str:
+    from wren_engine_spark.queries.llmops import _NORM2
+
+    qc = (
+        "CAST(ROUND(1000000.0 * "
+        "list_reduce(list_prepend(0.0, "
+        "[CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE) "
+        "FOR s IN list_zip({a}, {b})]), (acc, v) -> acc + v) "
+        "/ (sqrt({an}) * sqrt({bn}))) AS BIGINT)"
+    )
+    head = f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, norm2 AS qn
+          FROM base WHERE vec_id < 3),
+    relp AS (
+      SELECT q.query_id, d.vec_id AS doc_id,
+             {qc.format(a='q.qe', b='d.embedding', an='q.qn', bn='d.norm2')} AS rel
+      FROM q, base d WHERE d.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT query_id, doc_id, rel
+      FROM (SELECT query_id, doc_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, doc_id) AS rr
+            FROM relp)
+      WHERE rr <= {_MMR_K}
+    ),
+    cv AS (
+      SELECT c.query_id, c.doc_id, c.rel, b.embedding, b.norm2
+      FROM cand c JOIN base b ON b.vec_id = c.doc_id
+    ),
+    prs AS (
+      SELECT a.query_id, a.doc_id, b.doc_id AS other_id,
+             {qc.format(a='a.embedding', b='b.embedding', an='a.norm2', bn='b.norm2')} AS sim
+      FROM cv a JOIN cv b
+        ON b.query_id = a.query_id AND b.doc_id <> a.doc_id
+    ),
+    s1 AS (
+      SELECT query_id, doc_id
+      FROM (SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, doc_id) AS rr
+            FROM cand)
+      WHERE rr = 1
+    ),
+    sel1 AS (SELECT query_id, doc_id, 1 AS mmr_rank FROM s1)"""
+    parts = [head]
+    coef = _MMR_LD - _MMR_LN
+    for i in range(2, _MMR_N + 1):
+        prev = f"sel{i - 1}"
+        parts.append(f""",
+    obj{i} AS (
+      SELECT c.query_id, c.doc_id,
+             {_MMR_LN} * c.rel - {coef} * COALESCE(
+               (SELECT MAX(p.sim) FROM prs p
+                JOIN {prev} s ON s.query_id = p.query_id
+                             AND s.doc_id = p.other_id
+                WHERE p.query_id = c.query_id
+                  AND p.doc_id = c.doc_id), 0) AS obj
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                        WHERE s.query_id = c.query_id
+                          AND s.doc_id = c.doc_id)
+    ),
+    s{i} AS (
+      SELECT query_id, doc_id
+      FROM (SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY obj DESC, doc_id) AS rr
+            FROM obj{i})
+      WHERE rr = 1
+    ),
+    sel{i} AS (
+      SELECT query_id, doc_id, mmr_rank FROM {prev}
+      UNION ALL
+      SELECT query_id, doc_id, {i} AS mmr_rank FROM s{i}
+    )""")
+    parts.append(f"""
+    SELECT query_id, doc_id, CAST(mmr_rank AS INTEGER) AS mmr_rank
+    FROM sel{_MMR_N}
+    """)
+    return "".join(parts)
+
+
+@register("x131_mmr_diversify", _x131_oracle())
+def x131(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR diversity re-rank (retrieval.mmr_diversify): take each
+    query's top-8 by quantized cosine, then greedily select 4 — each
+    step maximizing lam*relevance − (1−lam)*max-similarity-to-selected
+    (lam = 1/2, so the integer objective is rel − maxsim exactly).
+    Greedy MMR is sequential WITHIN a query, so the Spark side is an
+    applyInPandas per-query group (bounded k^2 pair state, distributed
+    across queries — the contract case for the Pandas-UDF escape
+    hatch); the oracle unrolls the 4-step selection as chained CTEs.
+    Integer micro-unit relevance and similarity with id tie-breaks
+    make every pick bit-stable in both engines."""
+    from wren_engine_spark.operators.similarity import _dot_dec, with_norm
+
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    base = with_norm(e, "embedding", "__n2")
+    q = base.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qe"),
+        F.col("__n2").alias("__qn"),
+    )
+    qc_rel = F.round(
+        F.lit(1_000_000.0)
+        * _dot_dec(F.col("__qe"), F.col("embedding"))
+        / (F.sqrt(F.col("__qn")) * F.sqrt(F.col("__n2")))
+    ).cast("bigint")
+    from pyspark.sql import Window as W
+
+    relp = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            qc_rel.alias("rel"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("doc_id"))
+    cand = (
+        relp.withColumn("__rr", F.row_number().over(wr))
+        .filter(F.col("__rr") <= _MMR_K)
+        .select("query_id", "doc_id", "rel")
+    )
+    cv = cand.join(
+        base.select(
+            F.col("vec_id").alias("doc_id"), "embedding", "__n2"
+        ),
+        "doc_id",
+    )
+    a = cv.select(
+        "query_id", "doc_id", "rel",
+        F.col("embedding").alias("__ea"), F.col("__n2").alias("__na"),
+    )
+    bb = cv.select(
+        F.col("query_id").alias("__qb"),
+        F.col("doc_id").alias("other_id"),
+        F.col("embedding").alias("__eb"),
+        F.col("__n2").alias("__nb"),
+    )
+    qc_sim = F.round(
+        F.lit(1_000_000.0)
+        * _dot_dec(F.col("__ea"), F.col("__eb"))
+        / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))
+    ).cast("bigint")
+    pairs = (
+        a.join(
+            F.broadcast(bb),
+            (F.col("query_id") == F.col("__qb"))
+            & (F.col("doc_id") != F.col("other_id")),
+            "left",
+        )
+        .select("query_id", "doc_id", "rel", "other_id", qc_sim.alias("sim"))
+    )
+    return retrieval.mmr_diversify(
+        pairs, n=_MMR_N, lam_num=_MMR_LN, lam_den=_MMR_LD
+    )

@@ -540,6 +540,58 @@ def main() -> int:
                 ).count(),
             )[1],
         ),
+        # round-10 serving-stack completions. x127 is the widest new
+        # shape — the pairwise stage materializes |corpus tokens| x
+        # |query tokens| map-side rows (20k x 16 at 10x) with the
+        # bounded query bag broadcast in; both aggregates must show
+        # partial combine (exchanges carry (query, doc)-keyed partials
+        # only). x130 is strictly narrower (candidate-pruned same
+        # kernel) and x131 is O(k^2)-bounded per query, so x127 bounds
+        # them both.
+        (
+            "x127_maxsim",
+            lambda: retrieval.maxsim_topk(
+                emb.select(
+                    (F.col("vec_id") / 8).cast("long").alias("doc_id"),
+                    F.col("embedding").alias("vec"),
+                ),
+                emb.filter(F.col("vec_id") < 16).select(
+                    (F.col("vec_id") / 8).cast("long").alias("query_id"),
+                    (F.col("vec_id") % 8).alias("tok_pos"),
+                    F.col("embedding").alias("vec"),
+                ),
+                k=5,
+            ).count(),
+        ),
+        # RM3: two full probe passes over the persisted posting store
+        # (built by x122_bm25_index_build above) + the feedback-set
+        # vocabulary aggregate — the probe-side worst case for the
+        # lexical index: must stay broadcast-probe shaped both passes.
+        (
+            "x128_prf_probe",
+            lambda: retrieval.bm25_index_prf_probe(
+                spark, "spill_bm25",
+                docs.filter(F.col("doc_id") < 4).select("doc_id", "text"),
+                "text", "doc_id", k=10,
+            ).count(),
+        ),
+        # snippets: per-doc token positions may only materialize for
+        # hit docs (|hits| = |queries| x k), never corpus-wide.
+        (
+            "x129_snippets",
+            lambda: retrieval.best_snippet(
+                docs, "text", "doc_id",
+                retrieval.bm25_index_probe(
+                    spark, "spill_bm25",
+                    docs.filter(F.col("doc_id") < 4).select(
+                        "doc_id", "text"
+                    ),
+                    "text", "doc_id", k=10,
+                ).select("query_id", "doc_id"),
+                docs.filter(F.col("doc_id") < 4),
+                "text", "doc_id",
+            ).count(),
+        ),
     ):
         if only and name not in only:
             continue

@@ -418,6 +418,9 @@ def main() -> None:
         # and the MMR diversity re-rank (applyInPandas sequential pick)
         "x130_pruned_maxsim",
         "x131_mmr_diversify",
+        # ranking-quality eval (recall@k/MRR/nDCG of the BM25 leg vs
+        # the exact cosine truth — bounded top-k inputs, trivially fast)
+        "x132_retrieval_eval",
     ]
     r10_timings, r10_total, r10_runs, r10_measured, _ = run_suite(
         R10, "r10 operator sub-suite", freeze=True

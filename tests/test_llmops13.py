@@ -382,3 +382,103 @@ class TestMmrDiversify:
             ).collect()
         }
         assert got == {(0, 1): 1, (1, 1): 4}
+
+
+class TestRankingMetrics:
+    """retrieval.ranking_metrics — the eval leg (x132): recall@k, MRR,
+    nDCG@k against a pure-Python replay of the integer-gain
+    arithmetic, plus the truth-side query-universe contract."""
+
+    QN = 1_000_000_000
+
+    def _gains(self, k):
+        return {
+            r: _round_away(self.QN / math.log2(r + 1))
+            for r in range(1, k + 1)
+        }
+
+    def _python_metrics(self, ranked, truth, k):
+        """ranked: {qid: [doc ids in rank order]}, truth: {qid: set}."""
+        g = self._gains(k)
+        out = {}
+        for qid, rel in truth.items():
+            rows = ranked.get(qid, [])[:k]
+            hits = [(r + 1, d) for r, d in enumerate(rows) if d in rel]
+            qdcg = sum(g[r] for r, _ in hits)
+            idcg = sum(g[r] for r in range(1, min(len(rel), k) + 1))
+            out[qid] = (
+                len(rel),
+                len(hits),
+                len(hits) / len(rel),
+                1.0 / hits[0][0] if hits else 0.0,
+                qdcg / idcg,
+            )
+        return out
+
+    def _run(self, spark, ranked, truth, k):
+        rrows = [
+            (q, d, r + 1)
+            for q, docs in ranked.items()
+            for r, d in enumerate(docs)
+        ]
+        trows = [(q, d) for q, rel in truth.items() for d in sorted(rel)]
+        rdf = spark.createDataFrame(
+            rrows, "query_id BIGINT, doc_id BIGINT, rnk INT"
+        )
+        tdf = spark.createDataFrame(trows, "query_id BIGINT, doc_id BIGINT")
+        return {
+            r.query_id: (r.n_rel, r.hits, r.recall_k, r.mrr, r.ndcg_k)
+            for r in retrieval.ranking_metrics(
+                rdf, tdf, k=k, quantum=self.QN
+            ).collect()
+        }
+
+    def test_matches_python_replay(self, spark):
+        ranked = {
+            1: [10, 11, 12, 13],   # partial agreement
+            2: [20, 21],           # zero hits
+            3: [31, 30],           # perfect set, swapped order
+        }
+        truth = {
+            1: {11, 13, 99},       # one relevant doc never retrieved
+            2: {25},
+            3: {30, 31},
+        }
+        got = self._run(spark, ranked, truth, k=4)
+        want = self._python_metrics(ranked, truth, k=4)
+        assert got == want
+
+    def test_perfect_ranking_scores_ones(self, spark):
+        ranked = {7: [1, 2, 3]}
+        truth = {7: {1, 2, 3}}
+        (n_rel, hits, rec, mrr, ndcg) = self._run(
+            spark, ranked, truth, k=3
+        )[7]
+        assert (n_rel, hits, rec, mrr, ndcg) == (3, 3, 1.0, 1.0, 1.0)
+
+    def test_truth_query_with_no_ranked_rows_scores_zero(self, spark):
+        got = self._run(spark, {1: [10]}, {1: {10}, 2: {20}}, k=5)
+        assert got[2] == (1, 0, 0.0, 0.0, 0.0)
+        assert got[1] == (1, 1, 1.0, 1.0, 1.0)
+
+    def test_ranked_query_absent_from_truth_is_dropped(self, spark):
+        got = self._run(spark, {1: [10], 9: [90]}, {1: {10}}, k=5)
+        assert set(got) == {1}
+
+    def test_rows_beyond_k_are_ignored(self, spark):
+        # doc 12 is relevant but sits at rank 3 > k=2: no credit
+        got = self._run(spark, {1: [10, 11, 12]}, {1: {12}}, k=2)
+        assert got[1] == (1, 0, 0.0, 0.0, 0.0)
+
+    def test_gain_tables_are_local_relations(self, spark):
+        rdf = spark.createDataFrame(
+            [(1, 10, 1)], "query_id BIGINT, doc_id BIGINT, rnk INT"
+        )
+        tdf = spark.createDataFrame(
+            [(1, 10)], "query_id BIGINT, doc_id BIGINT"
+        )
+        an = (
+            retrieval.ranking_metrics(rdf, tdf, k=10)
+            ._jdf.queryExecution().analyzed().toString()
+        )
+        assert "LocalRelation" in an

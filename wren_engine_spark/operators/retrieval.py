@@ -1128,3 +1128,112 @@ def mmr_diversify(
     return pairs.groupBy("query_id").applyInPandas(
         _select, "query_id long, doc_id long, mmr_rank int"
     )
+
+def ranking_metrics(
+    ranked: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    quantum: int = 1_000_000_000,
+) -> DataFrame:
+    """Per-query ranking-quality metrics — recall@k, MRR, nDCG@k — of
+    a ranked candidate list against a ground-truth relevant set: the
+    evaluation leg the retrieval stack's serving legs are tuned by
+    (the lexical/hybrid counterpart of the ANN family's recall evals
+    x94/x108). Offline eval over swept parameters is how k1/b/rrf_k
+    earn their values — "measure, don't guess" applied to ranking.
+
+    ``ranked``: (query_id, doc_id, rnk) with rnk from 1 (a top-k
+    probe's output shape — bm25_topk / hybrid_rrf_topk / maxsim_topk
+    all qualify); rows with rnk > k are ignored. ``truth``: first two
+    columns (query_id, doc_id) — the relevant set per query, itself
+    bounded (an exact-scan top-k, a labeled qrel set). Queries are
+    the TRUTH side's: a query with no ranked rows scores 0; ranked
+    queries absent from truth are dropped (no denominator).
+
+    Determinism (no transcendental in either engine): the DCG gain
+    for rank r, 1/log2(r+1), is precomputed DRIVER-SIDE as the
+    integer ``round(quantum / log2(r+1))`` and injected as a k-row
+    literal gain table (true LocalRelation); DCG is then an
+    order-independent integer sum of gains over hits, and nDCG is the
+    single IEEE division of two exact integers (ideal DCG comes from
+    the companion prefix-sum literal, capped at min(|truth|, k)).
+    MRR is the single exact division 1/first-hit-rank (0 when no
+    hit); recall@k is hits/|truth|. Every published double is ONE
+    division of exact integers — bit-identical in any engine, no
+    rounding fudge.
+
+    Scale shape: both inputs are bounded top-k frames, but the plan
+    still follows the probe discipline — truth and the literal gain
+    tables broadcast into ``ranked``, one combinable per-query
+    aggregate, per-query joins against the tiny denominators. Nothing
+    corpus-sized anywhere.
+
+    Returns (query_id, n_rel, hits, recall_k, mrr, ndcg_k).
+    """
+    import math
+
+    from wren_engine_spark.operators.similarity import _literal_df
+
+    spark = ranked.sparkSession
+    kk = int(k)
+    qn = float(int(quantum))
+    gains = [
+        (r, int(round(qn / math.log2(r + 1)))) for r in range(1, kk + 1)
+    ]
+    cums, c = [], 0
+    for r, g in gains:
+        c += g
+        cums.append((r, c))
+    gdf = _literal_df(spark, gains, "rnk INT, __g BIGINT")
+    icum = _literal_df(spark, cums, "__ncap INT, __idcg BIGINT")
+    t = truth.select(
+        F.col(truth.columns[0]).alias("query_id"),
+        F.col(truth.columns[1]).alias("doc_id"),
+        F.lit(1).alias("__rel"),
+    )
+    nrel = t.groupBy("query_id").agg(
+        F.count("*").cast("int").alias("__nrel")
+    )
+    per_q = (
+        ranked.select(
+            "query_id", "doc_id", F.col("rnk").cast("int").alias("rnk")
+        )
+        .filter(F.col("rnk") <= kk)
+        .join(F.broadcast(t), ["query_id", "doc_id"], "left")
+        .join(F.broadcast(gdf), "rnk")
+        .select(
+            "query_id",
+            "rnk",
+            F.coalesce(F.col("__rel"), F.lit(0)).alias("__hit"),
+            "__g",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("__hit").cast("int").alias("__hits"),
+            F.sum(F.col("__hit") * F.col("__g")).cast("bigint").alias("__qdcg"),
+            F.min(F.when(F.col("__hit") == 1, F.col("rnk"))).alias("__first"),
+        )
+    )
+    return (
+        nrel.join(per_q, "query_id", "left")
+        .join(
+            F.broadcast(icum),
+            F.col("__ncap") == F.least(F.col("__nrel"), F.lit(kk)),
+        )
+        .select(
+            "query_id",
+            F.col("__nrel").alias("n_rel"),
+            F.coalesce(F.col("__hits"), F.lit(0)).alias("hits"),
+            (
+                F.coalesce(F.col("__hits"), F.lit(0)).cast("double")
+                / F.col("__nrel").cast("double")
+            ).alias("recall_k"),
+            F.coalesce(
+                F.lit(1.0) / F.col("__first").cast("double"), F.lit(0.0)
+            ).alias("mrr"),
+            (
+                F.coalesce(F.col("__qdcg"), F.lit(0)).cast("double")
+                / F.col("__idcg").cast("double")
+            ).alias("ndcg_k"),
+        )
+    )

@@ -213,3 +213,98 @@ def x121(spark: SparkSession, sf: str) -> DataFrame:
         max_df_frac=_MAXDF, lexical="bm25",
         k1=_K1, b=_B, quantum=_QN,
     )
+
+
+# ---------------------------------------------------------------------------
+# x132: retrieval-quality evaluation — recall@k / MRR / nDCG@k of the
+# BM25 lexical ranking judged against the exact quantized-cosine
+# vector top-k as ground truth (the cross-modal agreement eval every
+# hybrid stack tunes its fusion by). The ANN family's recall rows
+# (x94/x108) get their lexical/ranked counterpart; the gain tables
+# are precomputed integers, so neither engine evaluates a log.
+# ---------------------------------------------------------------------------
+
+
+def _x132_oracle() -> str:
+    import math
+
+    from wren_engine_spark.queries.llmops11 import _X114_VEC
+
+    qn = 1_000_000_000
+    gains = [
+        (r, int(round(float(qn) / math.log2(r + 1)))) for r in range(1, 11)
+    ]
+    cums, c = [], 0
+    for r, g in gains:
+        c += g
+        cums.append((r, c))
+    gvals = ", ".join(f"({r}, {g})" for r, g in gains)
+    ivals = ", ".join(f"({r}, {c})" for r, c in cums)
+    return f"""
+    WITH {_X121_BM25_LEX},
+    {_X114_VEC},
+    egain(grnk, g) AS (VALUES {gvals}),
+    eicum(ncap, idcg) AS (VALUES {ivals}),
+    etruth AS (SELECT query_id, doc_id FROM hvec),
+    enrel AS (
+      SELECT query_id, CAST(COUNT(*) AS INTEGER) AS nrel
+      FROM etruth GROUP BY query_id
+    ),
+    ehits AS (
+      SELECT l.query_id, l.lex_rank AS rnk,
+             CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS hit, g.g
+      FROM hlex l
+      LEFT JOIN etruth t
+        ON t.query_id = l.query_id AND t.doc_id = l.doc_id
+      JOIN egain g ON g.grnk = l.lex_rank
+    ),
+    eperq AS (
+      SELECT query_id, CAST(SUM(hit) AS INTEGER) AS hits,
+             CAST(SUM(hit * g) AS BIGINT) AS qdcg,
+             MIN(CASE WHEN hit = 1 THEN rnk END) AS first
+      FROM ehits GROUP BY query_id
+    )
+    SELECT n.query_id,
+           n.nrel AS n_rel,
+           COALESCE(p.hits, 0) AS hits,
+           CAST(COALESCE(p.hits, 0) AS DOUBLE)
+             / CAST(n.nrel AS DOUBLE) AS recall_k,
+           COALESCE(CAST(1 AS DOUBLE) / CAST(p.first AS DOUBLE),
+                    CAST(0 AS DOUBLE)) AS mrr,
+           CAST(COALESCE(p.qdcg, 0) AS DOUBLE)
+             / CAST(i.idcg AS DOUBLE) AS ndcg_k
+    FROM enrel n
+    LEFT JOIN eperq p ON p.query_id = n.query_id
+    JOIN eicum i ON i.ncap = LEAST(n.nrel, 10)
+    """
+
+
+@register("x132_retrieval_eval", _x132_oracle())
+def x132(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking-quality evaluation (retrieval.ranking_metrics): x120's
+    BM25 top-10 (query docs 0-3) scored against the exact int8-
+    quantized cosine top-10 over the embeddings table as ground truth
+    — per-query recall@10, MRR, nDCG@10. The offline eval loop that
+    tunes k1/b/rrf_k: both serving legs are already oracle-certified
+    (x120/x114), and this entry certifies the measurement arithmetic
+    itself — integer gain tables precomputed driver-side (no log in
+    either engine), DCG an order-independent integer sum, every
+    published double ONE division of exact integers. At scale both
+    inputs are bounded top-k frames; truth and the k-row gain tables
+    broadcast, one combinable per-query aggregate."""
+    from wren_engine_spark.operators.similarity import quantized_cosine_topk
+
+    d = load_tables(spark, sf, "documents")["documents"]
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    qids = d.filter(F.col("doc_id") < 4).select("doc_id")
+    ranked = retrieval.bm25_topk(
+        d, "doc_id", "text", qids,
+        k=10, k1=_K1, b=_B, max_df_frac=_MAXDF, quantum=_QN,
+    ).select("query_id", "doc_id", "rnk")
+    qvecs = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    truth = quantized_cosine_topk(
+        e, "vec_id", "embedding", qvecs, k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"))
+    return retrieval.ranking_metrics(ranked, truth, k=10)

@@ -421,6 +421,8 @@ def main() -> None:
         # ranking-quality eval (recall@k/MRR/nDCG of the BM25 leg vs
         # the exact cosine truth — bounded top-k inputs, trivially fast)
         "x132_retrieval_eval",
+        # the eval->tune loop: rrf_k swept by mean nDCG vs exact truth
+        "x133_rrf_tune",
     ]
     r10_timings, r10_total, r10_runs, r10_measured, _ = run_suite(
         R10, "r10 operator sub-suite", freeze=True

@@ -482,3 +482,105 @@ class TestRankingMetrics:
             ._jdf.queryExecution().analyzed().toString()
         )
         assert "LocalRelation" in an
+
+
+class TestRrfTune:
+    """retrieval.rrf_tune — the fusion-constant sweep (x133): kernel
+    parity with the pure-Python fusion + metric replay, the
+    missing-query denominator rule, and deterministic output order."""
+
+    QN = 1_000_000_000
+
+    LEX = {1: [10, 11, 12], 2: [20, 21]}
+    VEC = {1: [11, 13, 10], 2: [22, 20]}
+    TRUTH = {1: {11, 13}, 2: {20}, 3: {30}}  # q3 absent from both legs
+
+    def _python_sweep(self, grid, k):
+        from wren_engine_spark.operators.retrieval import dcg_gain_table
+
+        gains, cums = dcg_gain_table(k, self.QN)
+        g = dict(gains)
+        icum = dict(cums)
+        out = []
+        for K in grid:
+            nints = []
+            for qid, rel in self.TRUTH.items():
+                lex = {d: r + 1 for r, d in enumerate(self.LEX.get(qid, []))}
+                vec = {d: r + 1 for r, d in enumerate(self.VEC.get(qid, []))}
+                cand = set(lex) | set(vec)
+                scored = sorted(
+                    cand,
+                    key=lambda d: (
+                        -(
+                            (1.0 / (K + lex[d]) if d in lex else 0.0)
+                            + (1.0 / (K + vec[d]) if d in vec else 0.0)
+                        ),
+                        d,
+                    ),
+                )[:k]
+                qdcg = sum(
+                    g[r + 1] for r, d in enumerate(scored) if d in rel
+                )
+                idcg = icum[min(len(rel), k)]
+                nints.append(_round_away(self.QN * (qdcg / idcg)))
+            out.append((K, sum(nints) / (len(nints) * self.QN)))
+        out.sort(key=lambda t: (-t[1], t[0]))
+        return [
+            (K, m, r + 1) for r, (K, m) in enumerate(out)
+        ]
+
+    def _run(self, spark, grid, k):
+        lex = spark.createDataFrame(
+            [
+                (q, d, r + 1)
+                for q, docs in self.LEX.items()
+                for r, d in enumerate(docs)
+            ],
+            "query_id BIGINT, doc_id BIGINT, lex_rank INT",
+        )
+        vec = spark.createDataFrame(
+            [
+                (q, d, r + 1)
+                for q, docs in self.VEC.items()
+                for r, d in enumerate(docs)
+            ],
+            "query_id BIGINT, doc_id BIGINT, vec_rank INT",
+        )
+        truth = spark.createDataFrame(
+            [(q, d) for q, rel in self.TRUTH.items() for d in sorted(rel)],
+            "query_id BIGINT, doc_id BIGINT",
+        )
+        return [
+            (r.rrf_k, r.mean_ndcg, r.rnk)
+            for r in retrieval.rrf_tune(
+                lex, vec, truth, grid=grid, k=k, quantum=self.QN
+            ).orderBy("rnk").collect()
+        ]
+
+    def test_matches_python_replay(self, spark):
+        got = self._run(spark, grid=[10, 60, 120], k=3)
+        want = self._python_sweep([10, 60, 120], k=3)
+        assert got == want
+
+    def test_truth_query_absent_from_both_legs_drags_the_mean(self, spark):
+        # q3's relevant doc is never retrieved at any rrf_k: its
+        # per-query nDCG of 0 must stay in the denominator
+        got = dict(
+            (K, m) for K, m, _ in self._run(spark, grid=[60], k=3)
+        )
+        assert got[60] < 1.0
+
+    def test_tie_breaks_to_smaller_rrf_k(self, spark):
+        # two identical grid values produce identical means: smaller
+        # first (the documented deterministic order)
+        got = self._run(spark, grid=[90, 30], k=3)
+        by_rnk = [K for K, _, _ in got]
+        means = {K: m for K, m, _ in got}
+        if means[30] == means[90]:
+            assert by_rnk == [30, 90]
+        else:  # data made them differ: order must follow the mean
+            assert means[by_rnk[0]] >= means[by_rnk[1]]
+
+    def test_single_value_grid_is_ranked_one(self, spark):
+        got = self._run(spark, grid=[60], k=3)
+        assert len(got) == 1 and got[0][2] == 1

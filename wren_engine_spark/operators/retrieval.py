@@ -1170,20 +1170,11 @@ def ranking_metrics(
 
     Returns (query_id, n_rel, hits, recall_k, mrr, ndcg_k).
     """
-    import math
-
     from wren_engine_spark.operators.similarity import _literal_df
 
     spark = ranked.sparkSession
     kk = int(k)
-    qn = float(int(quantum))
-    gains = [
-        (r, int(round(qn / math.log2(r + 1)))) for r in range(1, kk + 1)
-    ]
-    cums, c = [], 0
-    for r, g in gains:
-        c += g
-        cums.append((r, c))
+    gains, cums = dcg_gain_table(kk, quantum)
     gdf = _literal_df(spark, gains, "rnk INT, __g BIGINT")
     icum = _literal_df(spark, cums, "__ncap INT, __idcg BIGINT")
     t = truth.select(
@@ -1236,4 +1227,163 @@ def ranking_metrics(
                 / F.col("__idcg").cast("double")
             ).alias("ndcg_k"),
         )
+    )
+
+def dcg_gain_table(
+    k: int, quantum: int = 1_000_000_000
+) -> tuple[list[tuple[int, int]], list[tuple[int, int]]]:
+    """The ONE source of the integer DCG gain tables behind
+    :func:`ranking_metrics` and :func:`rrf_tune` AND their DuckDB
+    oracles (shared-kernel rule): ``([(rank, gain)], [(n, idcg_n)])``
+    for ranks 1..k, gain = round(quantum / log2(rank+1)) computed
+    driver-side in Python — the only place a logarithm is ever
+    evaluated, so engine transcendental parity can never be in play.
+    Oracles embed these exact integers as VALUES lists."""
+    import math
+
+    qn = float(int(quantum))
+    gains = [
+        (r, int(round(qn / math.log2(r + 1)))) for r in range(1, int(k) + 1)
+    ]
+    cums, c = [], 0
+    for r, g in gains:
+        c += g
+        cums.append((r, c))
+    return gains, cums
+
+
+def rrf_tune(
+    lex: DataFrame,
+    vec: DataFrame,
+    truth: DataFrame,
+    grid: list[int],
+    k: int = 10,
+    quantum: int = 1_000_000_000,
+) -> DataFrame:
+    """Sweep the RRF fusion constant against ground truth — the
+    eval-to-tune loop for the hybrid retrieval stack, mirroring the
+    ANN family's one-pass nprobe tuner (x117): for every candidate
+    ``rrf_k`` in ``grid``, fuse the two rankings, take the fused
+    top-``k`` per query, and score it by mean nDCG@k against
+    ``truth``. Returns the whole swept grid (the tuner-receipt shape),
+    highest mean nDCG first; the caller deploys the winner into
+    :func:`hybrid_rrf_topk` / :func:`hybrid_index_rrf_topk`.
+
+    ``lex``: (query_id, doc_id, lex_rank); ``vec``: (query_id,
+    doc_id, vec_rank) — two top-k legs over the same id space;
+    ``truth``: first two columns (query_id, doc_id), e.g. the EXACT
+    cosine top-k the quantized/pruned serving legs approximate.
+
+    Determinism: the fused score is the same two-term exact-division
+    sum as :func:`_rrf_fuse` (pytest pins grid=[rrf_k] ≡ the serving
+    fusion); per-(rrf_k, query) nDCG quantizes to an integer BEFORE
+    the cross-query mean, so the mean is an order-independent integer
+    sum divided once — engine-portable bit-for-bit, ties in the
+    output ordering broken by the smaller ``rrf_k``.
+
+    Scale shape: every frame in the plan is bounded — candidates are
+    |queries| x (k_lex + k_vec) rows crossed with the |grid| literal,
+    truth and the gain tables broadcast, one combinable aggregate per
+    level. The corpus was only ever touched by the upstream legs.
+
+    Returns (rrf_k, mean_ndcg, rnk), one row per grid value.
+    """
+    from pyspark.sql import Window as W
+
+    from wren_engine_spark.operators.similarity import _literal_df
+
+    spark = lex.sparkSession
+    kk = int(k)
+    qn = float(int(quantum))
+    gains, cums = dcg_gain_table(kk, quantum)
+    gdf = _literal_df(spark, gains, "rnk INT, __g BIGINT")
+    icum = _literal_df(spark, cums, "__ncap INT, __idcg BIGINT")
+    griddf = _literal_df(
+        spark, [(int(v),) for v in grid], "rrf_k INT"
+    )
+    t = truth.select(
+        F.col(truth.columns[0]).alias("query_id"),
+        F.col(truth.columns[1]).alias("doc_id"),
+        F.lit(1).alias("__rel"),
+    )
+    cand = lex.select(
+        "query_id", "doc_id", F.col("lex_rank").cast("int").alias("__lr")
+    ).join(
+        vec.select(
+            "query_id", "doc_id", F.col("vec_rank").cast("int").alias("__vr")
+        ),
+        ["query_id", "doc_id"],
+        "full_outer",
+    )
+    fused = cand.crossJoin(F.broadcast(griddf)).select(
+        "rrf_k",
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.lit(1.0)
+                / (F.col("rrf_k").cast("double") + F.col("__lr").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0)
+                / (F.col("rrf_k").cast("double") + F.col("__vr").cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("__score"),
+    )
+    wf = W.partitionBy("rrf_k", "query_id").orderBy(
+        F.col("__score").desc(), F.col("doc_id")
+    )
+    ftop = (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= kk)
+        .select("rrf_k", "query_id", "doc_id", "rnk")
+    )
+    per = (
+        ftop.join(F.broadcast(t), ["query_id", "doc_id"], "left")
+        .join(F.broadcast(gdf), "rnk")
+        .groupBy("rrf_k", "query_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("__rel"), F.lit(0)) * F.col("__g")
+            ).cast("bigint").alias("__qdcg")
+        )
+    )
+    nrel = t.groupBy("query_id").agg(
+        F.count("*").cast("int").alias("__nrel")
+    )
+    base = (
+        nrel.crossJoin(F.broadcast(griddf))
+        .join(
+            F.broadcast(icum),
+            F.col("__ncap") == F.least(F.col("__nrel"), F.lit(kk)),
+        )
+        .join(per, ["rrf_k", "query_id"], "left")
+        .select(
+            "rrf_k",
+            F.round(
+                F.lit(qn)
+                * (
+                    F.coalesce(F.col("__qdcg"), F.lit(0)).cast("double")
+                    / F.col("__idcg").cast("double")
+                )
+            ).cast("bigint").alias("__nint"),
+        )
+    )
+    summed = base.groupBy("rrf_k").agg(
+        F.sum("__nint").cast("bigint").alias("__s"),
+        F.count("*").cast("int").alias("__nq"),
+    )
+    wr = W.orderBy(
+        (F.col("__s").cast("double") / F.col("__nq").cast("double")).desc(),
+        F.col("rrf_k"),
+    )
+    return summed.select(
+        "rrf_k",
+        (
+            F.col("__s").cast("double")
+            / (F.col("__nq").cast("double") * F.lit(qn))
+        ).alias("mean_ndcg"),
+        F.row_number().over(wr).cast("int").alias("rnk"),
     )

@@ -226,18 +226,10 @@ def x121(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _x132_oracle() -> str:
-    import math
-
+    from wren_engine_spark.operators.retrieval import dcg_gain_table
     from wren_engine_spark.queries.llmops11 import _X114_VEC
 
-    qn = 1_000_000_000
-    gains = [
-        (r, int(round(float(qn) / math.log2(r + 1)))) for r in range(1, 11)
-    ]
-    cums, c = [], 0
-    for r, g in gains:
-        c += g
-        cums.append((r, c))
+    gains, cums = dcg_gain_table(10)
     gvals = ", ".join(f"({r}, {g})" for r, g in gains)
     ivals = ", ".join(f"({r}, {c})" for r, c in cums)
     return f"""
@@ -308,3 +300,159 @@ def x132(spark: SparkSession, sf: str) -> DataFrame:
         e, "vec_id", "embedding", qvecs, k=10
     ).select("query_id", F.col("neighbor_id").alias("doc_id"))
     return retrieval.ranking_metrics(ranked, truth, k=10)
+
+
+# ---------------------------------------------------------------------------
+# x133: RRF fusion-constant sweep — the eval->tune loop for the hybrid
+# stack (the retrieval counterpart of x117's nprobe tuner): sweep
+# rrf_k over a grid, score each fused top-10 by mean nDCG@10 against
+# the EXACT cosine top-10 (the gold ranking the quantized legs
+# approximate), return the swept grid highest-first.
+# ---------------------------------------------------------------------------
+
+
+def _x133_oracle() -> str:
+    from wren_engine_spark.operators.retrieval import dcg_gain_table
+    from wren_engine_spark.queries.llmops import _NORM2
+    from wren_engine_spark.queries.llmops11 import _X114_VEC
+
+    gains, cums = dcg_gain_table(10)
+    gvals = ", ".join(f"({r}, {g})" for r, g in gains)
+    ivals = ", ".join(f"({r}, {c})" for r, c in cums)
+    grid = ", ".join(f"({v})" for v in _X133_GRID)
+    return f"""
+    WITH {_X121_BM25_LEX},
+    {_X114_VEC},
+    xbase AS (
+      SELECT vec_id, embedding, {_NORM2.format(v='embedding')} AS norm2
+      FROM embeddings
+    ),
+    xq AS (SELECT vec_id AS query_id, embedding AS qe, norm2 AS qn
+           FROM xbase WHERE vec_id < 4),
+    xp AS (
+      SELECT query_id, vec_id AS doc_id,
+             list_reduce(list_prepend(0.0,
+                 [CAST(s[1] AS DOUBLE)*CAST(s[2] AS DOUBLE)
+                  FOR s IN list_zip(qe, embedding)]),
+                 (acc, v) -> acc + v) / (sqrt(qn) * sqrt(norm2)) AS sim
+      FROM xq, xbase WHERE vec_id <> query_id
+    ),
+    xtruth AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, doc_id) AS rnk
+        FROM xp) WHERE rnk <= 10
+    ),
+    tgrid(rrf_k) AS (VALUES {grid}),
+    tgain(grnk, g) AS (VALUES {gvals}),
+    ticum(ncap, idcg) AS (VALUES {ivals}),
+    tcand AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank
+      FROM hlex l FULL OUTER JOIN hvec v
+        ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+    ),
+    tfus AS (
+      SELECT g.rrf_k, c.query_id, c.doc_id,
+             COALESCE(CAST(1 AS DOUBLE)
+                 / (CAST(g.rrf_k AS DOUBLE) + CAST(c.lex_rank AS DOUBLE)),
+               CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE)
+                 / (CAST(g.rrf_k AS DOUBLE) + CAST(c.vec_rank AS DOUBLE)),
+               CAST(0 AS DOUBLE)) AS score
+      FROM tcand c CROSS JOIN tgrid g
+    ),
+    ttop AS (
+      SELECT rrf_k, query_id, doc_id, rnk FROM (
+        SELECT rrf_k, query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY rrf_k, query_id
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM tfus) WHERE rnk <= 10
+    ),
+    tnrel AS (
+      SELECT query_id, CAST(COUNT(*) AS INTEGER) AS nrel
+      FROM xtruth GROUP BY query_id
+    ),
+    tper AS (
+      SELECT f.rrf_k, f.query_id,
+             CAST(SUM((CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END) * g.g)
+                  AS BIGINT) AS qdcg
+      FROM ttop f
+      LEFT JOIN xtruth t
+        ON t.query_id = f.query_id AND t.doc_id = f.doc_id
+      JOIN tgain g ON g.grnk = f.rnk
+      GROUP BY f.rrf_k, f.query_id
+    ),
+    tq AS (
+      SELECT b.rrf_k,
+             CAST(ROUND(1000000000.0 *
+                  (CAST(COALESCE(p.qdcg, 0) AS DOUBLE)
+                   / CAST(b.idcg AS DOUBLE))) AS BIGINT) AS nint
+      FROM (
+        SELECT g.rrf_k, n.query_id, i.idcg
+        FROM tnrel n CROSS JOIN tgrid g
+        JOIN ticum i ON i.ncap = LEAST(n.nrel, 10)
+      ) b
+      LEFT JOIN tper p
+        ON p.rrf_k = b.rrf_k AND p.query_id = b.query_id
+    ),
+    tsum AS (
+      SELECT rrf_k, CAST(SUM(nint) AS BIGINT) AS s,
+             CAST(COUNT(*) AS INTEGER) AS nq
+      FROM tq GROUP BY rrf_k
+    )
+    SELECT rrf_k,
+           CAST(s AS DOUBLE) / (CAST(nq AS DOUBLE) * 1000000000.0)
+             AS mean_ndcg,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(s AS DOUBLE) / CAST(nq AS DOUBLE) DESC,
+                        rrf_k) AS INTEGER) AS rnk
+    FROM tsum
+    """
+
+
+_X133_GRID = [10, 30, 60, 120]
+
+
+@register("x133_rrf_tune", _x133_oracle())
+def x133(spark: SparkSession, sf: str) -> DataFrame:
+    """RRF fusion-constant sweep (retrieval.rrf_tune): x120's BM25
+    top-10 and the int8-quantized cosine top-10 (the two production
+    serving legs, both oracle-certified) fused at each rrf_k in
+    {10, 30, 60, 120}, each fused top-10 scored by mean nDCG@10
+    against the EXACT cosine top-10 as gold — the eval->tune loop
+    that gives hybrid_rrf_topk's fusion constant a measured value,
+    mirroring x117's nprobe tuner for the ANN side. Per-query nDCG
+    quantizes to an integer before the cross-query mean (order-
+    independent sum, one final division); the gain tables come from
+    the shared dcg_gain_table kernel, so no engine evaluates a log.
+    Every frame is bounded: candidates x grid, broadcast truth and
+    literals, combinable aggregates."""
+    from wren_engine_spark.operators.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    d = load_tables(spark, sf, "documents")["documents"]
+    e = load_tables(spark, sf, "embeddings")["embeddings"]
+    qids = d.filter(F.col("doc_id") < 4).select("doc_id")
+    lex = retrieval.bm25_topk(
+        d, "doc_id", "text", qids,
+        k=10, k1=_K1, b=_B, max_df_frac=_MAXDF, quantum=_QN,
+    ).select("query_id", "doc_id", F.col("rnk").alias("lex_rank"))
+    qvecs = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    vec = quantized_cosine_topk(
+        e, "vec_id", "embedding", qvecs, k=10
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").alias("vec_rank"),
+    )
+    truth = cosine_topk(e, "vec_id", "embedding", qvecs, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id")
+    )
+    return retrieval.rrf_tune(lex, vec, truth, grid=_X133_GRID, k=10)

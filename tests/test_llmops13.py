@@ -584,3 +584,32 @@ class TestRrfTune:
     def test_single_value_grid_is_ranked_one(self, spark):
         got = self._run(spark, grid=[60], k=3)
         assert len(got) == 1 and got[0][2] == 1
+
+    def test_bounded_sides_stay_broadcast_under_minus_one(self, spark):
+        """The docstring's bounded-frame discipline, pinned: with the
+        auto-broadcast threshold disabled, the explicit broadcasts
+        (grid cross joins, truth, gain/idcg literals) must survive as
+        broadcast joins — the plan may not fall back to shuffling the
+        metric tail."""
+        lex = spark.createDataFrame(
+            [(1, 10, 1)], "query_id BIGINT, doc_id BIGINT, lex_rank INT"
+        )
+        vec = spark.createDataFrame(
+            [(1, 10, 1)], "query_id BIGINT, doc_id BIGINT, vec_rank INT"
+        )
+        truth = spark.createDataFrame(
+            [(1, 10)], "query_id BIGINT, doc_id BIGINT"
+        )
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = _plan(
+                retrieval.rrf_tune(lex, vec, truth, grid=[30, 60], k=3)
+            )
+        finally:
+            if saved is None:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" in plan  # grid cross joins

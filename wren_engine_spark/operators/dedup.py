@@ -502,10 +502,16 @@ def connected_components(
     sym = one_way.union(
         one_way.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    # LAZY checkpoints: sym and the initial labels still persist with
+    # truncated lineage (localCheckpoint marks the RDD; the partitions
+    # are persisted as the first job computes them), but the prev_sum
+    # collect below materializes BOTH in ONE job instead of paying one
+    # driver action per eager checkpoint — 4 driver round-trips -> 2
+    # before the loop. Same data, same plan truncation.
+    sym = sym.localCheckpoint(eager=False)
     labels = (
         sym.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("comp"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     rounds = 0
     for i in range(max_iter):
@@ -524,7 +530,9 @@ def connected_components(
             labels = labels.join(l2, labels["comp"] == l2["__cn"]).select(
                 "node", F.col("__cc").alias("comp")
             )
-        labels = labels.localCheckpoint(eager=True)
+        # lazy checkpoint + the convergence sum in ONE job per round
+        # (was two: an eager materialization plus a separate collect)
+        labels = labels.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             break

@@ -947,7 +947,10 @@ def learn_bpe_merges(
             F.split(F.col("w"), ""), F.array(F.lit("</w>"))
         ).alias("syms"),
         "freq",
-    ).localCheckpoint(eager=True)
+        # LAZY checkpoint: the first merge round's top-pair collect
+        # materializes (and persists) the word table in the same job,
+        # halving the driver actions per BPE merge vs eager+collect
+    ).localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs = (
@@ -991,7 +994,10 @@ def learn_bpe_merges(
                 lambda acc: F.slice(acc, F.lit(2), F.size(acc) - F.lit(1)),
             ).alias("syms"),
             "freq",
-        ).localCheckpoint(eager=True)
+            # lazy: materialized by the next round's collect (one job
+            # per merge instead of two); a final unconsumed round's
+            # checkpoint is simply never computed
+        ).localCheckpoint(eager=False)
     return merges
 
 

@@ -72,18 +72,21 @@ def main() -> None:
             )
             with open(f"plans/r10/{name}_{args.plans}.txt", "w") as f:
                 f.write(plan)
+        if args.runs == 0:  # plan-capture only
+            print(f"{name}: plan captured", flush=True)
+            continue
         # warm run (codegen+footers), discarded
         df.count()
         runs = []
         jobs_per_run = []
         for _ in range(args.runs):
             spark.catalog.clearCache()
-            j0 = sc._jsc.sc().dagScheduler().nextJobId().get()
+            j0 = sc._jsc.sc().dagScheduler().nextJobId()
             t0 = time.perf_counter()
             df2 = fn(spark, args.sf)
             df2.count()
             dt = time.perf_counter() - t0
-            j1 = sc._jsc.sc().dagScheduler().nextJobId().get()
+            j1 = sc._jsc.sc().dagScheduler().nextJobId()
             runs.append(dt)
             jobs_per_run.append(j1 - j0)
         runs_sorted = sorted(runs)

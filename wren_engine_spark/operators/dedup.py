@@ -1505,24 +1505,25 @@ def simhash_index_append(
             "sidecar; rebuild it with write_simhash_index before "
             "appending"
         )
-    # cache the batch so the returned count does not re-run whatever
-    # upstream lineage produced it a second time after the write
-    df = df.persist()
-    try:
-        n = df.count()
-        banded = _banded_signatures(df, text_col, id_col, int(meta.bands))
-        from wren_engine_spark.operators import layout
+    # the returned count is observed DURING the append write (one job,
+    # one pass — it cannot disagree with what was written, and the
+    # batch's upstream lineage runs exactly once, so the old
+    # persist+count+write double-pass is gone)
+    from pyspark.sql import Observation
 
-        layout.write_bucketed(
-            banded.repartition(int(meta.buckets), F.col("val")),
-            table,
-            "val",
-            int(meta.buckets),
-            mode="append",
-        )
-    finally:
-        df.unpersist()
-    return n
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    banded = _banded_signatures(observed, text_col, id_col, int(meta.bands))
+    from wren_engine_spark.operators import layout
+
+    layout.write_bucketed(
+        banded.repartition(int(meta.buckets), F.col("val")),
+        table,
+        "val",
+        int(meta.buckets),
+        mode="append",
+    )
+    return int(obs.get["n"])
 
 
 def simhash_index_delete(spark, table: str, ids) -> dict:

@@ -137,8 +137,13 @@ def bucketed_index_delete(spark, table: str, ids, id_col: str) -> dict:
         ).select(F.col(id_col).cast(id_type).alias(id_col))
     out = out.distinct().persist()
     try:
-        n = out.count()
-        if out.filter(F.col(id_col).isNull()).count() > 0:
+        # count + null-cast validation in ONE job (was two)
+        stats = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col(id_col).isNull(), 1)).alias("n_null"),
+        ).collect()[0]
+        n = stats["n"]
+        if stats["n_null"] > 0:
             raise ValueError(
                 f"bucketed_index_delete: some ids did not cast to the "
                 f"index id type {id_type.simpleString()} — refusing a "
@@ -236,16 +241,22 @@ def compact_bucketed(
     auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     prev = spark.conf.get(auto_key, "true")
     spark.conf.set(auto_key, "false")
+    # the compacted row count is observed DURING the rewrite itself —
+    # no post-hoc scan of the rewritten files, no second anti-join
+    from pyspark.sql import Observation
+
+    obs = Observation()
     try:
         write_bucketed(
-            df.repartition(int(buckets), F.col(bucket_col)), tmp,
+            df.observe(obs, F.count(F.lit(1)).alias("n")).repartition(
+                int(buckets), F.col(bucket_col)
+            ),
+            tmp,
             bucket_col, int(buckets),
         )
     finally:
         spark.conf.set(auto_key, prev)
-    # count the COMPACTED output (one narrow scan of the few rewritten
-    # files), not the fragmented input + anti-join a second time
-    n_rows = spark.table(tmp).count()
+    n_rows = int(obs.get["n"])
     drop_managed_table(spark, old)  # stale leftovers from a crash
     spark.sql(f"ALTER TABLE {table} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")

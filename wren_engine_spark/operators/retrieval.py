@@ -556,13 +556,18 @@ def bm25_index_append(
             f"bm25_index_append: index '{table}' has no __meta sidecar; "
             "rebuild it with write_bm25_index before appending"
         )
+    # the batch stays persisted (it feeds TWO bucketed writes), but the
+    # returned count is observed during the first write instead of
+    # paying a third job up front
+    from pyspark.sql import Observation
+
+    obs = Observation()
     df = df.persist()
     try:
-        n = df.count()
         layout.write_bucketed(
-            _bm25_postings(df, text_col, id_col).repartition(
-                int(meta.buckets), F.col("tok")
-            ),
+            _bm25_postings(
+                df.observe(obs, F.count(F.lit(1)).alias("n")), text_col, id_col
+            ).repartition(int(meta.buckets), F.col("tok")),
             table,
             "tok",
             int(meta.buckets),
@@ -579,7 +584,7 @@ def bm25_index_append(
         )
     finally:
         df.unpersist()
-    return n
+    return int(obs.get["n"])
 
 
 def bm25_index_delete(spark, table: str, ids) -> dict:

@@ -207,16 +207,19 @@ def bigram_lm_cross_entropy(
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("__nk")
     )
-    vocab = c1.count()  # scalar: distinct bigram heads
+    # vocab (distinct bigram heads) as a broadcast 1-row aggregate
+    # instead of a driver-side count: no separate job, no barrier —
+    # the whole score is one DAG (same integer arithmetic bit-for-bit)
+    vocab = F.broadcast(c1.agg(F.count(F.lit(1)).alias("__vocab")))
 
-    logp = c12.join(c1.select("w1", "c1"), "w1").select(
+    logp = c12.join(c1.select("w1", "c1"), "w1").crossJoin(vocab).select(
         "w1",
         "w2",
         F.round(
             F.lit(-float(micro))
             * F.log(
                 (F.col("c12") + F.lit(1)).cast("double")
-                / (F.col("c1") + F.lit(vocab)).cast("double")
+                / (F.col("c1") + F.col("__vocab")).cast("double")
             )
         )
         .cast("bigint")

@@ -883,14 +883,20 @@ def quantized_cosine_topk(
     """
     from pyspark.sql import Window as W
 
-    corpus = quantize_int8(df, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("__v")
-    )
-    queries = quantize_int8(query_df, "query_id", "qvec").select(
-        "query_id", F.col("qvec").alias("__q")
-    )
     idot = "aggregate(zip_with(__q, __v, (a, b) -> a * b), cast(0 as bigint), (acc, x) -> acc + x)"
     inorm = "sqrt(cast(aggregate(transform({v}, x -> x * x), cast(0 as bigint), (acc, x) -> acc + x) as double))"
+    # integer norms precomputed ONCE per corpus row / query row BEFORE
+    # the pair join (cosine_topk's shape): the join multiplies rows by
+    # |queries|, so computing the corpus norm inside the pair select
+    # repeated it per query. Same expression on the same integers —
+    # the published doubles are bit-identical.
+    corpus = quantize_int8(df, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("__v"),
+    ).withColumn("__vnorm", F.expr(inorm.format(v="__v")))
+    queries = quantize_int8(query_df, "query_id", "qvec").select(
+        "query_id", F.col("qvec").alias("__q")
+    ).withColumn("__qnorm", F.expr(inorm.format(v="__q")))
     sim = corpus.join(
         F.broadcast(queries), F.col("neighbor_id") != F.col("query_id")
     ).select(
@@ -898,7 +904,7 @@ def quantized_cosine_topk(
         "neighbor_id",
         (
             F.expr(idot).cast("double")
-            / (F.expr(inorm.format(v="__q")) * F.expr(inorm.format(v="__v")))
+            / (F.col("__qnorm") * F.col("__vnorm"))
         ).alias("__sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("neighbor_id"))
@@ -1165,36 +1171,35 @@ def ann_index_append(
     # appended row too (same names; a missing column fails loudly in
     # the select below) — a pre-attr_cols index has the empty string
     attrs = [c for c in getattr(meta, "attr_cols", "").split(",") if c]
-    # cache the batch so the returned count does not re-run whatever
-    # upstream lineage produced it a second time after the write
-    df = df.persist()
-    try:
-        n = df.count()
-        out = _all_table_signatures(
-            df.select(
-                F.col(id_col).alias(meta.id_col),
-                F.col(vec_col).alias(meta.vec_col),
-                *[F.col(c) for c in attrs],
-            ),
-            meta.id_col, meta.vec_col,
-            int(meta.dim), int(meta.nbits), int(meta.tables), int(meta.seed),
-            carry_cols=tuple(attrs),
-        ).select(
-            "table_id", "bucket", F.col(meta.id_col), F.col(meta.vec_col),
-            *[F.col(c) for c in attrs],
-        )
-        from wren_engine_spark.operators import layout
+    # the returned count is observed DURING the append write (one job,
+    # one pass over the batch's upstream lineage — it cannot disagree
+    # with what was written; replaces the persist+count+write pattern)
+    from pyspark.sql import Observation
 
-        layout.write_bucketed(
-            out.repartition(int(meta.buckets), F.col("bucket")),
-            table,
-            "bucket",
-            int(meta.buckets),
-            mode="append",
-        )
-    finally:
-        df.unpersist()
-    return n
+    obs = Observation()
+    out = _all_table_signatures(
+        df.observe(obs, F.count(F.lit(1)).alias("n")).select(
+            F.col(id_col).alias(meta.id_col),
+            F.col(vec_col).alias(meta.vec_col),
+            *[F.col(c) for c in attrs],
+        ),
+        meta.id_col, meta.vec_col,
+        int(meta.dim), int(meta.nbits), int(meta.tables), int(meta.seed),
+        carry_cols=tuple(attrs),
+    ).select(
+        "table_id", "bucket", F.col(meta.id_col), F.col(meta.vec_col),
+        *[F.col(c) for c in attrs],
+    )
+    from wren_engine_spark.operators import layout
+
+    layout.write_bucketed(
+        out.repartition(int(meta.buckets), F.col("bucket")),
+        table,
+        "bucket",
+        int(meta.buckets),
+        mode="append",
+    )
+    return int(obs.get["n"])
 
 
 def ann_index_delete(spark, table: str, ids) -> dict:
@@ -1865,7 +1870,13 @@ def write_pq_index(
     out_codes = codes.select(
         "__id", *[F.col(f"__code_{s}").alias(f"code_{s}") for s in range(n_subspaces)]
     )
-    out_codes.write.mode("overwrite").parquet(f"{path}/codes")
+    # n_vectors observed during the codes write (no post-hoc re-scan)
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    out_codes.observe(_obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
     # a (re)build resets the index wholesale: stale idempotent-append
     # epoch markers from a previous incarnation must not make a
     # replayed epoch skip its append into the NEW index, and stale
@@ -1889,7 +1900,7 @@ def write_pq_index(
         [(n_subspaces, k_codes, int(quantum), dim)],
         "n_subspaces INT, k_codes INT, quantum BIGINT, dim INT",
     ).write.mode("overwrite").parquet(f"{path}/meta")
-    n_vec = spark.read.parquet(f"{path}/codes").count()
+    n_vec = int(_obs.get["n"])
     return {
         "dim": dim,
         "sub": sub,
@@ -2024,8 +2035,13 @@ def pq_index_delete(spark, path: str, ids, id_col: str | None = None) -> dict:
         )
     out = out.persist()
     try:
-        n = out.count()
-        if out.filter(F.col("__id").isNull()).count() > 0:
+        # count + null-cast validation in ONE job (was two)
+        stats = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("__id").isNull(), 1)).alias("n_null"),
+        ).collect()[0]
+        n = stats["n"]
+        if stats["n_null"] > 0:
             raise ValueError(
                 f"pq_index_delete: some ids did not cast to the codes "
                 f"__id type {id_type.simpleString()} — refusing a "
@@ -2158,33 +2174,35 @@ def pq_index_append(
     """
     books, meta = _load_pq_index(spark, path)
     sub = meta.dim // meta.n_subspaces
-    # cache the batch so the returned count does not re-run whatever
-    # upstream lineage produced it a second time after the write (and
-    # cannot disagree with what was written under a nondeterministic
-    # upstream) — the ann_index_append/simhash_index_append discipline
-    df = df.persist()
-    try:
-        n = df.count()
-        qdf = _pq_quantize(df, id_col, vec_col, meta.quantum).withColumn(
-            "qx",
-            F.expr(
-                f"CASE WHEN assert_true(size(qx) = {meta.dim}, "
-                f"'pq_index_append: vector dim != index dim {meta.dim}') IS NULL "
-                f"THEN qx END"
-            ),
-        )
-        out = _pq_encode(qdf, books, sub, meta.n_subspaces)
-        if epoch_id is None:
-            out.write.mode("append").parquet(f"{path}/codes")
-        elif not _epoch_staged_append(path, out, epoch_id, "pq_index_append"):
-            return {
-                "n_appended": 0,
-                "dim": meta.dim,
-                "n_subspaces": meta.n_subspaces,
-                "skipped": True,
-            }
-    finally:
-        df.unpersist()
+    # the returned count is observed DURING the (single) append write:
+    # one job, one pass over the batch's upstream lineage, and the
+    # count cannot disagree with what was written even under a
+    # nondeterministic upstream — the ann/simhash append discipline
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    qdf = _pq_quantize(
+        df.observe(obs, F.count(F.lit(1)).alias("n")), id_col, vec_col,
+        meta.quantum,
+    ).withColumn(
+        "qx",
+        F.expr(
+            f"CASE WHEN assert_true(size(qx) = {meta.dim}, "
+            f"'pq_index_append: vector dim != index dim {meta.dim}') IS NULL "
+            f"THEN qx END"
+        ),
+    )
+    out = _pq_encode(qdf, books, sub, meta.n_subspaces)
+    if epoch_id is None:
+        out.write.mode("append").parquet(f"{path}/codes")
+    elif not _epoch_staged_append(path, out, epoch_id, "pq_index_append"):
+        return {
+            "n_appended": 0,
+            "dim": meta.dim,
+            "n_subspaces": meta.n_subspaces,
+            "skipped": True,
+        }
+    n = int(obs.get["n"])
     return {"n_appended": n, "dim": meta.dim, "n_subspaces": meta.n_subspaces}
 
 
@@ -2309,10 +2327,15 @@ def pq_index_compact(
                     total += os.path.getsize(os.path.join(dirpath, fn))
         target_files = max(1, math.ceil(total / float(target_bytes_per_file)))
     tmp = f"{path}/codes.compacting"
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    # count the COMPACTED output (one narrow scan of the few rewritten
-    # files), not the fragmented input + anti-join a second time
-    n_rows = spark.read.parquet(tmp).count()
+    # the compacted row count is observed DURING the rewrite itself —
+    # no post-hoc scan of the rewritten files, no second anti-join
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(
+        target_files
+    ).write.mode("overwrite").parquet(tmp)
+    n_rows = int(obs.get["n"])
     for stale in (old,):
         if os.path.isdir(stale):
             shutil.rmtree(stale)
@@ -2696,9 +2719,13 @@ def write_ivfpq_index(
         coarse_iters, pq_iters, quantum,
     )
     dim = len(coarse[0])
-    _ivfpq_codes(rdf, books, sub, n_subspaces).write.mode("overwrite").parquet(
-        f"{path}/codes"
-    )
+    # n_vectors observed during the codes write (no post-hoc re-scan)
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    _ivfpq_codes(rdf, books, sub, n_subspaces).observe(
+        _obs, F.count(F.lit(1)).alias("n")
+    ).write.mode("overwrite").parquet(f"{path}/codes")
     # a (re)build resets the index wholesale: stale idempotent-append
     # epoch markers from a previous incarnation must not make a
     # replayed epoch skip its append into the NEW index, and stale
@@ -2731,7 +2758,7 @@ def write_ivfpq_index(
         "nlist INT, n_subspaces INT, k_codes INT, quantum BIGINT, dim INT, "
         "coarse_iters INT, pq_iters INT",
     ).write.mode("overwrite").parquet(f"{path}/meta")
-    n_vec = spark.read.parquet(f"{path}/codes").count()
+    n_vec = int(_obs.get["n"])
     return {
         "dim": dim,
         "sub": sub,
@@ -2844,34 +2871,38 @@ def ivfpq_index_append(
     """
     meta, coarse, books = _load_ivfpq_index(spark, path)
     sub = meta.dim // meta.n_subspaces
-    df = df.persist()
-    try:
-        n = df.count()
-        qdf = _pq_quantize(df, id_col, vec_col, int(meta.quantum)).withColumn(
-            "qx",
-            F.expr(
-                f"CASE WHEN assert_true(size(qx) = {meta.dim}, "
-                f"'ivfpq_index_append: vector dim != index dim {meta.dim}') "
-                f"IS NULL THEN qx END"
-            ),
-        )
-        enc = _ivfpq_codes(
-            _ivfpq_residuals(qdf, coarse), books, sub, meta.n_subspaces
-        )
-        if epoch_id is None:
-            enc.write.mode("append").parquet(f"{path}/codes")
-        elif not _epoch_staged_append(
-            path, enc, epoch_id, "ivfpq_index_append"
-        ):
-            return {
-                "n_appended": 0,
-                "dim": meta.dim,
-                "nlist": meta.nlist,
-                "n_subspaces": meta.n_subspaces,
-                "skipped": True,
-            }
-    finally:
-        df.unpersist()
+    # count observed during the single append write (one job, one pass
+    # — the pq_index_append discipline)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    qdf = _pq_quantize(
+        df.observe(obs, F.count(F.lit(1)).alias("n")), id_col, vec_col,
+        int(meta.quantum),
+    ).withColumn(
+        "qx",
+        F.expr(
+            f"CASE WHEN assert_true(size(qx) = {meta.dim}, "
+            f"'ivfpq_index_append: vector dim != index dim {meta.dim}') "
+            f"IS NULL THEN qx END"
+        ),
+    )
+    enc = _ivfpq_codes(
+        _ivfpq_residuals(qdf, coarse), books, sub, meta.n_subspaces
+    )
+    if epoch_id is None:
+        enc.write.mode("append").parquet(f"{path}/codes")
+    elif not _epoch_staged_append(
+        path, enc, epoch_id, "ivfpq_index_append"
+    ):
+        return {
+            "n_appended": 0,
+            "dim": meta.dim,
+            "nlist": meta.nlist,
+            "n_subspaces": meta.n_subspaces,
+            "skipped": True,
+        }
+    n = int(obs.get["n"])
     return {
         "n_appended": n,
         "dim": meta.dim,

@@ -221,20 +221,23 @@ def tfidf_top_terms(
     so at scale that join is a broadcast."""
     from pyspark.sql import Window as W
 
-    n_docs = df.count()
+    # N as a broadcast 1-row aggregate instead of a driver-side count:
+    # saves a separate full corpus-scan job and keeps the whole score
+    # one DAG (identical integer arithmetic)
+    nd = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n_docs")))
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS_RE)).alias("tok"),
     ).filter(F.length("tok") > 0)
     tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
     docf = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
-    scored = tf.join(F.broadcast(docf), "tok").select(
+    scored = tf.join(F.broadcast(docf), "tok").crossJoin(nd).select(
         F.col(id_col),
         "tok",
         "tf",
         "doc_freq",
         (
-            (F.col("tf") * F.lit(n_docs + 1)).cast("double")
+            (F.col("tf") * (F.col("__n_docs") + F.lit(1))).cast("double")
             / (F.col("doc_freq") + 1).cast("double")
         ).alias("tfidf"),
     )

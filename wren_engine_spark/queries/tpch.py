@@ -366,22 +366,29 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q18(spark: SparkSession, sf: str) -> DataFrame:
+    # One lineitem aggregation serves BOTH the >300 filter and the
+    # published sum_qty: the output grain is o_orderkey (unique in
+    # orders), so the original semi-join + re-join of lineitem + final
+    # re-aggregation recomputed per-order sums `big` already held.
+    # Removes a full lineitem shuffle and the final group-by exchange;
+    # identical results (exact decimal sum -> double, as dsum).
     t = load_tables(spark, sf, "customer", "orders", "lineitem")
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
         .filter(F.col("q") > 300)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
         t["orders"]
-        .join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey",
-                 F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_totalprice")
-        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
+        )
     )
 
 

@@ -1670,7 +1670,7 @@ def simhash_index_probe_stream(
     it). At 100 TB the per-batch plan is the probe's own: delta
     signatures broadcast, index side scanned in place, never
     shuffled."""
-    from wren_engine_spark.streaming.ops import run_foreach_batch
+    from wren_engine_spark.streaming.foreach import run_foreach_batch
 
     def _fn(bspark, batch_df, _batch_id):
         return simhash_index_probe(

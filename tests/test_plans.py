@@ -93,9 +93,27 @@ class TestCodegen:
 
 
 class TestJoinShapes:
-    def test_q18_semi_join(self, spark):
+    def test_q18_single_lineitem_aggregation(self, spark):
+        # r10 rewrite: ONE lineitem aggregation serves both the >300
+        # filter and the published sum_qty — no semi-join + lineitem
+        # re-join + re-aggregation. Pin: exactly one lineitem scan,
+        # two joins, and no aggregation above the joins.
         p = plan_of(spark, "q18_large_volume_customer")
-        assert "LeftSemi" in p
+        assert "LeftSemi" not in p
+        assert p.count("lineitem.parquet") == 1
+        lines = p.splitlines()
+        tree_end = next(
+            i for i, l in enumerate(lines) if l.startswith("(1)")
+        )
+        tree = lines[:tree_end]
+        joins = [l for l in tree if "Join" in l]
+        assert len(joins) == 2, joins
+        # the aggregate sits BELOW both joins (on the lineitem side),
+        # never above them: no post-join re-aggregation
+        first_join = next(i for i, l in enumerate(tree) if "Join" in l)
+        assert not any(
+            "HashAggregate" in l for l in tree[:first_join]
+        ), tree[:first_join]
 
     def test_q22_anti_join(self, spark):
         p = plan_of(spark, "q22_global_sales_opportunity")

@@ -126,6 +126,15 @@ class TestBm25IndexProbe:
         assert any(
             "default.bm25_t_full[tok#" in l for l in lines
         ), "df aggregate leg not pruned to the token column"
+        # r10: the bounded query-token list is pushed as tok IN (...)
+        # into the posting scan — bucket + row-group pruning, so a
+        # probe reads only the query terms' posting lists — and the
+        # literal query side plans as a LocalRelation (no job, no
+        # parquet re-read per action)
+        assert any(
+            "PushedFilters" in l and "In(tok" in l for l in lines
+        ), "token IN filter not pushed into the posting scan"
+        assert "LocalTableScan" in plan or "LocalRelation" in plan
 
 
 class TestBm25IndexAppend:

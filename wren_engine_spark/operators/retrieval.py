@@ -707,6 +707,7 @@ def bm25_index_probe(
     b: float = 0.75,
     max_df_frac: float = 1.0,
     quantum: int = 1_000_000,
+    max_literal_tokens: int = 4096,
 ) -> DataFrame:
     """Probe the persisted BM25 index with a query batch: per-query
     top-k over the CURRENT index state (build + appends − tombstones)
@@ -722,19 +723,56 @@ def bm25_index_probe(
     like ``bm25_topk``).
 
     Plan shape (the probe-many serving path at 100 TB): tombstones
-    broadcast anti-join, query-term set broadcast into the bucketed
-    postings scan, per-term document frequency aggregated SHUFFLE-FREE
-    on the bucket distribution, N / sum(dl) one map-side aggregate
-    over the narrow docs sidecar. The only exchanges carry
-    query-restricted rows — bounded by |query terms| x posting-list
-    length, with ``max_df_frac`` band-stopping the stopword lists.
+    broadcast anti-join, the bounded query-term set materialized as a
+    driver-side LocalRelation (one capped job — the x63 probe
+    convention; batches beyond ``max_literal_tokens`` rows fall back
+    to the fully lazy in-plan derivation) whose token list is pushed
+    as ``tok IN (...)`` into the bucketed postings scan — bucket AND
+    parquet row-group pruning, so the probe reads only the query
+    terms' posting lists, never the whole inverted index. Per-term
+    document frequency aggregates SHUFFLE-FREE on the bucket
+    distribution, N / sum(dl) is one map-side aggregate over the
+    narrow docs sidecar. The only exchanges carry query-restricted
+    rows — bounded by |query terms| x posting-list length, with
+    ``max_df_frac`` band-stopping the stopword lists.
 
     Returns (query_id, doc_id, bm25, rnk), rnk <= k.
     """
     postings, totals = _bm25_index_state(spark, table)
-    qtoks = _query_token_set(queries, text_col, id_col)
+    qtoks, toklist = _literal_query_tokens(
+        spark, queries, text_col, id_col, max_literal_tokens
+    )
+    if toklist is not None:
+        postings = postings.filter(F.col("tok").isin(toklist))
     tf = _postings_tf(postings, qtoks)
     return _bm25_rank(tf, qtoks, totals, k, k1, b, max_df_frac, quantum)
+
+
+def _literal_query_tokens(
+    spark, queries: DataFrame, text_col: str, id_col: str, cap: int
+):
+    """(qtoks, token_list) for a probe's query batch — the x63 probe
+    convention applied to the lexical family: the bounded (query_id,
+    token) set is materialized driver-side in ONE capped job (at most
+    ``cap`` + 1 rows fetched — never an unbounded collect) and planned
+    as a true LocalRelation, and the distinct token list is returned
+    so the caller can push ``tok IN (...)`` into the bucketed posting
+    scan — the filter prunes buckets AND parquet row groups, so a
+    probe reads only the query terms' posting lists instead of
+    scanning the whole inverted index (the property an inverted index
+    exists for). Tokenization runs through the INDEX's exact Spark
+    kernel (:func:`_query_token_set`), never a Python re-
+    implementation, so the values are the in-plan ones by
+    construction. Batches beyond the cap keep the fully lazy in-plan
+    shape: (qtoks, None)."""
+    from wren_engine_spark.operators.similarity import _literal_df
+
+    qtok_df = _query_token_set(queries, text_col, id_col)
+    head = qtok_df.limit(int(cap) + 1).collect()
+    if len(head) > int(cap):
+        return qtok_df, None
+    toklist = sorted({r["__tok"] for r in head})
+    return _literal_df(spark, head, qtok_df.schema), toklist
 
 
 def _bm25_index_state(spark, table: str):
@@ -840,9 +878,20 @@ def bm25_index_prf_probe(
     from pyspark.sql import Window as W
 
     postings, totals = _bm25_index_state(spark, table)
-    qtoks = _query_token_set(queries, text_col, id_col)
+    # pass 1 gets the literal-token treatment (bucket-pruned posting
+    # scan); pass 2's expanded term set and the feedback candidate
+    # aggregate derive from pass 1's DISTRIBUTED result, so they keep
+    # the lazy broadcast-probe shape
+    qtoks, toklist = _literal_query_tokens(
+        spark, queries, text_col, id_col, 4096
+    )
+    p1 = (
+        postings.filter(F.col("tok").isin(toklist))
+        if toklist is not None
+        else postings
+    )
     r1 = _bm25_rank(
-        _postings_tf(postings, qtoks), qtoks, totals,
+        _postings_tf(p1, qtoks), qtoks, totals,
         fb_docs, k1, b, max_df_frac, quantum,
     )
     fb = r1.select("query_id", "doc_id")

@@ -741,6 +741,17 @@ class TestPersistedPqIndex:
         plan = _plan(similarity.pq_index_topk(spark, path, queries, topk=5))
         assert "code_0" in plan and "embedding" not in plan
         assert "BroadcastNestedLoopJoin" in plan
+        # r10: the inline train+score path is join-free apart from that
+        # same ADC broadcast — every subspace's code comes from ONE
+        # projection (_pq_encode), never a per-subspace assignment
+        # chain equi-joined on __id (a corpus-scale shuffle join at
+        # 100 TB)
+        import re
+
+        iplan = _plan(inline)
+        assert set(re.findall(r"\w*Join\w*", iplan)) == {
+            "BroadcastNestedLoopJoin"
+        }
 
 
 class TestRobustStatsApproxDropIn:

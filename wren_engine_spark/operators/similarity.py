@@ -1714,22 +1714,73 @@ def _train_pq(
     if dim % n_subspaces != 0:
         raise ValueError(f"dim {dim} not divisible into {n_subspaces} subspaces")
     sub = dim // n_subspaces
-    codebooks: list[list[list[int]]] = []
-    codes: DataFrame | None = None
-    for s in range(n_subspaces):
-        sdf = qdf.select("__id", F.slice(F.col("qx"), s * sub + 1, sub).alias("qx"))
-        cents = [list(r.qx)[s * sub : (s + 1) * sub] for r in first]
+    cents: list[list[list[int]]] = [
+        [list(r.qx)[s * sub : (s + 1) * sub] for r in first]
+        for s in range(n_subspaces)
+    ]
+    # All subspaces train in ONE corpus pass per Lloyd iteration: each
+    # row explodes into its n_subspaces (subspace, subvector) pieces —
+    # the embedding column is read once, total exploded bytes == one
+    # full pass — the per-subspace integer argmin rides a CASE on the
+    # subspace tag (the exact `_km_assign`/`_pq_argmin` kernel, all
+    # centroids literal, join-free), and one (subspace, cluster, dim)
+    # aggregation + ONE collect per iteration moves the
+    # n_subspaces*k*dim update scalars through the Lloyd barrier
+    # (previously one corpus pass + one driver barrier PER SUBSPACE
+    # per iteration).
+    if iters > 0:
+        sdf_all = qdf.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).cast("int").alias("s"),
+                            F.slice(F.col("qx"), s * sub + 1, sub).alias("qx"),
+                        )
+                        for s in range(n_subspaces)
+                    ]
+                )
+            ).alias("p")
+        ).select(F.col("p.s").alias("__s"), F.col("p.qx").alias("qx"))
         for _ in range(iters):
-            upd = _km_update(_km_assign(sdf, cents, k_codes))
-            got = {(r.cluster, r.dim): (r.val, r.n) for r in upd.collect()}
-            for c in range(k_codes):
-                if (c, 0) in got:
-                    cents[c] = [got[(c, d)][0] for d in range(sub)]
-        codebooks.append([[int(v) for v in c] for c in cents])
-        assigned = _km_assign(sdf, cents, k_codes).select(
-            "__id", F.col("cluster").alias(f"__code_{s}")
-        )
-        codes = assigned if codes is None else codes.join(assigned, "__id")
+            cl = _pq_argmin(F.col("qx"), cents[0])
+            for s in range(1, n_subspaces):
+                cl = F.when(
+                    F.col("__s") == s, _pq_argmin(F.col("qx"), cents[s])
+                ).otherwise(cl)
+            upd = (
+                sdf_all.select("__s", cl.alias("cluster"), "qx")
+                .select("__s", "cluster", F.posexplode("qx").alias("dim", "qv"))
+                .groupBy("__s", "cluster", "dim")
+                .agg(F.sum("qv").alias("sm"), F.count(F.lit(1)).alias("n"))
+                .select(
+                    "__s",
+                    "cluster",
+                    "dim",
+                    F.floor(
+                        F.col("sm").cast("double") / F.col("n").cast("double")
+                    )
+                    .cast("bigint")
+                    .alias("val"),
+                )
+            )
+            got = {(r["__s"], r.cluster, r.dim): r.val for r in upd.collect()}
+            for s in range(n_subspaces):
+                for c in range(k_codes):
+                    if (s, c, 0) in got:
+                        cents[s][c] = [got[(s, c, d)] for d in range(sub)]
+    codebooks = [[[int(v) for v in c] for c in cs] for cs in cents]
+    # encode with the frozen codebooks in ONE projection (`_pq_encode`
+    # — every subspace's argmin side by side, join-free and
+    # shuffle-free; append ≡ rebuild-encode is already the
+    # pytest-pinned contract), instead of the per-subspace
+    # assignment-frame chain equi-joined on __id — at 100 TB that
+    # chain was n_subspaces-1 corpus-scale shuffle joins for what is
+    # in-row literal arithmetic.
+    codes = _pq_encode(qdf, codebooks, sub, n_subspaces).select(
+        "__id",
+        *[F.col(f"code_{s}").alias(f"__code_{s}") for s in range(n_subspaces)],
+    )
     return codebooks, codes, dim, sub
 
 

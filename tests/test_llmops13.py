@@ -258,6 +258,45 @@ class TestPrfProbe:
         _assert_no_index_token_exchange(plan, "bm25_t_prf")
         assert "BroadcastHashJoin" in plan
 
+    def test_pass2_scan_pruned_to_expanded_terms(self, spark, table, queries):
+        # r10: for a bounded batch the returned plan IS pass 2 alone
+        # (pass 1 + expansion run eagerly as capped driver jobs), and
+        # its posting scans carry the combined original+expanded term
+        # list as a pushed IN filter — the probe never scans the whole
+        # inverted index. With fb_terms=1 the expansion is 'gamma'
+        # (summed tf 4 across feedback docs 1, 2 beats delta's 1).
+        df = retrieval.bm25_index_prf_probe(
+            spark, table, queries, "text", "doc_id",
+            k=5, fb_docs=2, fb_terms=1,
+        )
+        lines = _plan(df).splitlines()
+        scans = [
+            l for l in lines
+            if "FileScan" in l and "default.bm25_t_prf" in l
+            and "__docs" not in l
+        ]
+        assert scans, "no posting scan in the pass-2 plan"
+        for l in scans:
+            assert "In(tok, [" in l, f"posting scan not IN-pruned: {l[:160]}"
+        # the expanded term reached the pushed filter
+        assert any("gamma" in l for l in scans), \
+            "expansion term missing from the pushed token filter"
+
+    def test_literal_and_lazy_paths_identical(self, spark, table, queries):
+        # max_literal_tokens=0 forces the fully lazy in-plan shape
+        # (full scans restricted by broadcast joins) — the pruned
+        # default path must return bit-identical rows
+        fast = retrieval.bm25_index_prf_probe(
+            spark, table, queries, "text", "doc_id",
+            k=10, fb_docs=2, fb_terms=2,
+        )
+        lazy = retrieval.bm25_index_prf_probe(
+            spark, table, queries, "text", "doc_id",
+            k=10, fb_docs=2, fb_terms=2, max_literal_tokens=0,
+        )
+        assert sorted(map(tuple, fast.collect()), key=lambda t: (t[0], t[3])) \
+            == sorted(map(tuple, lazy.collect()), key=lambda t: (t[0], t[3]))
+
 
 class TestBestSnippet:
     @pytest.fixture(scope="class")

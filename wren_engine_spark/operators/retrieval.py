@@ -848,6 +848,7 @@ def bm25_index_prf_probe(
     b: float = 0.75,
     max_df_frac: float = 1.0,
     quantum: int = 1_000_000,
+    max_literal_tokens: int = 4096,
 ) -> DataFrame:
     """Pseudo-relevance-feedback probe (RM3-style two-pass query
     expansion, Lavrenko & Croft relevance models): pass 1 ranks the
@@ -864,12 +865,19 @@ def bm25_index_prf_probe(
     :func:`_bm25_rank` quantized kernel — the whole two-pass pipeline
     replays bit-for-bit in any engine.
 
-    Scale shape: everything bounded stays broadcast — the query-term
-    set (pass 1), the |queries| x fb_docs feedback set (its posting
-    join is a broadcast probe into the bucketed scan), and the
-    expanded term set (pass 2). The expansion aggregate's output is
-    bounded by |queries| x |feedback-doc vocabulary|; the posting
-    store is scanned, never shuffled on the token key.
+    Scale shape (the x63 prepared-probe convention carried through
+    BOTH passes): every intermediate the algorithm binds is bounded —
+    the query-term set (|queries| x tokens/query), the feedback set
+    (|queries| x ``fb_docs``), the expanded term set (|queries| x
+    ``fb_terms``) — so each is materialized driver-side in one capped
+    job and pushed INTO the bucketed posting scan it feeds:
+    ``tok IN (...)`` for pass 1, ``doc_id IN (...)`` for the feedback
+    forward lookup (the sum-tf-over-feedback-docs aggregate), and
+    ``tok IN (original + expanded)`` for pass 2. No step scans the
+    whole inverted index — the probe reads only the query terms'
+    posting lists plus the feedback docs' rows. Query batches beyond
+    ``max_literal_tokens`` tokens keep the fully lazy in-plan shape
+    (full scans restricted by broadcast joins, bit-identical results).
 
     Returns (query_id, doc_id, bm25, rnk), rnk <= k — scores are the
     EXPANDED query's scores (uniform term weights, RM3's interpolation
@@ -877,13 +885,11 @@ def bm25_index_prf_probe(
     """
     from pyspark.sql import Window as W
 
+    from wren_engine_spark.operators.similarity import _literal_df
+
     postings, totals = _bm25_index_state(spark, table)
-    # pass 1 gets the literal-token treatment (bucket-pruned posting
-    # scan); pass 2's expanded term set and the feedback candidate
-    # aggregate derive from pass 1's DISTRIBUTED result, so they keep
-    # the lazy broadcast-probe shape
     qtoks, toklist = _literal_query_tokens(
-        spark, queries, text_col, id_col, 4096
+        spark, queries, text_col, id_col, max_literal_tokens
     )
     p1 = (
         postings.filter(F.col("tok").isin(toklist))
@@ -895,8 +901,19 @@ def bm25_index_prf_probe(
         fb_docs, k1, b, max_df_frac, quantum,
     )
     fb = r1.select("query_id", "doc_id")
+    fwd = postings
+    if toklist is not None:
+        # bounded feedback set: one capped collect (<= |queries| x
+        # fb_docs rows, deterministic — integer score, doc-id ties),
+        # re-planned as a LocalRelation, ids pushed into the forward
+        # lookup's scan so it reads only the feedback docs' rows
+        fb_rows = fb.collect()
+        fb = _literal_df(spark, fb_rows, fb.schema)
+        fwd = postings.filter(
+            F.col("doc_id").isin(sorted({r["doc_id"] for r in fb_rows}))
+        )
     cand = (
-        postings.join(F.broadcast(fb), "doc_id")
+        fwd.join(F.broadcast(fb), "doc_id")
         .groupBy("query_id", F.col("tok").alias("__tok"))
         .agg(F.sum("tf").cast("bigint").alias("__w"))
         .join(qtoks, ["query_id", "__tok"], "left_anti")
@@ -909,9 +926,23 @@ def bm25_index_prf_probe(
         .filter(F.col("__r") <= fb_terms)
         .select("query_id", "__tok")
     )
+    p2 = postings
+    if toklist is not None:
+        # bounded expansion (<= |queries| x fb_terms rows, integer-tf
+        # weights with lexical ties): collect off the already-pruned
+        # candidate aggregate, literalize, and push the combined term
+        # list into pass 2's posting scan — per-token df over the
+        # token-restricted scan is complete, so scores are identical
+        exp_rows = exp.collect()
+        exp = _literal_df(spark, exp_rows, exp.schema)
+        p2 = postings.filter(
+            F.col("tok").isin(
+                sorted(set(toklist) | {r["__tok"] for r in exp_rows})
+            )
+        )
     qtoks2 = qtoks.unionByName(exp)
     return _bm25_rank(
-        _postings_tf(postings, qtoks2), qtoks2, totals,
+        _postings_tf(p2, qtoks2), qtoks2, totals,
         k, k1, b, max_df_frac, quantum,
     )
 

@@ -506,14 +506,19 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    # CONTRACT LINE (stdout): kept compact — r5's line carried three
-    # per-query dicts and outgrew the driver's stdout-tail capture, so
-    # BENCH_r05.json recorded parsed:null. Totals only here; per-query
-    # medians and per-run totals go to BENCH_DETAIL.json + stderr.
+    # CONTRACT LINE (stdout): r5's line carried THREE per-query dicts
+    # and outgrew the driver's 2000-char stdout-tail capture, so
+    # BENCH_r05.json recorded parsed:null and r6-r9 dropped the maps
+    # entirely. r10 restores the contract's "queries" map — the same
+    # 22 headline names rounds 1-4 reported (none removed or renamed)
+    # — and ONLY that map: measured line ~1.3 KB, inside the 2000-char
+    # tail with headroom. Suite per-query medians and per-run totals
+    # stay in BENCH_DETAIL.json + stderr.
     headline = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
+        "queries": timings,
         "sf": sf_val,
         "n_runs": n_runs,
         "run_totals": run_totals,

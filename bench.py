@@ -152,6 +152,38 @@ def main() -> None:
         {n: (fn.__module__, fn.__name__) for n, fn in QUERIES.items()}
     )
 
+    # Rotating thaw (round-10 verdict item 2): a frozen median is builder-box
+    # data the driver never re-measured. Every bench run now additionally
+    # re-measures the SPARK_GRAFT_BENCH_THAW_N (default 2) least-recently
+    # measured frozen entries — records carry a monotone "seq" stamped at
+    # measurement time, oldest seq thaws first (records predating the seq
+    # field count as oldest) — so over rounds the whole frozen set rotates
+    # through fresh driver-visible measurements. The thawed entries' names
+    # and fresh medians are surfaced in the contract line ("thawed") next to
+    # the run's own mean_plan_ms canary. Additions-only: methodology,
+    # freeze keying, and every existing field are unchanged.
+    thaw_n = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_THAW_N", "2")))
+    seq_meta = frozen.setdefault("__meta__", {})
+    run_seq = int(seq_meta.get("seq", 0)) + 1
+    seq_meta["seq"] = run_seq
+
+    def _fkey(n: str) -> str:
+        return f"{sf_dir}|{n}"
+
+    _fresh = {
+        n for n in QUERIES
+        if frozen.get(_fkey(n), {}).get("fp") != cur_fp.get(n)
+    }
+    _frozen_entries = sorted(
+        (
+            (frozen[_fkey(n)].get("seq", -1), n)
+            for n in QUERIES
+            if _fkey(n) in frozen and n not in _fresh
+        ),
+    )
+    thaw_names = {n for _, n in _frozen_entries[:thaw_n]}
+    thawed_out: dict[str, float] = {}
+
     def run_suite(
         names: list[str],
         label: str,
@@ -168,6 +200,7 @@ def main() -> None:
             stale = [
                 n for n in names
                 if frozen.get(fkey(n), {}).get("fp") != cur_fp[n]
+                or n in thaw_names
             ]
         else:
             stale = list(names)
@@ -199,7 +232,18 @@ def main() -> None:
             if n in per:
                 meds[n] = round(med(per[n]), 3)
                 if freeze:
-                    frozen[fkey(n)] = {"fp": cur_fp[n], "med_s": meds[n]}
+                    frozen[fkey(n)] = {
+                        "fp": cur_fp[n],
+                        "med_s": meds[n],
+                        # measurement-time provenance: rotation order +
+                        # the same-run driver-CPU canary (headline
+                        # plan-build mean) so a frozen median is always
+                        # readable next to the box state it was taken on
+                        "seq": run_seq,
+                        "canary_plan_ms": mean_plan,
+                    }
+                    if n in thaw_names:
+                        thawed_out[n] = meds[n]
             else:
                 meds[n] = frozen[fkey(n)]["med_s"]
         total = round(sum(meds.values()), 3)
@@ -538,9 +582,23 @@ def main() -> None:
         "r9_ops_total_s": r9_total,
         "r10_ops_total_s": r10_total,
         "x63_probe_p50_ms": x63_probe_ms,
+        # the rotating-thaw receipts: entries re-measured THIS run purely
+        # for rotation (fingerprint unchanged), with their fresh medians —
+        # independent driver-visible wall evidence for the frozen set
+        "thawed": thawed_out,
     }
+    # Contract-line guard (round-10 advice): the driver captures a bounded
+    # stdout tail; a line past ~2000 chars recreated the r5 parsed:null
+    # regression. Shed the optional additions first, never the r1-r4 map.
+    if len(json.dumps(headline)) > 1900:
+        headline.pop("thawed", None)
+    if len(json.dumps(headline)) > 1900:
+        print("# WARN contract line exceeded 1900 chars; dropping queries map",
+              file=sys.stderr)
+        headline.pop("queries", None)
     detail = dict(
         headline,
+        thawed=thawed_out,
         queries=timings,
         tpch_queries=tpch_timings,
         tpch_run_totals=tpch_runs,

@@ -42,7 +42,8 @@ def main() -> None:
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--plans", default=None, help="dump explain to plans/r10/<q>_<TAG>.txt")
+    ap.add_argument("--plans", default=None, help="dump explain to <plans-dir>/<q>_<TAG>.txt")
+    ap.add_argument("--plans-dir", default="plans/r10")
     ap.add_argument("--all-headline", action="store_true")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
@@ -66,11 +67,11 @@ def main() -> None:
         df = fn(spark, args.sf)
         build_ms = (time.perf_counter() - t0) * 1000
         if args.plans:
-            os.makedirs("plans/r10", exist_ok=True)
+            os.makedirs(args.plans_dir, exist_ok=True)
             plan = spark._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
-            with open(f"plans/r10/{name}_{args.plans}.txt", "w") as f:
+            with open(f"{args.plans_dir}/{name}_{args.plans}.txt", "w") as f:
                 f.write(plan)
         if args.runs == 0:  # plan-capture only
             print(f"{name}: plan captured", flush=True)

@@ -1759,6 +1759,8 @@ def ingest_decisions(
 
     Returns (id, cluster_id, corpus_dup, accepted).
     """
+    from pyspark.sql import Window as W
+
     probe = simhash_index_probe(
         spark, table, delta, text_col, id_col, max_hamming, bands
     )
@@ -1769,31 +1771,45 @@ def ingest_decisions(
         delta, text_col, id_col, max_hamming, bands
     )
     comp = connected_components(pairs)
+    # comp and doc_dups are both bounded by the INGESTION BATCH (the
+    # probe already broadcasts the batch's banded signatures by the
+    # same argument), so attach them as broadcast joins: the batch ids
+    # are never shuffled to meet them.
     labeled = (
         delta.select(id_col)
-        .join(comp, F.col(id_col) == comp["node"], "left")
+        .join(F.broadcast(comp), F.col(id_col) == comp["node"], "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
         )
     )
     flags = labeled.join(
-        doc_dups, labeled[id_col] == doc_dups["delta_id"], "left"
+        F.broadcast(doc_dups), labeled[id_col] == doc_dups["delta_id"], "left"
     ).select(
         F.col(id_col),
         "cluster_id",
         F.col("__nd").isNotNull().alias("corpus_dup"),
     )
-    cluster_any = flags.groupBy("cluster_id").agg(
-        F.max(F.col("corpus_dup").cast("int")).alias("__any")
-    )
-    return flags.join(cluster_any, "cluster_id").select(
+    # cluster-level any-corpus-dup via a window over the SAME flags
+    # frame instead of groupBy + self-join: the aggregate+join shape
+    # planned the whole probe/CC/flags subtree TWICE (no reused
+    # exchange — 496-node plan, 32 shuffles) and re-shuffled both
+    # copies on cluster_id; the window computes max-over-cluster in
+    # place on the single copy with ONE cluster_id exchange. Same
+    # value per row: max(corpus_dup) over all rows of the cluster.
+    return flags.select(
         F.col(id_col),
         "cluster_id",
         "corpus_dup",
-        ((F.col(id_col) == F.col("cluster_id")) & (F.col("__any") == 0)).alias(
-            "accepted"
-        ),
+        (
+            (F.col(id_col) == F.col("cluster_id"))
+            & (
+                F.max(F.col("corpus_dup").cast("int")).over(
+                    W.partitionBy("cluster_id")
+                )
+                == 0
+            )
+        ).alias("accepted"),
     )
 
 

@@ -558,6 +558,19 @@ def write_bm25_index(
     hash-distributes by term), plan-pinned in tests. The build's one
     token-keyed exchange (the bucketed write) is the deliberate
     build-once cost — probes never repeat it.
+
+    The build tokenizes the corpus TEXT exactly once (the postings
+    pass). The ``__docs`` sidecar is derived from the postings just
+    written — every posting row already carries its document's exact
+    ``dl``, so (doc_id, dl) for tokened docs is a two-column columnar
+    read of the postings table whose map-side-combinable groupBy
+    shrinks it to one row per doc before the shuffle — plus an
+    id-only anti-join of the corpus for token-less docs (no posting
+    rows), which prunes the corpus scan to the id column. A
+    token-less doc stores dl = 0; the only input where the old
+    second-tokenization pass differed is a NULL text (dl NULL vs 0),
+    and every consumer aggregates the sidecar as (count(*), sum(dl)),
+    identical under either encoding (``_bm25_index_frames``).
     """
     from wren_engine_spark.operators import layout
 
@@ -570,14 +583,31 @@ def write_bm25_index(
         "tok",
         buckets,
     )
+    posted = spark.table(table).groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    residual = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(
+            posted.select(F.col("doc_id").alias("__pid")),
+            F.col("doc_id").eqNullSafe(F.col("__pid")),
+            "left_anti",
+        )
+        .select("doc_id", F.lit(0).cast("bigint").alias("dl"))
+    )
     layout.write_bucketed(
-        _bm25_doc_lengths(df, text_col, id_col).repartition(
+        posted.unionByName(residual).repartition(
             doc_buckets, F.col("doc_id")
         ),
         f"{table}__docs",
         "doc_id",
         doc_buckets,
     )
+    # The read-back above primes THIS session's data-source relation
+    # cache with the build-time file listing. Appends issued from a
+    # CLONED session (streaming foreachBatch, t18) invalidate only the
+    # clone's cache, so a later probe in this session would silently
+    # read the build-time snapshot. Drop the entry — exactly the cache
+    # state the pre-read-back build left behind.
+    spark.catalog.refreshTable(table)
     # a rebuild resets the index wholesale: stale tombstones from the
     # previous incarnation must not delete freshly re-indexed docs
     layout.drop_managed_table(spark, f"{table}__tombstones")

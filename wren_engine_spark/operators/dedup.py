@@ -1770,7 +1770,43 @@ def ingest_decisions(
     pairs = portable_simhash_near_dup(
         delta, text_col, id_col, max_hamming, bands
     )
-    comp = connected_components(pairs)
+    # The batch pair graph is INGESTION-BATCH-bounded (the probe
+    # already broadcasts the batch's banded signatures, and comp is
+    # broadcast below — both land on the driver either way), so the
+    # component labels come from ONE collect + driver union-find
+    # instead of the iterative Spark CC loop: the loop's per-round
+    # lazy-checkpoint + convergence collect cost ~36 scheduler
+    # round-trips per call (4 rounds x ~7 AQE stage jobs + setup) for
+    # a graph whose edge list already fits in the comp broadcast.
+    # Union always attaches the larger root under the smaller, so a
+    # root IS the min member — identical labels to
+    # connected_components (min id per component).
+    parent: dict = {}
+
+    def _find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for e in pairs.select("id_a", "id_b").collect():
+        a, b = e[0], e[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = _find(a), _find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    id_type = dict(delta.dtypes)[id_col]
+    comp = spark.createDataFrame(
+        [(n, _find(n)) for n in parent],
+        schema=f"node {id_type}, component {id_type}",
+    )
     # comp and doc_dups are both bounded by the INGESTION BATCH (the
     # probe already broadcasts the batch's banded signatures by the
     # same argument), so attach them as broadcast joins: the batch ids

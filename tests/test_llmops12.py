@@ -354,3 +354,48 @@ class TestDocLengths:
         assert (qid, rnk, did) == (9, 1, 1)
         assert score == pytest.approx(want_score, abs=1e-9)
         assert want is not None
+
+
+class TestOnePassDocsSidecar:
+    """The __docs sidecar is derived from the written postings (one
+    corpus tokenization per build), plus an id-only anti-join for
+    token-less docs."""
+
+    def test_sidecar_dl_values_including_null_text(self, spark):
+        d = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, None), (3, "   "),
+             (4, "alpha alpha")],
+            "doc_id BIGINT, text STRING",
+        )
+        retrieval.write_bm25_index(d, "text", "doc_id", "bm25_t_onepass")
+        side = {r.doc_id: r.dl
+                for r in spark.table("bm25_t_onepass__docs").collect()}
+        # NULL text stores dl = 0 (the old second-tokenization kernel
+        # stored NULL under ANSI size(NULL)); every consumer aggregates
+        # the sidecar as (count(*), sum(dl)) so the encodings agree
+        assert side == {1: 3, 2: 0, 3: 0, 4: 2}
+
+    def test_clone_session_append_visible_to_probe(self, spark):
+        """Regression (t18): the build's postings read-back primes the
+        building session's relation cache; an append issued from a
+        CLONED session (streaming foreachBatch) invalidates only the
+        clone's cache. The build must drop its primed entry so a later
+        probe in the original session sees appended files."""
+        base = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "beta gamma")],
+            "doc_id BIGINT, text STRING",
+        )
+        retrieval.write_bm25_index(base, "text", "doc_id", "bm25_t_clone")
+        clone = spark.newSession()
+        batch = clone.createDataFrame(
+            [(3, "alpha gamma")], "doc_id BIGINT, text STRING"
+        )
+        retrieval.bm25_index_append(clone, "bm25_t_clone", batch,
+                                    "text", "doc_id")
+        got = retrieval.bm25_index_probe(
+            spark, "bm25_t_clone",
+            spark.createDataFrame([(9, "gamma")],
+                                  "doc_id BIGINT, text STRING"),
+            "text", "doc_id", k=5,
+        )
+        assert {r.doc_id for r in got.collect()} == {2, 3}

@@ -183,10 +183,17 @@ def jaccard_pairs(
       candidates per prefix shingle.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
-    """
-    from pyspark.sql import Window as W
 
+    Plan-build note (round 11): the pipeline is expressed as SQL-string
+    expressions (``selectExpr``/``F.expr``) with explicit ``D``-suffixed
+    double literals via ``repr`` (round-trip exact, so every literal is
+    bit-identical to the former ``F.lit`` doubles), and consecutive
+    narrow projections are merged. Each string costs ONE py4j round
+    trip where the Column-algebra form paid one per operator; the
+    resolved plan — and therefore the output — is unchanged.
+    """
     eps = 1e-9
+    epsl = f"{eps!r}D"
     # docs feeds three branches (explode, verify-a, verify-b) and prefix
     # feeds the self-join twice: cache both so the scan+shingle and the
     # two window passes run once, not 4x
@@ -212,70 +219,60 @@ def jaccard_pairs(
         head = freq.filter(F.col("__df") > hot_df_cap).withColumnRenamed(
             "__df", "__hdf"
         )
-        with_df = sh.join(F.broadcast(head), "shingle", "left").withColumn(
-            "__df", F.coalesce(F.col("__hdf"), F.lit(0)).cast("bigint")
-        ).drop("__hdf")
+        with_df = sh.join(F.broadcast(head), "shingle", "left").selectExpr(
+            id_col, "__n", "shingle",
+            "CAST(coalesce(__hdf, 0) AS BIGINT) AS __df",
+        )
     else:
         with_df = sh.join(freq, "shingle")
-    ranked = with_df.withColumn(
-        "__rn",
-        F.row_number().over(
-            W.partitionBy(id_col).orderBy(F.col("__df"), F.col("shingle"))
-        ),
-    )
     # prefix length |d| - ceil(t*|d|) + 1, via epsilon-padded floor
-    prefix = ranked.filter(
-        F.col("__rn")
-        <= F.floor((1.0 - threshold) * F.col("__n") + eps).cast("int") + F.lit(1)
-    ).select(id_col, "shingle", "__n", "__rn").cache()
-    a = prefix.select(
-        F.col(id_col).alias("id_a"), "shingle",
-        F.col("__n").alias("__na"), F.col("__rn").alias("__pa"),
+    prefix = with_df.selectExpr(
+        id_col, "shingle", "__n",
+        f"row_number() OVER (PARTITION BY {id_col}"
+        " ORDER BY __df, shingle) AS __rn",
+    ).filter(
+        f"__rn <= CAST(floor({(1.0 - threshold)!r}D * __n + {epsl}) AS INT) + 1"
+    ).cache()
+    a = prefix.selectExpr(
+        f"{id_col} AS id_a", "shingle", "__n AS __na", "__rn AS __pa"
     )
-    b = prefix.select(
-        F.col(id_col).alias("id_b"), "shingle",
-        F.col("__n").alias("__nb"), F.col("__rn").alias("__pb"),
+    b = prefix.selectExpr(
+        f"{id_col} AS id_b", "shingle", "__n AS __nb", "__rn AS __pb"
     )
     # size filter: jaccard >= t forces t*|B| <= |A| <= |B|/t;
     # position filter (PPJoin): overlap upper bound from the prefix
     # match positions must still reach the required overlap
     # t/(1+t) * (|A|+|B|)
-    required = (threshold / (1.0 + threshold)) * (F.col("__na") + F.col("__nb")) - eps
-    upper = 1 + F.least(F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb"))
+    tl = f"{threshold!r}D"
     cand = (
         a.join(
             b,
             (a["shingle"] == b["shingle"])
-            & (F.col("id_a") < F.col("id_b"))
-            & (F.col("__na") >= threshold * F.col("__nb") - eps)
-            & (F.col("__nb") >= threshold * F.col("__na") - eps)
-            & (upper >= required),
+            & F.expr(
+                f"id_a < id_b AND __na >= {tl} * __nb - {epsl}"
+                f" AND __nb >= {tl} * __na - {epsl}"
+                " AND 1 + least(__na - __pa, __nb - __pb) >="
+                f" {(threshold / (1.0 + threshold))!r}D * (__na + __nb) - {epsl}"
+            ),
         )
         .select("id_a", "id_b")
         .distinct()
     )
-    da = docs.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
-    db = docs.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
-    inter = F.size(F.array_intersect("__sha", "__shb"))
+    da = docs.selectExpr(f"{id_col} AS id_a", "__sh AS __sha")
+    db = docs.selectExpr(f"{id_col} AS id_b", "__sh AS __shb")
     return (
         cand.join(da, "id_a")
         .join(db, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            inter.alias("__c"),
-            F.size("__sha").alias("__na"),
-            F.size("__shb").alias("__nb"),
+        .selectExpr(
+            "id_a", "id_b",
+            "size(array_intersect(__sha, __shb)) AS __c",
+            "size(__sha) AS __na", "size(__shb) AS __nb",
         )
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("__c").cast("double")
-                / (F.col("__na") + F.col("__nb") - F.col("__c")).cast("double")
-            ).alias("jaccard"),
+        .selectExpr(
+            "id_a", "id_b",
+            "CAST(__c AS DOUBLE) / CAST(__na + __nb - __c AS DOUBLE) AS jaccard",
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(f"jaccard >= {tl}")
     )
 
 

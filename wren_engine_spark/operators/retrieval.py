@@ -1103,7 +1103,7 @@ def maxsim_topk(
     )
     pair_qc = F.round(
         qn
-        * _dot_dec(F.col("__qv"), F.col("__dv"))
+        * _dot_dec("__qv", "__dv")
         / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__dn")))
     ).cast("bigint")
     if candidates is not None:

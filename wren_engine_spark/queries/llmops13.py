@@ -946,7 +946,7 @@ def x131(spark: SparkSession, sf: str) -> DataFrame:
     )
     qc_rel = F.round(
         F.lit(1_000_000.0)
-        * _dot_dec(F.col("__qe"), F.col("embedding"))
+        * _dot_dec("__qe", "embedding")
         / (F.sqrt(F.col("__qn")) * F.sqrt(F.col("__n2")))
     ).cast("bigint")
     from pyspark.sql import Window as W
@@ -983,7 +983,7 @@ def x131(spark: SparkSession, sf: str) -> DataFrame:
     )
     qc_sim = F.round(
         F.lit(1_000_000.0)
-        * _dot_dec(F.col("__ea"), F.col("__eb"))
+        * _dot_dec("__ea", "__eb")
         / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))
     ).cast("bigint")
     pairs = (

@@ -1173,7 +1173,7 @@ def x60(spark: SparkSession, sf: str) -> DataFrame:
         "chunk_id",
         "f",
         cluster.cast("int").alias("cluster_id"),
-        _norm2_dec(F.col("f")).alias("norm2"),
+        _norm2_dec("f").alias("norm2"),
     ).filter(F.col("norm2") > 0)
     a = base.select(
         F.col("doc_id"), F.col("chunk_id"), F.col("cluster_id"),
@@ -1189,7 +1189,7 @@ def x60(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "doc_id", "chunk_id", "nn_doc_id", "nn_chunk_id",
             (
-                _dot_dec(F.col("__fa"), F.col("__fb"))
+                _dot_dec("__fa", "__fb")
                 / (F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb")))
             ).alias("sim"),
         )

@@ -773,6 +773,10 @@ def bm25_index_probe(
         spark, queries, text_col, id_col, max_literal_tokens
     )
     if toklist is not None:
+        # an EMPTY token batch is deliberate: isin([]) is an empty IN
+        # list, which Catalyst constant-folds to FALSE — the scan prunes
+        # to nothing and the probe returns the same empty result the
+        # lazy shape produces (round-10 advice: reliance made explicit)
         postings = postings.filter(F.col("tok").isin(toklist))
     tf = _postings_tf(postings, qtoks)
     return _bm25_rank(tf, qtoks, totals, k, k1, b, max_df_frac, quantum)
@@ -894,6 +898,15 @@ def bm25_index_prf_probe(
     tie-breaks, and both passes score through the shared
     :func:`_bm25_rank` quantized kernel — the whole two-pass pipeline
     replays bit-for-bit in any engine.
+
+    Snapshot semantics (round-10 advice): in the default literal path
+    (batches within ``max_literal_tokens``) the pass-1 feedback docs
+    and expansion terms are collected AT PROBE CONSTRUCTION — the
+    returned DataFrame keeps reflecting the index state seen then, so
+    re-invoke the probe after an append/delete rather than re-executing
+    a stale handle. The over-cap lazy path recomputes pass 1 per
+    action; the two paths are identical only while the index is
+    unchanged between construction and execution.
 
     Scale shape (the x63 prepared-probe convention carried through
     BOTH passes): every intermediate the algorithm binds is bounded —

@@ -457,6 +457,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     shortcut: bool = True,
+    canonical_edges: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     min-label propagation: every node starts labeled with its own id and
@@ -488,28 +489,46 @@ def connected_components(
     The fixpoint is identical: comp values are always node ids inside
     the component, monotonically non-increasing, bounded by the min.
 
+    ``canonical_edges=True`` asserts the caller's edge list is already
+    DISTINCT with ``src < dst`` strictly (no self-loops) — true of every
+    pair generator here (jaccard_pairs / minhash verification emit
+    unique ordered pairs). The symmetrized union is then distinct by
+    construction and the dedup shuffle over the edge list is skipped —
+    at corpus scale that is one full exchange+aggregate over the pair
+    set. The assertion is safe-by-construction: a wrong claim can only
+    leave duplicate edge ROWS, which the per-round ``min`` absorbs —
+    the fixpoint labels (and the per-node convergence sum) are
+    identical either way, only wasted work differs.
+
     ``connected_components.last_rounds`` records the rounds the last
     call used (test instrumentation).
     """
-    # materialize the (possibly expensive) edge plan ONCE before it fans
-    # out into both union branches and every iteration's join
+    # ALL checkpoints lazy (r11; r10 kept edges eager): the edge plan,
+    # sym, and the initial labels persist with truncated lineage as the
+    # ROUND-1 convergence collect computes them — each is a single RDD
+    # node in that job's DAG, so the (possibly expensive) edge plan
+    # still runs exactly once even though sym references it twice.
+    # 2 pre-loop driver actions (r10) -> 0.
     one_way = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
+        eager=False
     )
     sym = one_way.union(
         one_way.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
-    # LAZY checkpoints: sym and the initial labels still persist with
-    # truncated lineage (localCheckpoint marks the RDD; the partitions
-    # are persisted as the first job computes them), but the prev_sum
-    # collect below materializes BOTH in ONE job instead of paying one
-    # driver action per eager checkpoint — 4 driver round-trips -> 2
-    # before the loop. Same data, same plan truncation.
+    )
+    if not canonical_edges:
+        sym = sym.distinct()
     sym = sym.localCheckpoint(eager=False)
     labels = (
         sym.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("comp"))
     ).localCheckpoint(eager=False)
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    # No initial-sum collect: round 1 strictly lowers some label on any
+    # graph with a non-self-loop edge (a node adjacent to a smaller id
+    # takes it), so comparing round 1 against a never-equal sentinel
+    # costs zero extra rounds there; the degenerate cases break via the
+    # None check (empty graph -> sum(comp) is None: no labels exist, a
+    # fixpoint by definition). Self-loop-only graphs pay one extra
+    # round — no generator here emits self-loops.
+    prev_sum: object = object()
     rounds = 0
     for i in range(max_iter):
         rounds = i + 1
@@ -531,7 +550,7 @@ def connected_components(
         # (was two: an eager materialization plus a separate collect)
         labels = labels.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
+        if cur_sum == prev_sum or cur_sum is None:
             break
         prev_sum = cur_sum
     connected_components.last_rounds = rounds
@@ -550,7 +569,9 @@ def duplicate_clusters(
     its cluster id (singletons keep their own id). Returns
     (id, cluster_id)."""
     pairs = jaccard_pairs(df, text_col, id_col, n=n, threshold=threshold)
-    comp = connected_components(pairs)
+    # jaccard_pairs emits DISTINCT ordered pairs (id_a < id_b): skip the
+    # symmetrize-dedup shuffle (see connected_components docstring)
+    comp = connected_components(pairs, canonical_edges=True)
     return (
         df.select(id_col)
         .join(comp, F.col(id_col) == comp["node"], "left")
@@ -602,7 +623,9 @@ def scalable_duplicate_clusters(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    comp = connected_components(verified)
+    # the LSH candidate set is groupBy(id_a, id_b)-unique with
+    # id_a < id_b, and verification only filters it: canonical edges
+    comp = connected_components(verified, canonical_edges=True)
     return (
         df.select(id_col)
         .join(comp, F.col(id_col) == comp["node"], "left")
